@@ -1,0 +1,60 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line {"metric","value","unit","queries","sf"}.
+
+Each query is executed twice: a warm-up (JIT + code cache) is NOT counted? No —
+we time the second run to measure steady-state plan execution, which is what a
+long-lived cluster sees; the first-run JVM warm-up is a fixed local artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ccirecommenderdatapipeline_spark import plans  # noqa: E402
+from ccirecommenderdatapipeline_spark.session import get_spark  # noqa: E402
+
+# Headline queries: the flagship pipeline stages, heaviest first.
+HEADLINE = [
+    "cci",
+    "buy_signals",
+    "signal_counts",
+    "latest_cci",
+    "prices",
+]
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = plans.QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE if n in plans.QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        run_once(spark, name, sf_dir)  # warm-up
+        timings[name] = round(run_once(spark, name, sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

