@@ -2,9 +2,8 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line {"metric","value","unit","queries","sf"}.
 
-Each query is executed twice: a warm-up (JIT + code cache) is NOT counted? No —
-we time the second run to measure steady-state plan execution, which is what a
-long-lived cluster sees; the first-run JVM warm-up is a fixed local artifact.
+One global warm-up query absorbs JVM/JIT start-up; each headline query is
+then timed on a single steady-state run (what a long-lived cluster sees).
 """
 
 from __future__ import annotations
@@ -19,13 +18,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ccirecommenderdatapipeline_spark import plans  # noqa: E402
 from ccirecommenderdatapipeline_spark.session import get_spark  # noqa: E402
 
-# Headline queries: the flagship pipeline stages, heaviest first.
+# Headline queries: the flagship pipeline stages.
 HEADLINE = [
+    "prices",
     "cci",
     "buy_signals",
     "signal_counts",
     "latest_cci",
-    "prices",
+    "trades_sim",
+    "strategy_agg",
+    "best_return",
+    "best_return_full_grid",  # the reference's full 4,860-combo workload
 ]
 
 
@@ -41,9 +44,9 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in plans.QUERIES]
+    run_once(spark, "cci", sf_dir)  # global JVM/JIT warm-up
     timings: dict[str, float] = {}
     for name in names:
-        run_once(spark, name, sf_dir)  # warm-up
         timings[name] = round(run_once(spark, name, sf_dir), 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({

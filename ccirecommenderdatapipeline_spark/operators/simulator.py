@@ -1,0 +1,263 @@
+"""The trade simulator — SURVEY.md W6 (forward-window first-match) x J6
+(strategy-grid cross join), the reference's hard core
+(/root/reference/daily_function.py:717-816).
+
+Reference semantics preserved exactly:
+- buy signal: strict crossover ``prev open_cci < thr AND open_cci > thr``
+  (daily_function.py:724-725); buy at that row's open price/date (:735-737).
+- forward window: the next ``x`` rows by position, not days (:739).
+- target hit: first future row with ``close_pr >= buy_price*(1+r/100)``;
+  stop hit: first future row with ``close_cci <= stop_thr`` (:745-751).
+- precedence (:754): target wins only if strictly earlier than stop; equal
+  index -> stop_loss. No hit -> maturity at the min(x, len(future))-th row.
+- ``days_held``: calendar days for target/stop; the CONSTANT ``x`` for
+  maturity even when the series ends early (:796) — preserved as-is.
+- a buy on the last row (empty forward window) produces no trade (:741-742).
+
+Spark-first plan (SURVEY section 4.2 Plan A, chosen over the range self-join):
+1. one window pass per symbol builds ``future`` = collect_list(struct) over
+   ROWS BETWEEN 1 FOLLOWING AND x_max FOLLOWING — O(x_max) per row, computed
+   in the same sort as the lag/crossover, so ONE shuffle on symbol serves
+   the whole simulator;
+2. crossover filter runs immediately after the window projection, so the
+   dense non-buy rows never leave the stage (the "push the sparse filter
+   below the crossJoin" rewrite, SURVEY section 4.3);
+3. per buy row, first-hit indexes for every target_return and stop_thr are
+   computed ONCE via array HOFs (``array_position`` over a transformed
+   bounded array), then the (holding x return x stop) grid expansion is a
+   broadcast cross join doing pure integer lookups — the 4,860-way blow-up
+   multiplies scalars, not array scans.
+
+At 100 TB: everything after the single symbol-shuffle is map-local; the grid
+is a broadcast literal; the only later shuffle is the strategy aggregation's
+groupBy. Skewed symbols (long histories) are bounded by x_max-sized state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..schemas import (
+    GRID_BUY_THRESHOLD,
+    GRID_HOLDING_DAYS,
+    GRID_STOP_THRESHOLD,
+    GRID_TARGET_RETURN,
+)
+
+
+DEFAULT_GRID = {
+    "holding_days": GRID_HOLDING_DAYS,
+    "target_return": GRID_TARGET_RETURN,
+    "buy_threshold": GRID_BUY_THRESHOLD,
+    "stop_threshold": GRID_STOP_THRESHOLD,
+}
+
+
+def _first_index(arr: Column, pred) -> Column:
+    """1-based index of the first element satisfying ``pred``; null if none.
+    ``array_position(transform(arr, pred), true)`` stays in Catalyst; Spark
+    returns 0 for not-found, normalized to null (DuckDB's list_position
+    returns NULL directly)."""
+    return F.nullif(F.array_position(F.transform(arr, pred), F.lit(True)), F.lit(0)).cast("int")
+
+
+def simulate_trades(cci: DataFrame, grid: dict | None = None) -> DataFrame:
+    """cci (symbol, date, open_pr, close_pr, open_cci, close_cci, ...) ->
+    one row per (buy event x grid combo), TRADE_SCHEMA-shaped."""
+    grid = grid or DEFAULT_GRID
+    x_max = max(grid["holding_days"])
+    w = Window.partitionBy("symbol").orderBy("date")
+    fw = w.rowsBetween(1, x_max)
+
+    base = cci.select(
+        "symbol",
+        "date",
+        "open_pr",
+        "open_cci",
+        F.lag("open_cci", 1).over(w).alias("prev_cci"),
+        F.collect_list(F.struct("date", "close_pr", "close_cci")).over(fw).alias("future"),
+    )
+
+    buy_thr = F.explode(F.array(*[F.lit(float(b)) for b in grid["buy_threshold"]])).alias(
+        "condition_buy_cci_threshold"
+    )
+    buys = (
+        base.select("*", buy_thr)
+        .filter(
+            (F.col("prev_cci") < F.col("condition_buy_cci_threshold"))
+            & (F.col("open_cci") > F.col("condition_buy_cci_threshold"))
+            & (F.size("future") >= 1)
+        )
+        .select(
+            "symbol",
+            F.col("date").alias("buy_date"),
+            F.col("open_pr").alias("buy_price"),
+            "condition_buy_cci_threshold",
+            "future",
+        )
+    )
+
+    # First-hit indexes for every target return / stop threshold, computed
+    # once per buy row over the bounded future array.
+    r_grid = grid["target_return"]
+    s_grid = grid["stop_threshold"]
+
+    # NB: single-parameter closures — a 2-parameter lambda would be treated
+    # by the HOF binder as the (element, index) form.
+    def target_pred(r: int):
+        return lambda f: f["close_pr"] >= F.col("buy_price") * (1 + F.lit(r) / 100.0)
+
+    def stop_pred(s: float):
+        return lambda f: f["close_cci"] <= F.lit(float(s))
+
+    buys = buys.withColumns({
+        "t_idx": F.array(*[_first_index(F.col("future"), target_pred(r)) for r in r_grid]),
+        "s_idx": F.array(*[_first_index(F.col("future"), stop_pred(s)) for s in s_grid]),
+        "flen": F.size("future"),
+    })
+
+    # Broadcast grid expansion: (holding, return, stop) with the positions of
+    # return/stop inside the precomputed index arrays.
+    combos = buys.sparkSession.createDataFrame(
+        [
+            (x, r, ri + 1, float(s), si + 1)
+            for x in grid["holding_days"]
+            for ri, r in enumerate(r_grid)
+            for si, s in enumerate(s_grid)
+        ],
+        "condition_holding_days INT, condition_target_return INT, r_pos INT, "
+        "condition_stop_loss_cci_threshold DOUBLE, s_pos INT",
+    )
+    e = buys.crossJoin(F.broadcast(combos))
+
+    x = F.col("condition_holding_days")
+    t0 = F.element_at("t_idx", F.col("r_pos"))
+    s0 = F.element_at("s_idx", F.col("s_pos"))
+    e = e.withColumns({
+        "t_hit": F.when(t0 <= x, t0),
+        "s_hit": F.when(s0 <= x, s0),
+    })
+    is_target = F.col("t_hit").isNotNull() & (
+        F.col("s_hit").isNull() | (F.col("t_hit") < F.col("s_hit"))
+    )
+    is_stop = ~is_target & F.col("s_hit").isNotNull()
+    t_row = F.element_at("future", F.col("t_hit"))
+    s_row = F.element_at("future", F.col("s_hit"))
+    m_row = F.element_at("future", F.least(x, F.col("flen")))
+
+    e = e.withColumns({
+        "trade_result": F.when(is_target, "reach_target")
+        .when(is_stop, "stop_loss")
+        .otherwise("maturity"),
+        "reach_target_date": F.when(is_target, t_row["date"]),
+        "reach_target_price": F.when(is_target, t_row["close_pr"]),
+        "stop_loss_date": F.when(is_stop, s_row["date"]),
+        "stop_loss_price": F.when(is_stop, s_row["close_pr"]),
+        "maturity_date": F.when(~is_target & ~is_stop, m_row["date"]),
+        "maturity_price": F.when(~is_target & ~is_stop, m_row["close_pr"]),
+    })
+    # P11 coalesce (daily_function.py:1019-1027) + days_held (:767, :787, :796)
+    e = e.withColumns({
+        "sell_date": F.coalesce("reach_target_date", "stop_loss_date", "maturity_date"),
+        "sell_price": F.coalesce("reach_target_price", "stop_loss_price", "maturity_price"),
+    })
+    e = e.withColumn(
+        "days_held",
+        F.when(F.col("trade_result") == "maturity", x).otherwise(
+            F.datediff("sell_date", "buy_date")
+        ).cast("int"),
+    )
+    return e.select(
+        "symbol", "buy_date", "buy_price",
+        "condition_holding_days", "condition_target_return",
+        "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
+        "reach_target_date", "reach_target_price",
+        "stop_loss_date", "stop_loss_price",
+        "maturity_date", "maturity_price",
+        "sell_date", "sell_price", "days_held", "trade_result",
+    )
+
+
+def aggregate_strategies(trades: DataFrame) -> DataFrame:
+    """A1/A2 (daily_function.py:1047-1071): per (symbol x condition) outcome
+    aggregation + derived rate measures.
+
+    Determinism notes vs the reference: rates are emitted as exact per-row
+    divisions of integer/decimal-exact aggregates instead of pandas
+    ``round(x, 2)`` (half-boundary rounding is engine-dependent; the values
+    differ from the reference only in the 3rd+ decimal). total_revenue is the
+    unrounded difference of the rounded totals (reference rounds to 0
+    decimals, daily_function.py:1069)."""
+    gcols = [
+        "symbol",
+        "condition_holding_days",
+        "condition_target_return",
+        "condition_buy_cci_threshold",
+        "condition_stop_loss_cci_threshold",
+    ]
+    win = F.col("sell_price") > F.col("buy_price")
+    lose = F.col("sell_price") < F.col("buy_price")
+    rev_per_day = F.round((F.col("sell_price") - F.col("buy_price")) / F.col("days_held"), 8)
+
+    # Scale note: a naive 4x countDistinct here makes Spark expand every
+    # trade row 5x before the shuffle (billions of rows at the full 4,860
+    # grid). Two rewrites keep it ONE expand-free single-pass hash agg:
+    # (a) buy_date is unique within a group (one trade per buy event per
+    #     combo), so count_buy_date == count(*);
+    # (b) the outcome-date nunique counts (pandas .nunique, reference
+    #     daily_function.py:1047-1061) become size(collect_set(...)) — the
+    #     per-group set is bounded by the buy count, and collect_set
+    #     combines map-side, so no row expansion and no second pass.
+    tag = F.col("trade_result")
+
+    def n_distinct_dates(t: str) -> Column:
+        return F.size(F.collect_set(F.when(tag == t, F.col("sell_date")))).cast("long")
+
+    agged = trades.groupBy(*gcols).agg(
+        F.count("*").alias("count_buy_date"),
+        n_distinct_dates("reach_target").alias("count_reach_target_date"),
+        n_distinct_dates("stop_loss").alias("count_stop_loss_date"),
+        n_distinct_dates("maturity").alias("count_maturity_date"),
+        F.sum(win.cast("long")).alias("count_win"),
+        F.sum(lose.cast("long")).alias("count_lose"),
+        F.round(F.sum(rev_per_day), 8).alias("sum_revenue_per_days_held"),
+        F.sum("days_held").cast("long").alias("sum_days_held"),
+        F.count("*").alias("count_trades"),
+        F.round(F.sum("buy_price"), 4).alias("total_buy_price"),
+        F.round(F.sum("sell_price"), 2).alias("total_sell_price"),
+    )
+    return agged.withColumns({
+        "avg_revenue_per_days_held": F.col("sum_revenue_per_days_held") / F.col("count_trades"),
+        "avg_days_held": F.col("sum_days_held") / F.col("count_trades"),
+        "win_rate": F.lit(100.0) * F.col("count_win") / F.col("count_buy_date"),
+        "lose_rate": F.lit(100.0) * F.col("count_lose") / F.col("count_buy_date"),
+        "total_revenue": F.col("total_sell_price") - F.col("total_buy_price"),
+        "revenue_rate": (F.col("total_sell_price") - F.col("total_buy_price"))
+        / F.col("total_buy_price") * 100.0,
+        "reach_target_date_count_per_buy_date_count": F.lit(100.0)
+        * F.col("count_reach_target_date") / F.col("count_buy_date"),
+        "stop_loss_date_count_per_buy_date_count": F.lit(100.0)
+        * F.col("count_stop_loss_date") / F.col("count_buy_date"),
+        "maturity_date_count_per_buy_date_count": F.lit(100.0)
+        * F.col("count_maturity_date") / F.col("count_buy_date"),
+    })
+
+
+def best_by(agged: DataFrame, metric: str) -> DataFrame:
+    """A7 (daily_function.py:1078-1080): argmax condition per symbol.
+
+    pandas ``idxmax`` keeps the first occurrence in grid iteration order
+    (groupby sorts keys ascending), so the deterministic tie-break is the
+    ascending condition tuple — identical selection semantics."""
+    w = Window.partitionBy("symbol").orderBy(
+        F.desc(metric),
+        F.asc("condition_holding_days"),
+        F.asc("condition_target_return"),
+        F.asc("condition_buy_cci_threshold"),
+        F.asc("condition_stop_loss_cci_threshold"),
+    )
+    return (
+        agged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

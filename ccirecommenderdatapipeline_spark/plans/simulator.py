@@ -1,1 +1,230 @@
-"""Placeholder — populated later this round."""
+"""Driver queries for the trade simulator + strategy selection (SURVEY.md
+W6/J6/A1/A2/A7; reference daily_function.py:686-1100).
+
+The DuckDB oracles are generated from the same grid constants as the Spark
+plan, re-expressing the forward-window first-match with list lambdas
+(list_transform + list_position) — structurally the same Plan A, so both
+engines do identical IEEE arithmetic and results hash-match exactly.
+
+Grids are reduced for the oracle gate (the driver collects + hashes rows;
+the full 4,860-combo grid yields tens of millions of trade rows at sf0.01 —
+that scale is exercised Spark-only in bench.py's full_grid_strategy_agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.simulator import aggregate_strategies, best_by, simulate_trades
+from .cci import CCI_ORACLE_BODY, cci_view
+from .registry import query
+
+# Oracle-gated grids (reference full grid: app.py:41-44 = 6x10x9x9).
+SIM_GRID = {
+    "holding_days": [5, 20],
+    "target_return": [3, 8],
+    "buy_threshold": [-100, -40],
+    "stop_threshold": [60, 20],
+}
+AGG_GRID = {
+    "holding_days": [5, 20, 60],
+    "target_return": [2, 5, 10],
+    "buy_threshold": [-100, -60, -20],
+    "stop_threshold": [100, 60, 20],
+}
+
+
+def _sim_cte(grid: dict) -> str:
+    x_max = max(grid["holding_days"])
+    # CAST: DuckDB VALUES literals like -100.0 are DECIMAL, not DOUBLE
+    buy_vals = ", ".join(f"(CAST({float(b)} AS DOUBLE))" for b in grid["buy_threshold"])
+    combo_vals = ", ".join(
+        f"({x}, {r}, CAST({float(s)} AS DOUBLE))"
+        for x in grid["holding_days"]
+        for r in grid["target_return"]
+        for s in grid["stop_threshold"]
+    )
+    return (
+        CCI_ORACLE_BODY
+        + f"""
+, seq AS (
+    SELECT symbol, date, open_pr, open_cci,
+           LAG(open_cci) OVER w AS prev_cci,
+           list(struct_pack(d := date, cp := close_pr, cc := close_cci))
+               OVER fw AS future
+    FROM cci
+    WINDOW w AS (PARTITION BY symbol ORDER BY date),
+           fw AS (PARTITION BY symbol ORDER BY date
+                  ROWS BETWEEN 1 FOLLOWING AND {x_max} FOLLOWING)
+), buys AS (
+    SELECT symbol, date AS buy_date, open_pr AS buy_price,
+           b.condition_buy_cci_threshold, future, len(future) AS flen
+    FROM seq CROSS JOIN (VALUES {buy_vals}) b(condition_buy_cci_threshold)
+    WHERE prev_cci < b.condition_buy_cci_threshold
+      AND open_cci > b.condition_buy_cci_threshold
+      AND len(future) >= 1
+), combos AS (
+    SELECT * FROM (VALUES {combo_vals})
+    c(condition_holding_days, condition_target_return, condition_stop_loss_cci_threshold)
+), hits AS (
+    -- NULLIF: DuckDB list_position returns 0 (not NULL) when absent
+    SELECT *,
+        NULLIF(list_position(list_transform(future,
+            f -> f.cp >= buy_price * (1 + condition_target_return / 100.0)), true), 0) AS t0,
+        NULLIF(list_position(list_transform(future,
+            f -> f.cc <= condition_stop_loss_cci_threshold), true), 0) AS s0
+    FROM buys CROSS JOIN combos
+), gated AS (
+    SELECT *,
+        CASE WHEN t0 <= condition_holding_days THEN t0 END AS t_hit,
+        CASE WHEN s0 <= condition_holding_days THEN s0 END AS s_hit
+    FROM hits
+), outcome AS (
+    SELECT *,
+        (t_hit IS NOT NULL AND (s_hit IS NULL OR t_hit < s_hit)) AS is_target,
+        (NOT (t_hit IS NOT NULL AND (s_hit IS NULL OR t_hit < s_hit))
+         AND s_hit IS NOT NULL) AS is_stop
+    FROM gated
+), trades AS (
+    SELECT symbol, buy_date, buy_price,
+        condition_holding_days, condition_target_return,
+        condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+        CASE WHEN is_target THEN future[t_hit].d  END AS reach_target_date,
+        CASE WHEN is_target THEN future[t_hit].cp END AS reach_target_price,
+        CASE WHEN is_stop   THEN future[s_hit].d  END AS stop_loss_date,
+        CASE WHEN is_stop   THEN future[s_hit].cp END AS stop_loss_price,
+        CASE WHEN NOT is_target AND NOT is_stop
+             THEN future[least(condition_holding_days, flen)].d  END AS maturity_date,
+        CASE WHEN NOT is_target AND NOT is_stop
+             THEN future[least(condition_holding_days, flen)].cp END AS maturity_price,
+        CASE WHEN is_target THEN 'reach_target'
+             WHEN is_stop   THEN 'stop_loss'
+             ELSE 'maturity' END AS trade_result
+    FROM outcome
+), trades2 AS (
+    SELECT *,
+        COALESCE(reach_target_date, stop_loss_date, maturity_date)    AS sell_date,
+        COALESCE(reach_target_price, stop_loss_price, maturity_price) AS sell_price
+    FROM trades
+), trades3 AS (
+    SELECT *,
+        CAST(CASE WHEN trade_result = 'maturity' THEN condition_holding_days
+                  ELSE date_diff('day', buy_date, sell_date) END AS INTEGER) AS days_held
+    FROM trades2
+)
+"""
+    )
+
+
+TRADE_COLS = """symbol, buy_date, buy_price,
+       condition_holding_days, condition_target_return,
+       condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+       reach_target_date, reach_target_price, stop_loss_date, stop_loss_price,
+       maturity_date, maturity_price, sell_date, sell_price, days_held, trade_result"""
+
+AGG_SQL = """
+, agged AS (
+    SELECT symbol,
+        condition_holding_days, condition_target_return,
+        condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+        CAST(COUNT(DISTINCT buy_date)          AS BIGINT) AS count_buy_date,
+        CAST(COUNT(DISTINCT reach_target_date) AS BIGINT) AS count_reach_target_date,
+        CAST(COUNT(DISTINCT stop_loss_date)    AS BIGINT) AS count_stop_loss_date,
+        CAST(COUNT(DISTINCT maturity_date)     AS BIGINT) AS count_maturity_date,
+        CAST(SUM(CASE WHEN sell_price > buy_price THEN 1 ELSE 0 END) AS BIGINT) AS count_win,
+        CAST(SUM(CASE WHEN sell_price < buy_price THEN 1 ELSE 0 END) AS BIGINT) AS count_lose,
+        ROUND(SUM(ROUND((sell_price - buy_price) / days_held, 8)), 8) AS sum_revenue_per_days_held,
+        CAST(SUM(days_held) AS BIGINT) AS sum_days_held,
+        CAST(COUNT(*) AS BIGINT)       AS count_trades,
+        ROUND(SUM(buy_price), 4)       AS total_buy_price,
+        ROUND(SUM(sell_price), 2)      AS total_sell_price
+    FROM trades3
+    GROUP BY 1, 2, 3, 4, 5
+), rates AS (
+    SELECT *,
+        sum_revenue_per_days_held / count_trades AS avg_revenue_per_days_held,
+        sum_days_held / count_trades             AS avg_days_held,
+        100.0 * count_win  / count_buy_date      AS win_rate,
+        100.0 * count_lose / count_buy_date      AS lose_rate,
+        total_sell_price - total_buy_price       AS total_revenue,
+        (total_sell_price - total_buy_price) / total_buy_price * 100.0 AS revenue_rate,
+        100.0 * count_reach_target_date / count_buy_date AS reach_target_date_count_per_buy_date_count,
+        100.0 * count_stop_loss_date    / count_buy_date AS stop_loss_date_count_per_buy_date_count,
+        100.0 * count_maturity_date     / count_buy_date AS maturity_date_count_per_buy_date_count
+    FROM agged
+)
+"""
+
+BEST_SQL = """
+, ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY {metric} DESC,
+        condition_holding_days, condition_target_return,
+        condition_buy_cci_threshold, condition_stop_loss_cci_threshold) AS __rn
+    FROM rates
+)
+SELECT symbol,
+       condition_holding_days, condition_target_return,
+       condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+       count_buy_date, count_win, count_lose,
+       win_rate, revenue_rate, avg_revenue_per_days_held, total_revenue
+FROM ranked WHERE __rn = 1
+"""
+
+
+@query("trades_sim", oracle="WITH " + _sim_cte(SIM_GRID) + "SELECT " + TRADE_COLS + " FROM trades3")
+def q_trades_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6+J6: the simulator itself (reduced 2x2x2x2 grid)."""
+    return simulate_trades(cci_view(spark, sf_dir), SIM_GRID)
+
+
+@query(
+    "strategy_agg",
+    oracle="WITH " + _sim_cte(AGG_GRID) + AGG_SQL + "SELECT * FROM rates",
+)
+def q_strategy_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: per (symbol x condition) outcome aggregation (3^4 grid)."""
+    return aggregate_strategies(simulate_trades(cci_view(spark, sf_dir), AGG_GRID))
+
+
+def _best_query(metric: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        agged = aggregate_strategies(simulate_trades(cci_view(spark, sf_dir), AGG_GRID))
+        return best_by(agged, metric).select(
+            "symbol",
+            "condition_holding_days", "condition_target_return",
+            "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
+            "count_buy_date", "count_win", "count_lose",
+            "win_rate", "revenue_rate", "avg_revenue_per_days_held", "total_revenue",
+        )
+
+    fn.__doc__ = f"A7: best strategy per symbol by {metric} (daily_function.py:1078-1080)."
+    return fn
+
+
+for _metric, _name in [
+    ("win_rate", "best_win"),
+    ("revenue_rate", "best_return"),
+    ("avg_revenue_per_days_held", "best_return_per_days_held"),
+]:
+    query(
+        _name,
+        oracle="WITH " + _sim_cte(AGG_GRID) + AGG_SQL + BEST_SQL.format(metric=_metric),
+    )(_best_query(_metric))
+
+
+@query("best_return_full_grid", oracle=None)
+def q_best_return_full_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full workload (app.py:41-44): 6x10x9x9 = 4,860 combos
+    per symbol — 467M trade rows at sf0.1, aggregated to one best strategy
+    per symbol. No SQL oracle (the driver's DuckDB pass would need the same
+    half-billion-row expansion); correctness is established by the reduced-
+    grid oracle queries above, which exercise identical code paths."""
+    from ..operators.simulator import DEFAULT_GRID
+
+    agged = aggregate_strategies(simulate_trades(cci_view(spark, sf_dir), DEFAULT_GRID))
+    return best_by(agged, "revenue_rate").select(
+        "symbol",
+        "condition_holding_days", "condition_target_return",
+        "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
+        "count_buy_date", "win_rate", "revenue_rate", "total_revenue",
+    )

@@ -1,0 +1,111 @@
+"""Simulator parity vs an independent pandas re-implementation of the
+reference loop semantics (/root/reference/daily_function.py:717-816) — this
+guards against a shared misreading between the Spark plan and its SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ccirecommenderdatapipeline_spark.operators.simulator import (
+    aggregate_strategies,
+    simulate_trades,
+)
+from ccirecommenderdatapipeline_spark.plans.cci import cci_view
+from ccirecommenderdatapipeline_spark.plans.simulator import SIM_GRID
+from tests.conftest import SF_SMALL
+
+
+def pandas_simulate(cci: pd.DataFrame, grid: dict) -> pd.DataFrame:
+    """Row-positional forward scan, exactly daily_function.py:724-813."""
+    trades = []
+    for symbol, g in cci.groupby("symbol"):
+        df = g.sort_values("date").reset_index(drop=True)
+        for x in grid["holding_days"]:
+            for r in grid["target_return"]:
+                for b in grid["buy_threshold"]:
+                    for s in grid["stop_threshold"]:
+                        b, s = float(b), float(s)
+                        sig = (df["open_cci"].shift(1) < b) & (df["open_cci"] > b)
+                        for buy_idx in df.index[sig]:
+                            buy_price = df.loc[buy_idx, "open_pr"]
+                            buy_date = df.loc[buy_idx, "date"]
+                            fut = df.iloc[buy_idx + 1: buy_idx + 1 + x]
+                            if fut.empty:
+                                continue
+                            target_price = buy_price * (1 + r / 100)
+                            t_hits = fut.index[fut["close_pr"] >= target_price]
+                            s_hits = fut.index[fut["close_cci"] <= s]
+                            t_idx = t_hits.min() if len(t_hits) else None
+                            s_idx = s_hits.min() if len(s_hits) else None
+                            rec = dict(
+                                symbol=symbol, buy_date=buy_date, buy_price=buy_price,
+                                condition_holding_days=x, condition_target_return=r,
+                                condition_buy_cci_threshold=b,
+                                condition_stop_loss_cci_threshold=s,
+                            )
+                            if t_idx is not None and (s_idx is None or t_idx < s_idx):
+                                rec.update(
+                                    trade_result="reach_target",
+                                    sell_date=fut.loc[t_idx, "date"],
+                                    sell_price=fut.loc[t_idx, "close_pr"],
+                                    days_held=(fut.loc[t_idx, "date"] - buy_date).days,
+                                )
+                            elif s_idx is not None:
+                                rec.update(
+                                    trade_result="stop_loss",
+                                    sell_date=fut.loc[s_idx, "date"],
+                                    sell_price=fut.loc[s_idx, "close_pr"],
+                                    days_held=(fut.loc[s_idx, "date"] - buy_date).days,
+                                )
+                            else:
+                                rec.update(
+                                    trade_result="maturity",
+                                    sell_date=fut.iloc[-1]["date"],
+                                    sell_price=fut.iloc[-1]["close_pr"],
+                                    days_held=x,
+                                )
+                            trades.append(rec)
+    return pd.DataFrame(trades)
+
+
+KEY = [
+    "symbol", "buy_date", "condition_holding_days", "condition_target_return",
+    "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
+]
+
+
+def test_simulator_matches_pandas_reference(spark):
+    cci = cci_view(spark, SF_SMALL)
+    got = simulate_trades(cci, SIM_GRID).toPandas()
+    exp = pandas_simulate(cci.toPandas(), SIM_GRID)
+    assert len(got) == len(exp) > 0
+    g = got.sort_values(KEY).reset_index(drop=True)
+    e = exp.sort_values(KEY).reset_index(drop=True)
+    for c in ["trade_result", "days_held"]:
+        assert (g[c] == e[c]).all(), c
+    for c in ["buy_price", "sell_price"]:
+        assert (g[c] - e[c]).abs().max() < 1e-9, c
+    assert (g["sell_date"] == e["sell_date"]).all()
+
+
+def test_trade_invariants(spark):
+    trades = simulate_trades(cci_view(spark, SF_SMALL), SIM_GRID).toPandas()
+    # exactly one outcome per trade (daily_function.py:757-813)
+    outcome_cols = trades[["reach_target_date", "stop_loss_date", "maturity_date"]]
+    assert (outcome_cols.notna().sum(axis=1) == 1).all()
+    assert trades["sell_date"].notna().all()
+    assert trades["sell_price"].notna().all()
+    assert (trades["days_held"] >= 0).all()
+    mat = trades[trades["trade_result"] == "maturity"]
+    assert (mat["days_held"] == mat["condition_holding_days"]).all()
+
+
+def test_strategy_agg_rates(spark):
+    agged = aggregate_strategies(
+        simulate_trades(cci_view(spark, SF_SMALL), SIM_GRID)
+    ).toPandas()
+    assert (agged["win_rate"] + agged["lose_rate"] <= 100.0 + 1e-9).all()
+    assert (agged["count_buy_date"] > 0).all()
+    s = agged[["count_win", "count_lose"]].sum(axis=1)
+    assert (s <= agged["count_trades"]).all()
