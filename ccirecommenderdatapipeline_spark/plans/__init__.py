@@ -9,6 +9,7 @@ from .registry import QUERIES, ORACLES, query
 from . import cci  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import simulator  # noqa: E402,F401
+from . import lifecycle  # noqa: E402,F401
 from . import northstar  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 

@@ -155,20 +155,23 @@ AGG_SQL = """
 )
 """
 
-BEST_SQL = """
+BEST_CTE = """
 , ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY {metric} DESC,
         condition_holding_days, condition_target_return,
         condition_buy_cci_threshold, condition_stop_loss_cci_threshold) AS __rn
     FROM rates
+), best AS (
+    SELECT symbol,
+           condition_holding_days, condition_target_return,
+           condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+           count_buy_date, count_win, count_lose,
+           win_rate, revenue_rate, avg_revenue_per_days_held, total_revenue
+    FROM ranked WHERE __rn = 1
 )
-SELECT symbol,
-       condition_holding_days, condition_target_return,
-       condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
-       count_buy_date, count_win, count_lose,
-       win_rate, revenue_rate, avg_revenue_per_days_held, total_revenue
-FROM ranked WHERE __rn = 1
 """
+
+BEST_SQL = BEST_CTE + "SELECT * FROM best"
 
 
 @query("trades_sim", oracle="WITH " + _sim_cte(SIM_GRID) + "SELECT " + TRADE_COLS + " FROM trades3")

@@ -26,6 +26,12 @@ COL_VOLUME = "daily_trade_stock"
 # documents cci_ndays with conventional n=20).
 CCI_NDAYS = 20
 
+# Brokerage fee / transaction-tax rates used in the order lifecycle's revenue
+# math (daily_function.py:1743-1744, 1901-1908). The reference's actual values
+# live in the gitignored config.py; these are the conventional KR retail rates.
+FEE_RATE = 0.00015
+TAX_RATE = 0.0023
+
 # Strategy grid (reference app.py:41-44): 6 x 10 x 9 x 9 = 4,860 combos.
 GRID_HOLDING_DAYS = [5, 10, 20, 30, 40, 60]
 GRID_TARGET_RETURN = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
