@@ -1,0 +1,448 @@
+"""Text-analysis + dedup queries over ``documents`` (north-star surface;
+SURVEY.md §7.8). Spark plans in ``operators/text.py``; every oracle below
+recomputes the identical math with DuckDB list lambdas.
+
+Engine-portability notes encoded here once:
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag (Spark replaces globally
+  by default);
+- integer/integer ``/`` is true (double) division in BOTH engines;
+- MinHash components are lexicographic minima of salted md5 hex strings, so
+  no engine-native hash function enters any result;
+- DuckDB ``range(a, b)`` is end-exclusive, Spark ``sequence(a, b)``
+  end-inclusive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.text import (
+    MINHASH_K,
+    STOPWORDS,
+    bottomk_fingerprint,
+    lsh_bands,
+    minhash_signature,
+    signature_match_frac,
+    simhash16,
+    tokens,
+    with_recrawl,
+    word_ngrams,
+)
+from ..sources.tables import load_table
+from .registry import query
+
+DF_CAP = 50          # document-frequency cap for shingle blocking (anti-skew)
+JACCARD_THRESHOLD = 0.5
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# --- shared oracle CTEs ------------------------------------------------------
+
+DOCS2_CTE = """
+docs2 AS (
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang, 'recrawl', n_chars FROM documents
+)
+"""
+
+_TOKS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),"
+    " ' '), t -> t <> '')"
+)
+
+TOK_CTE = f"""
+tok AS (
+    SELECT doc_id, text, lang, source, n_chars, {_TOKS} AS toks
+    FROM documents
+)
+"""
+
+TOK2_CTE = f"""
+, tok2 AS (
+    SELECT doc_id, text, {_TOKS} AS toks
+    FROM docs2
+)
+"""
+
+GRAMS2_CTE = """
+, grams_cte AS (
+    SELECT doc_id,
+        list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS grams
+    FROM tok2
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, grams): distinct word trigrams per document."""
+    return docs.select(
+        "doc_id", F.array_distinct(word_ngrams(tokens(F.col("text")), 3)).alias("grams")
+    )
+
+
+# --- 1. text stats / quality scoring ----------------------------------------
+
+@query(
+    "text_stats",
+    oracle="WITH " + TOK_CTE + f"""
+SELECT doc_id,
+    CAST(len(text) AS BIGINT)                    AS n_chars_calc,
+    CAST(len(toks) AS BIGINT)                    AS n_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT)     AS n_distinct_tokens,
+    list_sum(list_transform(toks, t -> len(t))) / len(toks)  AS avg_token_len,
+    len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / len(text) AS alpha_ratio,
+    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) / len(toks) AS stopword_ratio,
+    CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_piece_count,
+    CAST(len(toks) BETWEEN 10 AND 1000
+         AND len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / len(text) > 0.6
+         AND list_sum(list_transform(toks, t -> len(t))) / len(toks) BETWEEN 2 AND 12
+         AS BOOLEAN) AS quality_ok
+FROM tok
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex pieces), length/alpha/
+    stopword quality ratios, and a conjunctive quality flag — all map-side
+    Catalyst HOFs, no UDFs."""
+    toks = tokens(F.col("text"))
+    tok_lens = F.transform(toks, lambda t: F.length(t))
+    avg_len = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x) / F.size(toks)
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text")
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / F.size(toks)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        avg_len.alias("avg_token_len"),
+        alpha.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).cast("long").alias("bpe_piece_count"),
+        (
+            F.size(toks).between(10, 1000)
+            & (alpha > 0.6)
+            & avg_len.between(2, 12)
+        ).alias("quality_ok"),
+    )
+
+
+# --- 2. language ID heuristic ------------------------------------------------
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"CAST(len(list_filter(toks, t -> t IN ({words}))) AS BIGINT)"
+
+
+@query(
+    "lang_id",
+    oracle="WITH " + TOK_CTE + f"""
+, scored AS (
+    SELECT doc_id, lang,
+        {_lang_score_sql("de")} AS de_score,
+        {_lang_score_sql("en")} AS en_score,
+        {_lang_score_sql("es")} AS es_score,
+        {_lang_score_sql("fr")} AS fr_score
+    FROM tok
+), m AS (
+    SELECT *, GREATEST(de_score, en_score, es_score, fr_score) AS best FROM scored
+)
+SELECT doc_id, lang, de_score, en_score, es_score, fr_score,
+    CASE WHEN best = 0 THEN 'und'
+         WHEN de_score = best THEN 'de'
+         WHEN en_score = best THEN 'en'
+         WHEN es_score = best THEN 'es'
+         ELSE 'fr' END AS predicted_lang,
+    CAST(CASE WHEN best = 0 THEN 'und'
+         WHEN de_score = best THEN 'de'
+         WHEN en_score = best THEN 'en'
+         WHEN es_score = best THEN 'es'
+         ELSE 'fr' END = lang AS BOOLEAN) AS is_match
+FROM m
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic alphabetical argmax
+    tie-break; 'und' when no profile fires. (The fixture's text is synthetic
+    shared-vocabulary English, so accuracy vs the label column is incidental —
+    the operator shape is what scales.)"""
+    toks = tokens(F.col("text"))
+
+    def score(lang: str):
+        return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))).cast("long")
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        score("de").alias("de_score"), score("en").alias("en_score"),
+        score("es").alias("es_score"), score("fr").alias("fr_score"),
+    )
+    best = F.greatest("de_score", "en_score", "es_score", "fr_score")
+    predicted = (
+        F.when(best == 0, "und")
+        .when(F.col("de_score") == best, "de")
+        .when(F.col("en_score") == best, "en")
+        .when(F.col("es_score") == best, "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id", "lang", "de_score", "en_score", "es_score", "fr_score",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("is_match"),
+    )
+
+
+# --- 3. exact dedup ----------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="WITH " + DOCS2_CTE + """
+SELECT md5(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM docs2
+GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a content-hash groupBy; canonical row = min doc_id
+    (the deterministic keep-first rule). Map-side-combinable; at 100 TB the
+    shuffle key is the 128-bit hash, uniformly distributed — no skew."""
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    return docs2.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+# --- 4. n-gram Jaccard near-dup (blocked + exact verify) ---------------------
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="WITH " + DOCS2_CTE + TOK2_CTE + GRAMS2_CTE + f"""
+, expl AS (
+    SELECT doc_id, unnest(grams) AS g FROM grams_cte
+), rare AS (
+    SELECT doc_id, g FROM expl
+    QUALIFY COUNT(*) OVER (PARTITION BY g) <= {DF_CAP}
+), cand AS (
+    SELECT DISTINCT r1.doc_id AS doc_a, r2.doc_id AS doc_b
+    FROM rare r1 JOIN rare r2 ON r1.g = r2.g AND r1.doc_id < r2.doc_id
+), verified AS (
+    SELECT c.doc_a, c.doc_b,
+        CAST(len(list_intersect(g1.grams, g2.grams)) AS BIGINT) AS inter_grams,
+        CAST(len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)) AS BIGINT) AS union_grams
+    FROM cand c
+    JOIN grams_cte g1 ON g1.doc_id = c.doc_a
+    JOIN grams_cte g2 ON g2.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, inter_grams, union_grams,
+       inter_grams / union_grams AS jaccard
+FROM verified
+WHERE inter_grams / union_grams >= {JACCARD_THRESHOLD}
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-trigram shingles, inverted-index blocking
+    (shingle equi-join) with a document-frequency cap pruning stop-shingles —
+    the anti-skew guard that keeps any one shingle's bucket from going
+    quadratic at scale — then EXACT Jaccard verification on candidate pairs
+    via array_intersect."""
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    shingled = _shingled(docs2)
+    expl = shingled.select("doc_id", F.explode("grams").alias("g"))
+    rare = expl.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("df") <= DF_CAP)
+    r1 = rare.select(F.col("doc_id").alias("doc_a"), "g")
+    r2 = rare.select(F.col("doc_id").alias("doc_b"), "g")
+    cand = (
+        r1.join(r2, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    g1 = shingled.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    g2 = shingled.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
+    union = (F.size("grams_a") + F.size("grams_b")).cast("long") - inter
+    return (
+        cand.join(g1, "doc_a").join(g2, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            inter.alias("inter_grams"),
+            union.alias("union_grams"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- 5. MinHash + LSH near-dup ----------------------------------------------
+
+def _minhash_sql() -> str:
+    comps = ", ".join(
+        f"COALESCE(list_min(list_transform(grams, s -> md5('s{j}:' || s))), 'z')"
+        for j in range(MINHASH_K)
+    )
+    return f"list_value({comps})"
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle="WITH " + DOCS2_CTE + TOK2_CTE + GRAMS2_CTE + f"""
+, sigs AS (
+    SELECT doc_id, {_minhash_sql()} AS sig FROM grams_cte
+), bands AS (
+    SELECT s.doc_id, b.band_idx,
+        md5(concat_ws('|', s.sig[3 * b.band_idx + 1],
+                           s.sig[3 * b.band_idx + 2],
+                           s.sig[3 * b.band_idx + 3])) AS band_key
+    FROM sigs s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+), cand AS (
+    SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands b1 JOIN bands b2
+      ON b1.band_idx = b2.band_idx AND b1.band_key = b2.band_key
+     AND b1.doc_id < b2.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+    CAST(len(list_filter(range(1, {MINHASH_K + 1}),
+                         i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS n_matching,
+    len(list_filter(range(1, {MINHASH_K + 1}),
+                    i -> s1.sig[i] = s2.sig[i])) / {MINHASH_K} AS est_jaccard
+FROM cand c
+JOIN sigs s1 ON s1.doc_id = c.doc_a
+JOIN sigs s2 ON s2.doc_id = c.doc_b
+WHERE len(list_filter(range(1, {MINHASH_K + 1}),
+          i -> s1.sig[i] = s2.sig[i])) / {MINHASH_K} >= {JACCARD_THRESHOLD}
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=12 salted-md5 string minima) + banded LSH (4 bands x 3
+    rows): candidate pairs share a band bucket; the Jaccard estimate is the
+    matching-component fraction. The band join shuffles on (band_idx,
+    band_key) — md5 keys are uniform, so bucket sizes stay balanced at
+    scale; signatures are fixed 12-slot arrays, O(1) state per doc."""
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    sigs = _shingled(docs2).select(
+        "doc_id", minhash_signature(F.col("grams")).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"))).alias("b")
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    b1 = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    cand = (
+        b1.join(b2, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    s2 = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    eq = F.filter(
+        F.sequence(F.lit(1), F.lit(MINHASH_K)),
+        lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+    )
+    return (
+        cand.join(s1, "doc_a").join(s2, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(eq).cast("long").alias("n_matching"),
+            signature_match_frac(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- 6. SimHash fingerprint groups ------------------------------------------
+
+def _simhash_sql() -> str:
+    """16 majority-vote bit expressions over token-hash prefixes."""
+    bits = []
+    for k in range(16):
+        c, b = k // 4 + 1, 3 - (k % 4)
+        d = f"(instr('0123456789abcdef', substr(h, {c}, 1)) - 1)"
+        pred = {
+            3: f"{d} >= 8",
+            2: f"{d} % 8 >= 4",
+            1: f"{d} % 4 >= 2",
+            0: f"{d} % 2 = 1",
+        }[b]
+        ones = f"len(list_filter(hashes, h -> {pred}))"
+        bits.append(f"CASE WHEN 2 * {ones} > len(hashes) THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@query(
+    "simhash_groups",
+    oracle="WITH " + DOCS2_CTE + TOK2_CTE + f"""
+, hashed AS (
+    SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 4)) AS hashes
+    FROM tok2
+), fp AS (
+    SELECT doc_id, {_simhash_sql()} AS simhash FROM hashed
+)
+SELECT simhash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM fp
+GROUP BY simhash
+HAVING COUNT(*) > 1
+""",
+)
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash (frequency-weighted majority vote over token-hash
+    bits, ties -> 0) grouped by fingerprint: collision groups are near-dup
+    candidates. Bit math is modulo/compare on hex-digit values — portable,
+    shift-free, pure codegen."""
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    fp = docs2.select("doc_id", simhash16(tokens(F.col("text"))).alias("simhash"))
+    return (
+        fp.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- 7. rolling-hash document fingerprints ----------------------------------
+
+@query(
+    "doc_fingerprints",
+    oracle="WITH " + DOCS2_CTE + """
+, fp AS (
+    SELECT doc_id,
+        array_to_string(list_slice(list_sort(
+            list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+                           i -> md5(substr(text, i, 8)))), 1, 4), '|') AS fingerprint
+    FROM docs2
+)
+SELECT doc_id, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS n_sharing
+FROM fp
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: bottom-4 sketch of the rolling character
+    8-gram hash set. Identical content -> identical fingerprint regardless of
+    doc_id/source; n_sharing counts the cluster size."""
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    fp = docs2.select(
+        "doc_id", bottomk_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return fp.select(
+        "doc_id", "fingerprint",
+        F.count("*").over(Window.partitionBy("fingerprint")).alias("n_sharing"),
+    )
