@@ -1,0 +1,216 @@
+"""Similarity-search queries over ``embeddings`` (north-star surface).
+
+Oracle construction mirrors ``operators/vectors.py``'s sequential-fold dot
+product exactly (see that module's determinism contract). ``list_reduce``
+folds left over a 0-prepended product list — the same association order as
+Spark's ``aggregate(zip_with(...), 0.0, +)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.vectors import (
+    assign_to_centroids,
+    cosine,
+    normalized_vectors,
+    topk_per_query,
+)
+from ..sources.tables import load_table
+from .registry import query
+
+N_CENTROIDS = 16     # IVF codebook size: vec_id < 16 are the seed centroids
+N_PROBES = 3         # centroids probed per query
+QUERY_MOD = 50       # queries = vec_id % 50 == 0
+DEDUP_COS = 0.999
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+VECS_CTE = f"""
+vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, label, v, sqrt({_dot_sql("v", "v")}) AS nrm FROM vecs
+)
+"""
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalized_vectors(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "knn_brute_force",
+    oracle="WITH " + VECS_CTE + f"""
+, q AS (SELECT * FROM n WHERE vec_id % {QUERY_MOD} = 0)
+, pairs AS (
+    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, t.label AS neighbor_label,
+           {_dot_sql("q.v", "t.v")} / (q.nrm * t.nrm) AS cosine
+    FROM q JOIN n t ON t.vec_id <> q.vec_id
+), ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector — the ANN baseline. The query
+    side is broadcast (tiny); the scan side streams map-local; the only
+    shuffle is the per-query top-k window over |Q| x |T| scored pairs (at
+    scale: pre-aggregate partial top-k per partition first)."""
+    n = _vectors(spark, sf_dir)
+    q = n.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cosine(F.col("qv"), F.col("qnrm"), F.col("v"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    return topk_per_query(pairs, 10)
+
+
+@query(
+    "knn_ivf",
+    oracle="WITH " + VECS_CTE + f"""
+, cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS})
+, assign_scored AS (
+    SELECT t.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+               ORDER BY {_dot_sql("t.v", "c.cv")} / (t.nrm * c.cnrm) DESC, c.cid) AS rn
+    FROM n t CROSS JOIN cent c
+), assigned AS (SELECT vec_id, cid FROM assign_scored WHERE rn = 1)
+, q AS (SELECT * FROM n WHERE vec_id % {QUERY_MOD} = 0)
+, probe_scored AS (
+    SELECT q.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_dot_sql("q.v", "c.cv")} / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c
+), probes AS (SELECT query_id, cid FROM probe_scored WHERE rn <= {N_PROBES})
+, cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assigned a ON a.cid = p.cid
+    WHERE a.vec_id <> p.query_id
+), pairs AS (
+    SELECT c.query_id, c.neighbor_id, t.label AS neighbor_label,
+           {_dot_sql("q.v", "t.v")} / (q.nrm * t.nrm) AS cosine
+    FROM cand c
+    JOIN n q ON q.vec_id = c.query_id
+    JOIN n t ON t.vec_id = c.neighbor_id
+), ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a 16-centroid codebook (seed rows), broadcast
+    assignment of every vector to its nearest centroid, queries probe their
+    2 nearest centroids, exact cosine re-rank within candidates only. The
+    candidate join shuffles on centroid id — the inverted-file partition —
+    so scored pairs shrink from |Q|x|T| to |Q|x(T/C * probes)."""
+    n = _vectors(spark, sf_dir)
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS)
+    assigned = assign_to_centroids(n, cent)
+    q = n.filter(F.col("vec_id") % QUERY_MOD == 0)
+    # probe list = top-N_PROBES centroids per query (assign_to_centroids
+    # keeps only rn==1, so the probe ranking is inlined here)
+    c = cent.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    scored = q.crossJoin(F.broadcast(c)).select(
+        F.col("vec_id").alias("query_id"),
+        "cid",
+        cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cnrm")).alias("c_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PROBES)
+        .select("query_id", "cid")
+    )
+    cand = (
+        probes.join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qside = n.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    tside = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tnrm"),
+    )
+    pairs = (
+        cand.join(F.broadcast(qside), "query_id")
+        .join(tside, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", "neighbor_label",
+            cosine(F.col("qv"), F.col("qnrm"), F.col("tv"), F.col("tnrm")).alias("cosine"),
+        )
+    )
+    return topk_per_query(pairs, 5)
+
+
+@query(
+    "embedding_dedup_cosine",
+    oracle=f"""
+WITH base AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+    SELECT vec_id, label, v, sqrt({_dot_sql("v", "v")}) AS nrm FROM base
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {_dot_sql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine
+FROM pairs WHERE cosine >= {DEDUP_COS}
+""",
+)
+def q_embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: label-blocked pairwise cosine (the cluster
+    id is the blocking key — at scale, replace with LSH/IVF bucket ids from
+    knn_ivf's assignment to bound bucket sizes), threshold 0.999. Duplicate
+    injection mirrors the documents recrawl fixture."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    n = normalized_vectors(base)
+    a = n.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", "label",
+            cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DEDUP_COS)
+    )
