@@ -1,1 +1,143 @@
-"""Placeholder — populated later this round."""
+"""Event-time window queries over ``events`` — batch forms (oracle-backed)
+plus the real Structured Streaming pipeline whose availableNow/complete run
+must equal the batch oracle exactly (SURVEY.md §2.9).
+
+Window keys are epoch microseconds (see streaming/jobs.py docstring);
+``sum_value`` uses the exact DECIMAL trick so grouped double sums are
+order-independent in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+from ..streaming.jobs import (
+    GAP_US,
+    exact_value_sum,
+    stream_tumbling_agg,
+    tumbling_agg_plan,
+)
+from .registry import query
+
+_SUM_SQL = "CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)"
+
+TUMBLING_ORACLE = f"""
+WITH e AS (
+    SELECT *, CAST(epoch_us(ts) AS BIGINT) AS eus FROM events
+)
+SELECT eus - eus % 3600000000                 AS w_start_us,
+       eus - eus % 3600000000 + 3600000000    AS w_end_us,
+       CAST(COUNT(*) AS BIGINT)               AS n_events,
+       {_SUM_SQL}                             AS sum_value
+FROM e
+GROUP BY 1, 2
+"""
+
+
+@query("tumbling_window_agg", oracle=TUMBLING_ORACLE)
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows (batch form of the streaming
+    plan — byte-identical aggregation code path, see tumbling_agg_plan)."""
+    return tumbling_agg_plan(load_table(spark, sf_dir, "events"))
+
+
+@query("stream_tumbling_agg", oracle=TUMBLING_ORACLE)
+def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming run: parquet file source -> watermark -> tumbling
+    agg -> trigger(availableNow) -> memory sink, then compared against the
+    same DuckDB oracle as the batch form — complete mode retains every
+    window, so stream == batch == oracle."""
+    return stream_tumbling_agg(spark, sf_dir)
+
+
+@query(
+    "sliding_window_agg",
+    oracle=f"""
+WITH e AS (
+    SELECT *, CAST(epoch_us(ts) AS BIGINT) AS eus FROM events
+), expanded AS (
+    SELECT *, unnest([eus - eus % 1800000000,
+                      eus - eus % 1800000000 - 1800000000]) AS w_start_us
+    FROM e
+)
+SELECT w_start_us, w_start_us + 3600000000 AS w_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_SUM_SQL}               AS sum_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event lands in exactly
+    two windows (Spark's window() explodes rows; the oracle unnests the same
+    two aligned starts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_value_sum().alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("w_start_us"),
+            F.unix_micros(F.col("window.end")).alias("w_end_us"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+@query(
+    "session_windows",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_id, value, CAST(epoch_us(ts) AS BIGINT) AS eus FROM events
+), lagged AS (
+    SELECT *, LAG(eus) OVER (PARTITION BY user_id ORDER BY eus, event_id) AS prev_eus
+    FROM e
+), flagged AS (
+    SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus > {GAP_US} THEN 1 ELSE 0 END AS new_sess
+    FROM lagged
+), numbered AS (
+    SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY eus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       MIN(eus)                   AS session_start_us,
+       MAX(eus)                   AS session_end_us,
+       MAX(eus) - MIN(eus)        AS duration_us,
+       CAST(COUNT(*) AS BIGINT)   AS n_events,
+       {_SUM_SQL}                 AS sum_value
+FROM numbered
+GROUP BY 1, 2
+""",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap: lag -> boundary flag
+    -> running session counter -> per-session rollup. One shuffle on user_id
+    serves the lag, the counter, and the final group-by (same partitioning,
+    Catalyst reuses the sort)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("eus")
+    )
+    w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("eus").over(w).isNull()
+            | (F.col("eus") - F.lag("eus").over(w) > GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.min("eus").alias("session_start_us"),
+        F.max("eus").alias("session_end_us"),
+        (F.max("eus") - F.min("eus")).alias("duration_us"),
+        F.count("*").alias("n_events"),
+        exact_value_sum().alias("sum_value"),
+    )

@@ -1,0 +1,94 @@
+"""Structured Streaming semantics tests (SURVEY.md §2.9 T1-T6):
+- watermark append mode withholds exactly the windows not yet closed;
+- two-phase incremental ingestion through a foreachBatch MERGE equals the
+  one-shot batch result (T2/T3);
+- applyInPandasWithState carries state across micro-batches (T6).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ccirecommenderdatapipeline_spark.sources.tables import load_table
+from ccirecommenderdatapipeline_spark.streaming.jobs import (
+    events_stream,
+    read_upsert_target,
+    run_to_memory,
+    stage_events_dir,
+    stateful_user_counts,
+    tumbling_agg_plan,
+    upsert_foreach_batch,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_watermark_append_withholds_open_windows(spark):
+    staged = stage_events_dir(spark, SF_SMALL)
+    sdf = events_stream(spark, staged).withWatermark("ts", "1 hour")
+    appended = run_to_memory(tumbling_agg_plan(sdf), "append").toPandas()
+
+    batch = tumbling_agg_plan(load_table(spark, SF_SMALL, "events")).toPandas()
+    max_us = load_table(spark, SF_SMALL, "events").agg(
+        F.max(F.unix_micros("ts"))
+    ).first()[0]
+    watermark_us = max_us - 3_600_000_000
+    closed = batch[batch["w_end_us"] <= watermark_us]
+    open_ = batch[batch["w_end_us"] > watermark_us]
+    assert len(open_) > 0  # the fixture does leave windows open
+    got = set(appended["w_start_us"])
+    assert got == set(closed["w_start_us"])
+
+
+def test_incremental_foreach_batch_upsert_equals_oneshot(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    cut_hi = ev.approxQuantile("event_id", [0.6], 0.0)[0]
+    cut_lo = ev.approxQuantile("event_id", [0.4], 0.0)[0]
+    work = tempfile.mkdtemp()
+    src, target, ckpt = f"{work}/src", f"{work}/target", f"{work}/ckpt"
+
+    # phase 1: first 60% of events arrive
+    ev.filter(F.col("event_id") <= cut_hi).write.mode("overwrite").parquet(src)
+
+    def run_phase():
+        sdf = events_stream(spark, src)
+        q = (
+            sdf.writeStream.foreachBatch(upsert_foreach_batch(target))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_phase()
+    n_phase1 = read_upsert_target(spark, target).count()
+
+    # phase 2: an OVERLAPPING batch arrives (40%..100% — the 40-60% band is
+    # re-delivered, as in the reference's overlapping re-fetch, T3); the
+    # file source only picks up NEW files, the MERGE view dedups re-delivery
+    overlap = tempfile.mkdtemp()
+    ev.filter(F.col("event_id") >= cut_lo).write.mode("overwrite").parquet(overlap)
+    for i, f in enumerate(glob.glob(f"{overlap}/part-*.parquet")):
+        shutil.copy(f, f"{src}/late-{i}.parquet")
+    run_phase()
+
+    merged = read_upsert_target(spark, target)
+    assert merged.count() == ev.count() > n_phase1
+    assert merged.select(F.sum("event_id")).first()[0] == ev.select(F.sum("event_id")).first()[0]
+
+
+def test_stateful_counts_across_microbatches(spark):
+    staged = stage_events_dir(spark, SF_SMALL, n_files=4)
+    ckpt = tempfile.mkdtemp()
+    got = stateful_user_counts(spark, staged, ckpt)
+    expected = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
