@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column plumbing — north-star surface.
+
+Media lives in DataFrames as an opaque ``binary`` payload column plus a
+typed metadata struct; decode / feature-extract / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The container ships no image/audio
+codecs, so the REAL decode path is a clearly-marked stub
+(``decode_image_real`` raises NotImplementedError); everything around it —
+schemas, partitioning, UDF signatures, multi-row batch shapes, deterministic
+fake features — is real and tested.
+
+Scale notes (100 TB of media): payloads never pass through Python row-wise —
+mapInPandas moves Arrow record batches; ``repartition(media_id)`` bounds the
+bytes per task; feature outputs are small fixed-width columns so the
+downstream joins/aggs never touch the blobs again (project payload away
+BEFORE any shuffle — blobs must not enter exchange).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+FEATURE_DIM = 8
+FRAME_BYTES = 32          # fake codec: fixed-size "frames" inside the payload
+FRAME_STRIDE = 4          # sample every 4th frame
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ])),
+])
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("content_hash", T.StringType()),
+    T.StructField("mean_byte", T.DoubleType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_hash", T.StringType()),
+    T.StructField("frame_len", T.IntegerType()),
+])
+
+
+def decode_image_real(payload: bytes) -> object:
+    """STUB — the container has no image codec (no PIL/opencv). On a real
+    cluster this would decode to an ndarray; the Spark-side plumbing around
+    it is identical either way."""
+    raise NotImplementedError(
+        "image codec not available in this environment; use fake_features()"
+    )
+
+
+def fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for an image-embedding model: first
+    FEATURE_DIM bytes of md5(payload), scaled to [0, 1]."""
+    digest = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """Synthesize the media fixture from ``documents``: payload = utf-8
+    bytes of the text (deterministic), kind round-robins image/audio/video,
+    metadata derived from doc fields."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (16 + F.col("n_chars") % 64).cast("int").alias("width"),
+            (16 + F.col("doc_id") % 32).cast("int").alias("height"),
+            F.lit("fake/v1").alias("fmt"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: one output row per media row, blobs
+    dropped from the output so downstream stages shuffle only small columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "byte_len": payloads.map(len).astype("int64"),
+                "content_hash": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "mean_byte": payloads.map(lambda b: sum(bytes(b)) / len(b)),
+                "feature": payloads.map(lambda b: fake_features(bytes(b))),
+            })
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """mapInPandas frame sampling (UDTF shape — multiple output rows per
+    input row): the payload is treated as FRAME_BYTES-sized frames; every
+    FRAME_STRIDE-th frame is emitted with its hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_hash": [], "frame_len": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    frame = raw[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_hash"].append(hashlib.md5(frame).hexdigest())
+                    out["frame_len"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(run, FRAMES_SCHEMA)

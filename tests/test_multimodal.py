@@ -1,0 +1,52 @@
+"""Multimodal plumbing: batch-shape, determinism, and stub behavior."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ccirecommenderdatapipeline_spark import plans
+from ccirecommenderdatapipeline_spark.operators.multimodal import (
+    FEATURE_DIM,
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    decode_image_real,
+    fake_features,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_real_codec_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
+
+
+def test_features_deterministic_and_shaped(spark):
+    feats = plans.QUERIES["media_features"](spark, SF_SMALL).toPandas()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").toPandas()
+    assert len(feats) == len(docs)
+    assert feats["feature"].map(len).eq(FEATURE_DIM).all()
+    by_id = docs.set_index("doc_id")["text"]
+    sample = feats.sample(20, random_state=0)
+    for _, r in sample.iterrows():
+        raw = by_id[r["media_id"]].encode()
+        assert r["byte_len"] == len(raw)
+        assert r["content_hash"] == hashlib.md5(raw).hexdigest()
+        assert list(r["feature"]) == pytest.approx(fake_features(raw))
+        assert r["mean_byte"] == pytest.approx(sum(raw) / len(raw))
+
+
+def test_frame_sampling_expands_rows(spark):
+    frames = plans.QUERIES["media_frame_sample"](spark, SF_SMALL).toPandas()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").toPandas()
+    videos = docs[docs["doc_id"] % 3 == 2]
+    assert set(frames["media_id"]) == set(videos["doc_id"])
+    assert (frames["frame_idx"] % FRAME_STRIDE == 0).all()
+    assert (frames["frame_len"] <= FRAME_BYTES).all()
+    # per-video frame count matches the ceil-div/stride math
+    got = frames.groupby("media_id").size()
+    for mid, text in videos.set_index("doc_id")["text"].items():
+        n_frames = (len(text.encode()) + FRAME_BYTES - 1) // FRAME_BYTES
+        expected = (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
+        assert got[mid] == expected, mid
