@@ -1,0 +1,184 @@
+"""Plan B of the trade simulator (SURVEY.md §4.2): a fused per-symbol
+``applyInPandas`` that simulates AND aggregates the full strategy grid in
+vectorized numpy, emitting only the 4,860 aggregate rows per symbol.
+
+Why it exists: Plan A (operators/simulator.py) is pure Catalyst and
+oracle-verified, but its strategy aggregation carries three collect_set
+buffers (distinct outcome-date counts) — an ObjectHashAggregate that cannot
+run in Tungsten codegen and dominates the full-grid wall clock (~3x the cost
+of producing the 467M trade rows themselves at sf0.1). Plan B never
+materializes trade rows at all: the grid expansion, outcome resolution and
+aggregation happen inside one Arrow batch per symbol, so the shuffle moves
+6,000 price rows + 4,860 result rows per symbol instead of ~470k trade rows.
+
+Semantics are identical to Plan A (same crossover strictness, precedence,
+maturity days_held constant, rounding points); tests/test_simulator.py
+asserts equality on the oracle grids. Distinct-date counts use np.unique —
+exact, like collect_set.
+
+At 100 TB: grouped-map state is one symbol's history (~6k rows) — bounded;
+skew is capped by max history length, and the Python stage scales with
+executors like any map stage. This is the documented exception where the
+built-in operators genuinely lose to an Arrow-vectorized kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .simulator import DEFAULT_GRID
+
+AGG_SCHEMA = (
+    "symbol STRING, condition_holding_days INT, condition_target_return INT, "
+    "condition_buy_cci_threshold DOUBLE, condition_stop_loss_cci_threshold DOUBLE, "
+    "count_buy_date BIGINT, count_reach_target_date BIGINT, "
+    "count_stop_loss_date BIGINT, count_maturity_date BIGINT, "
+    "count_win BIGINT, count_lose BIGINT, "
+    "sum_revenue_per_days_held DOUBLE, sum_days_held BIGINT, count_trades BIGINT, "
+    "total_buy_price DOUBLE, total_sell_price DOUBLE, "
+    "avg_revenue_per_days_held DOUBLE, avg_days_held DOUBLE, "
+    "win_rate DOUBLE, lose_rate DOUBLE, total_revenue DOUBLE, revenue_rate DOUBLE, "
+    "reach_target_date_count_per_buy_date_count DOUBLE, "
+    "stop_loss_date_count_per_buy_date_count DOUBLE, "
+    "maturity_date_count_per_buy_date_count DOUBLE"
+)
+
+
+def _first_hits(vals: np.ndarray, buy_idx: np.ndarray, x_max: int, cmp_ge, thresholds):
+    """For each buy index i and each threshold t: 1-based position of the
+    first j in (i, i+x_max] with vals[j] >= t (or <= t), 0 if none.
+    Returns int matrix (len(buy_idx), len(thresholds))."""
+    n = len(vals)
+    # windows[i] = vals[i+1 : i+1+x_max], padded with NaN past the end
+    padded = np.full(n + x_max, np.nan)
+    padded[:n] = vals
+    win = np.lib.stride_tricks.sliding_window_view(padded, x_max)[buy_idx + 1]
+    out = np.zeros((len(buy_idx), len(thresholds)), dtype=np.int64)
+    for k, t in enumerate(thresholds):
+        m = (win >= t[:, None]) if cmp_ge else (win <= t)
+        first = m.argmax(axis=1)
+        out[:, k] = np.where(m.any(axis=1), first + 1, 0)
+    return out
+
+
+def simulate_aggregate_pandas(cci: DataFrame, grid: dict | None = None) -> DataFrame:
+    """cci -> per (symbol x full combo) strategy aggregates, one Arrow
+    round-trip per symbol."""
+    grid = grid or DEFAULT_GRID
+    holding = [int(x) for x in grid["holding_days"]]
+    returns = [int(r) for r in grid["target_return"]]
+    buy_thr = [float(b) for b in grid["buy_threshold"]]
+    stop_thr = [float(s) for s in grid["stop_threshold"]]
+    x_max = max(holding)
+
+    H, R, S = len(holding), len(returns), len(stop_thr)
+    n_combos = H * R * S
+    x_arr = np.array(holding)[:, None, None, None]           # (H,1,1,1)
+    combo_idx = np.arange(n_combos)
+    # condition columns in (x, r, s) nested order, repeated per buy threshold
+    cond_x = np.repeat(holding, R * S)
+    cond_r = np.tile(np.repeat(returns, S), H)
+    cond_s = np.tile(stop_thr, H * R)
+
+    def per_symbol(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        open_cci = pdf["open_cci"].to_numpy(dtype=float)
+        close_cci = pdf["close_cci"].to_numpy(dtype=float)
+        open_pr = pdf["open_pr"].to_numpy(dtype=float)
+        close_pr = pdf["close_pr"].to_numpy(dtype=float)
+        date_days = (
+            pd.to_datetime(pdf["date"]).to_numpy().astype("datetime64[D]").astype("int64")
+        )
+        n = len(pdf)
+        symbol = pdf["symbol"].iloc[0]
+        prev = np.concatenate(([np.nan], open_cci[:-1]))
+
+        frames: list[pd.DataFrame] = []
+        for b in buy_thr:
+            with np.errstate(invalid="ignore"):
+                sig = (prev < b) & (open_cci > b)
+            buy_idx = np.flatnonzero(sig)
+            buy_idx = buy_idx[buy_idx + 1 < n]  # empty forward window -> no trade
+            k = len(buy_idx)
+            if k == 0:
+                continue  # Plan A emits no group for zero-trade combos
+            bp = open_pr[buy_idx]
+            flen = np.minimum(n - 1 - buy_idx, x_max)
+            targets = bp[None, :] * (1 + np.array(returns)[:, None] / 100.0)
+            t_first = _first_hits(close_pr, buy_idx, x_max, True,
+                                  [targets[ri] for ri in range(R)])
+            s_first = _first_hits(close_cci, buy_idx, x_max, False, stop_thr)
+
+            # broadcast the whole (H,R,S,k) grid at once
+            t0 = t_first.T[None, :, None, :]                 # (1,R,1,k)
+            s0 = s_first.T[None, None, :, :]                 # (1,1,S,k)
+            t_hit = np.where((t0 > 0) & (t0 <= x_arr), t0, 0)
+            s_hit = np.where((s0 > 0) & (s0 <= x_arr), s0, 0)
+            is_t = (t_hit > 0) & ((s_hit == 0) | (t_hit < s_hit))
+            is_s = ~is_t & (s_hit > 0)
+            is_m = ~is_t & ~is_s
+            m_pos = np.minimum(x_arr, flen[None, None, None, :])
+            sell_pos = np.where(is_t, t_hit, np.where(is_s, s_hit, m_pos))
+            abs_pos = buy_idx[None, None, None, :] + sell_pos
+            sell_price = close_pr[abs_pos]
+            days = np.where(
+                is_m,
+                np.broadcast_to(x_arr, is_m.shape),
+                date_days[abs_pos] - date_days[buy_idx][None, None, None, :],
+            )
+            rev_per_day = np.round((sell_price - bp) / days, 8)
+
+            tb = round(float(bp.sum()), 4)                   # same for every combo
+            ts = np.round(sell_price.sum(axis=3), 2).reshape(-1)
+            cw = (sell_price > bp).sum(axis=3).reshape(-1)
+            cl = (sell_price < bp).sum(axis=3).reshape(-1)
+            srpd = np.round(rev_per_day.sum(axis=3), 8).reshape(-1)
+            sdh = days.sum(axis=3).reshape(-1)
+
+            # distinct sell-date counts per (combo, outcome): one np.unique
+            # per outcome over (combo_idx * n + date_position) codes
+            def distinct_counts(mask: np.ndarray) -> np.ndarray:
+                codes = (combo_idx.reshape(H, R, S, 1) * n + abs_pos)[mask]
+                return np.bincount(np.unique(codes) // n, minlength=n_combos)
+
+            c_t = distinct_counts(is_t)
+            c_s = distinct_counts(is_s)
+            c_m = distinct_counts(is_m)
+
+            frames.append(pd.DataFrame({
+                "symbol": symbol,
+                "condition_holding_days": cond_x,
+                "condition_target_return": cond_r,
+                "condition_buy_cci_threshold": b,
+                "condition_stop_loss_cci_threshold": cond_s,
+                "count_buy_date": k,
+                "count_reach_target_date": c_t,
+                "count_stop_loss_date": c_s,
+                "count_maturity_date": c_m,
+                "count_win": cw,
+                "count_lose": cl,
+                "sum_revenue_per_days_held": srpd,
+                "sum_days_held": sdh,
+                "count_trades": k,
+                "total_buy_price": tb,
+                "total_sell_price": ts,
+                "avg_revenue_per_days_held": srpd / k,
+                "avg_days_held": sdh / k,
+                "win_rate": 100.0 * cw / k,
+                "lose_rate": 100.0 * cl / k,
+                "total_revenue": ts - tb,
+                "revenue_rate": (ts - tb) / tb * 100.0,
+                "reach_target_date_count_per_buy_date_count": 100.0 * c_t / k,
+                "stop_loss_date_count_per_buy_date_count": 100.0 * c_s / k,
+                "maturity_date_count_per_buy_date_count": 100.0 * c_m / k,
+            }))
+        cols = [f.strip().split(" ")[0] for f in AGG_SCHEMA.split(",")]
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(frames, ignore_index=True)[cols]
+
+    src = cci.select("symbol", "date", "open_pr", "close_pr", "open_cci", "close_cci")
+    return src.groupBy("symbol").applyInPandas(per_symbol, AGG_SCHEMA)

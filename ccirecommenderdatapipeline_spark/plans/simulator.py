@@ -218,13 +218,17 @@ for _metric, _name in [
 @query("best_return_full_grid", oracle=None)
 def q_best_return_full_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full workload (app.py:41-44): 6x10x9x9 = 4,860 combos
-    per symbol — 467M trade rows at sf0.1, aggregated to one best strategy
-    per symbol. No SQL oracle (the driver's DuckDB pass would need the same
-    half-billion-row expansion); correctness is established by the reduced-
-    grid oracle queries above, which exercise identical code paths."""
-    from ..operators.simulator import DEFAULT_GRID
+    per symbol — 467M logical trades at sf0.1, aggregated to one best
+    strategy per symbol. Runs SURVEY §4.2's Plan B (fused per-symbol
+    applyInPandas, operators/simulator_pandas.py): benchmarked 10s vs Plan
+    A's 49s at sf0.1 — Plan A's distinct-date collect_sets are an
+    ObjectHashAggregate that dominates at the full grid. No SQL oracle (the
+    DuckDB pass would need the same half-billion-row expansion); correctness
+    comes from (a) the reduced-grid oracle queries above exercising Plan A
+    and (b) tests asserting Plan B == Plan A on those same grids."""
+    from ..operators.simulator_pandas import simulate_aggregate_pandas
 
-    agged = aggregate_strategies(simulate_trades(cci_view(spark, sf_dir), DEFAULT_GRID))
+    agged = simulate_aggregate_pandas(cci_view(spark, sf_dir), None)
     return best_by(agged, "revenue_rate").select(
         "symbol",
         "condition_holding_days", "condition_target_return",

@@ -150,8 +150,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBES)
         .select("query_id", "cid")
     )
+    # broadcast the tiny probe list into the assignment table, then broadcast
+    # the (still small) candidate set carrying query vectors into the big
+    # vector table — the big side is streamed, never shuffled
     cand = (
-        probes.join(assigned, "cid")
+        F.broadcast(probes).join(assigned, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
@@ -164,13 +167,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("tv"),
         F.col("nrm").alias("tnrm"),
     )
-    pairs = (
-        cand.join(F.broadcast(qside), "query_id")
-        .join(tside, "neighbor_id")
-        .select(
-            "query_id", "neighbor_id", "neighbor_label",
-            cosine(F.col("qv"), F.col("qnrm"), F.col("tv"), F.col("tnrm")).alias("cosine"),
-        )
+    cand_q = cand.join(F.broadcast(qside), "query_id")
+    pairs = tside.join(F.broadcast(cand_q), "neighbor_id").select(
+        "query_id", "neighbor_id", "neighbor_label",
+        cosine(F.col("qv"), F.col("qnrm"), F.col("tv"), F.col("tnrm")).alias("cosine"),
     )
     return topk_per_query(pairs, 5)
 

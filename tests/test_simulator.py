@@ -109,3 +109,31 @@ def test_strategy_agg_rates(spark):
     assert (agged["count_buy_date"] > 0).all()
     s = agged[["count_win", "count_lose"]].sum(axis=1)
     assert (s <= agged["count_trades"]).all()
+
+
+def test_plan_b_fused_pandas_equals_plan_a(spark):
+    """SURVEY 4.2: the fused applyInPandas simulator (Plan B, the full-grid
+    fast path) must agree with the oracle-verified Catalyst plan (Plan A)
+    on every aggregate column."""
+    import numpy as np
+
+    from ccirecommenderdatapipeline_spark.operators.simulator_pandas import (
+        simulate_aggregate_pandas,
+    )
+    from ccirecommenderdatapipeline_spark.plans.simulator import AGG_GRID
+
+    cci = cci_view(spark, SF_SMALL)
+    a = aggregate_strategies(simulate_trades(cci, AGG_GRID)).toPandas()
+    b = simulate_aggregate_pandas(cci, AGG_GRID).toPandas()
+    key = [
+        "symbol", "condition_holding_days", "condition_target_return",
+        "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
+    ]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)[a.columns]
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        if a[c].dtype == object:
+            assert (a[c] == b[c]).all(), c
+        else:
+            assert np.abs(a[c].astype(float) - b[c].astype(float)).max() < 1e-6, c
