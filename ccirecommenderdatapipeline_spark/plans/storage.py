@@ -1,0 +1,246 @@
+"""Remaining SURVEY §2 operator coverage: storage/layout ops (S12/S13),
+schema-align union (P14/U1), scalar round-trips (F9/F10/UD3), per-type caps
+(O2), the explicit as-of join (J5), and cube grouping (north-star §2.5 note).
+
+Storage queries stage under /tmp/spark_graft_storage (idempotent per
+sf_dir); their oracles recompute the same content straight from the source
+tables, so the write-read round-trip itself is what's being verified.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+STORAGE_ROOT = "/tmp/spark_graft_storage"
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+# --- S12: latest-partition discovery ----------------------------------------
+
+@query(
+    "latest_partition",
+    oracle="""
+WITH o AS (
+    SELECT *, CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year
+    FROM orders
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_year
+FROM o WHERE o_year = (SELECT MAX(o_year) FROM o)
+""",
+)
+def q_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (daily_function.py:1140-1177): the reference regex-scans CSV
+    filenames for the max date; here the table is written partitioned by
+    year and the latest partition is discovered from partition values and
+    read with partition pruning (the filter never touches older files)."""
+    out = os.path.join(STORAGE_ROOT, f"{_tag(sf_dir)}_orders_by_year")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year(F.to_date("o_orderdate")).cast("int")
+        )
+        o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    t = spark.read.parquet(out)
+    latest = t.agg(F.max("o_year")).first()[0]  # partition-values-only scan
+    return t.filter(F.col("o_year") == latest).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("o_year").cast("int").alias("o_year"),
+    )
+
+
+# --- S13: atomic idempotent overwrite ---------------------------------------
+
+@query(
+    "checkpoint_roundtrip",
+    oracle="""
+SELECT CAST(l_suppkey % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT)       AS n_rows,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY 1
+""",
+)
+def q_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 (daily_function.py:926-971, 1128-1130): the reference's temp-file
+    + shutil.move checkpoint dance becomes an atomic idempotent partitioned
+    overwrite — written TWICE here on purpose: the second overwrite must
+    leave identical content (rerun/resume safety), which the oracle verifies
+    against the source."""
+    out = os.path.join(STORAGE_ROOT, f"{_tag(sf_dir)}_lineitem_buckets")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "bucket", (F.col("l_suppkey") % 10).cast("long")
+    )
+    for _ in range(2):  # idempotence: overwrite twice, same result
+        li.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --- P14 + U1: schema-aligned union with missing columns ---------------------
+
+@query(
+    "union_missing_columns",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority, 'full' AS src
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), o_orderpriority, 'slim'
+FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14/U1 (daily_function.py:149-151): pandas drops all-NA columns then
+    concats; Spark aligns schemas explicitly — unionByName with
+    allowMissingColumns fills the gaps with nulls."""
+    o = load_table(spark, sf_dir, "orders")
+    full = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority", F.lit("full").alias("src")
+    ).drop("o_orderpriority")
+    slim = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority", F.lit("slim").alias("src")
+    )
+    return full.unionByName(slim, allowMissingColumns=True).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority", "src"
+    )
+
+
+# --- F9 / F10 / UD3: scalar round-trips -------------------------------------
+
+@query(
+    "scalar_roundtrips",
+    oracle="""
+SELECT event_id,
+       lpad(CAST(CAST(CAST(event_id AS DOUBLE) AS BIGINT) AS VARCHAR), 12, '0') AS order_no_padded,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S')                   AS ts_iso,
+       CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)     AS day_start_us,
+       CAST(EXTRACT(HOUR FROM ts) AS INTEGER)              AS hour_of_day
+FROM events
+""",
+)
+def q_scalar_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (daily_function.py:1486, 1679: str(int(float(x))) order numbers,
+    zero-padded), F10 (:1620 isoformat for the Sheets sink), UD3 (:547
+    midnight normalization as date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.lpad(
+            F.col("event_id").cast("double").cast("long").cast("string"), 12, "0"
+        ).alias("order_no_padded"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_start_us"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    )
+
+
+# --- O2: deterministic per-type head-N --------------------------------------
+
+@query(
+    "head_n_per_type",
+    oracle="""
+WITH ranked AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 300
+""",
+)
+def q_head_n_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 (daily_function.py:920-921): the reference caps the universe at
+    the first 300 rows per type in listing order; listing order is not a
+    thing in a distributed table, so the cap gets an explicit deterministic
+    ordering (value desc, key asc) — top-300 per priority class here."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 300)
+    )
+
+
+# --- J5: explicit as-of join -------------------------------------------------
+
+@query(
+    "asof_join",
+    oracle="""
+WITH joined AS (
+    SELECT o.o_orderkey, o.o_orderdate, l.l_shipdate, l.l_linenumber, l.l_extendedprice,
+           ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                              ORDER BY CAST(l.l_shipdate AS DATE), l.l_linenumber) AS rn
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+     AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+)
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(l_shipdate AS DATE) AS first_ship_date,
+       l_linenumber, l_extendedprice AS first_ship_price
+FROM joined WHERE rn = 1
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (daily_function.py:739-751): the forward as-of join in isolation —
+    for each order, its FIRST shipment at-or-after the order date. Range
+    predicate + deterministic first-match window; the simulator uses the
+    same shape over the bounded forward price window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        "l_linenumber", "l_extendedprice",
+    )
+    j = o.join(li, "o_orderkey").filter(F.col("ship_date") >= F.col("order_date"))
+    w = Window.partitionBy("o_orderkey").orderBy("ship_date", "l_linenumber")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey", "order_date",
+            F.col("ship_date").alias("first_ship_date"),
+            "l_linenumber",
+            F.col("l_extendedprice").alias("first_ship_price"),
+        )
+    )
+
+
+# --- cube grouping (§2.5: free via Spark, declared north-star) ---------------
+
+@query(
+    "cube_counts",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping levels in one pass
+    (the reference has no grouping sets; SURVEY §2.5 notes Spark gives them
+    free)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
