@@ -1,0 +1,123 @@
+"""MLlib feature-engineering + modeling over the fixture tables — the
+"DataFrame transformations + MLlib" surface (BASELINE.json spark_approach).
+
+Everything is seeded and deterministic; outputs are plain columns (no
+VectorUDT leaves these functions) so results flow through the driver
+contract like any relational query. ML estimator outputs have no SQL
+oracles — invariants are pinned by tests/test_mllib.py (cluster purity,
+classifier accuracy, LSH-vs-HOF dedup agreement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SEED = 42
+
+
+def tfidf_features(docs: DataFrame, n_features: int = 1 << 12) -> DataFrame:
+    """Tokenizer -> HashingTF -> IDF; emits per-doc sparse-vector summary
+    stats (nnz, l2 norm, max weight) as plain doubles."""
+    from pyspark.ml.feature import HashingTF, IDF, Tokenizer
+
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=n_features)
+    words = tok.transform(docs.select("doc_id", "text"))
+    tfed = tf.transform(words)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfed)
+    out = idf.transform(tfed)
+
+    @F.udf("struct<nnz: long, l2: double, max_w: double>")
+    def vec_stats(v):
+        import math
+
+        vals = v.values.tolist() if hasattr(v, "values") else list(v)
+        return (
+            int(len(vals)),
+            math.sqrt(sum(x * x for x in vals)),
+            max(vals) if vals else 0.0,
+        )
+
+    return out.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        vec_stats("tfidf").alias("s"),
+    ).select(
+        "doc_id", "n_words",
+        F.col("s.nnz").alias("tfidf_nnz"),
+        F.col("s.l2").alias("tfidf_l2"),
+        F.col("s.max_w").alias("tfidf_max"),
+    )
+
+
+def minhash_lsh_pairs(docs_with_grams: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """ml.feature.MinHashLSH near-dup pairs over binary shingle vectors —
+    the library counterpart of the HOF MinHash in operators/text.py (tests
+    assert both catch the same injected duplicates). Input: (doc_id, grams
+    array<string>) with non-empty grams."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    cv = CountVectorizer(inputCol="grams", outputCol="features", binary=True).fit(
+        docs_with_grams
+    )
+    feat = cv.transform(docs_with_grams).filter(
+        F.size("grams") > 0  # MinHashLSH requires >=1 non-zero entry
+    )
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+def kmeans_embeddings(emb: DataFrame, k: int = 10) -> DataFrame:
+    """KMeans over the embedding column; emits per-cluster size and the
+    majority fixture label with its share (clustering quality signal)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        "vec_id", "label", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=k, seed=SEED, featuresCol="features").fit(vecs)
+    pred = model.transform(vecs)
+    counts = pred.groupBy("prediction", "label").count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("prediction").orderBy(F.desc("count"), F.asc("label"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.sum("count").over(Window.partitionBy("prediction")))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("prediction").alias("cluster"),
+            F.col("cluster_size").cast("long").alias("n_points"),
+            F.col("label").alias("majority_label"),
+            (F.col("count") / F.col("cluster_size")).alias("purity"),
+        )
+    )
+
+
+def logreg_label_accuracy(emb: DataFrame) -> DataFrame:
+    """Multinomial logistic regression label-recovery on the embeddings:
+    one output row with train accuracy (the clusters are separable by
+    construction, so accuracy is a correctness probe, not a benchmark)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(F.col("embedding")).alias("features"),
+    )
+    model = LogisticRegression(maxIter=50, regParam=0.01).fit(vecs)
+    pred = model.transform(vecs)
+    return pred.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("train_accuracy"),
+    )
