@@ -21,10 +21,12 @@ from ccirecommenderdatapipeline_spark import plans  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Per-symbol signal summary: prices (S1/P1) -> CCI windows (W1-W3) ->
-    crossover (W4) -> grouped counts (A3/A4). One row per symbol, always >0.
+    The reference's E1 end-to-end: prices (S1/P1) -> CCI windows (W1-W3) ->
+    crossover signals (W4) -> full 4,860-combo strategy simulation (W6/J6)
+    -> per-(symbol, condition) aggregation (A1/A2) -> best strategy per
+    symbol (A7). One row per symbol with at least one trade, always >0.
     """
-    return plans.QUERIES["signal_counts"](spark, "/root/testdata/sf0.001")
+    return plans.QUERIES["best_return_full_grid"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ccirecommenderdatapipeline_spark import plans  # noqa: E402
 from ccirecommenderdatapipeline_spark.session import get_spark  # noqa: E402
 
-# Headline queries: the flagship pipeline stages.
+# Headline queries: the flagship pipeline stages + the north-star
+# training-data operators at the same scale factor.
 HEADLINE = [
     "prices",
     "cci",
@@ -29,6 +30,11 @@ HEADLINE = [
     "strategy_agg",
     "best_return",
     "best_return_full_grid",  # the reference's full 4,860-combo workload
+    "text_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "knn_brute_force",
+    "session_windows",
 ]
 
 

@@ -96,7 +96,15 @@ def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: one output row per media row, blobs
     dropped from the output so downstream stages shuffle only small columns."""
 
+    feat_dim = FEATURE_DIM
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fake_features inlined: referencing a function of this package from
+        # the closure would pickle it by module reference, which executor
+        # workers launched from a foreign cwd cannot import
+        def feats(b: bytes) -> list[float]:
+            return [x / 255.0 for x in hashlib.md5(b).digest()[:feat_dim]]
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame({
@@ -105,7 +113,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "byte_len": payloads.map(len).astype("int64"),
                 "content_hash": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
                 "mean_byte": payloads.map(lambda b: sum(bytes(b)) / len(b)),
-                "feature": payloads.map(lambda b: fake_features(bytes(b))),
+                "feature": payloads.map(lambda b: feats(bytes(b))),
             })
 
     return media.mapInPandas(run, FEATURES_SCHEMA)

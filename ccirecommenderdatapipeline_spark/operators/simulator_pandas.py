@@ -47,23 +47,6 @@ AGG_SCHEMA = (
 )
 
 
-def _first_hits(vals: np.ndarray, buy_idx: np.ndarray, x_max: int, cmp_ge, thresholds):
-    """For each buy index i and each threshold t: 1-based position of the
-    first j in (i, i+x_max] with vals[j] >= t (or <= t), 0 if none.
-    Returns int matrix (len(buy_idx), len(thresholds))."""
-    n = len(vals)
-    # windows[i] = vals[i+1 : i+1+x_max], padded with NaN past the end
-    padded = np.full(n + x_max, np.nan)
-    padded[:n] = vals
-    win = np.lib.stride_tricks.sliding_window_view(padded, x_max)[buy_idx + 1]
-    out = np.zeros((len(buy_idx), len(thresholds)), dtype=np.int64)
-    for k, t in enumerate(thresholds):
-        m = (win >= t[:, None]) if cmp_ge else (win <= t)
-        first = m.argmax(axis=1)
-        out[:, k] = np.where(m.any(axis=1), first + 1, 0)
-    return out
-
-
 def simulate_aggregate_pandas(cci: DataFrame, grid: dict | None = None) -> DataFrame:
     """cci -> per (symbol x full combo) strategy aggregates, one Arrow
     round-trip per symbol."""
@@ -82,6 +65,25 @@ def simulate_aggregate_pandas(cci: DataFrame, grid: dict | None = None) -> DataF
     cond_x = np.repeat(holding, R * S)
     cond_r = np.tile(np.repeat(returns, S), H)
     cond_s = np.tile(stop_thr, H * R)
+
+    # NB: every helper the grouped-map closure touches is defined INSIDE it
+    # (or is a captured plain value / importable third-party module): a
+    # reference to a function of THIS package would make cloudpickle
+    # serialize the closure by module reference, and executor Python workers
+    # launched from a foreign cwd (the driver contract) cannot import it.
+    def _first_hits(vals, buy_idx, cmp_ge, thresholds):
+        """Per buy index i and threshold t: 1-based position of the first j
+        in (i, i+x_max] with vals[j] >= t (or <= t), 0 if none."""
+        n = len(vals)
+        padded = np.full(n + x_max, np.nan)
+        padded[:n] = vals
+        win = np.lib.stride_tricks.sliding_window_view(padded, x_max)[buy_idx + 1]
+        out = np.zeros((len(buy_idx), len(thresholds)), dtype=np.int64)
+        for k, t in enumerate(thresholds):
+            m = (win >= t[:, None]) if cmp_ge else (win <= t)
+            first = m.argmax(axis=1)
+            out[:, k] = np.where(m.any(axis=1), first + 1, 0)
+        return out
 
     def per_symbol(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("date").reset_index(drop=True)
@@ -108,9 +110,9 @@ def simulate_aggregate_pandas(cci: DataFrame, grid: dict | None = None) -> DataF
             bp = open_pr[buy_idx]
             flen = np.minimum(n - 1 - buy_idx, x_max)
             targets = bp[None, :] * (1 + np.array(returns)[:, None] / 100.0)
-            t_first = _first_hits(close_pr, buy_idx, x_max, True,
+            t_first = _first_hits(close_pr, buy_idx, True,
                                   [targets[ri] for ri in range(R)])
-            s_first = _first_hits(close_cci, buy_idx, x_max, False, stop_thr)
+            s_first = _first_hits(close_cci, buy_idx, False, stop_thr)
 
             # broadcast the whole (H,R,S,k) grid at once
             t0 = t_first.T[None, :, None, :]                 # (1,R,1,k)

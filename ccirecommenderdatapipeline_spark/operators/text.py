@@ -7,10 +7,11 @@ filter / aggregate higher-order functions) — no Python UDFs — so the hot pat
 stays inside whole-stage codegen and scales linearly with document bytes.
 
 Cross-engine determinism: hashes are md5 hex strings (identical in Spark and
-DuckDB); MinHash uses *lexicographic minima of salted md5 strings* instead of
-integer hashes, so no engine-specific 64-bit hash (murmur vs duckdb-hash)
-ever enters the result. Bit extraction for SimHash uses modulo/compare
-arithmetic on the hex-digit value, portable to any SQL engine.
+DuckDB); MinHash derives its k components from one md5 per shingle via an
+exact int64 modular hash family, so no engine-specific 64-bit hash (murmur
+vs duckdb-hash) ever enters the result. Bit extraction for SimHash uses
+modulo/compare arithmetic on the hex-digit value, portable to any SQL
+engine.
 
 Scale notes (100 TB): every per-doc op is map-side only. The pair-generating
 joins (shingle inverted index, LSH band buckets) shuffle on the
@@ -23,9 +24,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# Salts for the MinHash component hash functions (k = 12, 4 bands x 3 rows).
+# MinHash: k = 12 components (4 bands x 3 rows) from ONE md5 per shingle:
+# h = int(md5(s)[:12 hex]) mod p, component_j = (a_j*h + b_j) mod p. The
+# modular family replaces 12 salted md5s per shingle occurrence — measured
+# 25s -> ~6s on 10k docs at sf0.1. p = 2^31-1 keeps a_j*h < 2^62 (no
+# overflow, exact in any engine's int64).
 MINHASH_K = 12
 LSH_BAND_ROWS = 3
+MINHASH_P = 2147483647
+MINHASH_AB = [((j + 1) * 104729 % MINHASH_P, (j + 1) * 7919 % MINHASH_P) for j in range(MINHASH_K)]
 STOPWORDS = {
     "en": ["the", "a", "of", "and"],
     "es": ["el", "la", "de", "y"],
@@ -43,46 +50,72 @@ def tokens(text: Column) -> Column:
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
-    """Space-joined word n-grams (empty array when fewer than n tokens)."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-    )
-    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Space-joined word n-grams (empty array when fewer than n tokens).
+
+    Built from n whole-array slices folded with zip_with — NOT per-index
+    element_at lambdas: a lambda body referencing the tokens expression gets
+    that expression re-evaluated per element (tokenization re-run per gram —
+    measured 6x the runtime of this form on 10k docs)."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, length)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, length), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return out
 
 
 def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
-    """k-component MinHash: component j = min over shingles of
-    md5('s<j>:' || shingle), compared lexicographically. Null-free: empty
-    shingle sets yield the constant 'z' sentinel per component."""
-    # NB: the per-salt lambda must be built by a factory taking ONE parameter —
-    # a `lambda s, j=j:` closure has arity 2 and the HOF binder would treat it
-    # as the (element, index) form, binding j to the index column.
-    def salted(j: int):
-        prefix = f"s{j}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    """k-component integer MinHash (see module constants): the whole
+    signature is ONE fold — per shingle compute its k component hashes from
+    a single md5, then elementwise-min into the accumulator. Building it as
+    one expression (not k separate array_min projections) stops projection
+    collapse from re-inlining the md5 k times. Empty shingle sets yield the
+    p sentinel per component."""
 
-    comp = [
-        F.coalesce(F.array_min(F.transform(shingles, salted(j))), F.lit("z"))
-        for j in range(k)
-    ]
-    return F.array(*comp)
+    def comps(s: Column) -> Column:
+        h = F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long") % MINHASH_P
+        return F.array(*[(F.lit(a) * h + F.lit(b)) % MINHASH_P for a, b in MINHASH_AB[:k]])
+
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * k)
+    return F.aggregate(
+        F.transform(shingles, comps),
+        init,
+        lambda acc, c: F.zip_with(acc, c, lambda x, y: F.least(x, y)),
+    )
 
 
 def lsh_bands(sig: Column, rows: int = LSH_BAND_ROWS, k: int = MINHASH_K) -> Column:
-    """Array of (band_idx, band_key) structs: band key = md5 of its rows."""
+    """Array of (band_idx, band_key) structs; band key = exact modular
+    combination of its rows (collisions only ADD candidate pairs — the
+    match-fraction estimate downstream is unaffected)."""
     bands = []
     for b in range(k // rows):
-        parts = [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+        key = F.element_at(sig, b * rows + 1)
+        for r in range(1, rows):
+            key = (key * 31 + F.element_at(sig, b * rows + r + 1)) % MINHASH_P
         bands.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
         )
     return F.array(*bands)
+
+
+def bucket_pairs(members: Column) -> Column:
+    """All i<j pairs from a bucket's member array as struct(a, b) — the
+    grouped-bucket alternative to a self-join: the upstream pipeline is
+    computed ONCE, and bucket size (bounded by hashing uniformity / DF
+    capping) caps the per-group pair blow-up. Members are sorted by their
+    first struct field, so a < b ordering is deterministic."""
+    m = F.array_sort(members)
+    return F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
 
 
 def signature_match_frac(s1: Column, s2: Column, k: int = MINHASH_K) -> Column:

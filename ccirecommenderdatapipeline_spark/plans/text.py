@@ -6,8 +6,8 @@ Engine-portability notes encoded here once:
 - DuckDB ``regexp_replace`` needs the ``'g'`` flag (Spark replaces globally
   by default);
 - integer/integer ``/`` is true (double) division in BOTH engines;
-- MinHash components are lexicographic minima of salted md5 hex strings, so
-  no engine-native hash function enters any result;
+- MinHash components come from one md5 per shingle + an exact int64 modular
+  hash family, so no engine-native hash function enters any result;
 - DuckDB ``range(a, b)`` is end-exclusive, Spark ``sequence(a, b)``
   end-inclusive.
 """
@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.text import (
+    bucket_pairs,
     MINHASH_K,
     STOPWORDS,
     bottomk_fingerprint,
@@ -232,54 +233,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 ), rare AS (
     SELECT doc_id, g FROM expl
     QUALIFY COUNT(*) OVER (PARTITION BY g) <= {DF_CAP}
-), cand AS (
-    SELECT DISTINCT r1.doc_id AS doc_a, r2.doc_id AS doc_b
+), rsize AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rare GROUP BY 1
+), inter AS (
+    SELECT r1.doc_id AS doc_a, r2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_grams
     FROM rare r1 JOIN rare r2 ON r1.g = r2.g AND r1.doc_id < r2.doc_id
-), verified AS (
-    SELECT c.doc_a, c.doc_b,
-        CAST(len(list_intersect(g1.grams, g2.grams)) AS BIGINT) AS inter_grams,
-        CAST(len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)) AS BIGINT) AS union_grams
-    FROM cand c
-    JOIN grams_cte g1 ON g1.doc_id = c.doc_a
-    JOIN grams_cte g2 ON g2.doc_id = c.doc_b
+    GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, inter_grams, union_grams,
-       inter_grams / union_grams AS jaccard
-FROM verified
-WHERE inter_grams / union_grams >= {JACCARD_THRESHOLD}
+SELECT i.doc_a, i.doc_b, i.inter_grams,
+       s1.n + s2.n - i.inter_grams AS union_grams,
+       i.inter_grams / (s1.n + s2.n - i.inter_grams) AS jaccard
+FROM inter i
+JOIN rsize s1 ON s1.doc_id = i.doc_a
+JOIN rsize s2 ON s2.doc_id = i.doc_b
+WHERE i.inter_grams / (s1.n + s2.n - i.inter_grams) >= {JACCARD_THRESHOLD}
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: word-trigram shingles, inverted-index blocking
-    (shingle equi-join) with a document-frequency cap pruning stop-shingles —
-    the anti-skew guard that keeps any one shingle's bucket from going
-    quadratic at scale — then EXACT Jaccard verification on candidate pairs
-    via array_intersect."""
+    """Near-dup detection via the inverted shingle index: the pair join over
+    word trigrams yields the EXACT intersection count directly (no per-pair
+    array re-verification), so jaccard = inter / (n1 + n2 - inter) costs one
+    shuffle on the shingle key plus two size lookups. The document-frequency
+    cap prunes stop-shingles from both the pairing AND the set sizes —
+    consistent capped-set semantics, and the anti-skew guard that keeps any
+    one shingle's bucket from going quadratic at scale."""
     docs2 = with_recrawl(_docs(spark, sf_dir))
     shingled = _shingled(docs2)
     expl = shingled.select("doc_id", F.explode("grams").alias("g"))
     rare = expl.withColumn(
         "df", F.count("*").over(Window.partitionBy("g"))
-    ).filter(F.col("df") <= DF_CAP)
+    ).filter(F.col("df") <= DF_CAP).select("doc_id", "g")
+    rsize = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
     r1 = rare.select(F.col("doc_id").alias("doc_a"), "g")
     r2 = rare.select(F.col("doc_id").alias("doc_b"), "g")
-    cand = (
+    inter = (
         r1.join(r2, "g")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_grams"))
     )
-    g1 = shingled.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    g2 = shingled.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
-    union = (F.size("grams_a") + F.size("grams_b")).cast("long") - inter
+    s1 = rsize.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1"))
+    s2 = rsize.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2"))
+    union = F.col("n1") + F.col("n2") - F.col("inter_grams")
     return (
-        cand.join(g1, "doc_a").join(g2, "doc_b")
+        inter.join(s1, "doc_a").join(s2, "doc_b")
         .select(
-            "doc_a", "doc_b",
-            inter.alias("inter_grams"),
+            "doc_a", "doc_b", "inter_grams",
             union.alias("union_grams"),
-            (inter / union).alias("jaccard"),
+            (F.col("inter_grams") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -288,11 +289,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- 5. MinHash + LSH near-dup ----------------------------------------------
 
 def _minhash_sql() -> str:
-    comps = ", ".join(
-        f"COALESCE(list_min(list_transform(grams, s -> md5('s{j}:' || s))), 'z')"
-        for j in range(MINHASH_K)
+    """DuckDB mirror of operators/text.py:minhash_signature — one md5 per
+    shingle, modular component family, elementwise-min fold."""
+    from ..operators.text import MINHASH_AB, MINHASH_P
+
+    ab = ", ".join(f"[{a}, {b}]" for a, b in MINHASH_AB)
+    init = ", ".join(f"CAST({MINHASH_P} AS BIGINT)" for _ in range(MINHASH_K))
+    h = f"(('0x' || substr(md5(s), 1, 12))::BIGINT % {MINHASH_P})"
+    comps = f"list_transform([{ab}], ab -> (ab[1] * {h} + ab[2]) % {MINHASH_P})"
+    return (
+        f"list_reduce(list_prepend([{init}], list_transform(grams, s -> {comps})), "
+        f"(acc, c) -> list_transform(range(1, {MINHASH_K + 1}), i -> least(acc[i], c[i])))"
     )
-    return f"list_value({comps})"
 
 
 @query(
@@ -302,9 +310,8 @@ def _minhash_sql() -> str:
     SELECT doc_id, {_minhash_sql()} AS sig FROM grams_cte
 ), bands AS (
     SELECT s.doc_id, b.band_idx,
-        md5(concat_ws('|', s.sig[3 * b.band_idx + 1],
-                           s.sig[3 * b.band_idx + 2],
-                           s.sig[3 * b.band_idx + 3])) AS band_key
+        ((s.sig[3 * b.band_idx + 1] * 31 + s.sig[3 * b.band_idx + 2]) % 2147483647
+          * 31 + s.sig[3 * b.band_idx + 3]) % 2147483647 AS band_key
     FROM sigs s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
 ), cand AS (
     SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
@@ -334,30 +341,35 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _shingled(docs2).select(
         "doc_id", minhash_signature(F.col("grams")).alias("sig")
     )
+    # grouped-bucket pair generation (bucket_pairs) instead of a band
+    # self-join: a DataFrame self-join would recompute the whole
+    # tokenize->shingle->signature pipeline once per join branch
     bands = sigs.select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"))).alias("b")
-    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
-    b1 = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-    cand = (
-        b1.join(b2, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        F.explode(lsh_bands(F.col("sig"))).alias("b"),
+        F.struct("doc_id", "sig").alias("ds"),
     )
-    s1 = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    s2 = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    buckets = (
+        bands.groupBy(F.col("b.band_idx"), F.col("b.band_key"))
+        .agg(F.collect_list("ds").alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = buckets.select(F.explode(bucket_pairs(F.col("members"))).alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.sig").alias("sig_a"),
+        F.col("p.b.sig").alias("sig_b"),
+    )
     eq = F.filter(
         F.sequence(F.lit(1), F.lit(MINHASH_K)),
         lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
     )
     return (
-        cand.join(s1, "doc_a").join(s2, "doc_b")
-        .select(
+        pairs.select(
             "doc_a", "doc_b",
             F.size(eq).cast("long").alias("n_matching"),
             signature_match_frac(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
         )
+        .distinct()  # same pair surfacing from multiple bands
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
     )
 

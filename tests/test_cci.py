@@ -80,8 +80,9 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    names = dict(zip(df.columns, range(len(df.columns))))
-    assert {"symbol", "n_days", "n_signals", "last_date"} <= set(names)
+    assert {"symbol", "condition_holding_days", "win_rate", "revenue_rate"} <= set(
+        df.columns
+    )
 
 
 def test_registry_consistency():
