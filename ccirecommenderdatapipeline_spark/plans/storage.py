@@ -244,3 +244,33 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --- skew-mitigation pattern: two-phase salted aggregation -------------------
+
+@query(
+    "salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT)                      AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY 1
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: l_returnflag has only
+    3 values, so a single groupBy funnels the whole table into 3 reducers at
+    scale. Phase 1 spreads each hot key across 16 salt buckets (map-side
+    partial agg still applies); phase 2 merges the 48 partials. The salt
+    never reaches the result — the oracle is the plain groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_quantity").cast("long")).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").alias("total_qty"),
+    )
