@@ -208,6 +208,10 @@ def aggregate_strategies(trades: DataFrame) -> DataFrame:
     #     daily_function.py:1047-1061) become size(collect_set(...)) — the
     #     per-group set is bounded by the buy count, and collect_set
     #     combines map-side, so no row expansion and no second pass.
+    # Three null-filtered collect_sets, deliberately NOT one struct set: the
+    # when() routes each row into exactly one small date set (nulls are
+    # dropped), while a single collect_set(struct(result, date)) buffers an
+    # object for EVERY row — measured 2x slower.
     tag = F.col("trade_result")
 
     def n_distinct_dates(t: str) -> Column:

@@ -141,3 +141,51 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         exact_value_sum().alias("sum_value"),
     )
+
+
+@query(
+    "session_window_builtin",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_id, value, CAST(epoch_us(ts) AS BIGINT) AS eus FROM events
+), lagged AS (
+    SELECT *, LAG(eus) OVER (PARTITION BY user_id ORDER BY eus, event_id) AS prev_eus
+    FROM e
+), flagged AS (
+    SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus > {GAP_US} THEN 1 ELSE 0 END AS new_sess
+    FROM lagged
+), numbered AS (
+    SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY eus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(eus)            AS w_start_us,
+       MAX(eus) + {GAP_US} AS w_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_SUM_SQL}          AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (streaming-capable) cross-validated
+    against the first-principles lag/cumsum sessionization: the built-in's
+    window end is last_event + gap, and with a gap > max intra-session
+    spacing both formulations must produce identical sessions. The reference
+    GAP_US note: Spark merges events while spacing <= gap; the manual form
+    starts a new session when spacing > gap — same boundary rule."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_value_sum().alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            F.unix_micros(F.col("w.end")).alias("w_end_us"),
+            "n_events", "sum_value",
+        )
+    )
