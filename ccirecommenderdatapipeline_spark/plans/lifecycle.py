@@ -333,3 +333,52 @@ def q_trading_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_closed").cast("long")).alias("n_closed"),
         F.sum((~F.col("is_closed")).cast("long")).alias("n_trading"),
     )
+
+
+@query(
+    "symbol_universe",
+    oracle="""
+WITH typed AS (
+    SELECT CAST(s_suppkey AS VARCHAR) AS symbol,
+           s_name AS name,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'stock' ELSE 'etf' END AS type,
+           s_acctbal AS total_stock
+    FROM supplier
+), filtered AS (
+    SELECT t.* FROM typed t
+    LEFT JOIN (SELECT CAST(s_suppkey AS VARCHAR) AS symbol FROM supplier
+               WHERE s_suppkey % 97 = 0) adm ON adm.symbol = t.symbol
+    WHERE adm.symbol IS NULL AND t.total_stock > 0
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY type
+                                 ORDER BY total_stock DESC, symbol) AS rn
+    FROM filtered
+)
+SELECT type, symbol, name, total_stock FROM ranked WHERE rn <= 300
+""",
+)
+def q_symbol_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 stage 1 (daily_function.py:185-291): the symbol universe — listing
+    scan (S4), stock/ETF typing, administrative anti-join (J3, :234-237),
+    positive-stock filter (P7, :263), and the 300-per-type cap (O2,
+    :920-921) under a deterministic ordering. The per-ETF REST enrich loop
+    (S5, :250-258) is replaced by set-wise derivation — SURVEY OP8."""
+    sup = load_table(spark, sf_dir, "supplier")
+    typed = sup.select(
+        F.col("s_suppkey").cast("string").alias("symbol"),
+        F.col("s_name").alias("name"),
+        F.when(F.col("s_suppkey") % 2 == 0, "stock").otherwise("etf").alias("type"),
+        F.col("s_acctbal").alias("total_stock"),
+    )
+    admin = sup.filter(F.col("s_suppkey") % 97 == 0).select(
+        F.col("s_suppkey").cast("string").alias("symbol")
+    )
+    filtered = typed.join(F.broadcast(admin), "symbol", "left_anti").filter(
+        F.col("total_stock") > 0
+    )
+    w = Window.partitionBy("type").orderBy(F.desc("total_stock"), F.asc("symbol"))
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 300)
+        .select("type", "symbol", "name", "total_stock")
+    )

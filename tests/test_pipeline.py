@@ -1,0 +1,32 @@
+"""End-to-end daily batch (E1+E2+E3): every stage table written, readable,
+and mutually consistent."""
+
+from __future__ import annotations
+
+import tempfile
+
+from ccirecommenderdatapipeline_spark.pipeline import run_daily_batch
+from tests.conftest import SF_SMALL
+
+
+def test_daily_batch_end_to_end(spark):
+    out = tempfile.mkdtemp()
+    counts = run_daily_batch(spark, SF_SMALL, out)
+
+    assert counts["symbol_list"] > 0
+    assert counts["prices"] > counts["cci"] * 0 and counts["prices"] == counts["cci"]
+    # one best row per symbol-with-trades, identical across the 3 criteria
+    assert (
+        counts["best_win"]
+        == counts["best_return"]
+        == counts["best_return_per_days_held"]
+        > 0
+    )
+    # reco/candidates are subsets of the symbols with best rows
+    assert counts["reco_revenue"] <= counts["best_return"]
+    assert counts["buy_candidates"] <= 20
+    assert counts["sell_decisions"] > 0
+    assert counts["order_reconciliation"] > 0
+
+    # idempotence: a rerun overwrites to the same counts (S13 semantics)
+    assert run_daily_batch(spark, SF_SMALL, out) == counts
