@@ -274,3 +274,54 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_rows"),
         F.sum("pq").alias("total_qty"),
     )
+
+
+# --- set intersection + pivot reshape (completeness ops) ---------------------
+
+@query(
+    "intersect_keys",
+    oracle="""
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT
+SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F' AND l_quantity > 40
+""",
+)
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (absent from the reference; SURVEY §2.8 notes it) — orders
+    with returned items that also have large F-status lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.filter((F.col("l_linestatus") == "F") & (F.col("l_quantity") > 40)).select(
+        "l_orderkey"
+    )
+    return a.intersect(b)
+
+
+@query(
+    "pivot_status_priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS st_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS st_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS st_P
+FROM orders
+GROUP BY 1
+""",
+)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot reshape: order counts by priority x status with an EXPLICIT
+    pivot value list — at scale, never let pivot() infer values (that is a
+    distinct scan); the fixed list keeps it one hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").cast("long").alias("st_F"),
+            F.col("O").cast("long").alias("st_O"),
+            F.col("P").cast("long").alias("st_P"),
+        )
+    )
