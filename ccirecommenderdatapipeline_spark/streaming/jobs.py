@@ -182,3 +182,121 @@ def stateful_user_counts(spark: SparkSession, staged_dir: str, checkpoint: str) 
     )
     q.awaitTermination()
     return final
+
+
+def stage_price_batches(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> str:
+    """Stage the prices table as date-range batch files b0..b{n-1} (one file
+    per range, ascending mtimes) so the file source replays history in
+    event-time order — the shape of the reference's daily incremental
+    fetches (T2)."""
+    import shutil
+    import time as _time
+
+    from ..sources.prices import prices_view
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(STAGE_ROOT, f"{tag}_price_batches_{n_batches}")
+    if os.path.exists(os.path.join(out, "_STAGED")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    prices = prices_view(spark, sf_dir)
+    dates = [r[0] for r in prices.select("date").distinct().orderBy("date").collect()]
+    step = max(1, len(dates) // n_batches)
+    bounds = [dates[min(i * step, len(dates) - 1)] for i in range(1, n_batches)] + [None]
+    lo = None
+    for i, hi in enumerate(bounds):
+        part = prices
+        if lo is not None:
+            part = part.filter(F.col("date") >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("date") < F.lit(hi))
+        tmp = os.path.join(out, f"__tmp_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp, src), os.path.join(out, f"b{i}.parquet"))
+        shutil.rmtree(tmp)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        lo = hi
+    open(os.path.join(out, "_STAGED"), "w").close()
+    return out
+
+
+def stateful_cci_stream(spark: SparkSession, staged_dir: str, checkpoint: str):
+    """T6 as TRUE streaming: the rolling CCI indicator computed over
+    arriving price batches with applyInPandasWithState — per-symbol state
+    carries the last n-1 typical prices, so each micro-batch extends the
+    series exactly where the previous one stopped (no recompute, no
+    lookback re-read). Returns the collected (symbol, date, open_cci,
+    close_cci) rows across all batches."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = 20  # CCI_NDAYS; literal so the closure stays self-contained
+
+    schema = spark.read.parquet(staged_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+    )
+
+    out_schema = T.StructType([
+        T.StructField("symbol", T.StringType()),
+        T.StructField("date", T.DateType()),
+        T.StructField("open_cci", T.DoubleType()),
+        T.StructField("close_cci", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("close_tps", T.ArrayType(T.DoubleType())),
+        T.StructField("open_tps", T.ArrayType(T.DoubleType())),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        close_hist, open_hist = (
+            ([list(x) for x in state.get] if state.exists else ([], []))
+        )
+        rows = pd.concat(list(pdfs)).sort_values("date")
+        out = {"symbol": [], "date": [], "open_cci": [], "close_cci": []}
+        for r in rows.itertuples(index=False):
+            close_tp = (r.high_pr + r.low_pr + r.close_pr) / 3
+            open_tp = (r.high_pr + r.low_pr + r.open_pr) / 3
+            close_hist.append(close_tp)
+            open_hist.append(open_tp)
+            if len(close_hist) > n:
+                close_hist.pop(0)
+                open_hist.pop(0)
+
+            def cci(hist, tp):
+                if len(hist) < n:
+                    return None
+                sma = sum(hist) / n
+                mad = sum(abs(x - sma) for x in hist) / n
+                return (tp - sma) / (0.015 * mad) if mad != 0 else None
+
+            out["symbol"].append(key[0])
+            out["date"].append(r.date)
+            out["close_cci"].append(cci(close_hist, close_tp))
+            out["open_cci"].append(cci(open_hist, open_tp))
+        state.update((close_hist, open_hist))
+        yield pd.DataFrame(out)
+
+    plan = sdf.groupBy("symbol").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+    collected: list = []
+
+    def capture(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    q = (
+        plan.writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    return collected

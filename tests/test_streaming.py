@@ -92,3 +92,33 @@ def test_stateful_counts_across_microbatches(spark):
         .groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_stateful_cci_stream_equals_batch(spark):
+    """T6 as true streaming: the stateful rolling-CCI operator over 3
+    date-ordered micro-batches must equal the batch CCI computation row for
+    row (state carries the 19-row lookback across batch boundaries)."""
+    import pandas as pd
+
+    from ccirecommenderdatapipeline_spark.plans.cci import cci_view
+    from ccirecommenderdatapipeline_spark.streaming.jobs import (
+        stage_price_batches,
+        stateful_cci_stream,
+    )
+
+    staged = stage_price_batches(spark, SF_SMALL, n_batches=3)
+    rows = stateful_cci_stream(spark, staged, tempfile.mkdtemp())
+    got = pd.DataFrame([r.asDict() for r in rows]).sort_values(["symbol", "date"])
+    exp = (
+        cci_view(spark, SF_SMALL)
+        .select("symbol", "date", "open_cci", "close_cci")
+        .toPandas()
+        .sort_values(["symbol", "date"])
+    )
+    assert len(got) == len(exp) > 0
+    m = got.merge(exp, on=["symbol", "date"], suffixes=("", "_b"))
+    assert len(m) == len(exp)
+    for c in ["open_cci", "close_cci"]:
+        both_null = m[c].isna() & m[f"{c}_b"].isna()
+        diff = (m[c] - m[f"{c}_b"]).abs() < 1e-9
+        assert (both_null | diff).all(), c
