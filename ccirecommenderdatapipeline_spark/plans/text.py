@@ -458,3 +458,102 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fingerprint",
         F.count("*").over(Window.partitionBy("fingerprint")).alias("n_sharing"),
     )
+
+
+# --- 8. dedup clustering: connected components over the near-dup graph ------
+
+def _label_prop_sql(iters: int) -> str:
+    """Unrolled min-label propagation CTEs l0..l{iters} over `edges`."""
+    parts = ["""
+, nodes AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM edges UNION ALL SELECT doc_b FROM edges
+    )
+), sym_edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM edges
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM edges
+), l0 AS (SELECT doc_id, doc_id AS label FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+, l{i} AS (
+    SELECT n.doc_id, LEAST(n.label, COALESCE(MIN(m.label), n.label)) AS label
+    FROM l{i - 1} n
+    LEFT JOIN sym_edges e ON e.src = n.doc_id
+    LEFT JOIN l{i - 1} m ON m.doc_id = e.dst
+    GROUP BY n.doc_id, n.label
+)""")
+    return "".join(parts)
+
+
+@query(
+    "dedup_clusters",
+    oracle="WITH " + DOCS2_CTE + TOK2_CTE + GRAMS2_CTE + f"""
+, sigs AS (
+    SELECT doc_id, {_minhash_sql()} AS sig FROM grams_cte
+), bands AS (
+    SELECT s.doc_id, b.band_idx,
+        ((s.sig[3 * b.band_idx + 1] * 31 + s.sig[3 * b.band_idx + 2]) % 2147483647
+          * 31 + s.sig[3 * b.band_idx + 3]) % 2147483647 AS band_key
+    FROM sigs s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+), edges AS (
+    SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands b1 JOIN bands b2
+      ON b1.band_idx = b2.band_idx AND b1.band_key = b2.band_key
+     AND b1.doc_id < b2.doc_id
+){_label_prop_sql(4)}
+SELECT label AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM l4
+GROUP BY label
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate graph
+    via 4 iterations of min-label propagation (each iteration = one join
+    against the symmetrized edge list; diameter of near-dup clusters is tiny
+    in practice, and the iteration count is fixed so both engines compute
+    the identical — possibly unconverged — fixpoint). The canonical keep
+    row per cluster is min_doc_id. This is the iterative-algorithm
+    representative: at scale each iteration is one shuffle join on doc_id."""
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    sigs = _shingled(docs2).select(
+        "doc_id", minhash_signature(F.col("grams")).alias("sig")
+    )
+    bands = sigs.select(
+        F.explode(lsh_bands(F.col("sig"))).alias("b"), "doc_id"
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    b1 = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    edges = (
+        b1.join(b2, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(4):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("doc_id", "dst_id"),
+                     F.col("dst") == F.col("dst_id"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        )
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
