@@ -527,6 +527,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
     b1 = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     b2 = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    # Iterative-algorithm hygiene: WITHOUT truncation, each iteration embeds
+    # the full upstream twice (labels appears in both join branches) — the
+    # plan grows 2^iters scans (explain_audit measured 342 exchanges / 496
+    # scans). Persist the edge list once and localCheckpoint the labels per
+    # iteration, exactly Spark's prescribed pattern for iterative graph
+    # algorithms; at scale this is one shuffle join per iteration.
     edges = (
         b1.join(b2, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -535,9 +541,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    ).persist()
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.withColumn("label", F.col("doc_id"))
+    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
     for _ in range(4):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("doc_id", "dst_id"),
@@ -551,7 +557,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
+            .localCheckpoint()
         )
+    sym.unpersist()
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count("*").alias("n_members"),
         F.min("doc_id").alias("min_doc_id"),
