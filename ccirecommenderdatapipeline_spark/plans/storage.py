@@ -325,3 +325,34 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("P").cast("long").alias("st_P"),
         )
     )
+
+
+@query(
+    "relative_date_window",
+    oracle="""
+WITH mx AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS max_d FROM lineitem)
+SELECT CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS INTEGER)  AS y,
+       CAST(EXTRACT(MONTH FROM CAST(l_shipdate AS DATE)) AS INTEGER) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem, mx
+WHERE CAST(l_shipdate AS DATE) >= CAST(mx.max_d - INTERVAL 12 MONTH AS DATE)
+GROUP BY 1, 2
+""",
+)
+def q_relative_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (daily_function.py:680-681): relative lookback window — rows
+    within 12 months of the table's own max date, via a scalar subquery
+    broadcast into the filter (the incremental-fetch watermark shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.to_date("l_shipdate")
+    mx = li.agg(F.max(d).alias("max_d"))
+    return (
+        li.select(d.alias("sd"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("sd") >= F.add_months(F.col("max_d"), -12))
+        .groupBy(
+            F.year("sd").cast("int").alias("y"),
+            F.month("sd").cast("int").alias("m"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
