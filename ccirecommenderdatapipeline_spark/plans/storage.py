@@ -356,3 +356,99 @@ def q_relative_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+# --- analytic breadth: range frames, rank battery, string battery ------------
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS od,
+       CAST(SUM(CAST(1 AS BIGINT)) OVER (
+           PARTITION BY o_orderpriority ORDER BY CAST(o_orderdate AS DATE)
+           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+FROM orders
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frames everywhere else): per
+    priority class, how many orders fell in the trailing 7 calendar days —
+    peers with equal dates all see the same frame. Spark's rangeBetween
+    needs a numeric ordering column, so the date is day-numbered via
+    datediff from the epoch (identical frame membership)."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    day_num = F.datediff(od, F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(day_num)
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        od.alias("od"),
+        F.count("*").over(w).cast("long").alias("n_7d"),
+    )
+
+
+@query(
+    "rank_battery",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(RANK()        OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK()  OVER w AS INTEGER) AS drnk,
+       PERCENT_RANK()     OVER w             AS prnk,
+       CUME_DIST()        OVER w             AS cdist,
+       CAST(NTILE(4)      OVER w AS INTEGER) AS quartile
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+""",
+)
+def q_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic rank family over one fully-deterministic ordering —
+    rank/dense_rank/percent_rank/cume_dist/ntile have identical ANSI
+    semantics in both engines; percent_rank and cume_dist are ratios of
+    exact integers, so the doubles hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@query(
+    "string_battery",
+    oracle="""
+SELECT doc_id,
+       upper(substr(text, 1, 12))                   AS head_upper,
+       reverse(substr(text, 1, 12))                 AS head_rev,
+       translate(substr(text, 1, 20), 'aeiou', '_____') AS devoweled,
+       CAST(levenshtein(substr(text, 1, 10), 'key agg row') AS INTEGER) AS lev_to_probe,
+       repeat(substr(lang, 1, 1), 3)                AS lang_tag,
+       CAST(strpos(text, 'table') AS INTEGER)       AS first_table_pos
+FROM documents
+""",
+)
+def q_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar breadth beyond the reference's surface: case/reverse/
+    translate/levenshtein/repeat/instr — all JVM-side, all ANSI-identical
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    head12 = F.substring("text", 1, 12)
+    return d.select(
+        "doc_id",
+        F.upper(head12).alias("head_upper"),
+        F.reverse(head12).alias("head_rev"),
+        F.translate(F.substring("text", 1, 20), "aeiou", "_____").alias("devoweled"),
+        F.levenshtein(F.substring("text", 1, 10), F.lit("key agg row")).cast("int").alias("lev_to_probe"),
+        F.repeat(F.substring("lang", 1, 1), 3).alias("lang_tag"),
+        F.instr("text", "table").cast("int").alias("first_table_pos"),
+    )
