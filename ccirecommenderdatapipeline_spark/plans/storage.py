@@ -490,3 +490,49 @@ def q_array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("qs", 2, 3).alias("second_to_fourth"),
         F.aggregate("qs", F.lit(0.0), lambda a, b: a + b).alias("q_sum"),
     )
+
+
+@query(
+    "coerce_battery",
+    oracle="""
+WITH vals AS (
+    SELECT event_id,
+        CASE WHEN event_id % 7 = 0 THEN 'x' || CAST(value AS VARCHAR)
+             ELSE CAST(value AS VARCHAR) END AS num_s,
+        CASE WHEN event_id % 5 = 0 THEN '2024-13-45'
+             ELSE strftime(ts, '%Y-%m-%d') END AS date_s,
+        CASE WHEN event_id % 3 = 0 THEN CAST(0 AS BIGINT) ELSE user_id END AS denom
+    FROM events
+)
+SELECT event_id,
+       TRY_CAST(num_s AS DOUBLE)          AS coerced_value,
+       TRY_CAST(date_s AS DATE)           AS coerced_date,
+       CAST(1000 AS BIGINT) / NULLIF(denom, 0) AS safe_ratio
+FROM vals
+""",
+)
+def q_coerce_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The errors='coerce' layer under ANSI mode (Spark 4 default!): plain
+    CAST now ERRORS on invalid input and x/0 raises DIVIDE_BY_ZERO — so the
+    pandas-coerce semantics the reference relies on (to_numeric/to_datetime
+    with errors='coerce', daily_function.py:581, 1011-1016) map to try_cast
+    / try_divide, which yield null exactly like DuckDB's TRY_CAST and
+    null-propagating division. Invalid rows are INJECTED (every 7th number,
+    every 5th date, every 3rd denominator) so the null path is actually
+    exercised, not just typed."""
+    ev = load_table(spark, sf_dir, "events")
+    num_s = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("value").cast("string"))
+    ).otherwise(F.col("value").cast("string"))
+    date_s = F.when(F.col("event_id") % 5 == 0, F.lit("2024-13-45")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd")
+    )
+    denom = F.when(F.col("event_id") % 3 == 0, F.lit(0).cast("long")).otherwise(
+        F.col("user_id")
+    )
+    return ev.select(
+        "event_id",
+        num_s.try_cast("double").alias("coerced_value"),
+        date_s.try_cast("date").alias("coerced_date"),
+        F.try_divide(F.lit(1000).cast("long"), F.nullif(denom, F.lit(0))).alias("safe_ratio"),
+    )

@@ -97,13 +97,13 @@ SELECT doc_id,
     CAST(len(text) AS BIGINT)                    AS n_chars_calc,
     CAST(len(toks) AS BIGINT)                    AS n_tokens,
     CAST(len(list_distinct(toks)) AS BIGINT)     AS n_distinct_tokens,
-    list_sum(list_transform(toks, t -> len(t))) / len(toks)  AS avg_token_len,
-    len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / len(text) AS alpha_ratio,
-    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) / len(toks) AS stopword_ratio,
+    list_sum(list_transform(toks, t -> len(t))) / NULLIF(len(toks), 0)  AS avg_token_len,
+    len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / NULLIF(len(text), 0) AS alpha_ratio,
+    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) / NULLIF(len(toks), 0) AS stopword_ratio,
     CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_piece_count,
     CAST(len(toks) BETWEEN 10 AND 1000
-         AND len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / len(text) > 0.6
-         AND list_sum(list_transform(toks, t -> len(t))) / len(toks) BETWEEN 2 AND 12
+         AND len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / NULLIF(len(text), 0) > 0.6
+         AND list_sum(list_transform(toks, t -> len(t))) / NULLIF(len(toks), 0) BETWEEN 2 AND 12
          AS BOOLEAN) AS quality_ok
 FROM tok
 """,
@@ -114,9 +114,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst HOFs, no UDFs."""
     toks = tokens(F.col("text"))
     tok_lens = F.transform(toks, lambda t: F.length(t))
-    avg_len = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x) / F.size(toks)
-    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text")
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / F.size(toks)
+    # NULLIF guards: under ANSI mode (Spark 4 default) a zero-token or
+    # zero-length doc would raise DIVIDE_BY_ZERO; null matches DuckDB
+    n_toks = F.nullif(F.size(toks), F.lit(0))
+    avg_len = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x) / n_toks
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.nullif(
+        F.length("text"), F.lit(0)
+    )
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / n_toks
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_calc"),
