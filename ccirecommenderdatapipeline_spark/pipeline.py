@@ -31,7 +31,12 @@ E1_TABLES = {
     "best_return": "best_return",
     "best_return_per_days_held": "best_return_per_days_held",
 }
-E2_TABLES = {"reco_revenue": "recommendations", "buy_candidates": "buy_candidates"}
+E2_TABLES = {
+    "reco_revenue": "recommendations",
+    "reco_win": "reco_win",
+    "reco_revenue_per_days_held": "reco_revenue_per_days_held",
+    "buy_candidates": "buy_candidates",
+}
 E3_TABLES = {"sell_decisions": "sell_decisions", "order_reconciliation": "order_reconciliation"}
 
 

@@ -68,14 +68,7 @@ def _names_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "recommendations",
-    oracle="WITH "
-    + _sim_cte(AGG_GRID)
-    + AGG_SQL
-    + BEST_CTE.format(metric="revenue_rate")
-    + LATEST_CTE
-    + """
+_RECO_ORACLE_TAIL = """
 , names AS (SELECT CAST(s_suppkey AS VARCHAR) AS symbol, s_name AS name FROM supplier)
 SELECT b.symbol, n.name, l.last_date AS reco_date,
        l.last_open_pr AS buy_price, l.current_open_cci, l.pre_open_cci,
@@ -87,31 +80,57 @@ JOIN latest l ON l.symbol = b.symbol
 LEFT JOIN names n ON n.symbol = b.symbol
 WHERE l.pre_open_cci < b.condition_buy_cci_threshold
   AND l.current_open_cci >= b.condition_buy_cci_threshold
-""",
-)
-def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 reco scan (daily_function.py:1180-1243): best strategy per symbol
-    joined to the latest CCI state; the W4' crossover uses ``>=`` (:1217),
-    deliberately different from the simulator's strict ``>`` (:725). The
-    per-symbol fetch loop becomes one broadcast-joined set operation."""
-    cci = cci_view(spark, sf_dir)
-    best = best_by(aggregate_strategies(simulate_trades(cci, AGG_GRID)), "revenue_rate")
-    latest = _latest_wide(cci)
-    thr = F.col("condition_buy_cci_threshold")
-    return (
-        best.join(latest, "symbol")
-        .filter((F.col("pre_open_cci") < thr) & (F.col("current_open_cci") >= thr))
-        .join(F.broadcast(_names_dim(spark, sf_dir)), "symbol", "left")
-        .select(
-            "symbol", "name",
-            F.col("last_date").alias("reco_date"),
-            F.col("last_open_pr").alias("buy_price"),
-            "current_open_cci", "pre_open_cci",
-            "condition_holding_days", "condition_target_return",
-            "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
-            "count_buy_date", "win_rate", "revenue_rate",
+"""
+
+
+def _reco_query(metric: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cci = cci_view(spark, sf_dir)
+        best = best_by(aggregate_strategies(simulate_trades(cci, AGG_GRID)), metric)
+        latest = _latest_wide(cci)
+        thr = F.col("condition_buy_cci_threshold")
+        return (
+            best.join(latest, "symbol")
+            .filter((F.col("pre_open_cci") < thr) & (F.col("current_open_cci") >= thr))
+            .join(F.broadcast(_names_dim(spark, sf_dir)), "symbol", "left")
+            .select(
+                "symbol", "name",
+                F.col("last_date").alias("reco_date"),
+                F.col("last_open_pr").alias("buy_price"),
+                "current_open_cci", "pre_open_cci",
+                "condition_holding_days", "condition_target_return",
+                "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
+                "count_buy_date", "win_rate", "revenue_rate",
+            )
         )
+
+    fn.__doc__ = (
+        "E2 reco scan (daily_function.py:1180-1243): best strategy per symbol "
+        "joined to the latest CCI state; the W4' crossover uses >= (:1217), "
+        "deliberately different from the simulator's strict > (:725). The "
+        f"per-symbol fetch loop becomes one broadcast-joined set operation; "
+        f"best table ranked by {metric} — the reference emits one reco table "
+        "per selection criterion (:1245-1271)."
     )
+    return fn
+
+
+# 'recommendations' keeps its original name (= the revenue_rate table);
+# reco_win / reco_revenue_per_days_held mirror the reference's other two.
+for _metric, _qname in [
+    ("revenue_rate", "recommendations"),
+    ("win_rate", "reco_win"),
+    ("avg_revenue_per_days_held", "reco_revenue_per_days_held"),
+]:
+    query(
+        _qname,
+        oracle="WITH "
+        + _sim_cte(AGG_GRID)
+        + AGG_SQL
+        + BEST_CTE.format(metric=_metric)
+        + LATEST_CTE
+        + _RECO_ORACLE_TAIL,
+    )(_reco_query(_metric))
 
 
 @query(
