@@ -401,3 +401,53 @@ def q_symbol_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 300)
         .select("type", "symbol", "name", "total_stock")
     )
+
+
+@query(
+    "order_sizing",
+    oracle="WITH "
+    + _sim_cte(AGG_GRID)
+    + AGG_SQL
+    + BEST_CTE.format(metric="win_rate")
+    + LATEST_CTE
+    + """
+, cand AS (
+    SELECT b.symbol, l.last_open_pr AS buy_price
+    FROM best b JOIN latest l ON l.symbol = b.symbol
+    WHERE b.win_rate >= 50.0 AND b.count_buy_date >= 3
+), budgeted AS (
+    SELECT symbol, buy_price,
+           1000000.0 / (SELECT COUNT(*) FROM cand) AS budget_per_symbol
+    FROM cand
+)
+SELECT symbol, buy_price, budget_per_symbol,
+       CAST(FLOOR(budget_per_symbol / buy_price) AS BIGINT) AS order_qty,
+       FLOOR(budget_per_symbol / buy_price) * buy_price     AS order_amount
+FROM budgeted
+WHERE FLOOR(budget_per_symbol / buy_price) >= 1
+""",
+)
+def q_order_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 budget sizing (daily_function.py:1462-1475): the account balance
+    (S7; fixed budget literal here — the live balance is a connector scan)
+    split evenly over candidates, order qty = floor(budget / price), zero-
+    qty candidates dropped (P7). The candidate count enters as a scalar
+    subquery — broadcast, not a shuffle."""
+    cci = cci_view(spark, sf_dir)
+    best = best_by(aggregate_strategies(simulate_trades(cci, AGG_GRID)), "win_rate")
+    latest = _latest_wide(cci).select("symbol", F.col("last_open_pr").alias("buy_price"))
+    cand = (
+        best.filter((F.col("win_rate") >= 50.0) & (F.col("count_buy_date") >= 3))
+        .select("symbol")
+        .join(latest, "symbol")
+    )
+    n = cand.count()  # scalar; at scale: F.broadcast one-row agg crossJoin
+    budget = F.lit(1_000_000.0) / F.lit(float(n))
+    sized = cand.withColumns({
+        "budget_per_symbol": budget,
+        "order_qty": F.floor(budget / F.col("buy_price")).cast("long"),
+        "order_amount": F.floor(budget / F.col("buy_price")) * F.col("buy_price"),
+    })
+    return sized.filter(F.col("order_qty") >= 1).select(
+        "symbol", "buy_price", "budget_per_symbol", "order_qty", "order_amount"
+    )
