@@ -15,6 +15,7 @@ from . import vectors  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import storage  # noqa: E402,F401
 from . import mllib  # noqa: E402,F401
+from . import broker  # noqa: E402,F401
 from . import northstar  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 

@@ -1,0 +1,96 @@
+"""Queries over the custom Python DataSource connector (sources/broker.py).
+
+The oracle regenerates the connector's deterministic arithmetic with
+``generate_series`` — proving the custom-source read path (partition
+planning, Arrow batching, schema projection) produces exactly the declared
+contents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.broker import register
+from .registry import query
+
+N_SYMBOLS = 500
+N_ACCOUNTS = 3
+
+
+@query(
+    "broker_balances",
+    oracle=f"""
+WITH keys AS (
+    SELECT s.suppkey, a.account_id
+    FROM (SELECT unnest(range(1, {N_SYMBOLS} + 1)) AS suppkey) s
+    CROSS JOIN (SELECT unnest(range(1, {N_ACCOUNTS} + 1)) AS account_id) a
+), rows_ AS (
+    SELECT CAST(account_id AS INTEGER)                     AS account_id,
+           CAST(suppkey AS VARCHAR)                        AS symbol,
+           CAST((suppkey * 7 + account_id * 13) % 100 AS BIGINT) AS hold_qty,
+           ((suppkey * 131 + account_id * 17) % 9000) / 100.0 + 10.0 AS avg_buy_price,
+           ((suppkey * 197 + account_id * 29) % 9000) / 100.0 + 10.0 AS current_price
+    FROM keys
+)
+SELECT account_id, symbol, hold_qty, avg_buy_price, current_price,
+       hold_qty * current_price AS eval_amount
+FROM rows_
+""",
+)
+def q_broker_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 balance scan through the custom DataSource: the reference's
+    per-account REST fetch (hankook_api.py:283-334) as a partitioned
+    connector read — the full table, verified cell-exact by the oracle."""
+    register(spark)
+    return (
+        spark.read.format("broker_balances")
+        .option("n_symbols", N_SYMBOLS)
+        .option("n_accounts", N_ACCOUNTS)
+        .load()
+    )
+
+
+@query(
+    "broker_position_pnl",
+    oracle=f"""
+WITH keys AS (
+    SELECT s.suppkey, a.account_id
+    FROM (SELECT unnest(range(1, {N_SYMBOLS} + 1)) AS suppkey) s
+    CROSS JOIN (SELECT unnest(range(1, {N_ACCOUNTS} + 1)) AS account_id) a
+), rows_ AS (
+    SELECT CAST(account_id AS INTEGER)                     AS account_id,
+           CAST((suppkey * 7 + account_id * 13) % 100 AS BIGINT) AS hold_qty,
+           ((suppkey * 131 + account_id * 17) % 9000) / 100.0 + 10.0 AS avg_buy_price,
+           ((suppkey * 197 + account_id * 29) % 9000) / 100.0 + 10.0 AS current_price
+    FROM keys
+    WHERE (suppkey * 7 + account_id * 13) % 100 > 0
+)
+SELECT account_id,
+       CAST(COUNT(*) AS BIGINT)                            AS n_positions,
+       CAST(SUM(hold_qty) AS BIGINT)                       AS total_qty,
+       CAST(SUM(CASE WHEN current_price > avg_buy_price THEN 1 ELSE 0 END) AS BIGINT) AS n_winning
+FROM rows_
+GROUP BY 1
+""",
+)
+def q_broker_position_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 summary (the reference's balance summary dict -> df.agg): held
+    positions per account with win counts — predicate + aggregate pushed
+    over the connector scan (column pruning reaches the Python reader via
+    the Arrow schema projection)."""
+    register(spark)
+    bal = (
+        spark.read.format("broker_balances")
+        .option("n_symbols", N_SYMBOLS)
+        .option("n_accounts", N_ACCOUNTS)
+        .load()
+    )
+    return (
+        bal.filter(F.col("hold_qty") > 0)
+        .groupBy("account_id")
+        .agg(
+            F.count("*").alias("n_positions"),
+            F.sum("hold_qty").alias("total_qty"),
+            F.sum((F.col("current_price") > F.col("avg_buy_price")).cast("long")).alias("n_winning"),
+        )
+    )
