@@ -94,3 +94,57 @@ def q_broker_position_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("current_price") > F.col("avg_buy_price")).cast("long")).alias("n_winning"),
         )
     )
+
+
+TOTAL_EXECS = 1000
+
+
+@query(
+    "stream_execution_feed",
+    oracle=f"""
+WITH ids AS (SELECT unnest(range(0, {TOTAL_EXECS})) AS i)
+SELECT CAST(i AS BIGINT)                      AS exec_id,
+       CAST(1000 + (i * 37) % 500 AS BIGINT)  AS order_no,
+       CAST(1 + (i * 11) % 20 AS BIGINT)      AS exec_qty,
+       ((i * 251) % 9000) / 100.0 + 10.0      AS exec_price
+FROM ids
+""",
+)
+def q_stream_execution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 as a REAL custom streaming source: the execution-report feed read
+    through offset-tracked micro-batches (137 records per chunk). Each
+    trigger(availableNow) run consumes the reader's next prefetched chunk,
+    so the feed is drained by REPEATED runs over ONE checkpoint — exactly
+    the reference's cron-scheduled incremental model (T1/T2, app.py:98-109)
+    — and committed offsets guarantee each record is delivered exactly once
+    across runs. The accumulated stream must be cell-exact against the
+    oracle."""
+    import tempfile
+
+    from ..sources.execution_feed import register as register_feed
+
+    register_feed(spark)
+    checkpoint = tempfile.mkdtemp(prefix="exec_feed_ckpt_")
+    collected: list = []
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        collected.extend(batch_df.collect())
+
+    while True:
+        before = len(collected)
+        q = (
+            spark.readStream.format("execution_feed")
+            .option("total", TOTAL_EXECS)
+            .option("batch", 137)
+            .load()
+            .writeStream.foreachBatch(capture)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()
+        if len(collected) == before:
+            break
+    return spark.createDataFrame(
+        collected, "exec_id BIGINT, order_no BIGINT, exec_qty BIGINT, exec_price DOUBLE"
+    )
