@@ -16,16 +16,6 @@ EXEC_SCHEMA_DDL = (
 )
 
 
-def _rows(start: int, end: int):
-    for i in range(start, end):
-        yield (
-            i,
-            1000 + (i * 37) % 500,                      # order_no: collides -> partial fills
-            1 + (i * 11) % 20,                          # exec_qty
-            ((i * 251) % 9000) / 100.0 + 10.0,          # exec_price
-        )
-
-
 def make_stream_source():
     from pyspark.sql.datasource import (
         DataSource,
