@@ -20,6 +20,8 @@ def tfidf_features(docs: DataFrame, n_features: int = 1 << 12) -> DataFrame:
     stats (nnz, l2 norm, max weight) as plain doubles."""
     from pyspark.ml.feature import HashingTF, IDF, Tokenizer
 
+    from pyspark.ml.functions import vector_to_array
+
     tok = Tokenizer(inputCol="text", outputCol="words")
     tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=n_features)
     words = tok.transform(docs.select("doc_id", "text"))
@@ -27,26 +29,17 @@ def tfidf_features(docs: DataFrame, n_features: int = 1 << 12) -> DataFrame:
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfed)
     out = idf.transform(tfed)
 
-    @F.udf("struct<nnz: long, l2: double, max_w: double>")
-    def vec_stats(v):
-        import math
-
-        vals = v.values.tolist() if hasattr(v, "values") else list(v)
-        return (
-            int(len(vals)),
-            math.sqrt(sum(x * x for x in vals)),
-            max(vals) if vals else 0.0,
-        )
-
+    # Vector summary stats via vector_to_array + Catalyst HOFs — stays
+    # JVM-side/codegen (no Python in the per-row path). nnz counts strictly
+    # non-zero weights (a stored entry whose idf is 0 — term in every doc —
+    # is not "non-zero"); l2/max are unaffected by zero entries.
+    vals = F.filter(vector_to_array(F.col("tfidf")), lambda x: x != 0.0)
     return out.select(
         "doc_id",
         F.size("words").cast("long").alias("n_words"),
-        vec_stats("tfidf").alias("s"),
-    ).select(
-        "doc_id", "n_words",
-        F.col("s.nnz").alias("tfidf_nnz"),
-        F.col("s.l2").alias("tfidf_l2"),
-        F.col("s.max_w").alias("tfidf_max"),
+        F.size(vals).cast("long").alias("tfidf_nnz"),
+        F.sqrt(F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x * x)).alias("tfidf_l2"),
+        F.coalesce(F.array_max(vals), F.lit(0.0)).alias("tfidf_max"),
     )
 
 

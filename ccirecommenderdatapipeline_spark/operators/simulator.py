@@ -116,16 +116,36 @@ def simulate_trades(cci: DataFrame, grid: dict | None = None) -> DataFrame:
         "flen": F.size("future"),
     })
 
+    # Pre-extract every sell-row field the grid can reference — the target
+    # row per r, the stop row per s, the maturity row per x — BEFORE the
+    # grid expansion, then drop ``future``. The crossJoin then multiplies
+    # ~|r|+|s|+|x| scalars per buy row instead of materializing the x_max-
+    # struct future array once per combo (measured: carrying the 60-struct
+    # array through the 81-way expansion dominated the whole simulator).
+    # element_at(arr, NULL) is NULL, so missing hits propagate unchanged.
+    def row_at(idx: Column):
+        return F.element_at(F.col("future"), idx)
+
+    x_grid = grid["holding_days"]
+    buys = buys.withColumns({
+        "t_dates": F.transform("t_idx", lambda i: row_at(i)["date"]),
+        "t_prices": F.transform("t_idx", lambda i: row_at(i)["close_pr"]),
+        "s_dates": F.transform("s_idx", lambda i: row_at(i)["date"]),
+        "s_prices": F.transform("s_idx", lambda i: row_at(i)["close_pr"]),
+        "m_dates": F.array(*[row_at(F.least(F.lit(x), F.col("flen")))["date"] for x in x_grid]),
+        "m_prices": F.array(*[row_at(F.least(F.lit(x), F.col("flen")))["close_pr"] for x in x_grid]),
+    }).drop("future")
+
     # Broadcast grid expansion: (holding, return, stop) with the positions of
-    # return/stop inside the precomputed index arrays.
+    # holding/return/stop inside the precomputed per-buy-row arrays.
     combos = buys.sparkSession.createDataFrame(
         [
-            (x, r, ri + 1, float(s), si + 1)
-            for x in grid["holding_days"]
+            (x, xi + 1, r, ri + 1, float(s), si + 1)
+            for xi, x in enumerate(x_grid)
             for ri, r in enumerate(r_grid)
             for si, s in enumerate(s_grid)
         ],
-        "condition_holding_days INT, condition_target_return INT, r_pos INT, "
+        "condition_holding_days INT, x_pos INT, condition_target_return INT, r_pos INT, "
         "condition_stop_loss_cci_threshold DOUBLE, s_pos INT",
     )
     e = buys.crossJoin(F.broadcast(combos))
@@ -141,20 +161,17 @@ def simulate_trades(cci: DataFrame, grid: dict | None = None) -> DataFrame:
         F.col("s_hit").isNull() | (F.col("t_hit") < F.col("s_hit"))
     )
     is_stop = ~is_target & F.col("s_hit").isNotNull()
-    t_row = F.element_at("future", F.col("t_hit"))
-    s_row = F.element_at("future", F.col("s_hit"))
-    m_row = F.element_at("future", F.least(x, F.col("flen")))
 
     e = e.withColumns({
         "trade_result": F.when(is_target, "reach_target")
         .when(is_stop, "stop_loss")
         .otherwise("maturity"),
-        "reach_target_date": F.when(is_target, t_row["date"]),
-        "reach_target_price": F.when(is_target, t_row["close_pr"]),
-        "stop_loss_date": F.when(is_stop, s_row["date"]),
-        "stop_loss_price": F.when(is_stop, s_row["close_pr"]),
-        "maturity_date": F.when(~is_target & ~is_stop, m_row["date"]),
-        "maturity_price": F.when(~is_target & ~is_stop, m_row["close_pr"]),
+        "reach_target_date": F.when(is_target, F.element_at("t_dates", F.col("r_pos"))),
+        "reach_target_price": F.when(is_target, F.element_at("t_prices", F.col("r_pos"))),
+        "stop_loss_date": F.when(is_stop, F.element_at("s_dates", F.col("s_pos"))),
+        "stop_loss_price": F.when(is_stop, F.element_at("s_prices", F.col("s_pos"))),
+        "maturity_date": F.when(~is_target & ~is_stop, F.element_at("m_dates", F.col("x_pos"))),
+        "maturity_price": F.when(~is_target & ~is_stop, F.element_at("m_prices", F.col("x_pos"))),
     })
     # P11 coalesce (daily_function.py:1019-1027) + days_held (:767, :787, :796)
     e = e.withColumns({
@@ -201,34 +218,49 @@ def aggregate_strategies(trades: DataFrame) -> DataFrame:
 
     # Scale note: a naive 4x countDistinct here makes Spark expand every
     # trade row 5x before the shuffle (billions of rows at the full 4,860
-    # grid). Two rewrites keep it ONE expand-free single-pass hash agg:
-    # (a) buy_date is unique within a group (one trade per buy event per
-    #     combo), so count_buy_date == count(*);
-    # (b) the outcome-date nunique counts (pandas .nunique, reference
-    #     daily_function.py:1047-1061) become size(collect_set(...)) — the
-    #     per-group set is bounded by the buy count, and collect_set
-    #     combines map-side, so no row expansion and no second pass.
-    # Three null-filtered collect_sets, deliberately NOT one struct set: the
-    # when() routes each row into exactly one small date set (nulls are
-    # dropped), while a single collect_set(struct(result, date)) buffers an
-    # object for EVERY row — measured 2x slower.
+    # grid), and the round-1 alternative (3 null-filtered collect_sets)
+    # forces ObjectHashAggregate — no Tungsten codegen, measured 2.5x
+    # super-linear at 5x data and 12.9s at sf0.1. The scale-safe shape is a
+    # TWO-PHASE codegen hash agg:
+    #   phase 1 groups at (group keys, trade_result, sell_date) — every
+    #     measure is decomposable (sums/counts), and the grain rows ARE the
+    #     distinct (outcome, sell_date) pairs, so the pandas .nunique
+    #     semantics (reference daily_function.py:1047-1061) fall out as a
+    #     plain row count in phase 2. sell_date is never null (the simulator
+    #     coalesces target/stop/maturity, and flen >= 1), matching
+    #     COUNT(DISTINCT ...)'s null-dropping. Map-side partial aggregation
+    #     collapses the 4,860-way grid expansion before the shuffle.
+    #   phase 2 re-groups the tiny grain table (<= trades' distinct
+    #     sell-date count per combo) on the group keys alone.
+    # Both phases are plain HashAggregate inside WholeStageCodegen; buy_date
+    # is unique within a group (one trade per buy event per combo), so
+    # count_buy_date == sum of grain counts.
     tag = F.col("trade_result")
+    grain = trades.groupBy(*gcols, "trade_result", "sell_date").agg(
+        F.count("*").alias("__n"),
+        F.sum(win.cast("long")).alias("__n_win"),
+        F.sum(lose.cast("long")).alias("__n_lose"),
+        F.sum(rev_per_day).alias("__sum_rpd"),
+        F.sum("days_held").alias("__sum_days"),
+        F.sum("buy_price").alias("__sum_buy"),
+        F.sum("sell_price").alias("__sum_sell"),
+    )
 
-    def n_distinct_dates(t: str) -> Column:
-        return F.size(F.collect_set(F.when(tag == t, F.col("sell_date")))).cast("long")
+    def n_outcome_dates(t: str) -> Column:
+        return F.sum((tag == t).cast("long"))
 
-    agged = trades.groupBy(*gcols).agg(
-        F.count("*").alias("count_buy_date"),
-        n_distinct_dates("reach_target").alias("count_reach_target_date"),
-        n_distinct_dates("stop_loss").alias("count_stop_loss_date"),
-        n_distinct_dates("maturity").alias("count_maturity_date"),
-        F.sum(win.cast("long")).alias("count_win"),
-        F.sum(lose.cast("long")).alias("count_lose"),
-        F.round(F.sum(rev_per_day), 8).alias("sum_revenue_per_days_held"),
-        F.sum("days_held").cast("long").alias("sum_days_held"),
-        F.count("*").alias("count_trades"),
-        F.round(F.sum("buy_price"), 4).alias("total_buy_price"),
-        F.round(F.sum("sell_price"), 2).alias("total_sell_price"),
+    agged = grain.groupBy(*gcols).agg(
+        F.sum("__n").alias("count_buy_date"),
+        n_outcome_dates("reach_target").alias("count_reach_target_date"),
+        n_outcome_dates("stop_loss").alias("count_stop_loss_date"),
+        n_outcome_dates("maturity").alias("count_maturity_date"),
+        F.sum("__n_win").alias("count_win"),
+        F.sum("__n_lose").alias("count_lose"),
+        F.round(F.sum("__sum_rpd"), 8).alias("sum_revenue_per_days_held"),
+        F.sum("__sum_days").cast("long").alias("sum_days_held"),
+        F.sum("__n").alias("count_trades"),
+        F.round(F.sum("__sum_buy"), 4).alias("total_buy_price"),
+        F.round(F.sum("__sum_sell"), 2).alias("total_sell_price"),
     )
     return agged.withColumns({
         "avg_revenue_per_days_held": F.col("sum_revenue_per_days_held") / F.col("count_trades"),

@@ -50,7 +50,14 @@ def cosine(v1: Column, n1: Column, v2: Column, n2: Column) -> Column:
 
 
 def topk_per_query(pairs: DataFrame, k: int, query_col: str = "query_id") -> DataFrame:
-    """Deterministic top-k: cosine desc, neighbor_id asc tiebreak."""
+    """Deterministic top-k: cosine desc, neighbor_id asc tiebreak.
+
+    Scale shape: the row_number()+filter pattern is recognized by Spark's
+    WindowGroupLimit rewrite — the executed plan carries
+    ``WindowGroupLimit(..., Partial)`` BELOW the Exchange, so every map task
+    pre-prunes to its local top-k and the per-query shuffle moves at most
+    k rows per (query, input partition), not the full |Q| x |T| score
+    stream (verified via executedPlan on knn_brute_force)."""
     w = Window.partitionBy(query_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -9,6 +9,7 @@ plan (operators/windows.py:rolling_mad).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.windows import with_buy_signal, with_cci, latest_rows
 from ..sources.prices import PRICES_ORACLE_CTE, prices_view
@@ -53,7 +54,20 @@ CCI_ORACLE_BODY = PRICES_ORACLE_CTE + """
 
 
 def cci_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_cci(prices_view(spark, sf_dir))
+    """The prices -> CCI pipeline, persisted (lazily) at MEMORY_AND_DISK.
+
+    Every lifecycle/simulator query references this subtree from 2+ branches
+    (simulate + latest-state), and the bench/driver sessions run many such
+    queries back to back. ``persist`` is declarative — no action fires here —
+    and Spark's CacheManager matches by analyzed plan, so every query built
+    from the same (sf_dir) shares ONE InMemoryRelation instead of re-running
+    the scan->window pipeline per branch (the round-1 "cci computed twice per
+    DAG" anti-pattern). Footprint is ~15 doubles per price row — MB-scale at
+    test SFs. At 1000-executor scale the same role is played by the bucketed
+    materialized CCI table (plans/storage.py bucketing battery / SCALING.md);
+    the in-memory cache is the single-session form of that layout.
+    """
+    return with_cci(prices_view(spark, sf_dir)).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @query("prices", oracle="WITH " + PRICES_ORACLE_CTE + " SELECT * FROM prices")

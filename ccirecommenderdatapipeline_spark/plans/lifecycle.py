@@ -13,13 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators.simulator import aggregate_strategies, best_by, simulate_trades
+from ..operators.simulator import best_by, simulate_trades
 from ..operators.windows import latest_rows
 from ..schemas import FEE_RATE, TAX_RATE
 from ..sources.tables import load_table
 from .cci import cci_view
 from .registry import query
-from .simulator import AGG_GRID, AGG_SQL, BEST_CTE, SIM_GRID, _sim_cte
+from .simulator import AGG_GRID, AGG_SQL, BEST_CTE, SIM_GRID, _sim_cte, agged_view
 
 # Latest two rows per symbol pivoted wide: the reference's iloc[-1]/iloc[-2]
 # pair (daily_function.py:1211-1216, 1446-1448). MAX(CASE WHEN rn=...) is an
@@ -86,7 +86,7 @@ WHERE l.pre_open_cci < b.condition_buy_cci_threshold
 def _reco_query(metric: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         cci = cci_view(spark, sf_dir)
-        best = best_by(aggregate_strategies(simulate_trades(cci, AGG_GRID)), metric)
+        best = best_by(agged_view(spark, sf_dir), metric)
         latest = _latest_wide(cci)
         thr = F.col("condition_buy_cci_threshold")
         return (
@@ -159,8 +159,7 @@ def q_buy_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; the quantile op itself is covered by ``quantile_disc``). The global
     window runs over a ~|symbols|-row aggregate, so single-partition is fine;
     at scale it stays bounded by the symbol universe, not the fact table."""
-    cci = cci_view(spark, sf_dir)
-    best = best_by(aggregate_strategies(simulate_trades(cci, AGG_GRID)), "win_rate")
+    best = best_by(agged_view(spark, sf_dir), "win_rate")
     w = Window.orderBy(F.desc("win_rate"), F.desc("revenue_rate"), F.asc("symbol"))
     return (
         best.filter(
@@ -434,16 +433,19 @@ def q_order_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty candidates dropped (P7). The candidate count enters as a scalar
     subquery — broadcast, not a shuffle."""
     cci = cci_view(spark, sf_dir)
-    best = best_by(aggregate_strategies(simulate_trades(cci, AGG_GRID)), "win_rate")
+    best = best_by(agged_view(spark, sf_dir), "win_rate")
     latest = _latest_wide(cci).select("symbol", F.col("last_open_pr").alias("buy_price"))
     cand = (
         best.filter((F.col("win_rate") >= 50.0) & (F.col("count_buy_date") >= 3))
         .select("symbol")
         .join(latest, "symbol")
     )
-    n = cand.count()  # scalar; at scale: F.broadcast one-row agg crossJoin
-    budget = F.lit(1_000_000.0) / F.lit(float(n))
-    sized = cand.withColumns({
+    # Candidate count as a broadcast one-row agg crossJoin: the whole query
+    # stays ONE lazy plan (no driver-side action), and the scalar reaches
+    # every row without a shuffle.
+    n_row = F.broadcast(cand.agg(F.count("*").cast("double").alias("__n_cand")))
+    budget = F.lit(1_000_000.0) / F.col("__n_cand")
+    sized = cand.crossJoin(n_row).withColumns({
         "budget_per_symbol": budget,
         "order_qty": F.floor(budget / F.col("buy_price")).cast("long"),
         "order_amount": F.floor(budget / F.col("buy_price")) * F.col("buy_price"),
@@ -451,3 +453,4 @@ def q_order_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.filter(F.col("order_qty") >= 1).select(
         "symbol", "buy_price", "budget_per_symbol", "order_qty", "order_amount"
     )
+

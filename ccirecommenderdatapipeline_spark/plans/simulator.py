@@ -14,6 +14,7 @@ that scale is exercised Spark-only in bench.py's full_grid_strategy_agg).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.simulator import aggregate_strategies, best_by, simulate_trades
 from .cci import CCI_ORACLE_BODY, cci_view
@@ -32,6 +33,19 @@ AGG_GRID = {
     "buy_threshold": [-100, -60, -20],
     "stop_threshold": [100, 60, 20],
 }
+
+
+def agged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared sim->aggregate subtree on the oracle grid, persisted
+    lazily. Eight registered queries (best_* x3, reco x3, buy_candidates,
+    order_sizing) are all selections over this one ~|symbols| x 81-combo
+    aggregate; plan-matched caching means the expensive simulate+aggregate
+    pipeline runs once per session instead of once per query branch. The
+    aggregate itself is tiny (|symbols| x |grid| rows), so the cache cost is
+    negligible at any scale."""
+    return aggregate_strategies(
+        simulate_trades(cci_view(spark, sf_dir), AGG_GRID)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _sim_cte(grid: dict) -> str:
@@ -191,7 +205,7 @@ def q_strategy_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _best_query(metric: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        agged = aggregate_strategies(simulate_trades(cci_view(spark, sf_dir), AGG_GRID))
+        agged = agged_view(spark, sf_dir)
         return best_by(agged, metric).select(
             "symbol",
             "condition_holding_days", "condition_target_return",

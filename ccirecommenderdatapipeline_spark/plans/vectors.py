@@ -67,8 +67,12 @@ FROM ranked WHERE rank <= 10
 def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 per query vector — the ANN baseline. The query
     side is broadcast (tiny); the scan side streams map-local; the only
-    shuffle is the per-query top-k window over |Q| x |T| scored pairs (at
-    scale: pre-aggregate partial top-k per partition first)."""
+    shuffle is the per-query top-k window, and that shuffle moves partial
+    top-k rows only: the executed plan shows WindowGroupLimit(Partial)
+    below the Exchange (each map task prunes to its local top-10 per query
+    before shuffling), then WindowGroupLimit(Final) + row_number above it.
+    Still quadratic in scored pairs by definition — knn_ivf is the scale
+    path."""
     n = _vectors(spark, sf_dir)
     q = n.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
