@@ -112,7 +112,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "kind": pdf["kind"],
                 "byte_len": payloads.map(len).astype("int64"),
                 "content_hash": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                "mean_byte": payloads.map(lambda b: sum(bytes(b)) / len(b)),
+                "mean_byte": payloads.map(lambda b: sum(bytes(b)) / len(b) if len(b) else None),
                 "feature": payloads.map(lambda b: feats(bytes(b))),
             })
 

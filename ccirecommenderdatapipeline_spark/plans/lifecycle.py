@@ -192,15 +192,16 @@ def q_buy_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 ), decided AS (
     SELECT p.*,
         l.last_date, l.last_close_pr, l.last_close_cci,
-        p.buy_price * (1 + p.condition_target_return / 100.0)
-            / (1 - {FEE_RATE} - {TAX_RATE}) AS sell_target_price,
+        CAST(round_even(p.buy_price * (1 + (p.condition_target_return
+            + {100 * TAX_RATE} + {100 * FEE_RATE}) / 100.0), 0) AS BIGINT)
+            AS sell_target_price,
         CAST(date_diff('day', p.buy_date, l.last_date) AS INTEGER) AS position_age_days
     FROM positions p
     JOIN latest l ON l.symbol = p.symbol
 )
 SELECT *,
     CASE WHEN position_age_days >= condition_holding_days THEN 'maturity'
-         WHEN last_close_pr >= sell_target_price          THEN 'reach_target'
+         WHEN last_close_pr > sell_target_price           THEN 'reach_target'
          WHEN last_close_cci <= condition_stop_loss_cci_threshold THEN 'stop_loss'
          ELSE 'hold' END AS decision
 FROM decided
@@ -208,8 +209,11 @@ FROM decided
 )
 def q_sell_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 sell scan (daily_function.py:1713-1797): open positions vs latest
-    state; the fee/tax-grossed-up target price (:1743-1744) and the decision
-    precedence maturity -> target -> stop-loss (:1783-1797) as a when-chain.
+    state. The target price is the reference's additive gross-up
+    ``int(round(buy * (1 + (r + tax + fee)/100), 0))`` (:1743-1744; tax/fee
+    there are percent units — Spark ``bround`` == Python/DuckDB banker's
+    rounding) and the target comparison is strict ``>`` (:1793); decision
+    precedence maturity -> target -> stop-loss (:1786-1797) as a when-chain.
     Positions here = the simulator's buy events on the reduced grid."""
     cci = cci_view(spark, sf_dir)
     positions = (
@@ -225,15 +229,17 @@ def q_sell_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "last_date", "last_close_pr", "last_close_cci"
     )
     d = positions.join(latest, "symbol").withColumns({
-        "sell_target_price": F.col("buy_price")
-        * (1 + F.col("condition_target_return") / 100.0)
-        / (1 - FEE_RATE - TAX_RATE),
+        "sell_target_price": F.bround(
+            F.col("buy_price")
+            * (1 + (F.col("condition_target_return") + 100 * TAX_RATE + 100 * FEE_RATE) / 100.0),
+            0,
+        ).cast("long"),
         "position_age_days": F.datediff("last_date", "buy_date").cast("int"),
     })
     return d.withColumn(
         "decision",
         F.when(F.col("position_age_days") >= F.col("condition_holding_days"), "maturity")
-        .when(F.col("last_close_pr") >= F.col("sell_target_price"), "reach_target")
+        .when(F.col("last_close_pr") > F.col("sell_target_price"), "reach_target")
         .when(F.col("last_close_cci") <= F.col("condition_stop_loss_cci_threshold"), "stop_loss")
         .otherwise("hold"),
     )

@@ -152,7 +152,10 @@ WITH e AS (
     SELECT *, LAG(eus) OVER (PARTITION BY user_id ORDER BY eus, event_id) AS prev_eus
     FROM e
 ), flagged AS (
-    SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus > {GAP_US} THEN 1 ELSE 0 END AS new_sess
+    -- >=: the built-in's session end is EXCLUSIVE at last+gap, so equal
+    -- spacing starts a new session (differs from the manual session_windows
+    -- query above, which defines its own inclusive-gap rule with >)
+    SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus >= {GAP_US} THEN 1 ELSE 0 END AS new_sess
     FROM lagged
 ), numbered AS (
     SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY eus, event_id
@@ -170,11 +173,11 @@ GROUP BY user_id, session_id
 )
 def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window (streaming-capable) cross-validated
-    against the first-principles lag/cumsum sessionization: the built-in's
-    window end is last_event + gap, and with a gap > max intra-session
-    spacing both formulations must produce identical sessions. The reference
-    GAP_US note: Spark merges events while spacing <= gap; the manual form
-    starts a new session when spacing > gap — same boundary rule."""
+    against the first-principles lag/cumsum sessionization. Boundary rule:
+    a session's end is EXCLUSIVE at last_event + gap, so an event spaced
+    exactly ``gap`` after its predecessor starts a NEW session — the oracle
+    therefore breaks on ``spacing >= gap``, matching the built-in
+    bit-for-bit even at the degenerate equal-spacing boundary."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))

@@ -75,8 +75,8 @@ TRADE_SCHEMA = T.StructType([
     T.StructField("buy_price", T.DoubleType()),
     T.StructField("condition_holding_days", T.IntegerType()),
     T.StructField("condition_target_return", T.IntegerType()),
-    T.StructField("condition_buy_cci_threshold", T.IntegerType()),
-    T.StructField("condition_stop_loss_cci_threshold", T.IntegerType()),
+    T.StructField("condition_buy_cci_threshold", T.DoubleType()),
+    T.StructField("condition_stop_loss_cci_threshold", T.DoubleType()),
     T.StructField("reach_target_date", T.DateType()),
     T.StructField("reach_target_price", T.DoubleType()),
     T.StructField("stop_loss_date", T.DateType()),
@@ -86,7 +86,7 @@ TRADE_SCHEMA = T.StructType([
     T.StructField("sell_date", T.DateType()),
     T.StructField("sell_price", T.DoubleType()),
     T.StructField("days_held", T.IntegerType()),
-    T.StructField("trade_result", T.StringType()),  # 'win' | 'lose'
+    T.StructField("trade_result", T.StringType()),  # 'reach_target' | 'stop_loss' | 'maturity'
 ])
 
 TESTDATA_TABLES = (

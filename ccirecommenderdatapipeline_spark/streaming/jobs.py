@@ -203,7 +203,15 @@ def stage_price_batches(spark: SparkSession, sf_dir: str, n_batches: int = 3) ->
     prices = prices_view(spark, sf_dir)
     dates = [r[0] for r in prices.select("date").distinct().orderBy("date").collect()]
     step = max(1, len(dates) // n_batches)
-    bounds = [dates[min(i * step, len(dates) - 1)] for i in range(1, n_batches)] + [None]
+    # Deduplicate bounds: with fewer distinct dates than batches the index
+    # arithmetic repeats a date, which would make an empty [lo, hi) range —
+    # strictly-increasing bounds guarantee every staged batch is non-empty.
+    bounds: list = []
+    for i in range(1, n_batches):
+        b = dates[min(i * step, len(dates) - 1)]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    bounds.append(None)
     lo = None
     for i, hi in enumerate(bounds):
         part = prices
@@ -213,8 +221,9 @@ def stage_price_batches(spark: SparkSession, sf_dir: str, n_batches: int = 3) ->
             part = part.filter(F.col("date") < F.lit(hi))
         tmp = os.path.join(out, f"__tmp_{i}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        shutil.move(os.path.join(tmp, src), os.path.join(out, f"b{i}.parquet"))
+        srcs = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if srcs:  # an empty write may emit no part file; skip, don't crash
+            shutil.move(os.path.join(tmp, srcs[0]), os.path.join(out, f"b{i}.parquet"))
         shutil.rmtree(tmp)
         _time.sleep(1.1)  # distinct mtimes -> deterministic file order
         lo = hi
