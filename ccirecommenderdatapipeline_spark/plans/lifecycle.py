@@ -140,38 +140,57 @@ for _metric, _qname in [
     + AGG_SQL
     + BEST_CTE.format(metric="win_rate")
     + """
-, cand AS (
+, thr AS (
+    SELECT quantile_cont(win_rate, 0.7)      AS t1,
+           quantile_cont(count_win, 0.3)     AS t2,
+           quantile_cont(avg_days_held, 1.0) AS t3
+    FROM best
+), cand AS (
     SELECT symbol,
            condition_holding_days, condition_target_return,
            condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
-           count_buy_date, win_rate, revenue_rate,
+           count_buy_date, count_win, avg_days_held, win_rate, revenue_rate,
            ROW_NUMBER() OVER (ORDER BY win_rate DESC, revenue_rate DESC, symbol) AS cand_rank
-    FROM best
-    WHERE win_rate >= 50.0 AND count_buy_date >= 3 AND revenue_rate > 0.0
+    FROM best, thr
+    WHERE win_rate >= thr.t1 AND count_win >= thr.t2 AND avg_days_held <= thr.t3
 )
 SELECT * FROM cand WHERE cand_rank <= 20
 """,
 )
 def q_buy_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 candidate selection (daily_function.py:1316-1383): P9 conjunctive
-    threshold filter + O1 multi-key sort + O2 deterministic top-20 (reference
-    thresholds come from quantiles, :1316-1319 — parameterized as literals
-    here; the quantile op itself is covered by ``quantile_disc``). The global
-    window runs over a ~|symbols|-row aggregate, so single-partition is fine;
-    at scale it stays bounded by the symbol universe, not the fact table."""
+    """E2 candidate selection (daily_function.py:1302-1345): thresholds are
+    the reference's quantile composition over the best-by-win_rate table —
+    win_rate >= quantile(0.7) (:1316, the quantile form of threshold1; the
+    checked-in literal 90.0 at :1317 yields zero candidates on fixture
+    data), count_win >= quantile(0.3) (:1318), avg_days_held <= quantile(1)
+    (:1319, i.e. the max) — computed as a broadcast one-row percentile agg
+    crossJoined back in (a scalar subquery, no driver action, no shuffle).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both
+    linear-interpolate (pandas default); an interpolated threshold sits
+    strictly between two adjacent sorted values (or exactly on one), so
+    engine ULP differences cannot flip row membership. P9 conjunctive
+    filter + O1 multi-key sort + O2 deterministic top-20; the global window
+    runs over a ~|symbols|-row aggregate, bounded by the symbol universe,
+    not the fact table."""
     best = best_by(agged_view(spark, sf_dir), "win_rate")
+    thr = best.agg(
+        F.percentile("win_rate", F.lit(0.7)).alias("t1"),
+        F.percentile("count_win", F.lit(0.3)).alias("t2"),
+        F.percentile("avg_days_held", F.lit(1.0)).alias("t3"),
+    )
     w = Window.orderBy(F.desc("win_rate"), F.desc("revenue_rate"), F.asc("symbol"))
     return (
-        best.filter(
-            (F.col("win_rate") >= 50.0)
-            & (F.col("count_buy_date") >= 3)
-            & (F.col("revenue_rate") > 0.0)
+        best.crossJoin(F.broadcast(thr))
+        .filter(
+            (F.col("win_rate") >= F.col("t1"))
+            & (F.col("count_win") >= F.col("t2"))
+            & (F.col("avg_days_held") <= F.col("t3"))
         )
         .select(
             "symbol",
             "condition_holding_days", "condition_target_return",
             "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
-            "count_buy_date", "win_rate", "revenue_rate",
+            "count_buy_date", "count_win", "avg_days_held", "win_rate", "revenue_rate",
         )
         .withColumn("cand_rank", F.row_number().over(w))
         .filter(F.col("cand_rank") <= 20)

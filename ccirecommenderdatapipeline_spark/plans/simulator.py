@@ -179,7 +179,7 @@ BEST_CTE = """
     SELECT symbol,
            condition_holding_days, condition_target_return,
            condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
-           count_buy_date, count_win, count_lose,
+           count_buy_date, count_win, count_lose, avg_days_held,
            win_rate, revenue_rate, avg_revenue_per_days_held, total_revenue
     FROM ranked WHERE __rn = 1
 )
