@@ -61,16 +61,54 @@ def _first_index(arr: Column, pred) -> Column:
     return F.nullif(F.array_position(F.transform(arr, pred), F.lit(True)), F.lit(0)).cast("int")
 
 
-def simulate_trades(cci: DataFrame, grid: dict | None = None) -> DataFrame:
+def with_search_years(cci: DataFrame, years: list) -> DataFrame:
+    """The reference's search-history depth dimension (daily_function.py:
+    670-682, 704-705): for each depth y the per-symbol CCI frame is filtered
+    to ``date >= max(date) - y years`` (``'all'`` = no filter), and every
+    downstream stage is keyed by the depth. CCI values are computed on the
+    FULL history first and then row-filtered — exactly the reference's
+    update-then-filter order — so indicator values at the window edge still
+    see pre-boundary history, while the crossover lag (computed downstream
+    per (symbol, search_years) partition) restarts inside the slice, nulling
+    the slice's first row like pandas' post-filter iteration does.
+
+    Shape: per-symbol max date is a tiny aggregate broadcast back into the
+    fact side, and the depth table is a broadcast literal — the expansion is
+    map-local; the one real shuffle stays the simulator's downstream
+    (symbol, search_years) window sort. add_months clamps Feb-29 the same
+    way pd.DateOffset(years=...) and DuckDB month intervals do."""
+    spark = cci.sparkSession
+    yrs = spark.createDataFrame(
+        [(str(y), None if y == "all" else int(y)) for y in years],
+        "search_years STRING, __n_years INT",
+    )
+    maxd = cci.groupBy("symbol").agg(F.max("date").alias("__max_d"))
+    return (
+        cci.join(F.broadcast(maxd), "symbol")
+        .crossJoin(F.broadcast(yrs))
+        .filter(
+            F.col("__n_years").isNull()
+            | (F.col("date") >= F.add_months("__max_d", -12 * F.col("__n_years")))
+        )
+        .drop("__max_d", "__n_years")
+    )
+
+
+def simulate_trades(
+    cci: DataFrame, grid: dict | None = None, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
     """cci (symbol, date, open_pr, close_pr, open_cci, close_cci, ...) ->
-    one row per (buy event x grid combo), TRADE_SCHEMA-shaped."""
+    one row per (buy event x grid combo), TRADE_SCHEMA-shaped. ``extra_keys``
+    (e.g. search_years) join symbol as partition keys for every window and
+    are carried through to the output."""
     grid = grid or DEFAULT_GRID
     x_max = max(grid["holding_days"])
-    w = Window.partitionBy("symbol").orderBy("date")
+    part_cols = ["symbol", *extra_keys]
+    w = Window.partitionBy(*part_cols).orderBy("date")
     fw = w.rowsBetween(1, x_max)
 
     base = cci.select(
-        "symbol",
+        *part_cols,
         "date",
         "open_pr",
         "open_cci",
@@ -89,7 +127,7 @@ def simulate_trades(cci: DataFrame, grid: dict | None = None) -> DataFrame:
             & (F.size("future") >= 1)
         )
         .select(
-            "symbol",
+            *part_cols,
             F.col("date").alias("buy_date"),
             F.col("open_pr").alias("buy_price"),
             "condition_buy_cci_threshold",
@@ -185,7 +223,7 @@ def simulate_trades(cci: DataFrame, grid: dict | None = None) -> DataFrame:
         ).cast("int"),
     )
     return e.select(
-        "symbol", "buy_date", "buy_price",
+        *part_cols, "buy_date", "buy_price",
         "condition_holding_days", "condition_target_return",
         "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
         "reach_target_date", "reach_target_price",
@@ -195,9 +233,10 @@ def simulate_trades(cci: DataFrame, grid: dict | None = None) -> DataFrame:
     )
 
 
-def aggregate_strategies(trades: DataFrame) -> DataFrame:
+def aggregate_strategies(trades: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A1/A2 (daily_function.py:1047-1071): per (symbol x condition) outcome
-    aggregation + derived rate measures.
+    aggregation + derived rate measures. ``extra_keys`` (e.g. search_years,
+    daily_function.py:1041-1042) extend the group key.
 
     Determinism notes vs the reference: rates are emitted as exact per-row
     divisions of integer/decimal-exact aggregates instead of pandas
@@ -207,6 +246,7 @@ def aggregate_strategies(trades: DataFrame) -> DataFrame:
     decimals, daily_function.py:1069)."""
     gcols = [
         "symbol",
+        *extra_keys,
         "condition_holding_days",
         "condition_target_return",
         "condition_buy_cci_threshold",
@@ -279,13 +319,15 @@ def aggregate_strategies(trades: DataFrame) -> DataFrame:
     })
 
 
-def best_by(agged: DataFrame, metric: str) -> DataFrame:
-    """A7 (daily_function.py:1078-1080): argmax condition per symbol.
+def best_by(agged: DataFrame, metric: str, extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """A7 (daily_function.py:1078-1080): argmax condition per symbol (and
+    per search depth when ``extra_keys`` carries one — the reference's best
+    tables are keyed (symbol, search_years), :1072-1100).
 
     pandas ``idxmax`` keeps the first occurrence in grid iteration order
     (groupby sorts keys ascending), so the deterministic tie-break is the
     ascending condition tuple — identical selection semantics."""
-    w = Window.partitionBy("symbol").orderBy(
+    w = Window.partitionBy("symbol", *extra_keys).orderBy(
         F.desc(metric),
         F.asc("condition_holding_days"),
         F.asc("condition_target_return"),

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-from ..operators.simulator import aggregate_strategies, best_by, simulate_trades
+from ..operators.simulator import (
+    aggregate_strategies,
+    best_by,
+    simulate_trades,
+    with_search_years,
+)
 from .cci import CCI_ORACLE_BODY, cci_view
 from .registry import query
 
@@ -48,7 +53,12 @@ def agged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def _sim_cte(grid: dict) -> str:
+def _sim_cte(grid: dict, years: list | None = None) -> str:
+    """The simulator pipeline as DuckDB CTEs. ``years`` (e.g. ["1", "all"])
+    injects the reference's search-history depth dimension: per-symbol max
+    date, depth VALUES table, inclusive ``date >= max - y years`` filter
+    (daily_function.py:670-682), and (symbol, search_years) partition keys
+    everywhere downstream."""
     x_max = max(grid["holding_days"])
     # CAST: DuckDB VALUES literals like -100.0 are DECIMAL, not DOUBLE
     buy_vals = ", ".join(f"(CAST({float(b)} AS DOUBLE))" for b in grid["buy_threshold"])
@@ -58,20 +68,40 @@ def _sim_cte(grid: dict) -> str:
         for r in grid["target_return"]
         for s in grid["stop_threshold"]
     )
+    if years is None:
+        years_cte = ""
+        src = "cci"
+        keys = "symbol"
+    else:
+        years_vals = ", ".join(
+            f"('{y}', {'CAST(NULL AS INTEGER)' if y == 'all' else int(y)})" for y in years
+        )
+        years_cte = f"""
+, yrs AS (SELECT * FROM (VALUES {years_vals}) y(search_years, n_years))
+, maxd AS (SELECT symbol, MAX(date) AS max_d FROM cci GROUP BY symbol)
+, cci_y AS (
+    SELECT c.*, y.search_years
+    FROM cci c JOIN maxd m ON m.symbol = c.symbol CROSS JOIN yrs y
+    WHERE y.n_years IS NULL
+       OR c.date >= CAST(m.max_d - to_months(12 * y.n_years) AS DATE)
+)"""
+        src = "cci_y"
+        keys = "symbol, search_years"
     return (
         CCI_ORACLE_BODY
+        + years_cte
         + f"""
 , seq AS (
-    SELECT symbol, date, open_pr, open_cci,
+    SELECT {keys}, date, open_pr, open_cci,
            LAG(open_cci) OVER w AS prev_cci,
            list(struct_pack(d := date, cp := close_pr, cc := close_cci))
                OVER fw AS future
-    FROM cci
-    WINDOW w AS (PARTITION BY symbol ORDER BY date),
-           fw AS (PARTITION BY symbol ORDER BY date
+    FROM {src}
+    WINDOW w AS (PARTITION BY {keys} ORDER BY date),
+           fw AS (PARTITION BY {keys} ORDER BY date
                   ROWS BETWEEN 1 FOLLOWING AND {x_max} FOLLOWING)
 ), buys AS (
-    SELECT symbol, date AS buy_date, open_pr AS buy_price,
+    SELECT {keys}, date AS buy_date, open_pr AS buy_price,
            b.condition_buy_cci_threshold, future, len(future) AS flen
     FROM seq CROSS JOIN (VALUES {buy_vals}) b(condition_buy_cci_threshold)
     WHERE prev_cci < b.condition_buy_cci_threshold
@@ -100,7 +130,7 @@ def _sim_cte(grid: dict) -> str:
          AND s_hit IS NOT NULL) AS is_stop
     FROM gated
 ), trades AS (
-    SELECT symbol, buy_date, buy_price,
+    SELECT {keys}, buy_date, buy_price,
         condition_holding_days, condition_target_return,
         condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
         CASE WHEN is_target THEN future[t_hit].d  END AS reach_target_date,
@@ -136,9 +166,10 @@ TRADE_COLS = """symbol, buy_date, buy_price,
        reach_target_date, reach_target_price, stop_loss_date, stop_loss_price,
        maturity_date, maturity_price, sell_date, sell_price, days_held, trade_result"""
 
-AGG_SQL = """
+def _agg_sql(keys: str = "symbol") -> str:
+    return f"""
 , agged AS (
-    SELECT symbol,
+    SELECT {keys},
         condition_holding_days, condition_target_return,
         condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
         CAST(COUNT(DISTINCT buy_date)          AS BIGINT) AS count_buy_date,
@@ -153,7 +184,8 @@ AGG_SQL = """
         ROUND(SUM(buy_price), 4)       AS total_buy_price,
         ROUND(SUM(sell_price), 2)      AS total_sell_price
     FROM trades3
-    GROUP BY 1, 2, 3, 4, 5
+    GROUP BY {keys}, condition_holding_days, condition_target_return,
+             condition_buy_cci_threshold, condition_stop_loss_cci_threshold
 ), rates AS (
     SELECT *,
         sum_revenue_per_days_held / count_trades AS avg_revenue_per_days_held,
@@ -169,14 +201,20 @@ AGG_SQL = """
 )
 """
 
-BEST_CTE = """
+
+AGG_SQL = _agg_sql()
+
+
+def _best_cte(keys: str = "symbol") -> str:
+    # double braces: the {metric} placeholder survives for .format()
+    return f"""
 , ranked AS (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY {metric} DESC,
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {{metric}} DESC,
         condition_holding_days, condition_target_return,
         condition_buy_cci_threshold, condition_stop_loss_cci_threshold) AS __rn
     FROM rates
 ), best AS (
-    SELECT symbol,
+    SELECT {keys},
            condition_holding_days, condition_target_return,
            condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
            count_buy_date, count_win, count_lose, avg_days_held,
@@ -185,7 +223,16 @@ BEST_CTE = """
 )
 """
 
+
+BEST_CTE = _best_cte()
+
 BEST_SQL = BEST_CTE + "SELECT * FROM best"
+
+# Depths exercised by the oracle-gated best_* queries: one bounded slice and
+# the reference's default "all" (app.py:45-46 ships ["all"]; the loop at
+# daily_function.py:704/1041 supports any mix of ints and "all").
+BEST_YEARS = ["1", "all"]
+YEARS_KEYS = "symbol, search_years"
 
 
 @query("trades_sim", oracle="WITH " + _sim_cte(SIM_GRID) + "SELECT " + TRADE_COLS + " FROM trades3")
@@ -203,18 +250,33 @@ def q_strategy_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_strategies(simulate_trades(cci_view(spark, sf_dir), AGG_GRID))
 
 
+def agged_years_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search-years-keyed sim->aggregate subtree shared by the three
+    best_* queries (persisted lazily, same plan-matched caching rationale as
+    ``agged_view``). Output grain: (symbol, search_years, grid combo)."""
+    cci_y = with_search_years(cci_view(spark, sf_dir), BEST_YEARS)
+    return aggregate_strategies(
+        simulate_trades(cci_y, AGG_GRID, extra_keys=("search_years",)),
+        extra_keys=("search_years",),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _best_query(metric: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        agged = agged_view(spark, sf_dir)
-        return best_by(agged, metric).select(
-            "symbol",
+        agged = agged_years_view(spark, sf_dir)
+        return best_by(agged, metric, extra_keys=("search_years",)).select(
+            "symbol", "search_years",
             "condition_holding_days", "condition_target_return",
             "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
-            "count_buy_date", "count_win", "count_lose",
+            "count_buy_date", "count_win", "count_lose", "avg_days_held",
             "win_rate", "revenue_rate", "avg_revenue_per_days_held", "total_revenue",
         )
 
-    fn.__doc__ = f"A7: best strategy per symbol by {metric} (daily_function.py:1078-1080)."
+    fn.__doc__ = (
+        f"A7: best strategy per (symbol, search_years) by {metric} "
+        "(daily_function.py:1041-1100: the best tables are keyed by the "
+        "search-history depth; depths exercised here: 1 year and 'all')."
+    )
     return fn
 
 
@@ -225,7 +287,10 @@ for _metric, _name in [
 ]:
     query(
         _name,
-        oracle="WITH " + _sim_cte(AGG_GRID) + AGG_SQL + BEST_SQL.format(metric=_metric),
+        oracle="WITH "
+        + _sim_cte(AGG_GRID, years=BEST_YEARS)
+        + _agg_sql(YEARS_KEYS)
+        + (_best_cte(YEARS_KEYS) + "SELECT * FROM best").format(metric=_metric),
     )(_best_query(_metric))
 
 
