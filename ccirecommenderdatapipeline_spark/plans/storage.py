@@ -536,3 +536,107 @@ def q_coerce_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_s.try_cast("date").alias("coerced_date"),
         F.try_divide(F.lit(1000).cast("long"), F.nullif(denom, F.lit(0))).alias("safe_ratio"),
     )
+
+
+# --- OP1/T2: batch high-watermark incremental merge --------------------------
+
+# Fixture split literals: per-symbol cached cutoff = CUT - (suppkey % 10)
+# days, so watermarks differ across symbols; the refetch band re-delivers
+# the last OVERLAP_DAYS cached days (the reference's overlapping-range
+# branches, daily_function.py:493-516). FEED_FLOOR is a static date strictly
+# below every (cutoff - OVERLAP_DAYS), giving the feed scan a pushable
+# coarse predicate — the batch analogue of partition pruning to
+# "later than the oldest possible watermark".
+_IM_CUT = "1998-06-01"
+_IM_FLOOR = "1998-05-15"
+_IM_OVERLAP = 2
+
+
+@query(
+    "incremental_merge",
+    oracle=f"""
+WITH prices AS (
+    SELECT
+        CAST(l_suppkey AS VARCHAR)                AS symbol,
+        CAST(l_shipdate AS DATE)                  AS date,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS open_pr,
+        ROUND(SUM(l_extendedprice), 2)            AS close_pr,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS daily_trade_stock
+    FROM lineitem
+    GROUP BY 1, 2
+), cutoffs AS (
+    SELECT DISTINCT symbol,
+           DATE '{_IM_CUT}' - to_days(CAST(symbol AS INTEGER) % 10) AS cut
+    FROM prices
+), cached AS (
+    SELECT p.* FROM prices p JOIN cutoffs c ON c.symbol = p.symbol
+    WHERE p.date <= c.cut
+), wm AS (
+    SELECT symbol, MAX(date) AS wm_d FROM cached GROUP BY symbol
+), fetched AS (
+    SELECT p.* FROM prices p
+    JOIN wm ON wm.symbol = p.symbol
+    WHERE p.date > DATE '{_IM_FLOOR}'
+      AND p.date > wm.wm_d - to_days({_IM_OVERLAP})
+), tagged AS (
+    SELECT *, 'cached' AS src, 0 AS prio FROM cached
+    UNION ALL
+    SELECT *, 'fetched' AS src, 1 AS prio FROM fetched
+), merged AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, date
+                                 ORDER BY prio DESC) AS __rn
+    FROM tagged
+)
+SELECT symbol, date, open_pr, close_pr, daily_trade_stock, src
+FROM merged WHERE __rn = 1
+""",
+)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP1/T2 batch form — the reference's single most-executed path
+    (daily_function.py:127-133: fetch only dates after the cached max;
+    466-516: concat + drop_duplicates(subset=[date], keep='last') with the
+    re-fetched side winning). Three-layer shape:
+
+    1. coarse STATIC pushdown: the feed scan filters ``date > FEED_FLOOR``
+       (a literal below every possible watermark) — Catalyst pushes the
+       shipdate predicate into the parquet scan (PushedFilters), the batch
+       analogue of pruning partitions newer than the fleet-wide low
+       watermark;
+    2. fine PER-SYMBOL watermark: the tiny cached-side max-date aggregate
+       broadcasts back into the feed, keeping only rows newer than that
+       symbol's watermark minus the re-delivery overlap;
+    3. keep-last merge: union + one row_number per (symbol, date) with the
+       fetched side preferred — pandas keep='last' with concat order
+       [cached, new].
+
+    At scale: cached and feed are both map-local after the broadcast joins;
+    the only fact-table shuffle is the (symbol, date) dedup window, which at
+    100 TB would ride the bucketed-by-symbol layout (test_bucketing.py)."""
+    from ..sources.prices import prices_view
+
+    prices = prices_view(spark, sf_dir).select(
+        "symbol", "date", "open_pr", "close_pr", "daily_trade_stock"
+    )
+    cutoffs = prices.select("symbol").distinct().select(
+        "symbol",
+        F.date_sub(F.lit(_IM_CUT).cast("date"), F.col("symbol").cast("int") % 10).alias("cut"),
+    )
+    cached = prices.join(F.broadcast(cutoffs), "symbol").filter(
+        F.col("date") <= F.col("cut")
+    ).drop("cut")
+    wm = cached.groupBy("symbol").agg(F.max("date").alias("wm_d"))
+    fetched = (
+        prices.filter(F.col("date") > F.lit(_IM_FLOOR).cast("date"))
+        .join(F.broadcast(wm), "symbol")
+        .filter(F.col("date") > F.date_sub(F.col("wm_d"), _IM_OVERLAP))
+        .drop("wm_d")
+    )
+    tagged = cached.withColumns(
+        {"src": F.lit("cached"), "prio": F.lit(0)}
+    ).unionByName(fetched.withColumns({"src": F.lit("fetched"), "prio": F.lit(1)}))
+    w = Window.partitionBy("symbol", "date").orderBy(F.desc("prio"))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("symbol", "date", "open_pr", "close_pr", "daily_trade_stock", "src")
+    )
