@@ -53,3 +53,45 @@ def test_bucketed_join_is_shuffle_free(spark):
     got = joined.agg(F.sum("n_days"), F.round(F.sum("close_pr"), 2)).first()
     exp = plain.agg(F.sum("n_days"), F.round(F.sum("close_pr"), 2)).first()
     assert got == exp
+
+
+def test_bucketed_cci_feeds_simulator_shuffle_free(spark):
+    """The 100x layout story for the lifecycle family: materialize the CCI
+    table bucketed+sorted by symbol (the persistent form of plans/cci.py's
+    session cache), and the simulator's window stages — lag crossover and
+    the forward collect_list — consume it with NO shuffle exchange: the
+    bucketed scan's hash partitioning satisfies the windows' required
+    distribution, the grid join is a broadcast, so everything up to the
+    strategy aggregation's groupBy is map-local."""
+    from ccirecommenderdatapipeline_spark.operators.simulator import simulate_trades
+    from ccirecommenderdatapipeline_spark.plans.cci import cci_view
+
+    cci = cci_view(spark, SF_SMALL)
+    name = "b_cci"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(f"/tmp/spark_graft_warehouse/{name}", ignore_errors=True)
+    (
+        cci.write.mode("overwrite")
+        .bucketBy(8, "symbol")
+        .sortBy("symbol", "date")
+        .saveAsTable(name)
+    )
+
+    grid = {
+        "holding_days": [3, 7],
+        "target_return": [2, 6],
+        "buy_threshold": [-100.0, -50.0],
+        "stop_threshold": [40.0],
+    }
+    trades_bucketed = simulate_trades(spark.table(name), grid)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        trades_bucketed.explain("formatted")
+    plan = buf.getvalue()
+    # broadcast exchanges (the combo grid) are fine; shuffle exchanges are not
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" in plan
+
+    trades_plain = simulate_trades(cci, grid)
+    assert trades_bucketed.count() == trades_plain.count()
+    assert trades_bucketed.exceptAll(trades_plain).count() == 0
