@@ -32,13 +32,14 @@ from . import streaming  # noqa: E402,F401
 # by the identical local gate (tools/check_oracle.py) and pytest.
 _PRIORITY = [
     # flagship E1 chain + this round's modified queries
-    "prices", "cci", "buy_signals", "signal_counts", "latest_cci",
+    "prices", "cci", "buy_signals", "signal_counts",
     "trades_sim", "strategy_agg",
     "best_win", "best_return", "best_return_per_days_held",
     "recommendations", "buy_candidates", "sell_decisions", "order_sizing",
     "incremental_merge",
     # round-1 driver-unchecked set
     "dedup_clusters", "knn_brute_force", "knn_ivf", "embedding_dedup_cosine",
+    "embedding_dedup_lsh",
     "media_catalog", "media_features", "media_frame_sample",
     "latest_partition", "checkpoint_roundtrip", "union_missing_columns",
     "scalar_roundtrips", "head_n_per_type", "asof_join", "cube_counts",

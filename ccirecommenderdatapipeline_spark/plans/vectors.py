@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..operators.vectors import (
     assign_to_centroids,
     cosine,
+    dot,
     normalized_vectors,
     topk_per_query,
 )
@@ -218,3 +219,118 @@ def q_embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= DEDUP_COS)
     )
+
+
+# --- Random-hyperplane LSH dedup: the blocked scale path ---------------------
+
+# 16 deterministic hyperplanes (dim 64), inlined as identical double literals
+# into BOTH the Spark plan and the DuckDB oracle, so the sign bits — and
+# therefore the buckets — are bit-identical across engines. Seeded Python RNG;
+# repr() round-trips doubles exactly.
+import random as _random
+
+_LSH_DIM = 64
+_LSH_BITS = 16
+_LSH_BAND_BITS = 8  # 2 bands x 8 bits
+
+_rng = _random.Random(7)
+_HYPERPLANES = [
+    [_rng.uniform(-1.0, 1.0) for _ in range(_LSH_DIM)] for _ in range(_LSH_BITS)
+]
+
+
+def _h_sql(j: int) -> str:
+    return "CAST([" + ", ".join(repr(x) for x in _HYPERPLANES[j]) + "] AS DOUBLE[])"
+
+
+_LSH_SIG_SQL = ",\n           ".join(
+    f"CASE WHEN {_dot_sql('v', _h_sql(j))} >= 0 THEN 1 ELSE 0 END AS b{j}"
+    for j in range(_LSH_BITS)
+)
+_K0_SQL = " + ".join(f"b{j} * {1 << j}" for j in range(_LSH_BAND_BITS))
+_K1_SQL = " + ".join(
+    f"b{j} * {1 << (j - _LSH_BAND_BITS)}" for j in range(_LSH_BAND_BITS, _LSH_BITS)
+)
+
+
+@query(
+    "embedding_dedup_lsh",
+    oracle=f"""
+WITH base AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+    SELECT vec_id, label, v, sqrt({_dot_sql("v", "v")}) AS nrm FROM base
+), sig AS (
+    SELECT vec_id, label, v, nrm,
+           {_LSH_SIG_SQL}
+    FROM n
+), keys AS (
+    SELECT vec_id, label, v, nrm,
+           {_K0_SQL} AS k0,
+           {_K1_SQL} AS k1
+    FROM sig
+), pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_dot_sql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+    FROM keys a JOIN keys b
+      ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {DEDUP_COS}
+""",
+)
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH — the bucketed scale
+    path that replaces ``embedding_dedup_cosine``'s label blocking (that
+    query's documented caveat). 16 sign bits from fixed hyperplanes, banded
+    2 x 8; candidate pairs are generated per (band, key) bucket by
+    grouped-bucket pair expansion (``bucket_pairs`` — upstream computed
+    once, no self-join re-evaluation), exact-cosine verified at 0.999 and
+    de-duplicated across bands. Identical exact duplicates always share all
+    bits, so recall on injected dups is 1; banding is the recall knob for
+    near-dups. At 100 TB: signatures are one map pass (the hyperplane dot
+    products are broadcast literals), buckets shuffle on (band, key) with
+    bucket sizes bounded by hashing spread, and the pair blow-up is
+    per-bucket quadratic only — never all-pairs."""
+    from ..operators.text import bucket_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    n = normalized_vectors(base)
+    sig_bits = [
+        (dot(F.col("v"), F.array(*[F.lit(x) for x in _HYPERPLANES[j]])) >= 0).cast("long")
+        for j in range(_LSH_BITS)
+    ]
+    k0 = sum(sig_bits[j] * (1 << j) for j in range(_LSH_BAND_BITS))
+    k1 = sum(
+        sig_bits[j] * (1 << (j - _LSH_BAND_BITS))
+        for j in range(_LSH_BAND_BITS, _LSH_BITS)
+    )
+    keyed = n.select(
+        "vec_id", "v", "nrm",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), k0.alias("band_key")),
+                F.struct(F.lit(1).alias("band_idx"), k1.alias("band_key")),
+            )
+        ).alias("band"),
+    ).select("vec_id", "v", "nrm", "band.band_idx", "band.band_key")
+    buckets = keyed.groupBy("band_idx", "band_key").agg(
+        F.collect_list(F.struct("vec_id", "v", "nrm")).alias("members")
+    )
+    pairs = (
+        buckets.select(F.explode(bucket_pairs(F.col("members"))).alias("p"))
+        .select(
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
+            cosine(
+                F.col("p.a.v"), F.col("p.a.nrm"), F.col("p.b.v"), F.col("p.b.nrm")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DEDUP_COS)
+        .distinct()
+    )
+    return pairs
