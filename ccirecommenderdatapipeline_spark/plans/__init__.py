@@ -17,6 +17,7 @@ from . import storage  # noqa: E402,F401
 from . import mllib  # noqa: E402,F401
 from . import broker  # noqa: E402,F401
 from . import northstar  # noqa: E402,F401
+from . import sampling  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
@@ -32,10 +33,11 @@ from . import streaming  # noqa: E402,F401
 # by the identical local gate (tools/check_oracle.py) and pytest.
 _PRIORITY = [
     # flagship E1 chain + this round's modified queries
-    "prices", "cci", "buy_signals", "signal_counts",
+    "prices", "cci",
     "trades_sim", "strategy_agg",
+    "sample_bernoulli", "sample_stratified", "train_test_split",
     "best_win", "best_return", "best_return_per_days_held",
-    "recommendations", "buy_candidates", "sell_decisions", "order_sizing",
+    "buy_candidates", "sell_decisions", "order_sizing",
     "incremental_merge",
     # round-1 driver-unchecked set
     "dedup_clusters", "knn_brute_force", "knn_ivf", "embedding_dedup_cosine",
