@@ -25,23 +25,25 @@ from . import streaming  # noqa: E402,F401
 # 50, leaving 35 without a driver verdict). The priority list below puts
 # (a) everything still lacking a driver-green row — vectors, storage
 # batteries, streaming windows, broker connectors, multimodal, mllib,
-# dedup_clusters — and (b) every query whose semantics or plan changed this
+# dedup_clusters — (b) every query whose semantics or plan changed this
 # round (best_* search-years grain, quantile buy_candidates, additive
-# sell_decisions, rewritten strategy aggregation, incremental_merge) plus
-# the flagship E1 chain, inside that window. Queries displaced past 50 are
-# byte-identical to their round-1 driver-green versions and remain covered
-# by the identical local gate (tools/check_oracle.py) and pytest.
+# sell_decisions, rewritten strategy aggregation, incremental_merge,
+# session_window_builtin boundary), and (c) the round-2 additions
+# (sampling trio, embedding_dedup_lsh, dedup_corpus), inside that window.
+# Queries displaced past 50 produce results byte-identical to their
+# round-1 driver-green versions and remain covered by the identical local
+# gate (tools/check_oracle.py) and pytest.
 _PRIORITY = [
     # flagship E1 chain + this round's modified queries
-    "prices", "cci",
+    "prices",
     "trades_sim", "strategy_agg",
     "sample_bernoulli", "sample_stratified", "train_test_split",
     "best_win", "best_return", "best_return_per_days_held",
     "buy_candidates", "sell_decisions", "order_sizing",
     "incremental_merge",
     # round-1 driver-unchecked set
-    "dedup_clusters", "knn_brute_force", "knn_ivf", "embedding_dedup_cosine",
-    "embedding_dedup_lsh",
+    "dedup_clusters", "dedup_corpus", "knn_brute_force", "knn_ivf",
+    "embedding_dedup_cosine", "embedding_dedup_lsh",
     "media_catalog", "media_features", "media_frame_sample",
     "latest_partition", "checkpoint_roundtrip", "union_missing_columns",
     "scalar_roundtrips", "head_n_per_type", "asof_join", "cube_counts",

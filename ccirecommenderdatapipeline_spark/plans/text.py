@@ -523,6 +523,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical — possibly unconverged — fixpoint). The canonical keep
     row per cluster is min_doc_id. This is the iterative-algorithm
     representative: at scale each iteration is one shuffle join on doc_id."""
+    labels = _cluster_labels(spark, sf_dir)
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) for every node of the LSH near-dup graph after 4
+    min-label propagation rounds (docs with no candidate edges are absent).
+
+    Iterative-algorithm hygiene: WITHOUT truncation, each iteration embeds
+    the full upstream twice (labels appears in both join branches) — the
+    plan grows 2^iters scans (explain_audit measured 342 exchanges / 496
+    scans). Persist the edge list once and localCheckpoint the labels per
+    iteration, exactly Spark's prescribed pattern for iterative graph
+    algorithms; at scale this is one shuffle join per iteration."""
     docs2 = with_recrawl(_docs(spark, sf_dir))
     sigs = _shingled(docs2).select(
         "doc_id", minhash_signature(F.col("grams")).alias("sig")
@@ -532,12 +550,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
     b1 = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     b2 = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-    # Iterative-algorithm hygiene: WITHOUT truncation, each iteration embeds
-    # the full upstream twice (labels appears in both join branches) — the
-    # plan grows 2^iters scans (explain_audit measured 342 exchanges / 496
-    # scans). Persist the edge list once and localCheckpoint the labels per
-    # iteration, exactly Spark's prescribed pattern for iterative graph
-    # algorithms; at scale this is one shuffle join per iteration.
     edges = (
         b1.join(b2, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -565,8 +577,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     sym.unpersist()
-    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
-        F.count("*").alias("n_members"),
-        F.min("doc_id").alias("min_doc_id"),
-        F.max("doc_id").alias("max_doc_id"),
+    return labels
+
+
+@query(
+    "dedup_corpus",
+    oracle="WITH " + DOCS2_CTE + TOK2_CTE + GRAMS2_CTE + f"""
+, sigs AS (
+    SELECT doc_id, {_minhash_sql()} AS sig FROM grams_cte
+), bands AS (
+    SELECT s.doc_id, b.band_idx,
+        ((s.sig[3 * b.band_idx + 1] * 31 + s.sig[3 * b.band_idx + 2]) % 2147483647
+          * 31 + s.sig[3 * b.band_idx + 3]) % 2147483647 AS band_key
+    FROM sigs s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+), edges AS (
+    SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands b1 JOIN bands b2
+      ON b1.band_idx = b2.band_idx AND b1.band_key = b2.band_key
+     AND b1.doc_id < b2.doc_id
+){_label_prop_sql(4)}
+, drop_set AS (SELECT doc_id FROM l4 WHERE label <> doc_id)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM docs2 d LEFT JOIN drop_set x ON x.doc_id = d.doc_id
+WHERE x.doc_id IS NULL
+""",
+)
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup CONSUMER: the corpus a user actually trains on.
+    Keep every document that is either edge-free in the LSH candidate graph
+    or its cluster's current label holder (label == doc_id after the fixed
+    4 propagation rounds — per-cluster canonical minimum once converged;
+    the unconverged fixpoint is deterministic and identical in both
+    engines). Shape: the drop set is tiny relative to the corpus, so the
+    final filter is a broadcast-able anti join against the fact scan — at
+    100 TB the corpus is never shuffled, only the candidate-graph stages
+    touch the shuffle service."""
+    labels = _cluster_labels(spark, sf_dir)
+    drop = labels.filter(F.col("label") != F.col("doc_id")).select("doc_id")
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    return docs2.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )
