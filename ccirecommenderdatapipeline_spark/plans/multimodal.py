@@ -1,8 +1,10 @@
-"""Multimodal queries (north-star surface). ``media_catalog`` is fully
-relational over the binary column and oracle-checked; the two mapInPandas
-stages (feature extraction, frame sampling) are genuinely non-SQL ops —
-registered without oracles (driver records rows-only checks), with their
-determinism pinned by tests/test_multimodal.py instead.
+"""Multimodal queries (north-star surface). All three are oracle-checked:
+the deterministic fake codec is md5-based, so even the mapInPandas stages
+(feature extraction, frame sampling) have exact DuckDB equivalents — the
+payload is the utf-8 text bytes (pure ASCII in the fixture), so byte math
+can be re-expressed over the string column. Array-typed outputs are
+serialized to CSV strings: the driver's canonicalizer sorts columns via
+pandas, which cannot hash raw list cells.
 """
 
 from __future__ import annotations
@@ -45,16 +47,67 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_features", oracle=None)
+_HEX = "0123456789abcdef"
+
+@query(
+    "media_features",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+           text, md5(text) AS h
+    FROM documents
+)
+SELECT media_id, kind,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       h                            AS content_hash,
+       list_sum(list_transform(regexp_split_to_array(text, ''), c -> ord(c)))
+           / length(text)           AS mean_byte,
+       array_to_string(list_transform(range(0, 8), i ->
+           CAST((strpos('{_HEX}', substr(h, 2*i + 1, 1)) - 1) * 16
+              + (strpos('{_HEX}', substr(h, 2*i + 2, 1)) - 1) AS VARCHAR)), ',')
+                                    AS feature_q
+FROM m
+""",
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction (deterministic fake
-    codec — see operators/multimodal.py). No SQL oracle: Python-side md5
-    feature math isn't SQL-expressible; determinism is pinned by unit tests."""
-    return extract_features(_media(spark, sf_dir).repartition(8, "media_id"))
+    codec — see operators/multimodal.py). The embedding-like float feature
+    is emitted as its quantized byte CSV (exactly round-trippable: features
+    are md5-digest bytes / 255), which the DuckDB oracle recomputes from
+    md5 hex — so the whole Python codec stage is value-checked, not just
+    row-counted."""
+    feats = extract_features(_media(spark, sf_dir).repartition(8, "media_id"))
+    return feats.select(
+        "media_id", "kind", "byte_len", "content_hash", "mean_byte",
+        F.array_join(
+            F.transform("feature", lambda x: F.round(x * 255).cast("int").cast("string")),
+            ",",
+        ).alias("feature_q"),
+    )
 
 
-@query("media_frame_sample", oracle=None)
+@query(
+    "media_frame_sample",
+    oracle="""
+WITH v AS (
+    SELECT doc_id AS media_id, text, length(text) AS n
+    FROM documents WHERE doc_id % 3 = 2
+), e AS (
+    SELECT media_id, text, n,
+           unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT), 4)) AS idx
+    FROM v
+)
+SELECT media_id,
+       CAST(idx AS INTEGER)                         AS frame_idx,
+       md5(substr(text, CAST(idx * 32 + 1 AS INTEGER), 32)) AS frame_hash,
+       CAST(least(32, n - idx * 32) AS INTEGER)     AS frame_len
+FROM e
+""",
+)
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling as a row-expanding mapInPandas (UDTF shape): every
-    4th 32-byte frame of each video payload."""
+    4th 32-byte frame of each video payload. Oracle: the fake codec's
+    frames are byte slices of the (ASCII) payload, so DuckDB reproduces
+    every frame hash with substr + md5 over an unnested stride range."""
     return sample_frames(_media(spark, sf_dir).repartition(8, "media_id"))

@@ -462,32 +462,43 @@ WITH g AS (
     FROM lineitem GROUP BY 1
 )
 SELECT l_returnflag,
-       qs                                            AS quantities,
+       array_to_string(list_transform(qs,
+           x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS quantities,
        CAST(len(qs) AS INTEGER)                      AS n_distinct,
        qs[1]                                         AS q_min,
        qs[len(qs)]                                   AS q_max,
        CAST(list_contains(qs, 25.0) AS BOOLEAN)      AS has_25,
-       qs[2:4]                                       AS second_to_fourth,
+       array_to_string(list_transform(qs[2:4],
+           x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS second_to_fourth,
        list_reduce(list_prepend(CAST(0 AS DOUBLE), qs), (a, b) -> a + b) AS q_sum
 FROM g
 """,
 )
 def q_array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-typed results through the full compare pipeline: sorted distinct
+    """Array-typed compute through the full compare pipeline: sorted distinct
     collect (order-insensitive by construction), positional access, slicing,
     membership, and an exact sequential fold — the array/HOF surface SURVEY
-    §2.3 notes the engine adds beyond the reference."""
+    §2.3 notes the engine adds beyond the reference. Array-typed columns are
+    emitted as DECIMAL-formatted CSV strings: the driver's canonicalizer
+    sorts result columns via pandas, which cannot hash raw list cells, and
+    fixed-scale decimal rendering is identical across both engines."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def csv(col: F.Column) -> F.Column:
+        return F.array_join(
+            F.transform(col, lambda x: x.cast("decimal(18,2)").cast("string")), ","
+        )
+
     qs = F.array_sort(F.collect_set("l_quantity"))
     g = li.groupBy("l_returnflag").agg(qs.alias("qs"))
     return g.select(
         "l_returnflag",
-        F.col("qs").alias("quantities"),
+        csv(F.col("qs")).alias("quantities"),
         F.size("qs").cast("int").alias("n_distinct"),
         F.element_at("qs", 1).alias("q_min"),
         F.element_at("qs", F.size("qs")).alias("q_max"),
         F.array_contains("qs", 25.0).alias("has_25"),
-        F.slice("qs", 2, 3).alias("second_to_fourth"),
+        csv(F.slice("qs", 2, 3)).alias("second_to_fourth"),
         F.aggregate("qs", F.lit(0.0), lambda a, b: a + b).alias("q_sum"),
     )
 

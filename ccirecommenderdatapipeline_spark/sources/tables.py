@@ -22,15 +22,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros (exactly
-        # what DuckDB's reader does), restoring TimestampType for callers.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (vectorized
+        # reader rejects it -> read nanos as long, truncate to micros) and as
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark infers
+        # TIMESTAMP_NTZ, which event-time ops — watermarks, window(),
+        # unix_micros — reject). Normalize both to TimestampType; the session
+        # zone is UTC here, so the NTZ->LTZ cast preserves the stored micros
+        # exactly, matching DuckDB's epoch_us over the same file.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F, types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

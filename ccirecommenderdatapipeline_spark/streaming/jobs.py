@@ -39,7 +39,9 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     from ..sources.tables import load_table
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(STAGE_ROOT, f"{tag}_events_{n_files}")
+    # v2: staged files written before the NTZ normalization in load_table
+    # carry a TIMESTAMP_NTZ ts that watermarks reject — never reuse them.
+    out = os.path.join(STAGE_ROOT, f"{tag}_events_v2_{n_files}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         load_table(spark, sf_dir, "events").repartition(n_files).write.mode(

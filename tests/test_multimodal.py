@@ -26,14 +26,16 @@ def test_features_deterministic_and_shaped(spark):
     feats = plans.QUERIES["media_features"](spark, SF_SMALL).toPandas()
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").toPandas()
     assert len(feats) == len(docs)
-    assert feats["feature"].map(len).eq(FEATURE_DIM).all()
+    # feature_q is the quantized byte CSV of the FEATURE_DIM-float embedding
+    assert feats["feature_q"].map(lambda s: len(s.split(","))).eq(FEATURE_DIM).all()
     by_id = docs.set_index("doc_id")["text"]
     sample = feats.sample(20, random_state=0)
     for _, r in sample.iterrows():
         raw = by_id[r["media_id"]].encode()
         assert r["byte_len"] == len(raw)
         assert r["content_hash"] == hashlib.md5(raw).hexdigest()
-        assert list(r["feature"]) == pytest.approx(fake_features(raw))
+        got_feature = [int(b) / 255.0 for b in r["feature_q"].split(",")]
+        assert got_feature == pytest.approx(fake_features(raw), abs=1 / 255)
         assert r["mean_byte"] == pytest.approx(sum(raw) / len(raw))
 
 
