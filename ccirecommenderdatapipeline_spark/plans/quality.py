@@ -1,0 +1,427 @@
+"""Corpus-quality operators over ``documents`` — the filtering/mixing stages
+a large-scale training-data pipeline runs between crawl and tokenization
+(north-star surface, beyond the reference's own operators; reference parity
+anchor: the sanitize/cast layer daily_function.py:1240-1330 is the closest
+analogue, applied here to text instead of order frames).
+
+All five queries are pure Catalyst (no UDFs): per-document rules are array
+HOFs over the token array, so the hot path is map-only — no shuffle until
+the (tiny) per-language / per-source rollups. At 100 TB: quality scoring
+and PII scrubbing are embarrassingly parallel scans; the mix/histogram
+rollups shuffle one small row per (lang|source) group.
+
+Cross-engine determinism notes:
+- every ratio is int/int -> true double division in both engines;
+- the corpus-mix denominator folds a SORTED list of sqrt weights
+  sequentially (sqrt is IEEE-exact, and the fold order is pinned), so the
+  double sum is bit-identical in Spark and DuckDB;
+- regexes use only character classes and bounded quantifiers — the
+  intersection of Java regex and RE2 semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.text import STOPWORDS, tokens, word_ngrams
+from ..sources.tables import load_table
+from .registry import query
+from .text import TOK_CTE
+
+MIX_BUDGET = 10_000   # documents drawn in the temperature-resampled mix
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- Gopher-style quality rules ---------------------------------------------
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in STOPWORDS.items()
+}
+_STOP_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {arr}" for lang, arr in _STOP_SQL.items()
+) + " ELSE CAST([] AS VARCHAR[]) END"
+
+
+@query(
+    "quality_gopher",
+    oracle=f"""
+WITH {TOK_CTE},
+m AS (
+    SELECT doc_id, lang, source, toks,
+           len(toks) AS n_words,
+           list_sum(list_transform(toks, t -> length(t))) / len(toks) AS mean_word_len,
+           len(list_distinct(toks)) / len(toks) AS distinct_ratio,
+           len(list_filter(toks, t -> list_contains({_STOP_CASE}, t))) / len(toks)
+               AS stop_ratio,
+           list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) / len(toks) AS max_token_frac
+    FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id, lang, source,
+       CAST(n_words AS BIGINT) AS n_words,
+       mean_word_len, distinct_ratio, stop_ratio, max_token_frac,
+       CAST(n_words >= 20 AND n_words <= 1000
+            AND mean_word_len >= 3 AND mean_word_len <= 8
+            AND distinct_ratio >= 0.4
+            AND max_token_frac <= 0.12 AS BOOLEAN) AS passes
+FROM m
+""",
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules, word-granular (the fixture has
+    no lines/digits, so the line-based rules degenerate): word-count bounds,
+    mean word length, distinct-token ratio, language-matched stopword ratio,
+    and single-token dominance. Everything is an array HOF over one
+    tokenization — map-only, no shuffle, no UDF."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    stop_arr = F.when(F.lit(False), F.array())
+    for lang, words in STOPWORDS.items():
+        stop_arr = stop_arr.when(
+            F.col("lang") == lang, F.array(*[F.lit(w) for w in words])
+        )
+    stop_arr = stop_arr.otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", "lang", "source", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    mean_word_len = (
+        F.aggregate(F.transform("toks", F.length), F.lit(0), lambda a, x: a + x) / n
+    )
+    distinct_ratio = F.size(F.array_distinct("toks")) / n
+    stop_ratio = (
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))) / n
+    )
+    max_token_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda t: F.size(F.filter("toks", lambda x: x == t)),
+            )
+        )
+        / n
+    )
+    m = base.select(
+        "doc_id", "lang", "source",
+        n.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        max_token_frac.alias("max_token_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= 20) & (F.col("n_words") <= 1000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 8)
+        & (F.col("distinct_ratio") >= 0.4)
+        & (F.col("max_token_frac") <= 0.12)
+    )
+    return m.withColumn("passes", passes)
+
+
+# --- Repetition ratios -------------------------------------------------------
+
+_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i+1]) ELSE CAST([] AS VARCHAR[]) END"
+)
+_TRIGRAMS = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+
+@query(
+    "repetition_ratios",
+    oracle=f"""
+WITH {TOK_CTE},
+g AS (
+    SELECT doc_id, {_BIGRAMS} AS b2, {_TRIGRAMS} AS b3
+    FROM tok WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       CAST(len(b2) AS BIGINT) AS n_bigrams,
+       1.0 - len(list_distinct(b2)) / len(b2) AS dup_bigram_frac,
+       list_max(list_transform(list_distinct(b2),
+           g -> len(list_filter(b2, x -> x = g)))) / len(b2) AS top_bigram_frac,
+       1.0 - len(list_distinct(b3)) / len(b3) AS dup_trigram_frac,
+       CAST(list_max(list_transform(list_distinct(b2),
+                g -> len(list_filter(b2, x -> x = g)))) / len(b2) > 0.1
+            OR 1.0 - len(list_distinct(b3)) / len(b3) > 0.5 AS BOOLEAN)
+           AS repetitive
+FROM g
+""",
+)
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality signals (the MassiveText/Gopher repetition
+    filters): duplicate-bigram fraction, most-common-bigram dominance, and
+    duplicate-trigram fraction, with a composite `repetitive` flag. All
+    per-document HOFs — map-only."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            word_ngrams(F.col("toks"), 2).alias("b2"),
+            word_ngrams(F.col("toks"), 3).alias("b3"),
+        )
+    )
+    n2 = F.size("b2")
+    n3 = F.size("b3")
+    top_bigram_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("b2"),
+                lambda g: F.size(F.filter("b2", lambda x: x == g)),
+            )
+        )
+        / n2
+    )
+    dup2 = F.lit(1.0) - F.size(F.array_distinct("b2")) / n2
+    dup3 = F.lit(1.0) - F.size(F.array_distinct("b3")) / n3
+    return base.select(
+        "doc_id",
+        n2.cast("long").alias("n_bigrams"),
+        dup2.alias("dup_bigram_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup3.alias("dup_trigram_frac"),
+        ((top_bigram_frac > 0.1) | (dup3 > 0.5)).alias("repetitive"),
+    )
+
+
+# --- Token-count distribution ------------------------------------------------
+
+@query(
+    "token_histogram",
+    oracle=f"""
+WITH {TOK_CTE},
+c AS (SELECT lang, len(toks) AS n_tokens FROM tok)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)        AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT)   AS total_tokens,
+       CAST(MIN(n_tokens) AS BIGINT)   AS min_tokens,
+       quantile_cont(n_tokens, 0.25)   AS p25,
+       quantile_cont(n_tokens, 0.50)   AS p50,
+       quantile_cont(n_tokens, 0.75)   AS p75,
+       CAST(MAX(n_tokens) AS BIGINT)   AS max_tokens
+FROM c GROUP BY lang
+""",
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (the budget-planning rollup a
+    tokenizer pipeline runs before scheduling): exact interpolated quartiles
+    over integer token counts — Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition, and the
+    interpolation arithmetic on integer inputs is FP-identical."""
+    d = _docs(spark, sf_dir)
+    c = d.select("lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return c.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.percentile("n_tokens", 0.25).alias("p25"),
+        F.percentile("n_tokens", 0.50).alias("p50"),
+        F.percentile("n_tokens", 0.75).alias("p75"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+# --- Temperature-resampled corpus mix ---------------------------------------
+
+@query(
+    "corpus_mix",
+    oracle=f"""
+WITH c AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), d AS (
+    SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list_sort(list(sqrt(CAST(n_docs AS DOUBLE))))),
+               (a, b) -> a + b) AS denom
+    FROM c
+)
+SELECT source,
+       CAST(n_docs AS BIGINT)                    AS n_docs,
+       sqrt(CAST(n_docs AS DOUBLE))              AS weight,
+       sqrt(CAST(n_docs AS DOUBLE)) / denom      AS prob,
+       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / denom * {MIX_BUDGET}) AS BIGINT)
+                                                 AS target_docs
+FROM c, d
+""",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5, i.e. sqrt weighting —
+    the up/down-sampling step that balances a multi-source training mix):
+    per-source draw probabilities and integer document targets at a fixed
+    budget. sqrt is IEEE-correctly-rounded in both engines, and the
+    denominator folds the SORTED weight list sequentially, so every double
+    here is bit-identical to the oracle's. The denominator is a broadcast
+    one-row aggregate (no driver-side action)."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    denom = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n_docs").cast("double")))),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("denom")
+    )
+    return counts.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        w.alias("weight"),
+        (w / F.col("denom")).alias("prob"),
+        F.floor(w / F.col("denom") * MIX_BUDGET).cast("long").alias("target_docs"),
+    )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z.]+[a-z]"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+_ID_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+    SELECT doc_id,
+           text || CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com today'
+               WHEN 1 THEN ' call 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || '-' || lpad(CAST(doc_id % 7919 AS VARCHAR), 4, '0') || ' now'
+               WHEN 2 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' on file'
+               ELSE ''
+           END AS text2
+    FROM documents
+), scrubbed AS (
+    SELECT doc_id, text2,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_ID_RE}', '<ID>', 'g') AS clean
+    FROM seeded
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text2, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(text2, '{_ID_RE}')) AS INTEGER)    AS n_ids,
+       md5(clean) AS clean_hash,
+       CAST(contains(clean, '<') AS BOOLEAN) AS redacted
+FROM scrubbed
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrubbing pass every corpus pipeline runs before
+    training. The fixture text carries no PII, so deterministic synthetic
+    PII (email / phone / SSN-shaped, keyed off doc_id) is appended first,
+    then scrubbed with sequential regexp_replace and counted with
+    regexp_extract_all. Regexes stay inside the Java-regex/RE2 common
+    subset. Emitted as (counts, md5 of scrubbed text) so the full redacted
+    string is value-checked without megabyte result rows."""
+    d = _docs(spark, sf_dir)
+    doc_s = F.col("doc_id").cast("string")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" contact user"), doc_s, F.lit("@mail.example.com today")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit(" call 010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit("-"),
+                    F.lpad((F.col("doc_id") % 7919).cast("string"), 4, "0"),
+                    F.lit(" now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" on file"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text2"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text2"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>",
+        ),
+        _ID_RE, "<ID>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text2", F.lit(_EMAIL_RE), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all("text2", F.lit(_PHONE_RE), 0)).cast("int").alias("n_phones"),
+        F.size(F.regexp_extract_all("text2", F.lit(_ID_RE), 0)).cast("int").alias("n_ids"),
+        F.md5(clean).alias("clean_hash"),
+        clean.contains("<").alias("redacted"),
+    )
+
+# --- End-to-end filtered corpus ---------------------------------------------
+
+@query(
+    "quality_filtered_corpus",
+    oracle=f"""
+WITH {TOK_CTE},
+m AS (
+    SELECT doc_id, lang, source, toks,
+           len(toks) AS n_words,
+           list_sum(list_transform(toks, t -> length(t))) / len(toks) AS mean_word_len,
+           len(list_distinct(toks)) / len(toks) AS distinct_ratio,
+           list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) / len(toks) AS max_token_frac,
+           {_BIGRAMS} AS b2, {_TRIGRAMS} AS b3
+    FROM tok WHERE len(toks) >= 3
+), flags AS (
+    SELECT doc_id, lang, source, n_words,
+           (n_words >= 20 AND n_words <= 1000
+            AND mean_word_len >= 3 AND mean_word_len <= 8
+            AND distinct_ratio >= 0.4
+            AND max_token_frac <= 0.12) AS passes,
+           (list_max(list_transform(list_distinct(b2),
+                g -> len(list_filter(b2, x -> x = g)))) / len(b2) > 0.1
+            OR 1.0 - len(list_distinct(b3)) / len(b3) > 0.5) AS repetitive
+    FROM m
+), canon AS (
+    SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+)
+SELECT doc_id, lang, source, CAST(n_words AS BIGINT) AS n_words
+FROM flags
+WHERE passes AND NOT repetitive
+  AND doc_id IN (SELECT keep_id FROM canon)
+""",
+)
+def q_quality_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus filter a training pipeline actually runs:
+    quality rules AND repetition gate AND exact-dedup canonical survivor.
+    Composes the quality_gopher / repetition_ratios plans (shared
+    tokenization subtree — Catalyst dedups the scan) with a keep-min-doc_id
+    semi join on the md5 canonical set. At 100 TB: two map-side rule
+    passes, one hash-groupBy for canonicals, one semi-join shuffle."""
+    gates = q_quality_gopher(spark, sf_dir).select("doc_id", "lang", "source", "n_words", "passes")
+    rep = q_repetition_ratios(spark, sf_dir).select("doc_id", "repetitive")
+    d = _docs(spark, sf_dir)
+    canon = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    return (
+        gates.join(rep, "doc_id")
+        .filter(F.col("passes") & ~F.col("repetitive"))
+        .join(canon.select(F.col("keep_id").alias("doc_id")), "doc_id", "semi")
+        .select("doc_id", "lang", "source", "n_words")
+    )
