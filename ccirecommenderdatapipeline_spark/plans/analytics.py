@@ -1,0 +1,216 @@
+"""Analytic-SQL breadth: multi-set grouping, reshaping (unpivot/explode),
+semi-structured (JSON/map) columns, and calendar densification — the
+engine-extension surface SURVEY §2.5/§2.3 notes beyond the reference's own
+operators (its pandas layer reshapes imperatively; daily_function.py:1240-
+1330 is the closest analogue).
+
+Scale notes: grouping sets expand to G× the input of ONE hash aggregate
+(map-side combinable, no extra scans); unpivot/posexplode are map-only row
+generators (no shuffle); gap-fill produces the dense calendar per symbol
+inside the symbol partition, so the only shuffle is the per-symbol one the
+forward-fill window needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from ..operators.text import tokens
+from ..sources.prices import PRICES_ORACLE_CTE, prices_view
+from ..sources.tables import load_table
+from .registry import query
+
+# Exact multi-row sum of 2-decimal money (see sources/prices.py contract).
+_MONEY_SUM = "CAST(SUM(CAST(ROUND({c}, 2) AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def _money_sum(col: str) -> F.Column:
+    return F.sum(F.round(F.col(col), 2).cast("decimal(18,2)")).cast("double")
+
+
+@query(
+    "grouping_sets_agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_MONEY_SUM.format(c="o_totalprice")} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
+                        (o_orderpriority), ())
+""",
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup_counts/
+    cube_counts) with grouping_id disambiguating real NULL groups from
+    subtotal rows. One hash aggregate, 4 grouping sets, map-side
+    combinable — not 4 scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+             ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            _money_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM li
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM li
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
+""",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via native unpivot (melt): one row per
+    (line, measure). Map-only row generation — Spark's Expand node, no
+    shuffle, no UDF; the oracle states the same thing as UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "map_json_ops",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT)     AS k_val,
+       CAST(len(json_keys(props)) AS INTEGER)          AS n_keys,
+       array_to_string(json_keys(props), ',')          AS keys_csv,
+       CAST(json_extract(props, '$.k') AS BIGINT) * 2  AS k_doubled,
+       'k=' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+                                                       AS k_tagged
+FROM events
+""",
+)
+def q_map_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: JSON props parsed to a typed
+    MapType (from_json), then map_keys/element_at/size plus a str_to_map
+    round-trip — all Catalyst JSON/map expressions, no UDF. The map stays
+    internal; emitted columns are scalars so the compare pipeline hashes
+    them directly."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    parsed = ev.select("event_id", m.alias("m"))
+    # str_to_map round trip: render k=v pairs, reparse, read back
+    rendered = F.concat_ws(
+        ",",
+        F.transform(
+            F.map_entries("m"),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+        ),
+    )
+    return parsed.select(
+        "event_id",
+        F.element_at("m", "k").alias("k_val"),
+        F.size(F.map_keys("m")).cast("int").alias("n_keys"),
+        F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
+        (F.element_at(F.str_to_map(rendered, F.lit(","), F.lit("=")), "k").cast("long") * 2).alias("k_doubled"),
+        F.concat(F.lit("k="), F.element_at("m", "k").cast("string")).alias("k_tagged"),
+    )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z]+',
+               ' ', 'g'), ' '), t -> t <> '') AS toks
+    FROM documents WHERE doc_id % 5 = 0
+), e AS (
+    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM tok
+)
+SELECT doc_id,
+       CAST(p - 1 AS INTEGER)        AS pos,
+       toks[p]                        AS token,
+       CAST(length(toks[p]) AS INTEGER) AS token_len
+FROM e
+""",
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-preserving explode (LATERAL VIEW posexplode): token stream
+    with positions — the tokenizer-output shape (doc_id, pos, token) that
+    downstream sequence packing consumes. Map-only row generation."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return (
+        d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            "token",
+            F.length("token").cast("int").alias("token_len"),
+        )
+    )
+
+
+@query(
+    "gap_fill_daily",
+    oracle="WITH " + PRICES_ORACLE_CTE + """
+, px AS (SELECT * FROM prices WHERE CAST(symbol AS BIGINT) % 20 = 0)
+, bounds AS (SELECT symbol, min(date) AS lo, max(date) AS hi FROM px GROUP BY 1)
+, cal AS (
+    SELECT symbol, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+)
+SELECT cal.symbol, cal.d,
+       CAST(t.date IS NOT NULL AS BOOLEAN) AS is_trading,
+       a.close_pr                           AS close_ff,
+       CAST(cal.d - a.date AS INTEGER)      AS stale_days
+FROM cal
+LEFT JOIN px t ON t.symbol = cal.symbol AND t.date = cal.d
+ASOF LEFT JOIN px a ON a.symbol = cal.symbol AND cal.d >= a.date
+""",
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill (gap fill): every symbol gets
+    one row per calendar day between its first and last trade, carrying the
+    last known close and its staleness. The dense calendar is generated
+    per-symbol with sequence()+explode INSIDE the symbol partition, and the
+    forward fill is last(ignoreNulls) over the same per-symbol ordering —
+    so the whole query is one shuffle on symbol (the oracle states the fill
+    as an ASOF join, Spark as the equivalent running window)."""
+    px = prices_view(spark, sf_dir).filter(
+        F.col("symbol").cast("long") % 20 == 0
+    ).select("symbol", "date", "close_pr")
+    cal = (
+        px.groupBy("symbol")
+        .agg(F.min("date").alias("lo"), F.max("date").alias("hi"))
+        .select(
+            "symbol",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"),
+        )
+    )
+    joined = cal.join(
+        px.select("symbol", F.col("date").alias("d"), "close_pr"),
+        ["symbol", "d"],
+        "left",
+    )
+    w = Window.partitionBy("symbol").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    trade_d = F.when(F.col("close_pr").isNotNull(), F.col("d"))
+    return joined.select(
+        "symbol", "d",
+        F.col("close_pr").isNotNull().alias("is_trading"),
+        F.last("close_pr", ignorenulls=True).over(w).alias("close_ff"),
+        F.datediff(F.col("d"), F.last(trade_d, ignorenulls=True).over(w))
+        .cast("int")
+        .alias("stale_days"),
+    )
