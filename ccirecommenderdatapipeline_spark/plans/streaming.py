@@ -192,3 +192,64 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events", "sum_value",
         )
     )
+
+
+# --- stream-stream join + watermark dedup ------------------------------------
+
+from ..streaming.jobs import (  # noqa: E402
+    ATTRIB_GAP_HOURS,
+    attribution_join_plan,
+    stream_dedup_watermark,
+    stream_stream_attribution,
+)
+
+ATTRIB_ORACLE = f"""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {ATTRIB_GAP_HOURS} HOUR
+"""
+
+
+@query("interval_join_attribution", oracle=ATTRIB_ORACLE)
+def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the event-time interval join: purchases attributed to
+    the same user's clicks in the preceding {gap} hours. Same plan code as
+    the stream-stream form (attribution_join_plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join_plan(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+@query("stream_stream_join", oracle=ATTRIB_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream inner join (two watermarked streams, user key +
+    event-time range condition) — the join-state expiry pattern that runs
+    unbounded at scale. availableNow = one micro-batch, so the streamed
+    result equals the batch interval join and its oracle exactly."""
+    return stream_stream_attribution(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT DISTINCT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       round(value, 6) AS value
+FROM events
+""",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over an at-least-once (doubled)
+    delivery stream: dedup state bounded by the watermark horizon instead
+    of full history. Every row is delivered twice in the staged source;
+    the oracle is plain DISTINCT over the original table."""
+    return stream_dedup_watermark(spark, sf_dir)

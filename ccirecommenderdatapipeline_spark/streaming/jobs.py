@@ -311,3 +311,87 @@ def stateful_cci_stream(spark: SparkSession, staged_dir: str, checkpoint: str):
     )
     q.awaitTermination()
     return collected
+
+
+def stage_events_dup_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events with every row delivered TWICE (the at-least-once
+    re-delivery shape brokers produce) for watermark-dedup streaming."""
+    from ..sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(STAGE_ROOT, f"{tag}_events_dup_v2")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        ev.unionByName(ev).repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a doubled-delivery stream: state
+    keyed by event_id is retained only within the event-time watermark, so
+    at 100 TB/day the dedup state is bounded by the lateness horizon
+    instead of growing with the full history (the unbounded-state flaw of
+    plain dropDuplicates on streams)."""
+    staged = stage_events_dup_dir(spark, sf_dir)
+    sdf = (
+        events_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+    return run_to_memory(sdf, "append")
+
+
+ATTRIB_GAP_HOURS = 6
+
+
+def attribution_join_plan(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Interval (event-time range) join: each purchase matched to the same
+    user's clicks in the preceding ATTRIB_GAP_HOURS. Identical plan code
+    for the batch and stream-stream forms."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"interval {ATTRIB_GAP_HOURS} hours")),
+        )
+        .select(
+            "purchase_id", "click_id",
+            F.col("p_user").alias("user_id"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.unix_micros("c_ts").alias("click_us"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        )
+    )
+
+
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream inner join: purchases and clicks read as two
+    watermarked streams, joined on user + event-time range. The watermark +
+    range condition is what lets Spark expire join state (clicks older than
+    the gap are dropped from state) — the property that makes this run
+    forever at 100 TB/day. availableNow processes all staged files in one
+    micro-batch, so the result equals the batch interval join exactly."""
+    staged = stage_events_dir(spark, sf_dir)
+    base = events_stream(spark, staged)
+    purchases = base.filter(F.col("event_type") == "purchase").withWatermark("ts", "1 hour")
+    clicks = events_stream(spark, staged).filter(
+        F.col("event_type") == "click"
+    ).withWatermark("ts", f"{ATTRIB_GAP_HOURS + 1} hours")
+    return run_to_memory(attribution_join_plan(purchases, clicks), "append")
