@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "knn_brute_force",
     "session_windows",
+    "quality_filtered_corpus",   # quality gates + dedup composition (r3)
+    "interval_join_attribution", # event-time interval join (r3)
+    "gap_fill_daily",            # calendar densification + forward fill (r3)
 ]
 
 
