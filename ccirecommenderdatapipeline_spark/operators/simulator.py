@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .literals import literal_table
 from ..schemas import (
     GRID_BUY_THRESHOLD,
     GRID_HOLDING_DAYS,
@@ -78,7 +79,8 @@ def with_search_years(cci: DataFrame, years: list) -> DataFrame:
     (symbol, search_years) window sort. add_months clamps Feb-29 the same
     way pd.DateOffset(years=...) and DuckDB month intervals do."""
     spark = cci.sparkSession
-    yrs = spark.createDataFrame(
+    yrs = literal_table(
+        spark,
         [(str(y), None if y == "all" else int(y)) for y in years],
         "search_years STRING, __n_years INT",
     )
@@ -95,14 +97,38 @@ def with_search_years(cci: DataFrame, years: list) -> DataFrame:
 
 
 def simulate_trades(
-    cci: DataFrame, grid: dict | None = None, extra_keys: tuple[str, ...] = ()
+    cci: DataFrame,
+    grid: dict | None = None,
+    extra_keys: tuple[str, ...] = (),
+    years: list | None = None,
 ) -> DataFrame:
     """cci (symbol, date, open_pr, close_pr, open_cci, close_cci, ...) ->
     one row per (buy event x grid combo), TRADE_SCHEMA-shaped. ``extra_keys``
     (e.g. search_years) join symbol as partition keys for every window and
-    are carried through to the output."""
+    are carried through to the output.
+
+    ``years`` (the reference's search-history depths, daily_function.py:
+    670-682) activates the single-pass depth plan: instead of replaying the
+    window pipeline once per depth over ``with_search_years``-expanded rows
+    (the round-2 shape — k x the collect_list pass for k depths), the
+    simulator runs ONCE on the full history and derives each depth by
+    filtering the sparse buy rows against a broadcast per-(symbol, depth)
+    boundary table. Equivalence to the replay (pinned by
+    tests/test_search_years.py::test_fast_depth_plan_matches_replay):
+    - the depth slice keeps rows ``date >= max(date) - y years``; a sliced
+      lag restarts, so the slice's FIRST row has prev_cci = NULL and can
+      never be a buy -> drop full-history buys at ``buy_date <= first
+      slice date``; every later slice row sees the same prev row as the
+      full history, so its crossover flag is unchanged, and NULL < thr is
+      false-ish in both engines so the slice can't ADD buys;
+    - the forward window only looks toward max(date), entirely inside the
+      slice, so t_idx/s_idx/maturity rows are identical.
+    At 100 TB this turns the depth dimension from a k-x multiplier on the
+    heavy symbol-shuffle into a broadcast-joined filter over buy events."""
     grid = grid or DEFAULT_GRID
     x_max = max(grid["holding_days"])
+    if years is not None:
+        assert "search_years" not in extra_keys
     part_cols = ["symbol", *extra_keys]
     w = Window.partitionBy(*part_cols).orderBy("date")
     fw = w.rowsBetween(1, x_max)
@@ -174,9 +200,43 @@ def simulate_trades(
         "m_prices": F.array(*[row_at(F.least(F.lit(x), F.col("flen")))["close_pr"] for x in x_grid]),
     }).drop("future")
 
+    if years is not None:
+        # Per-(symbol, depth) slice boundary: first date inside the slice.
+        # |symbols| x |depths| rows — broadcast. Buys are kept for a depth
+        # when they fall strictly after its boundary ("all" keeps every buy:
+        # the full-history lag already nulled the true first row).
+        spark = cci.sparkSession
+        yrs = literal_table(
+            spark,
+            [(str(y), None if y == "all" else int(y)) for y in years],
+            "search_years STRING, __n_years INT",
+        )
+        maxd = cci.groupBy("symbol").agg(F.max("date").alias("__max_d"))
+        bounds = (
+            cci.select("symbol", "date")
+            .join(F.broadcast(maxd), "symbol")
+            .crossJoin(F.broadcast(yrs))
+            .groupBy("symbol", "search_years")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("__n_years").isNotNull()
+                        & (F.col("date") >= F.add_months("__max_d", -12 * F.col("__n_years"))),
+                        F.col("date"),
+                    )
+                ).alias("__first_d"),
+                F.first(F.col("__n_years").isNull()).alias("__is_all"),
+            )
+        )
+        buys = buys.join(F.broadcast(bounds), "symbol").filter(
+            F.col("__is_all") | (F.col("buy_date") > F.col("__first_d"))
+        ).drop("__first_d", "__is_all")
+        part_cols = ["symbol", "search_years", *extra_keys]
+
     # Broadcast grid expansion: (holding, return, stop) with the positions of
     # holding/return/stop inside the precomputed per-buy-row arrays.
-    combos = buys.sparkSession.createDataFrame(
+    combos = literal_table(
+        buys.sparkSession,
         [
             (x, xi + 1, r, ri + 1, float(s), si + 1)
             for xi, x in enumerate(x_grid)

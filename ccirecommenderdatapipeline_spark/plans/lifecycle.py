@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.literals import literal_table
 from ..operators.simulator import best_by, simulate_trades
 from ..operators.windows import latest_rows
 from ..schemas import FEE_RATE, TAX_RATE
@@ -358,7 +359,8 @@ def q_trading_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     per month. Spark dayofweek is 1=Sun..7=Sat (DuckDB 0=Sun..6=Sat)."""
     o = load_table(spark, sf_dir, "orders")
     cal = o.select(F.to_date("o_orderdate").alias("d")).distinct()
-    holidays = o.sparkSession.createDataFrame(
+    holidays = literal_table(
+        o.sparkSession,
         [(d,) for d in ["1995-01-01", "1996-01-01", "1997-01-01", "1998-01-01",
                         "1995-12-25", "1996-12-25", "1997-12-25"]],
         "hd STRING",

@@ -20,7 +20,6 @@ from ..operators.simulator import (
     aggregate_strategies,
     best_by,
     simulate_trades,
-    with_search_years,
 )
 from .cci import CCI_ORACLE_BODY, cci_view
 from .registry import query
@@ -253,10 +252,16 @@ def q_strategy_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agged_years_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The search-years-keyed sim->aggregate subtree shared by the three
     best_* queries (persisted lazily, same plan-matched caching rationale as
-    ``agged_view``). Output grain: (symbol, search_years, grid combo)."""
-    cci_y = with_search_years(cci_view(spark, sf_dir), BEST_YEARS)
+    ``agged_view``). Output grain: (symbol, search_years, grid combo).
+
+    Uses the single-pass depth plan (``simulate_trades(years=...)``): one
+    window pass over the full history, depths derived by a broadcast
+    boundary filter on buy rows — not one replay of the heavy collect_list
+    pipeline per depth (see operators/simulator.py for the equivalence
+    argument; the DuckDB oracle keeps the per-depth replay form, so the
+    driver gate re-proves it on every run)."""
     return aggregate_strategies(
-        simulate_trades(cci_y, AGG_GRID, extra_keys=("search_years",)),
+        simulate_trades(cci_view(spark, sf_dir), AGG_GRID, years=BEST_YEARS),
         extra_keys=("search_years",),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 

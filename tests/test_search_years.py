@@ -90,3 +90,16 @@ def test_slice_first_row_has_no_signal(spark, cci):
         with_search_years(cci, ["1"]).groupBy("symbol").agg(F.min("date").alias("start_d"))
     )
     assert b1.join(starts, "symbol").filter(F.col("buy_date") <= F.col("start_d")).count() == 0
+
+
+def test_fast_depth_plan_matches_replay(spark, cci):
+    # The single-pass depth plan (simulate once on full history, derive each
+    # depth by the broadcast boundary filter on buy rows) must produce the
+    # exact trade multiset of the per-depth replay over with_search_years.
+    years = ["1", "2", "all"]
+    fast = simulate_trades(cci, GRID, years=years)
+    replay = simulate_trades(
+        with_search_years(cci, years), GRID, extra_keys=("search_years",)
+    ).select(*fast.columns)
+    assert fast.exceptAll(replay).count() == 0
+    assert replay.exceptAll(fast).count() == 0
