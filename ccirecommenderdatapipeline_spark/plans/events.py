@@ -1,0 +1,272 @@
+"""Event-analytics battery over ``events`` — funnels, cohorts,
+multi-resolution rollups, SCD2 histories, per-key heavy hitters (north-star
+surface: the product-analytics shapes a clickstream warehouse runs; the
+reference's closest analogue is the signal-count rollup layer,
+daily_function.py:1103-1150).
+
+Scale notes:
+- every query shuffles on ``user_id`` (or an hour/day bucket) exactly once;
+  follow-up windows/aggregations reuse the same partitioning, so Catalyst
+  inserts no second Exchange;
+- the funnel's sequential stage dependency is expressed as three
+  aggregate+join passes over the SAME user_id partitioning (co-partitioned
+  shuffle joins, no broadcast needed at any scale);
+- the two-level rollup keeps hour-grain sums as DECIMAL(18,6) so the
+  day-grain re-aggregation is exact regardless of combine order — the
+  invariant that makes rollups incrementally maintainable at 100 TB;
+- heavy-hitter top-3 ranks prune map-side via WindowGroupLimit before the
+  rank shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# Exact multi-row sum of event values (6-decimal fixture data).
+_SUM_DEC = "SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)))"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _sum_dec(col: str = "value") -> F.Column:
+    return F.sum(F.round(F.col(col), 6).cast("decimal(18,6)"))
+
+
+@query(
+    "funnel_analysis",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+    FROM events GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS c_ts
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.v_ts
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       epoch_us(v.v_ts) AS view_us,
+       epoch_us(c.c_ts) AS click_us,
+       epoch_us(p.p_ts) AS purchase_us,
+       CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                 WHEN c.c_ts IS NOT NULL THEN 2
+                 WHEN v.v_ts IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS stage
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+""",
+)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel per user: each stage is the
+    first qualifying event strictly after the previous stage's timestamp.
+    Three aggregate passes, all partitioned by user_id — the sequential
+    dependency is inherent to funnel semantics; the joins are
+    co-partitioned, so the plan holds one logical shuffle key end-to-end."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("v_ts").alias("view_us"),
+            F.unix_micros("c_ts").alias("click_us"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .when(F.col("v_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+    FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.activity_week) // 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = ISO week of a user's first
+    event; each (cohort, offset) cell counts users active that many weeks
+    later. distinct-(user, week) activity collapses map-side before the
+    cohort join; both joins and aggregations ride the user_id shuffle."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "rollup_multires",
+    oracle=f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h,
+           COUNT(*) AS n,
+           {_SUM_DEC} AS sv
+    FROM events GROUP BY 1
+)
+SELECT CAST(date_trunc('day', h) AS DATE) AS day,
+       CAST(SUM(n) AS BIGINT)             AS n_events,
+       CAST(SUM(sv) AS DOUBLE)            AS sum_value,
+       CAST(COUNT(*) AS BIGINT)           AS n_hours_active,
+       CAST(MAX(n) AS BIGINT)             AS peak_hour_events
+FROM hourly GROUP BY 1
+""",
+)
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the day grain re-aggregates
+    the HOUR grain, not the raw events — the incremental-maintenance shape
+    (a streaming hourly rollup keeps the daily one consistent for free).
+    Hour sums stay DECIMAL until the day grain, so re-aggregation is exact
+    under any combine order; count/max decompose trivially."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("n"), _sum_dec().alias("sv")
+    )
+    return hourly.groupBy(F.to_date(F.date_trunc("day", F.col("h"))).alias("day")).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("sum_value"),
+        F.count("*").alias("n_hours_active"),
+        F.max("n").alias("peak_hour_events"),
+    )
+
+
+@query(
+    "scd2_dimension",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+    SELECT user_id, event_type AS state, ts, event_id
+    FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, state,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+       epoch_us(ts)                         AS valid_from_us,
+       epoch_us(LEAD(ts) OVER w)            AS valid_to_us,
+       (LEAD(ts) OVER w IS NULL)            AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each user's event_type stream into
+    state-change rows with [valid_from, valid_to) intervals and a current
+    flag — the MERGE-free way to maintain a slowly-changing dimension from
+    an append-only event log. Both window passes share the user_id shuffle
+    (the change filter preserves sort order, so no re-Exchange)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "heavy_hitters",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+), totals AS (
+    SELECT user_id, SUM(n) AS total FROM counts GROUP BY user_id
+), ranked AS (
+    SELECT c.user_id, c.event_type, c.n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.user_id
+                ORDER BY c.n DESC, c.event_type) AS INTEGER) AS rnk,
+           ROUND(c.n / t.total, 6) AS share
+    FROM counts c JOIN totals t ON t.user_id = c.user_id
+)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n, rnk, share
+FROM ranked WHERE rnk <= 3
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per user with frequency share, deterministically
+    tie-broken. The pre-aggregation bounds rank input to |users| x |types|;
+    WindowGroupLimit prunes each partition to 3 rows before the final
+    filter."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("total", F.sum("n").over(wt))
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "user_id",
+            "event_type",
+            "n",
+            "rnk",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+    )
