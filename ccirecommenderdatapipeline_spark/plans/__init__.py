@@ -23,6 +23,7 @@ from . import sampling  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import events  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
 # the FIRST 50 registered queries only (round 1 covered exactly the first

@@ -1,0 +1,355 @@
+"""Corpus-preparation operators over ``documents`` — the stages between a
+cleaned crawl and a tokenized training set: chunking, sequence packing,
+benchmark-contamination checks, and lexical relevance scoring (TF-IDF /
+BM25) (north-star surface; closest reference analogue: the sanitize/slice
+layer daily_function.py:1240-1330 applied to text).
+
+Scale notes:
+- chunking is a pure map (sequence + posexplode) — no shuffle, chunk
+  boundaries derived arithmetically per row;
+- packing's only shuffle is the per-source window cumsum; bin ids follow
+  arithmetically from the running token offset (the concatenate-and-cut
+  packing used for LLM pretraining batches);
+- contamination joins the corpus's shingles against the (small) benchmark
+  shingle set — a broadcast-ranged semi join at scale, never all-pairs;
+- TF-IDF/BM25 build the inverted (term, doc) index once, aggregate
+  map-side, and rank with WindowGroupLimit-pruned top-k windows.
+
+Cross-engine determinism: log-free rational idf (the ln(x) libm call is not
+guaranteed correctly-rounded, so Spark/JVM and DuckDB could disagree in the
+last ulp); every per-term score is rounded to fixed scale and summed as
+DECIMAL so combine order cannot flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.text import tokens, word_ngrams
+from ..sources.tables import load_table
+from .registry import query
+from .text import TOK_CTE
+
+CHUNK_LEN = 128
+CHUNK_STRIDE = 96
+PACK_BUDGET = 512          # tokens per packed sequence
+CONTAM_N = 3               # shingle width for the contamination check
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ["spark", "window", "hash"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST((u.s - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(u.s AS BIGINT)                          AS chunk_start,
+       substr(d.text, CAST(u.s AS INTEGER), {CHUNK_LEN}) AS chunk_text,
+       CAST(length(substr(d.text, CAST(u.s AS INTEGER), {CHUNK_LEN})) AS INTEGER)
+           AS chunk_len
+FROM documents d, UNNEST(generate_series(1, d.n_chars, {CHUNK_STRIDE})) AS u(s)
+""",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width character chunks ({CHUNK_LEN} chars, stride
+    {CHUNK_STRIDE}): the context-window slicing stage before embedding or
+    tokenization. Pure map-side — chunk starts come from sequence() on the
+    stored length, no shuffle, and the blob column is sliced (not copied per
+    chunk) inside codegen."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_chars"), F.lit(CHUNK_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (((F.col("s") - 1) / CHUNK_STRIDE).cast("int")).alias("chunk_id"),
+            F.col("s").alias("chunk_start"),
+            F.expr(f"substring(text, CAST(s AS INT), {CHUNK_LEN})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("int"))
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+WITH {TOK_CTE},
+sized AS (
+    SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM tok
+), packed AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+    FROM sized
+)
+SELECT doc_id, source, n_tokens, start_tok,
+       CAST(start_tok // {PACK_BUDGET} AS BIGINT)                  AS first_bin,
+       CAST((start_tok + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS last_bin,
+       (start_tok // {PACK_BUDGET} <> (start_tok + n_tokens - 1) // {PACK_BUDGET})
+           AS spans_boundary
+FROM packed
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut sequence packing: per source, documents are laid
+    end-to-end in doc_id order into one token stream cut every
+    {PACK_BUDGET} tokens — the standard LLM pretraining batch-packing
+    discipline. Each doc's bin span falls out arithmetically from the
+    running token offset (one window cumsum per source partition, no
+    iteration); ``spans_boundary`` marks docs a loader would split across
+    two sequences."""
+    d = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = sized.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    first_bin = F.floor(F.col("start_tok") / PACK_BUDGET)
+    last_bin = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_BUDGET)
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_tok",
+        first_bin.cast("long").alias("first_bin"),
+        last_bin.cast("long").alias("last_bin"),
+        (first_bin != last_bin).alias("spans_boundary"),
+    )
+
+
+def _gram_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len(toks) >= {n} "
+        f"THEN list_transform(range(1, len(toks) - {n - 2}), i -> {parts}) "
+        "ELSE CAST([] AS VARCHAR[]) END)"
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+WITH {TOK_CTE},
+grams AS (
+    SELECT doc_id, unnest({_gram_sql(CONTAM_N)}) AS g FROM tok
+), bench AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0
+), hits AS (
+    SELECT gr.doc_id, gr.g
+    FROM grams gr JOIN bench b ON b.g = gr.g
+    WHERE gr.doc_id % 100 <> 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+       MIN(g)                   AS first_shared_gram
+FROM hits GROUP BY doc_id
+""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training documents sharing any
+    {CONTAM_N}-gram with the held-out benchmark slice (doc_id % 100 == 0 —
+    the stand-in for an eval-set manifest). The benchmark shingle set is
+    orders of magnitude smaller than the corpus, so the membership join
+    broadcasts at scale; corpus shingles stream map-side into it — never an
+    all-pairs comparison. Per-doc shingle sets are deduped before the join,
+    so counts are distinct-gram counts by construction."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(tokens(F.col("text")), CONTAM_N))).alias(
+            "g"
+        ),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_grams"),
+            F.min("g").alias("first_shared_gram"),
+        )
+    )
+
+
+# Rational (log-free) idf: (N - df + 0.5) / (df + 0.5) — the BM25 odds term
+# without the ln wrapper; exact in double division on both engines.
+_IDF_SQL = "(n_docs - df + 0.5) / (df + 0.5)"
+
+
+@query(
+    "tfidf_sql",
+    oracle=f"""
+WITH {TOK_CTE},
+terms AS (
+    SELECT doc_id, unnest(toks) AS term FROM tok
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM terms GROUP BY doc_id, term
+), dl AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok
+), df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM tok
+), scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           ROUND((t.tf / l.dl) * {_IDF_SQL}, 8) AS score
+    FROM tf t
+    JOIN dl l ON l.doc_id = t.doc_id
+    JOIN df d ON d.term = t.term
+    CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rn
+    FROM scored
+) WHERE rn <= 5
+""",
+)
+def q_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document, fully oracle-backed (the MLlib
+    ``ml_tfidf`` query covers the hashed-feature pipeline; this one pins the
+    exact inverted-index math). idf is the log-free BM25 odds ratio — a
+    per-term constant, so per-doc ranking among terms with equal tf/dl
+    ordering is preserved and every value is exact rational arithmetic.
+    Shape: one (doc, term) aggregation, a broadcast df/N side, top-k via
+    rank window pruned map-side."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    terms = toks.select("doc_id", F.explode("toks").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = toks.agg(F.count("*").alias("n_docs"))
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round((F.col("tf") / F.col("dl")) * idf, 8).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+WITH {TOK_CTE},
+q AS (SELECT unnest({[*BM25_TERMS]!r}::VARCHAR[]) AS term),
+terms AS (
+    SELECT doc_id, unnest(toks) AS term FROM tok
+), tf AS (
+    SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM terms t JOIN q ON q.term = t.term
+    GROUP BY t.doc_id, t.term
+), dl AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok
+), df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(CAST(len(toks) AS BIGINT)) AS total_tokens
+    FROM tok
+), per_term AS (
+    SELECT t.doc_id,
+           CAST(ROUND(
+               {_IDF_SQL}
+               * (t.tf * ({BM25_K1} + 1))
+               / (t.tf + {BM25_K1} * (1 - {BM25_B}
+                   + {BM25_B} * l.dl * s.n_docs / s.total_tokens)),
+               8) AS DECIMAL(18,8)) AS term_score
+    FROM tf t
+    JOIN dl l ON l.doc_id = t.doc_id
+    JOIN df d ON d.term = t.term
+    CROSS JOIN stats s
+), totals AS (
+    SELECT doc_id,
+           CAST(SUM(term_score) AS DOUBLE) AS bm25,
+           CAST(COUNT(*) AS INTEGER)       AS n_terms_hit
+    FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_hit
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+    FROM totals
+) WHERE rn <= 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: top-10 documents for a fixed term set
+    (k1={BM25_K1}, b={BM25_B}, log-free rational idf). Per-term partial
+    scores are rounded to fixed scale and summed as DECIMAL so the <=3-term
+    sum is combine-order-exact. The query-term filter hits the inverted
+    (term, doc) index before any aggregation, so the scored set is only
+    docs containing a query term; the global top-10 is a single tiny
+    TakeOrdered over per-doc totals."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    terms = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+    )
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") * F.col("n_docs") / F.col("total_tokens"))
+    )
+    per_term = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 8).cast("decimal(18,8)").alias("term_score"),
+        )
+    )
+    totals = per_term.groupBy("doc_id").agg(
+        F.sum("term_score").cast("double").alias("bm25"),
+        F.count("*").cast("int").alias("n_terms_hit"),
+    )
+    return (
+        totals.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
