@@ -214,3 +214,48 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("stale_days"),
     )
+
+
+@query(
+    "percentile_battery",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT)                              AS n,
+       ROUND(quantile_disc(l_quantity, 0.25), 6)             AS q25_disc,
+       ROUND(quantile_cont(l_quantity, 0.5), 6)              AS q50_cont,
+       ROUND(quantile_cont(l_quantity, 0.75), 6)             AS q75_cont,
+       ROUND(quantile_disc(l_quantity, 0.9), 6)              AS q90_disc,
+       ROUND(median(l_extendedprice), 4)                     AS median_price,
+       ROUND(quantile_cont(l_discount, [0.1, 0.5, 0.9])[2], 6) AS disc_mid
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile battery (F6 generalized): PERCENTILE_DISC /
+    PERCENTILE_CONT / median per return flag. Exact percentiles require the
+    per-group sort — Spark runs them as a single sort-based aggregate over
+    one shuffle on the 3-value group key; at 100 TB grain this is the op to
+    swap for approx_percentile, which is why both live in the registry
+    (cf. quantile_disc). Interpolated values are rounded on both engines so
+    last-ulp interpolation differences cannot flip the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"), 6
+        ).alias("q25_disc"),
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 6
+        ).alias("q50_cont"),
+        F.round(
+            F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)"), 6
+        ).alias("q75_cont"),
+        F.round(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)"), 6
+        ).alias("q90_disc"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_discount)"), 6
+        ).alias("disc_mid"),
+    )

@@ -334,3 +334,75 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@query(
+    "vector_centroids",
+    oracle="""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), comp AS (
+    SELECT label, d.i AS dim, v[d.i] AS val
+    FROM vecs, UNNEST(generate_series(1, len(v))) AS d(i)
+), cent AS (
+    SELECT label, dim,
+           CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(28,9)) ) AS DOUBLE)
+               / COUNT(*) AS c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM comp GROUP BY label, dim
+), prods AS (
+    SELECT a.label AS label_a, b.label AS label_b, a.dim,
+        CAST(ROUND(a.c * b.c, 12) AS DECIMAL(28,12)) AS ab,
+        CAST(ROUND(a.c * a.c, 12) AS DECIMAL(28,12)) AS aa,
+        CAST(ROUND(b.c * b.c, 12) AS DECIMAL(28,12)) AS bb,
+        a.n AS n_a, b.n AS n_b
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+)
+SELECT label_a, label_b, n_a, n_b,
+       ROUND(CAST(SUM(ab) AS DOUBLE)
+             / (sqrt(CAST(SUM(aa) AS DOUBLE)) * sqrt(CAST(SUM(bb) AS DOUBLE))),
+             8) AS centroid_cosine
+FROM prods
+GROUP BY label_a, label_b, n_a, n_b
+""",
+)
+def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors and the pairwise centroid-cosine matrix —
+    the cluster-summary op behind IVF codebook refresh and embedding-drift
+    monitoring. Components are aggregated in long (label, dim) form with
+    fixed-scale DECIMAL sums, so the per-dimension mean is combine-order
+    exact; the |labels|^2 pairwise stage runs over centroids only (tiny at
+    any corpus scale — |labels| x 64 rows), never over raw vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select("label", (F.col("pos") + 1).alias("dim"), "val")
+    cent = comp.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("val"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count("*")
+        ).alias("c"),
+        F.count("*").alias("n"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"),
+        F.col("n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"),
+        F.col("n").alias("n_b"),
+    )
+    prods = a.join(b, ["dim"]).filter(F.col("label_a") < F.col("label_b")).select(
+        "label_a", "label_b", "n_a", "n_b",
+        F.round(F.col("ca") * F.col("cb"), 12).cast("decimal(28,12)").alias("ab"),
+        F.round(F.col("ca") * F.col("ca"), 12).cast("decimal(28,12)").alias("aa"),
+        F.round(F.col("cb") * F.col("cb"), 12).cast("decimal(28,12)").alias("bb"),
+    )
+    return prods.groupBy("label_a", "label_b", "n_a", "n_b").agg(
+        F.round(
+            F.sum("ab").cast("double")
+            / (F.sqrt(F.sum("aa").cast("double")) * F.sqrt(F.sum("bb").cast("double"))),
+            8,
+        ).alias("centroid_cosine")
+    )
