@@ -35,9 +35,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "knn_brute_force",
     "session_windows",
-    "quality_filtered_corpus",   # quality gates + dedup composition (r3)
-    "interval_join_attribution", # event-time interval join (r3)
-    "gap_fill_daily",            # calendar densification + forward fill (r3)
+    "quality_filtered_corpus",   # quality gates + dedup composition (r2)
+    "interval_join_attribution", # event-time interval join (r2)
+    "gap_fill_daily",            # calendar densification + forward fill (r2)
+    "tpch_q1",                   # scan-heavy pricing summary (r3)
+    "tpch_q5",                   # six-table snowflake join chain (r3)
+    "funnel_analysis",           # sequential-stage event funnel (r3)
+    "bm25_search",               # inverted-index lexical ranking (r3)
 ]
 
 

@@ -24,41 +24,48 @@ from . import streaming  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only (round 1 covered exactly the first
-# 50, leaving 35 without a driver verdict). The priority list below puts
-# (a) everything still lacking a driver-green row — vectors, storage
-# batteries, streaming windows, broker connectors, multimodal, mllib,
-# dedup_clusters — (b) every query whose semantics or plan changed this
-# round (best_* search-years grain, quantile buy_candidates, additive
-# sell_decisions, rewritten strategy aggregation, incremental_merge,
-# session_window_builtin boundary), and (c) the round-2 additions
-# (sampling trio, embedding_dedup_lsh, dedup_corpus), inside that window.
-# Queries displaced past 50 produce results byte-identical to their
-# round-1 driver-green versions and remain covered by the identical local
-# gate (tools/check_oracle.py) and pytest.
+# the FIRST 50 registered queries only. Round-3 priority window:
+# (a) the 21 queries with no driver verdict yet — the r2 artifact was
+#     generated against a pre-fix commit, so everything that errored there
+#     (media_features, array_agg_ops, the five event-time window queries)
+#     plus the whole r2-late registration block (quality battery, analytic
+#     breadth, stream-stream join/dedup) needs its first green row;
+# (b) media_frame_sample, upgraded from rows-only to oracle-backed in r2;
+# (c) every round-3 addition (tpch, event analytics, corpus prep,
+#     vector centroids, percentile battery);
+# (d) every query whose plan changed this round (single-pass search-depth
+#     simulation; cache-stable literal grids).
+# Queries displaced past 50 are byte-identical to their driver-green
+# versions and stay covered by tools/check_oracle.py + pytest.
 _PRIORITY = [
-    # flagship E1 chain + this round's modified queries
-    "prices",
-    "trades_sim", "strategy_agg",
-    "sample_bernoulli", "sample_stratified", "train_test_split",
-    "best_win", "best_return", "best_return_per_days_held",
-    "buy_candidates", "sell_decisions", "order_sizing",
-    "incremental_merge",
-    # round-1 driver-unchecked set
-    "dedup_clusters", "dedup_corpus", "knn_brute_force", "knn_ivf",
-    "embedding_dedup_cosine", "embedding_dedup_lsh",
-    "media_catalog", "media_features", "media_frame_sample",
-    "latest_partition", "checkpoint_roundtrip", "union_missing_columns",
-    "scalar_roundtrips", "head_n_per_type", "asof_join", "cube_counts",
-    "salted_agg", "intersect_keys", "pivot_status_priority",
-    "relative_date_window", "window_range_frame", "rank_battery",
-    "string_battery", "array_agg_ops", "coerce_battery",
-    "ml_tfidf", "ml_minhash_lsh", "ml_kmeans_clusters", "ml_logreg_accuracy",
-    "broker_balances", "broker_position_pnl", "stream_execution_feed",
+    # (a) never driver-verified
+    "media_features", "array_agg_ops",
     "tumbling_window_agg", "stream_tumbling_agg", "sliding_window_agg",
     "session_windows", "session_window_builtin",
+    "quality_gopher", "repetition_ratios", "token_histogram",
+    "corpus_mix", "pii_scrub", "quality_filtered_corpus",
+    "grouping_sets_agg", "unpivot_measures", "map_json_ops",
+    "posexplode_tokens", "gap_fill_daily", "interval_join_attribution",
+    "stream_stream_join", "stream_dedup_watermark",
+    # (b) rows-only -> oracle-backed
+    "media_frame_sample",
+    # (c) round-3 additions
+    "tpch_q1", "tpch_q3", "tpch_q5",
+    "funnel_analysis", "retention_cohorts", "rollup_multires",
+    "scd2_dimension", "heavy_hitters",
+    "doc_chunking", "sequence_packing", "contamination_check",
+    "tfidf_sql", "bm25_search",
+    "vector_centroids", "percentile_battery",
+    # (d) plan changed this round
+    "trades_sim", "strategy_agg",
+    "best_win", "best_return", "best_return_per_days_held",
+    "trading_calendar", "buy_candidates", "order_sizing",
+    "hierarchy_walk", "hierarchy_rollup",
+    # flagship re-checks (prices/cci were driver-green in r1 AND r2)
+    "sell_decisions", "incremental_merge", "dedup_corpus",
 ]
 
 
