@@ -64,8 +64,7 @@ _PRIORITY = [
     "best_win", "best_return", "best_return_per_days_held",
     "trading_calendar", "buy_candidates", "order_sizing",
     "hierarchy_walk", "hierarchy_rollup",
-    # flagship re-checks (prices/cci were driver-green in r1 AND r2)
-    "sell_decisions", "incremental_merge", "dedup_corpus",
+    "csv_roundtrip", "jsonl_roundtrip", "orc_roundtrip",
 ]
 
 

@@ -651,3 +651,93 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("symbol", "date", "open_pr", "close_pr", "daily_trade_stock", "src")
     )
+
+
+# --- S-family format breadth: CSV / JSONL / ORC round-trips ------------------
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT)        AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)    AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip: documents written as quoted CSV with
+    header, read back with an EXPLICIT schema (never inferSchema — a schema
+    inference pass is a second full scan at 100 TB), then aggregated. The
+    oracle reads the ORIGINAL parquet, so the hash match proves the text
+    column survived quoting/escaping byte-for-byte."""
+    out = os.path.join(STORAGE_ROOT, f"{_tag(sf_dir)}_docs_csv")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(out)
+    back = spark.read.schema(docs.schema).option("header", True).csv(out)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text").cast("long")).alias("total_text_len"),
+    )
+
+
+@query(
+    "jsonl_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
+       CAST(MIN(o_orderdate) AS DATE) AS first_order,
+       CAST(MAX(o_orderdate) AS DATE) AS last_order
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip over orders: timestamps serialize
+    to ISO strings and must re-parse to the same instants under the UTC
+    session (the oracle reads the original parquet). Explicit schema on
+    read — same no-inference discipline as the CSV path; money re-aggregated
+    as fixed-scale DECIMAL so the hash cannot drift."""
+    out = os.path.join(STORAGE_ROOT, f"{_tag(sf_dir)}_orders_jsonl")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").json(out)
+    back = spark.read.schema(orders.schema).json(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).cast("double")
+        .alias("total_price"),
+        F.to_date(F.min("o_orderdate")).alias("first_order"),
+        F.to_date(F.max("o_orderdate")).alias("last_order"),
+    )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+SELECT l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip (the third columnar format next to
+    parquet and the in-memory cache): lineitem written partitioned by
+    l_linestatus, read back with partition pruning intact, aggregated per
+    partition value. Proves the engine is storage-format-agnostic at the
+    query layer."""
+    out = os.path.join(STORAGE_ROOT, f"{_tag(sf_dir)}_lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_linestatus").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy(F.col("l_linestatus").cast("string").alias("l_linestatus")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)")).cast("double")
+        .alias("total_price"),
+    )
