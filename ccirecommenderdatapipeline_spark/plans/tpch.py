@@ -174,3 +174,39 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+_MIN_COST_SQL = """
+WITH supply AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s.l_partkey                AS p_partkey,
+       CAST(MIN(s.l_suppkey) AS BIGINT) AS best_suppkey,
+       ROUND(MIN(s.unit_cost), 6) AS best_unit_cost
+FROM supply s
+WHERE s.unit_cost = (
+    SELECT MIN(s2.unit_cost) FROM supply s2 WHERE s2.l_partkey = s.l_partkey
+)
+GROUP BY s.l_partkey
+"""
+
+
+@query("min_cost_supplier", oracle=_MIN_COST_SQL)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-scalar-subquery shape: cheapest supplier per
+    part (ties collapsed to the lowest suppkey) — written as SQL with a
+    correlated scalar subquery ON PURPOSE (the DataFrame argmin form is
+    already covered by top1_per_group/A7). Catalyst decorrelates the
+    subquery into an aggregate+join on the correlation key, so the executed
+    plan is a co-partitioned hash join over the supply CTE — no per-row
+    subquery execution survives. Unit costs divide identically in IEEE
+    double on both engines, so the equality predicate selects identical
+    rows. (Nested correlation to the outermost scope is not yet supported
+    by Spark's analyzer, hence the GROUP BY tie-break rather than a
+    second-level subquery.)"""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_MIN_COST_SQL)
