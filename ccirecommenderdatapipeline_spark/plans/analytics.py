@@ -259,3 +259,40 @@ def q_percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_discount)"), 6
         ).alias("disc_mid"),
     )
+
+
+@query(
+    "sketch_accuracy",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS approx_users_ok,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       TRUE AS approx_p50_ok
+FROM events
+GROUP BY event_type
+""",
+)
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates under an accuracy CONTRACT: HLL++
+    approx_count_distinct (rsd 2%) and percentile_approx must land within
+    10% of their exact counterparts, asserted as booleans the oracle pins
+    to TRUE — so a sketch drifting out of tolerance is a driver-visible
+    FAIL, not a silent estimate. At 100 TB the approx forms are the
+    defaults (mergeable constant-size state, no per-group sort / expand);
+    the exact forms here are the auditors."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("p50x"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50a"),
+    )
+    tol = lambda a, b: (F.abs(a - b) <= 0.10 * F.abs(b))  # noqa: E731
+    return g.select(
+        "event_type",
+        "n_users_exact",
+        tol(F.col("n_users_approx"), F.col("n_users_exact")).alias("approx_users_ok"),
+        F.round("p50x", 6).alias("p50_exact"),
+        tol(F.col("p50a"), F.col("p50x")).alias("approx_p50_ok"),
+    )
