@@ -210,3 +210,31 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     second-level subquery.)"""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_MIN_COST_SQL)
+
+
+_LATERAL_SQL = """
+SELECT o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       l.l_linenumber,
+       ROUND(l.l_extendedprice, 2) AS top_price
+FROM orders o, LATERAL (
+    SELECT li.l_linenumber, li.l_extendedprice
+    FROM lineitem li
+    WHERE li.l_orderkey = o.o_orderkey
+    ORDER BY li.l_extendedprice DESC, li.l_linenumber
+    LIMIT 2
+) l
+"""
+
+
+@query("lateral_topk", oracle=_LATERAL_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: the two
+    priciest lineitems of every order. Spark decorrelates the lateral into
+    a ranked join (row_number over the correlation key + filter <= 2) — the
+    same physical shape as the DataFrame top-N-per-group, but exercising
+    the analyzer's lateral-join path; DuckDB executes the identical text.
+    Orders with no lineitems drop out (inner lateral join semantics)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_LATERAL_SQL)
