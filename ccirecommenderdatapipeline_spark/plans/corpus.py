@@ -346,10 +346,6 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_score").cast("double").alias("bm25"),
         F.count("*").cast("int").alias("n_terms_hit"),
     )
-    return (
-        totals.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
-        )
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    # global top-10 via TakeOrderedAndProject (per-partition heap + merge),
+    # NOT an unpartitioned row_number window (single-partition sort at scale)
+    return totals.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
