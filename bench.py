@@ -58,6 +58,13 @@ def main() -> None:
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in plans.QUERIES]
     run_once(spark, "cci", sf_dir)  # global JVM/JIT warm-up
+    # Python-worker pool warm-up (same rationale as the JVM warm-up: a
+    # long-lived cluster's pandas workers are resident; forking 32 workers
+    # that each import pandas is one-time start-up cost, not query cost).
+    from pyspark.sql import functions as F
+    spark.range(64).withColumn("g", F.col("id") % 32).groupBy("g").applyInPandas(
+        lambda p: p, "id long, g long"
+    ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(run_once(spark, name, sf_dir), 3)
