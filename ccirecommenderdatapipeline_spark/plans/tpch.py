@@ -238,3 +238,98 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "tpch_q6",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount, 4) AS DECIMAL(18,4))), 2)
+       AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: the pure filter-aggregate probe.
+    All three predicates push to the parquet scan (range + between + less-
+    than all map to PushedFilters); the aggregate is a single global
+    DECIMAL-exact sum — the cheapest possible plan shape, and the canonical
+    test that predicate pushdown actually engages."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q18_QTY = 200
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > {Q18_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       ROUND(SUM(l.l_quantity), 2)    AS total_qty
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: a HAVING-filtered aggregate feeding
+    a semi join back into the fact. The `big` order list is tiny after the
+    HAVING cut, so the IN-subquery becomes a broadcast LeftSemi on
+    l_orderkey/o_orderkey — the fact is filtered before the customer join,
+    and the final re-aggregation runs on the surviving sliver only."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > Q18_QTY)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
