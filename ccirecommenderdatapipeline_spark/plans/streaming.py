@@ -253,3 +253,20 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     of full history. Every row is delivered twice in the staged source;
     the oracle is plain DISTINCT over the original table."""
     return stream_dedup_watermark(spark, sf_dir)
+
+
+@query(
+    "stream_stateful_counts",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState, T6):
+    running per-user counts carried in GroupState across 4 forced
+    micro-batches; the returned final state must equal the batch GROUP BY
+    exactly — state survival across batches is what the oracle proves."""
+    from ..streaming.jobs import stream_stateful_counts
+
+    return stream_stateful_counts(spark, sf_dir)

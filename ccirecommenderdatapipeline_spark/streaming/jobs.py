@@ -395,3 +395,24 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click"
     ).withWatermark("ts", f"{ATTRIB_GAP_HOURS + 1} hours")
     return run_to_memory(attribution_join_plan(purchases, clicks), "append")
+
+
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query form of ``stateful_user_counts``: stage events as a
+    4-file stream, run the applyInPandasWithState running-count operator
+    (one micro-batch per file), and return the FINAL per-user state as a
+    DataFrame. The final state is the total event count per user — invariant
+    to micro-batch boundaries — so the plain batch GROUP BY is an exact
+    oracle for the stateful streaming execution."""
+    import shutil
+    import tempfile
+
+    staged = stage_events_dir(spark, sf_dir)
+    checkpoint = tempfile.mkdtemp(prefix="stateful_counts_ckpt_")
+    try:
+        final = stateful_user_counts(spark, staged, checkpoint)
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(final.items()), "user_id LONG, n_events LONG"
+    )
