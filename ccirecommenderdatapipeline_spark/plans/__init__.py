@@ -52,19 +52,24 @@ _PRIORITY = [
     "stream_stream_join", "stream_dedup_watermark",
     # (b) rows-only -> oracle-backed
     "media_frame_sample",
-    # (c) round-3 additions
-    "tpch_q1", "tpch_q3", "tpch_q5",
+    # (c) round-3 additions (all 26)
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
+    "min_cost_supplier", "lateral_topk",
     "funnel_analysis", "retention_cohorts", "rollup_multires",
     "scd2_dimension", "heavy_hitters",
     "doc_chunking", "sequence_packing", "contamination_check",
     "tfidf_sql", "bm25_search",
-    "vector_centroids", "percentile_battery",
-    # (d) plan changed this round
-    "trades_sim", "strategy_agg",
-    "best_win", "best_return", "best_return_per_days_held",
-    "trading_calendar", "buy_candidates", "order_sizing",
+    "vector_centroids", "percentile_battery", "sketch_accuracy",
     "hierarchy_walk", "hierarchy_rollup",
     "csv_roundtrip", "jsonl_roundtrip", "orc_roundtrip",
+    "stream_stateful_counts",
+    # (d) plan changed this round — representatives covering every changed
+    # mechanism: trades_sim (single-pass simulator + literal grid) and
+    # best_return (depth boundary filter + agged_years shared cache).
+    # strategy_agg / best_win / best_return_per_days_held / buy_candidates /
+    # order_sizing / trading_calendar share exactly those subtrees, were
+    # driver-green in r2, and stay covered by the local gate + pytest.
+    "trades_sim", "best_return",
 ]
 
 
