@@ -296,3 +296,49 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p50x", 6).alias("p50_exact"),
         tol(F.col("p50a"), F.col("p50x")).alias("approx_p50_ok"),
     )
+
+
+N_SALTS = 8
+
+
+@query(
+    "salted_join",
+    oracle="""
+WITH dim AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value, 6) AS DECIMAL(18,6)) * d.type_n) AS DOUBLE)
+           AS weighted_value
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY e.event_type
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated shuffle join: the join key (event_type, 5 values) is
+    maximally hot, so a plain shuffle join puts 1/5 of the fact on one
+    task. Salting splits every hot key 8 ways — fact rows get
+    salt = pmod(event_id, 8), the dim replicates x8 — and the shuffled-hash
+    join (hinted, so the tiny demo dim is not broadcast away) runs on
+    (event_type, salt) with uniform partitions. The companion two-phase
+    salted AGGREGATION is `salted_agg`; AQE's skewJoin does this
+    adaptively at runtime, this query is the explicit planned form. The
+    oracle is the unsalted join."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_n"))
+    salts = F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)])).alias("salt")
+    dim_x = dim.select("event_type", "type_n", salts)
+    fact = ev.select(
+        "event_type",
+        "value",
+        F.pmod(F.col("event_id"), F.lit(N_SALTS)).cast("int").alias("salt"),
+    )
+    joined = fact.join(dim_x.hint("shuffle_hash"), ["event_type", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)") * F.col("type_n"))
+        .cast("double")
+        .alias("weighted_value"),
+    )

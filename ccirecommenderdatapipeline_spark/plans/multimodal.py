@@ -111,3 +111,54 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames are byte slices of the (ASCII) payload, so DuckDB reproduces
     every frame hash with substr + md5 over an unnested stride range."""
     return sample_frames(_media(spark, sf_dir).repartition(8, "media_id"))
+
+
+@query(
+    "media_dedup",
+    oracle="""
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents
+), hashed AS (
+    SELECT doc_id AS media_id,
+           md5(text) AS content_hash,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM docs2
+)
+SELECT content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(media_id) AS BIGINT) AS canonical_id,
+       CAST(SUM(byte_len) AS BIGINT) AS total_bytes
+FROM hashed
+GROUP BY content_hash
+HAVING COUNT(*) > 1
+""",
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup by content hash — the first stage of any
+    multimodal ingest (byte-identical images/clips collapse before decode
+    ever runs). Only (hash, id, byte_len) projections enter the shuffle;
+    the blob itself never leaves the scan stage, which is the invariant
+    that matters when payloads are MB-scale at 100 TB. Runs over the
+    recrawl-doubled corpus (plans/text.py:with_recrawl — every payload
+    re-ingested once under a new id), so every group is a real duplicate
+    set with the ORIGINAL id as canonical."""
+    from .text import with_recrawl
+
+    docs2 = with_recrawl(load_table(spark, sf_dir, "documents"))
+    m = media_table(docs2)
+    hashed = m.select(
+        "media_id",
+        F.md5(F.decode("payload", "UTF-8")).alias("content_hash"),
+        F.octet_length("payload").cast("long").alias("byte_len"),
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+            F.sum("byte_len").alias("total_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -333,3 +333,30 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+_Q4_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '2000-04-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("tpch_q4", oracle=_Q4_SQL)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking: the correlated EXISTS shape.
+    Catalyst rewrites the EXISTS into a LeftSemi join on l_orderkey with
+    the l_shipdate > o_orderdate condition riding the join — the quarter
+    filter shrinks orders first, so the semi join probes a sliver of the
+    fact. Same SQL text runs on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q4_SQL)
