@@ -270,3 +270,30 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_stateful_counts
 
     return stream_stateful_counts(spark, sf_dir)
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+WITH users AS (
+    SELECT user_id,
+           CASE WHEN COUNT(*) >= 70 THEN 'heavy' ELSE 'light' END AS segment
+    FROM events GROUP BY user_id
+)
+SELECT u.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases,
+       {_SUM_SQL} AS sum_value
+FROM events e JOIN users u ON u.user_id = e.user_id
+GROUP BY u.segment
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (stateless enrichment): the event stream joins a
+    batch-computed user-segment dim inside the streaming plan, then
+    aggregates per segment in complete mode — result must equal the pure
+    batch join byte-for-byte."""
+    from ..streaming.jobs import stream_static_join
+
+    return stream_static_join(spark, sf_dir)

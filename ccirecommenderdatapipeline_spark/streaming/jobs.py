@@ -416,3 +416,35 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(final.items()), "user_id LONG, n_events LONG"
     )
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the staged event stream joined against
+    a STATIC per-user dimension (computed once, batch) inside the streaming
+    plan, aggregated per user segment. Stream-static joins are stateless —
+    each micro-batch hash-joins against the static side (broadcast at this
+    dim size), no watermark needed — the canonical enrich-before-aggregate
+    streaming shape."""
+    from ..sources.tables import load_table
+
+    staged = stage_events_dir(spark, sf_dir)
+    sdf = events_stream(spark, staged)
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+        .select(
+            "user_id",
+            F.when(F.col("n_total") >= 70, "heavy").otherwise("light").alias("segment"),
+        )
+    )
+    plan = (
+        sdf.join(users, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+            exact_value_sum().alias("sum_value"),
+        )
+    )
+    return run_to_memory(plan, output_mode="complete")
