@@ -73,3 +73,107 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_ROLLUP_SQL.replace("// 10", "DIV 10"))
+
+
+PR_D = 0.85          # damping
+PR_ITERS = 5         # fixed iteration count (deterministic, resume-free)
+
+
+def _pr_oracle() -> str:
+    """Unrolled 5-iteration PageRank as chained CTEs (DuckDB side)."""
+    body = """
+WITH base_edges AS (
+    SELECT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+), edges AS (
+    SELECT src, dst, w FROM base_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM base_edges
+), nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+), nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), trans AS (
+    SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges
+), r0 AS (
+    SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+)"""
+    for i in range(PR_ITERS):
+        body += f""", c{i} AS (
+    SELECT t.dst AS node,
+           SUM(CAST(ROUND(r.rank * t.p, 14) AS DECIMAL(28,14))) AS contrib
+    FROM r{i} r JOIN trans t ON t.src = r.node
+    GROUP BY t.dst
+), r{i + 1} AS (
+    SELECT n.node,
+           (1 - {PR_D}) / nn.n + {PR_D} * CAST(COALESCE(c.contrib, 0) AS DOUBLE)
+               AS rank
+    FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON c.node = n.node
+)"""
+    return body + f"""
+SELECT node, ROUND(rank, 12) AS rank FROM r{PR_ITERS}
+"""
+
+
+@query("pagerank_bipartite", oracle=_pr_oracle())
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer<->supplier purchase graph
+    (edges both directions, weight = lineitem count): the iterative-
+    algorithm shape beyond label propagation (dedup_clusters) and recursive
+    CTEs (hierarchy_walk). Per-iteration contributions are rounded to fixed
+    scale and summed as DECIMAL, so the damped update is combine-order
+    exact and both engines converge through IDENTICAL intermediate ranks —
+    hash-equal after 5 rounds. Per iteration: one shuffle on dst (the
+    contribution aggregation) against a reused transition table; node count
+    and teleport mass ride as broadcast scalars, never a driver action.
+    Dangling mass is not redistributed (standard simplification, stated)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    from pyspark.sql import Window
+
+    trans = edges.select(
+        "src", "dst", (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "n", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(trans, ranks.node == trans.src)
+            .select(
+                F.col("dst").alias("cnode"),
+                F.round(F.col("rank") * F.col("p"), 14).cast("decimal(28,14)").alias("c"),
+            )
+            .groupBy("cnode")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, F.col("node") == F.col("cnode"), "left")
+            .select(
+                "node",
+                "n",
+                (
+                    (1 - PR_D) / F.col("n")
+                    + PR_D * F.coalesce(F.col("contrib").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 12).alias("rank"))
