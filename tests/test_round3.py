@@ -145,3 +145,34 @@ def test_bm25_scores_descend(spark):
     scores = [r.bm25 for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(r.n_terms_hit >= 1 for r in rows)
+
+
+# --- late round-3 additions -------------------------------------------------
+
+def test_pagerank_mass_conserved_modulo_dangling(spark):
+    rows = _q(spark, "pagerank_bipartite").collect()
+    total = sum(r.rank for r in rows)
+    assert all(r.rank > 0 for r in rows)
+    # teleport mass is exact; dangling leakage only ever removes mass
+    assert 0.5 < total <= 1.0 + 1e-9
+
+
+def test_salted_join_no_broadcast_on_salted_side(spark):
+    plan = _q(spark, "salted_join")._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+
+def test_hierarchy_depth_matches_decimal_shift(spark):
+    df = _q(spark, "hierarchy_walk")
+    import pyspark.sql.functions as F
+
+    bad = df.filter(
+        F.col("depth") != (F.length(F.col("c_custkey").cast("string")) - 1)
+    )
+    assert bad.count() == 0
+
+
+def test_media_dedup_canonical_is_original(spark):
+    df = _q(spark, "media_dedup")
+    assert df.filter("canonical_id >= 100000").count() == 0
+    assert df.filter("n_copies < 2").count() == 0
