@@ -342,3 +342,42 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_value"),
     )
+
+
+@query(
+    "rank_battery2",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(NTILE(4) OVER w AS INTEGER)            AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 8)             AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 8)                AS cume,
+       NTH_VALUE(l_quantity, 2) OVER (PARTITION BY l_returnflag
+           ORDER BY l_quantity, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_lowest_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber)
+""",
+)
+def q_rank_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family (complements rank_battery's
+    row_number/rank/dense_rank/lag/lead): NTILE quartiles, PERCENT_RANK,
+    CUME_DIST, and a full-frame NTH_VALUE — all over ONE total order
+    (unique tie-break keys appended), so every function is deterministic
+    and the single sort serves all four. percent_rank/cume_dist are exact
+    rationals k/n in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.nth_value("l_quantity", 2).over(wf).alias("second_lowest_qty"),
+    )
