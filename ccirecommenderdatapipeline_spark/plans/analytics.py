@@ -381,3 +381,35 @@ def q_rank_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 8).alias("cume"),
         F.nth_value("l_quantity", 2).over(wf).alias("second_lowest_qty"),
     )
+
+
+@query(
+    "variant_json_stats",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)                       AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS n_distinct_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the JSON
+    props column is parsed ONCE into the binary variant encoding
+    (parse_json), then typed paths are extracted with try_variant_get —
+    the shred-on-read shape that replaces per-access string re-parsing
+    (get_json_object re-parses the string for every path). The oracle uses
+    DuckDB's native JSON extraction over the same column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
