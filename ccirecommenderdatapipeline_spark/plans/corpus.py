@@ -349,3 +349,60 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global top-10 via TakeOrderedAndProject (per-partition heap + merge),
     # NOT an unpartitioned row_number window (single-partition sort at scale)
     return totals.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+
+
+def _pipeline_oracle() -> str:
+    # The composite reuses the registered quality+dedup oracle verbatim as
+    # its first stage, so the two queries can never drift apart.
+    from .registry import ORACLES
+
+    return f"""
+WITH kept AS ({ORACLES["quality_filtered_corpus"]})
+, packed AS (
+    SELECT doc_id, source, n_words,
+           SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_words AS start_tok
+    FROM kept
+)
+SELECT doc_id, source, n_words, start_tok,
+       CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS first_bin,
+       CAST((start_tok + n_words - 1) // {PACK_BUDGET} AS BIGINT) AS last_bin
+FROM packed
+"""
+
+
+@query("corpus_pipeline", oracle=None)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation as ONE lazy plan: gopher-style quality
+    gates -> repetition filter -> exact dedup (quality_filtered_corpus's
+    composition) -> per-source sequence packing over the SURVIVORS. This is
+    the shape a 100 TB prep job actually ships — one DAG, no intermediate
+    materialization, every stage's shuffle key documented in its own
+    registered query. The oracle is attached via registration below (it
+    textually embeds the quality stage's oracle so the stages cannot
+    drift)."""
+    from .quality import q_quality_filtered_corpus
+
+    kept = q_quality_filtered_corpus(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = kept.withColumn(
+        "start_tok", F.sum("n_words").over(w) - F.col("n_words")
+    )
+    first_bin = F.floor(F.col("start_tok") / PACK_BUDGET)
+    last_bin = F.floor((F.col("start_tok") + F.col("n_words") - 1) / PACK_BUDGET)
+    return packed.select(
+        "doc_id", "source", "n_words", "start_tok",
+        first_bin.cast("long").alias("first_bin"),
+        last_bin.cast("long").alias("last_bin"),
+    )
+
+
+# attach the composite's oracle after definition (it needs the registry
+# populated with quality_filtered_corpus, imported above)
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["corpus_pipeline"] = _pipeline_oracle()
