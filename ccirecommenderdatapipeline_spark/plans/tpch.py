@@ -409,3 +409,128 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority (adapted to the fixture's columns):
+    fact filtered at the scan, one co-partitioned join, conditional
+    aggregation folding the priority split into two SUM(CASE)s — one pass,
+    no pivot."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+SELECT ROUND(
+         100.0 * CAST(SUM(CAST(ROUND(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END, 4) AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                    AS DECIMAL(18,4))) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2000-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '2000-10-01 00:00:00'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: month-sliced fact joined to the part dim
+    (broadcast at any realistic dim/fact ratio), a conditional and a total
+    DECIMAL-exact revenue sum folded into ONE aggregate, emitted as a
+    single ratio row."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-10-01").cast("timestamp"))
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle="""
+SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+           AS DECIMAL(18,4))), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT)   AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#9'  AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 60)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: the disjunctive (OR-of-ANDs) predicate
+    spanning both join sides — the optimizer stress case. Catalyst pushes
+    the per-side implied disjunctions below the join (brand/size terms to
+    the part scan, nothing joinable lost), evaluates the residual on the
+    joined row, and the revenue sum stays DECIMAL-exact. CAST the revenue
+    back to DOUBLE via ROUND on both engines."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(1, 15)
+         & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(10, 30)
+           & q.between(10, 40))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 50)
+           & q.between(20, 60))
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
