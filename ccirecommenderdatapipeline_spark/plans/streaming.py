@@ -297,3 +297,23 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_static_join
 
     return stream_static_join(spark, sf_dir)
+
+
+@query(
+    "stream_merge_upsert",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_SUM_SQL} AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink under at-least-once delivery: every event
+    arrives twice across micro-batches, the append-log + keep-max-batch
+    reader collapses keys, and the final per-type rollup must equal the
+    exactly-once batch aggregate — upsert idempotence as a driver-checked
+    value equality, not just a test."""
+    from ..streaming.jobs import stream_merge_upsert
+
+    return stream_merge_upsert(spark, sf_dir)

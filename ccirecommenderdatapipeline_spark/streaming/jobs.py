@@ -448,3 +448,42 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(plan, output_mode="complete")
+
+
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query form of the foreachBatch MERGE sink (T3/J7): the
+    staged event stream is delivered TWICE (at-least-once semantics),
+    foreachBatch appends each micro-batch with its batch id, and the
+    keep-max-batch reader view collapses every key back to one row — the
+    Delta-free upsert. Duplicate deliveries are byte-identical, so the
+    keep-last tie among them cannot change values, and the final view must
+    equal the single-copy batch table exactly."""
+    import shutil
+    import tempfile
+
+    staged = stage_events_dir(spark, sf_dir)
+    target = tempfile.mkdtemp(prefix="merge_upsert_target_")
+    ckpt = tempfile.mkdtemp(prefix="merge_upsert_ckpt_")
+    try:
+        sdf = events_stream(spark, staged, maxFilesPerTrigger=2)
+        doubled = sdf.unionByName(sdf)  # at-least-once: every row twice
+        q = (
+            doubled.writeStream.foreachBatch(upsert_foreach_batch(target))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        final = read_upsert_target(spark, target, key="event_id")
+        return (
+            final.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                exact_value_sum().alias("sum_value"),
+            )
+            # collect before the tmp dirs vanish: tiny (5 rows)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(target, ignore_errors=True)
