@@ -413,3 +413,81 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.countDistinct("k").alias("n_distinct_k"),
     )
+
+
+@query(
+    "collated_grouping",
+    oracle="""
+WITH mixed AS (
+    SELECT CASE WHEN event_id % 2 = 1
+                THEN upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+                ELSE event_type END AS label,
+           value
+    FROM events
+)
+SELECT lower(label) AS label_ci,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM mixed
+GROUP BY lower(label)
+""",
+)
+def q_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive semantics via Spark 4 COLLATIONS: half the labels
+    are re-cased, then grouped under UTF8_LCASE collation — the engine-level
+    replacement for sprinkling lower() into every predicate (collation-aware
+    grouping keeps codegen and statistics, and at scale avoids a projection
+    over every grouping column). Output is normalized with lower() so the
+    representative-label choice cannot differ between engines; DuckDB
+    expresses the same semantics with lower() directly."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(
+            F.col("event_id") % 2 == 1, F.initcap(F.col("event_type"))
+        ).otherwise(F.col("event_type")).alias("label"),
+        "value",
+    )
+    return (
+        mixed.groupBy(F.collate("label", "UTF8_LCASE").alias("label_cs"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.lower(F.col("label_cs")).cast("string").alias("label_ci"), "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "xml_extract",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 from_xml): each event is rendered as
+    an XML fragment, parsed back through the schema'd XML reader, and
+    aggregated from the PARSED struct — proving the XML codec path
+    round-trips typed values. The oracle computes the same rollup from the
+    original JSON column, so any parse drift breaks the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = ev.select(
+        F.concat(
+            F.lit("<e><k>"),
+            F.get_json_object("props", "$.k"),
+            F.lit("</k><t>"),
+            F.col("event_type"),
+            F.lit("</t></e>"),
+        ).alias("x")
+    )
+    parsed = xml.select(F.from_xml("x", "k BIGINT, t STRING").alias("p"))
+    return parsed.groupBy(F.col("p.t").alias("event_type")).agg(
+        F.count("*").alias("n"),
+        F.sum("p.k").alias("sum_k"),
+    )
