@@ -176,3 +176,20 @@ def test_media_dedup_canonical_is_original(spark):
     df = _q(spark, "media_dedup")
     assert df.filter("canonical_id >= 100000").count() == 0
     assert df.filter("n_copies < 2").count() == 0
+
+
+def test_shared_subtrees_are_plan_match_cacheable(spark):
+    # The round-3 perf fix: literal grids must canonicalize by VALUE so the
+    # persisted shared subtrees (cci_view / agged_view / agged_years_view)
+    # plan-match across reconstructions. createDataFrame literals break
+    # this silently (RDD-identity canonicalization) — pin sameResult.
+    from ccirecommenderdatapipeline_spark.plans.simulator import (
+        agged_view,
+        agged_years_view,
+    )
+    from tests.conftest import SF_SMALL
+
+    for view in (agged_view, agged_years_view):
+        a = view(spark, SF_SMALL)._jdf.queryExecution().analyzed()
+        b = view(spark, SF_SMALL)._jdf.queryExecution().analyzed()
+        assert a.sameResult(b), f"{view.__name__} not plan-match cacheable"
