@@ -534,3 +534,43 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+_Q22_SQL = """
+WITH eligible AS (
+    SELECT c.c_custkey, c.c_acctbal,
+           CAST(c.c_custkey % 7 AS INTEGER) AS cntrycode
+    FROM customer c
+    WHERE c.c_custkey % 7 IN (1, 3, 5)
+      AND c.c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_acctbal > 0 AND c2.c_custkey % 7 IN (1, 3, 5)
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      )
+)
+SELECT cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM eligible
+GROUP BY cntrycode
+"""
+
+
+@query("tpch_q22", oracle=_Q22_SQL)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (country code adapted to a
+    custkey residue): an UNCORRELATED scalar AVG subquery gating the
+    filter, composed with a NOT EXISTS anti-join against orders — the
+    never-ordered wealthy-customer cohort. Catalyst evaluates the scalar
+    subquery once (broadcast as a literal into the predicate) and rewrites
+    NOT EXISTS into a LeftAnti join; same text on both engines. The cohort
+    is customers with no RECENT order (every custkey has some order at
+    fixture SFs, so the classic never-ordered form is empty — the lapsed
+    form keeps the identical plan shape with a non-trivial result)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q22_SQL)
