@@ -8,7 +8,7 @@ plan (operators/windows.py:rolling_mad).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.windows import with_buy_signal, with_cci, latest_rows
@@ -150,4 +150,118 @@ def q_latest_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
     cci = cci_view(spark, sf_dir)
     return latest_rows(cci, k=2).select(
         "symbol", "date", "close_pr", "open_cci", "close_cci", "rn"
+    )
+
+
+@query(
+    "bollinger_bands",
+    oracle="WITH " + PRICES_ORACLE_CTE + """
+, win AS (
+    SELECT symbol, date, close_pr,
+           COUNT(*) OVER w AS w_cnt,
+           list(close_pr) OVER w AS lst
+    FROM prices
+    WINDOW w AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), stats AS (
+    SELECT symbol, date, close_pr,
+        CASE WHEN w_cnt >= 20 THEN list_sum(lst) / 20 END AS sma,
+        CASE WHEN w_cnt >= 20 THEN sqrt(list_sum(
+            list_transform(lst, x -> (x - list_sum(lst) / 20)
+                                   * (x - list_sum(lst) / 20))) / 20) END AS sd
+    FROM win
+)
+SELECT symbol, date, close_pr,
+       ROUND(sma, 6)            AS sma20,
+       ROUND(sma + 2 * sd, 6)   AS upper_band,
+       ROUND(sma - 2 * sd, 6)   AS lower_band,
+       CASE WHEN sd IS NOT NULL AND sd <> 0
+            THEN ROUND((close_pr - (sma - 2 * sd)) / (4 * sd), 6) END AS pct_b
+FROM stats
+""",
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20, 2): rolling mean +/- 2 population stddevs and
+    the %B position — the second classic indicator next to CCI, sharing its
+    exact-window discipline: the stddev is computed from the SAME
+    collect_list fold as the SMA (sequential sums over the 20-row window,
+    bit-identical across engines; sqrt is IEEE-exact), partial windows null.
+    One symbol shuffle serves all three band columns."""
+    ROLL_N = 20  # same window as the CCI SMA/MAD (operators/windows.py)
+
+    pr = prices_view(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(ROLL_N - 1), 0)
+    cnt = F.count("*").over(w)
+    lst = F.collect_list("close_pr").over(w)
+    mean = F.aggregate(lst, F.lit(0.0), lambda a, x: a + x) / ROLL_N
+    var = F.aggregate(
+        F.transform(lst, lambda x: (x - mean) * (x - mean)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / ROLL_N
+    sd = F.sqrt(var)
+    full = cnt >= ROLL_N
+    sma_c = F.when(full, mean)
+    sd_c = F.when(full, sd)
+    return pr.select(
+        "symbol", "date", "close_pr",
+        F.round(sma_c, 6).alias("sma20"),
+        F.round(sma_c + 2 * sd_c, 6).alias("upper_band"),
+        F.round(sma_c - 2 * sd_c, 6).alias("lower_band"),
+        F.when(
+            full & (sd != 0),
+            F.round((F.col("close_pr") - (sma_c - 2 * sd_c)) / (4 * sd_c), 6),
+        ).alias("pct_b"),
+    )
+
+
+@query(
+    "max_drawdown",
+    oracle="WITH " + PRICES_ORACLE_CTE + """
+, runmax AS (
+    SELECT symbol, date, close_pr,
+           MAX(close_pr) OVER (PARTITION BY symbol ORDER BY date
+                               ROWS UNBOUNDED PRECEDING) AS peak
+    FROM prices
+), dd AS (
+    SELECT symbol, date, close_pr, peak,
+           ROUND((peak - close_pr) / peak, 8) AS drawdown
+    FROM runmax
+)
+SELECT symbol,
+       ROUND(MAX(drawdown), 8)  AS max_drawdown,
+       MIN(date) FILTER (WHERE drawdown = (
+           SELECT MAX(d2.drawdown) FROM dd d2 WHERE d2.symbol = dd.symbol
+       ))                       AS trough_date,
+       ROUND(MAX(peak), 4)      AS all_time_peak
+FROM dd
+GROUP BY symbol
+""",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per symbol: running peak (expanding-window max),
+    per-row drawdown ratio, then the per-symbol max with the FIRST trough
+    date as the deterministic tie-break. The running max and the final agg
+    share the symbol partitioning — one shuffle total; drawdown ratios are
+    rounded before comparison so the argmax picks identical rows in both
+    engines."""
+    pr = prices_view(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = pr.select(
+        "symbol", "date", "close_pr",
+        F.max("close_pr").over(w).alias("peak"),
+    ).withColumn(
+        "drawdown", F.round((F.col("peak") - F.col("close_pr")) / F.col("peak"), 8)
+    )
+    dd = dd.withColumn(
+        "sym_max", F.max("drawdown").over(Window.partitionBy("symbol"))
+    )
+    return dd.groupBy("symbol").agg(
+        F.round(F.max("drawdown"), 8).alias("max_drawdown"),
+        F.min(
+            F.when(F.col("drawdown") == F.col("sym_max"), F.col("date"))
+        ).alias("trough_date"),
+        F.round(F.max("peak"), 4).alias("all_time_peak"),
     )
