@@ -265,3 +265,100 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trough_date"),
         F.round(F.max("peak"), 4).alias("all_time_peak"),
     )
+
+
+@query(
+    "ewma_latest",
+    oracle="WITH " + PRICES_ORACLE_CTE + """
+, ordered AS (
+    SELECT symbol, list(close_pr ORDER BY date) AS xs,
+           MAX(date) AS last_date, CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM prices GROUP BY symbol
+)
+SELECT symbol, last_date, n_days,
+       ROUND(list_reduce(xs, (e, x) -> 0.5 * x + 0.5 * e), 6) AS ewma_half
+FROM ordered
+""",
+)
+def q_ewma_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol EWMA of the close price with alpha = 1/2, evaluated at the
+    latest row: a SEQUENTIAL left fold over the date-ordered history
+    (e := x/2 + e/2). alpha = 1/2 keeps every weight a power of two, and
+    the fold order is pinned on both engines, so the recursion is
+    bit-identical — the one alpha where an EWMA can pass an exact
+    cross-engine gate. One groupBy per symbol; state is O(1) per symbol
+    (the fold), not O(history)."""
+    pr = prices_view(spark, sf_dir)
+    ordered = pr.groupBy("symbol").agg(
+        F.array_sort(
+            F.collect_list(F.struct("date", "close_pr"))
+        ).alias("rows"),
+        F.max("date").alias("last_date"),
+        F.count("*").alias("n_days"),
+    )
+    xs = F.transform("rows", lambda r: r["close_pr"])
+    fold = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda e, x: 0.5 * x + 0.5 * e,
+    )
+    return ordered.select(
+        "symbol", "last_date", "n_days", F.round(fold, 6).alias("ewma_half")
+    )
+
+
+@query(
+    "rsi_simple",
+    oracle="WITH " + PRICES_ORACLE_CTE + """
+, diffs AS (
+    SELECT symbol, date, close_pr,
+           close_pr - LAG(close_pr) OVER w AS chg
+    FROM prices
+    WINDOW w AS (PARTITION BY symbol ORDER BY date)
+), win AS (
+    SELECT symbol, date,
+           COUNT(chg) OVER fw AS w_cnt,
+           list(CASE WHEN chg > 0 THEN chg ELSE 0 END) OVER fw AS gains,
+           list(CASE WHEN chg < 0 THEN -chg ELSE 0 END) OVER fw AS losses
+    FROM diffs WHERE chg IS NOT NULL
+    WINDOW fw AS (PARTITION BY symbol ORDER BY date
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, date,
+       ROUND(CASE WHEN list_sum(losses) = 0 THEN 100.0
+            ELSE 100.0 - 100.0 / (1 + list_sum(gains) / list_sum(losses)) END,
+            6) AS rsi14
+FROM win WHERE w_cnt >= 14
+""",
+)
+def q_rsi_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14), simple-average form: day-over-day gains/losses summed over
+    the trailing 14 changes via the same pinned-order list fold as the CCI
+    windows (Wilder's recursive smoothing uses alpha = 1/14, which is not
+    binary-exact — the SMA form is the one an exact cross-engine gate can
+    pin; see ewma_latest for the exact-alpha recursion). All-gain windows
+    saturate at 100 by convention. One symbol shuffle serves the lag and
+    the rolling window."""
+    pr = prices_view(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    fw = w.rowsBetween(-13, 0)
+    diffs = pr.select(
+        "symbol", "date",
+        (F.col("close_pr") - F.lag("close_pr").over(w)).alias("chg"),
+    ).filter(F.col("chg").isNotNull())
+    gains = F.collect_list(F.when(F.col("chg") > 0, F.col("chg")).otherwise(0.0)).over(fw)
+    losses = F.collect_list(F.when(F.col("chg") < 0, -F.col("chg")).otherwise(0.0)).over(fw)
+    gsum = F.aggregate(gains, F.lit(0.0), lambda a, x: a + x)
+    lsum = F.aggregate(losses, F.lit(0.0), lambda a, x: a + x)
+    rsi = F.when(lsum == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1 + gsum / lsum)
+    )
+    return (
+        diffs.select(
+            "symbol", "date",
+            F.count("chg").over(fw).alias("w_cnt"),
+            F.round(rsi, 6).alias("rsi14"),
+        )
+        .filter(F.col("w_cnt") >= 14)
+        .drop("w_cnt")
+    )
