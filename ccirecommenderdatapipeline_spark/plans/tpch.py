@@ -574,3 +574,30 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q22_SQL)
+
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#9'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (
+      SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("tpch_q16", oracle=_Q16_SQL)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship: NOT IN subquery (null-aware
+    anti join — the subquery side is checked for nulls at runtime, the
+    semantics SQL's three-valued logic demands), dimension predicates
+    pushed to the part scan, and COUNT(DISTINCT) re-aggregated per
+    attribute triple. Same text on both engines."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q16_SQL)
