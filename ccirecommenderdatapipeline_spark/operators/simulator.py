@@ -128,7 +128,9 @@ def simulate_trades(
     grid = grid or DEFAULT_GRID
     x_max = max(grid["holding_days"])
     if years is not None:
-        assert "search_years" not in extra_keys
+        # the depth-boundary table (maxd/bounds below) is computed per
+        # symbol only, so a finer grain would get wrong boundaries
+        assert extra_keys == (), "years-mode computes boundaries per symbol"
     part_cols = ["symbol", *extra_keys]
     w = Window.partitionBy(*part_cols).orderBy("date")
     fw = w.rowsBetween(1, x_max)

@@ -27,49 +27,32 @@ from . import corpus  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only. Round-3 priority window:
-# (a) the 21 queries with no driver verdict yet — the r2 artifact was
-#     generated against a pre-fix commit, so everything that errored there
-#     (media_features, array_agg_ops, the five event-time window queries)
-#     plus the whole r2-late registration block (quality battery, analytic
-#     breadth, stream-stream join/dedup) needs its first green row;
-# (b) media_frame_sample, upgraded from rows-only to oracle-backed in r2;
-# (c) every round-3 addition (tpch, event analytics, corpus prep,
-#     vector centroids, percentile battery);
-# (d) every query whose plan changed this round (single-pass search-depth
-#     simulation; cache-stable literal grids).
-# Queries displaced past 50 are byte-identical to their driver-green
-# versions and stay covered by tools/check_oracle.py + pytest.
+# the FIRST 50 registered queries only. Round-4 priority window:
+# (a) sequence_packing — r3's single red row (oracle HUGEINT-vs-BIGINT cast,
+#     fixed this round) PLUS a plan change (two-phase bucketed prefix sum);
+# (b) the 21 round-3 queries registered past the 50-row budget that have
+#     never received a driver verdict (local gate + pytest green only):
+#     7 late TPC-H, the 4 price indicators, 5 analytics batteries,
+#     2 streaming, pagerank, media_dedup, corpus_pipeline;
+# (c) queries whose PLAN changed this round (prefix-sum rework touches
+#     corpus_pipeline, already in (b); doc_chunking gained the empty-doc
+#     guard; best_return_full_grid gained a driver oracle).
+# Remaining slots backfill with round-4 additions. Every name displaced
+# past 50 already has a green row in CORRECTNESS_r{1,2,3}.json and stays
+# covered by tools/check_oracle.py + pytest.
 _PRIORITY = [
-    # (a) never driver-verified
-    "media_features", "array_agg_ops",
-    "tumbling_window_agg", "stream_tumbling_agg", "sliding_window_agg",
-    "session_windows", "session_window_builtin",
-    "quality_gopher", "repetition_ratios", "token_histogram",
-    "corpus_mix", "pii_scrub", "quality_filtered_corpus",
-    "grouping_sets_agg", "unpivot_measures", "map_json_ops",
-    "posexplode_tokens", "gap_fill_daily", "interval_join_attribution",
-    "stream_stream_join", "stream_dedup_watermark",
-    # (b) rows-only -> oracle-backed
-    "media_frame_sample",
-    # (c) round-3 additions (all 26)
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
-    "min_cost_supplier", "lateral_topk",
-    "funnel_analysis", "retention_cohorts", "rollup_multires",
-    "scd2_dimension", "heavy_hitters",
-    "doc_chunking", "sequence_packing", "contamination_check",
-    "tfidf_sql", "bm25_search",
-    "vector_centroids", "percentile_battery", "sketch_accuracy",
-    "hierarchy_walk", "hierarchy_rollup",
-    "csv_roundtrip", "jsonl_roundtrip", "orc_roundtrip",
-    "stream_stateful_counts",
-    # (d) plan changed this round — representatives covering every changed
-    # mechanism: trades_sim (single-pass simulator + literal grid) and
-    # best_return (depth boundary filter + agged_years shared cache).
-    # strategy_agg / best_win / best_return_per_days_held / buy_candidates /
-    # order_sizing / trading_calendar share exactly those subtrees, were
-    # driver-green in r2, and stay covered by the local gate + pytest.
-    "trades_sim", "best_return",
+    # (a) the red row + plan change
+    "sequence_packing",
+    # (b) never driver-verified round-3 queries
+    "tpch_q4", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q16",
+    "tpch_q19", "tpch_q22",
+    "bollinger_bands", "max_drawdown", "ewma_latest", "rsi_simple",
+    "rank_battery2", "collated_grouping", "xml_extract",
+    "variant_json_stats", "salted_join",
+    "stream_merge_upsert", "stream_static_join",
+    "pagerank_bipartite", "media_dedup", "corpus_pipeline",
+    # (c) plan changed this round
+    "doc_chunking", "best_return_full_grid",
 ]
 
 

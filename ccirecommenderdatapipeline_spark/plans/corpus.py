@@ -24,6 +24,7 @@ DECIMAL so combine order cannot flip the driver's value hash.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.text import tokens, word_ngrams
 from ..sources.tables import load_table
@@ -33,6 +34,7 @@ from .text import TOK_CTE
 CHUNK_LEN = 128
 CHUNK_STRIDE = 96
 PACK_BUDGET = 512          # tokens per packed sequence
+PACK_N_BUCKETS = 64        # offset buckets per prefix-sum phase (scale knob)
 CONTAM_N = 3               # shingle width for the contamination check
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -41,6 +43,71 @@ BM25_TERMS = ["spark", "window", "hash"]
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _with_start_tok(sized: DataFrame, value_col: str) -> DataFrame:
+    """Per-source running token offset (exclusive prefix sum over doc_id
+    order) as a TWO-PHASE prefix sum, not one global window per source.
+
+    A plain ``SUM() OVER (PARTITION BY source ORDER BY doc_id)`` serializes
+    each source into ONE task — with ~20 sources, a 100 TB corpus would run
+    on 20 executor threads no matter the cluster size. Instead:
+
+    1. range-bucket doc_ids into ``PACK_N_BUCKETS`` order-preserving buckets
+       (global max doc_id is a one-row broadcast);
+    2. within-(source, bucket) running sums — parallelism is
+       sources x buckets, each task bounded to ~1/PACK_N_BUCKETS of a source;
+    3. per-(source, bucket) totals (map-combinable partial agg) -> cumulative
+       bucket offsets over the TINY (sources x buckets)-row table;
+    4. broadcast the offsets back and add map-side.
+
+    Integer arithmetic throughout, so the result is bit-identical to the
+    single-window form the DuckDB oracle uses.
+    """
+    # three consumers (max agg, within-bucket sums, bucket totals) share the
+    # upstream plan — persist it so CacheManager plan-matching reuses one scan
+    sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
+    gmax = sized.agg(F.max("doc_id").alias("_max_doc_id"))
+    bucketed = (
+        sized.crossJoin(F.broadcast(gmax))
+        .withColumn(
+            "_bucket",
+            F.least(
+                F.floor(
+                    F.col("doc_id") * PACK_N_BUCKETS / (F.col("_max_doc_id") + 1)
+                ),
+                F.lit(PACK_N_BUCKETS - 1),
+            ).cast("long"),
+        )
+        .drop("_max_doc_id")
+    )
+    w_in = (
+        Window.partitionBy("source", "_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = bucketed.withColumn("_run", F.sum(value_col).over(w_in))
+    totals = bucketed.groupBy("source", "_bucket").agg(
+        F.sum(value_col).alias("_bsum")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "_bucket",
+        F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_boff"),
+    )
+    return (
+        within.join(F.broadcast(offsets), ["source", "_bucket"])
+        .withColumn(
+            "start_tok",
+            (F.col("_boff") + F.col("_run") - F.col(value_col)).cast("long"),
+        )
+        .drop("_bucket", "_run", "_boff")
+    )
 
 
 @query(
@@ -53,6 +120,7 @@ SELECT d.doc_id,
        CAST(length(substr(d.text, CAST(u.s AS INTEGER), {CHUNK_LEN})) AS INTEGER)
            AS chunk_len
 FROM documents d, UNNEST(generate_series(1, d.n_chars, {CHUNK_STRIDE})) AS u(s)
+WHERE d.n_chars >= 1
 """,
 )
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +131,11 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk) inside codegen."""
     d = _docs(spark, sf_dir)
     return (
-        d.select(
+        # n_chars >= 1 guard: Spark's sequence(1, 0, stride) throws "illegal
+        # sequence boundaries" where DuckDB's generate_series silently emits
+        # no rows — drop empty docs identically in both engines.
+        d.filter(F.col("n_chars") >= 1)
+        .select(
             "doc_id",
             "text",
             F.explode(
@@ -93,7 +165,8 @@ sized AS (
                                ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
     FROM sized
 )
-SELECT doc_id, source, n_tokens, start_tok,
+SELECT doc_id, source, n_tokens,
+       CAST(start_tok AS BIGINT)                                   AS start_tok,
        CAST(start_tok // {PACK_BUDGET} AS BIGINT)                  AS first_bin,
        CAST((start_tok + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS last_bin,
        (start_tok // {PACK_BUDGET} <> (start_tok + n_tokens - 1) // {PACK_BUDGET})
@@ -106,21 +179,15 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end in doc_id order into one token stream cut every
     {PACK_BUDGET} tokens — the standard LLM pretraining batch-packing
     discipline. Each doc's bin span falls out arithmetically from the
-    running token offset (one window cumsum per source partition, no
-    iteration); ``spans_boundary`` marks docs a loader would split across
+    running token offset (two-phase bucketed prefix sum — see
+    ``_with_start_tok`` — so no single task ever owns a whole source);
+    ``spans_boundary`` marks docs a loader would split across
     two sequences."""
     d = _docs(spark, sf_dir)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     sized = d.select(
         "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    packed = sized.withColumn(
-        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
+    packed = _with_start_tok(sized, "n_tokens")
     first_bin = F.floor(F.col("start_tok") / PACK_BUDGET)
     last_bin = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_BUDGET)
     return packed.select(
@@ -364,7 +431,8 @@ WITH kept AS ({ORACLES["quality_filtered_corpus"]})
                               ROWS UNBOUNDED PRECEDING) - n_words AS start_tok
     FROM kept
 )
-SELECT doc_id, source, n_words, start_tok,
+SELECT doc_id, source, n_words,
+       CAST(start_tok AS BIGINT)                  AS start_tok,
        CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS first_bin,
        CAST((start_tok + n_words - 1) // {PACK_BUDGET} AS BIGINT) AS last_bin
 FROM packed
@@ -384,14 +452,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .quality import q_quality_filtered_corpus
 
     kept = q_quality_filtered_corpus(spark, sf_dir)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    packed = kept.withColumn(
-        "start_tok", F.sum("n_words").over(w) - F.col("n_words")
-    )
+    packed = _with_start_tok(kept, "n_words")
     first_bin = F.floor(F.col("start_tok") / PACK_BUDGET)
     last_bin = F.floor((F.col("start_tok") + F.col("n_words") - 1) / PACK_BUDGET)
     return packed.select(
