@@ -118,33 +118,37 @@ def q_stream_execution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's cron-scheduled incremental model (T1/T2, app.py:98-109)
     — and committed offsets guarantee each record is delivered exactly once
     across runs. The accumulated stream must be cell-exact against the
-    oracle."""
+    oracle.
+
+    Scale shape: each micro-batch is APPENDED to a parquet staging table by
+    the executors (the exactly-once sink discipline — S8); the returned
+    DataFrame is a scan of that table. No row ever crosses the driver —
+    drain detection reads only the run's numInputRows progress metric."""
     import tempfile
 
     from ..sources.execution_feed import register as register_feed
 
     register_feed(spark)
     checkpoint = tempfile.mkdtemp(prefix="exec_feed_ckpt_")
-    collected: list = []
+    staging = tempfile.mkdtemp(prefix="exec_feed_stage_")
 
-    def capture(batch_df: DataFrame, batch_id: int) -> None:
-        collected.extend(batch_df.collect())
+    def stage(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(staging)
 
     while True:
-        before = len(collected)
         q = (
             spark.readStream.format("execution_feed")
             .option("total", TOTAL_EXECS)
             .option("batch", 137)
             .load()
-            .writeStream.foreachBatch(capture)
+            .writeStream.foreachBatch(stage)
             .trigger(availableNow=True)
             .option("checkpointLocation", checkpoint)
             .start()
         )
         q.awaitTermination()
-        if len(collected) == before:
+        if sum(p["numInputRows"] for p in q.recentProgress) == 0:
             break
-    return spark.createDataFrame(
-        collected, "exec_id BIGINT, order_no BIGINT, exec_qty BIGINT, exec_price DOUBLE"
-    )
+    return spark.read.schema(
+        "exec_id BIGINT, order_no BIGINT, exec_qty BIGINT, exec_price DOUBLE"
+    ).parquet(staging)

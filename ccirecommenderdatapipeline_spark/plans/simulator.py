@@ -299,17 +299,35 @@ for _metric, _name in [
     )(_best_query(_metric))
 
 
-@query("best_return_full_grid", oracle=None)
+from ..operators.simulator import DEFAULT_GRID
+
+_FULL_BEST_COLS = (
+    "symbol, condition_holding_days, condition_target_return, "
+    "condition_buy_cci_threshold, condition_stop_loss_cci_threshold, "
+    "count_buy_date, win_rate, revenue_rate, total_revenue"
+)
+
+
+@query(
+    "best_return_full_grid",
+    oracle="WITH "
+    + _sim_cte(DEFAULT_GRID)
+    + AGG_SQL
+    + (BEST_CTE + f"SELECT {_FULL_BEST_COLS} FROM best").format(
+        metric="revenue_rate"
+    ),
+)
 def q_best_return_full_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full workload (app.py:41-44): 6x10x9x9 = 4,860 combos
     per symbol — 467M logical trades at sf0.1, aggregated to one best
     strategy per symbol. Runs SURVEY §4.2's Plan B (fused per-symbol
     applyInPandas, operators/simulator_pandas.py): benchmarked 10s vs Plan
     A's 49s at sf0.1 — Plan A's distinct-date collect_sets are an
-    ObjectHashAggregate that dominates at the full grid. No SQL oracle (the
-    DuckDB pass would need the same half-billion-row expansion); correctness
-    comes from (a) the reduced-grid oracle queries above exercising Plan A
-    and (b) tests asserting Plan B == Plan A on those same grids."""
+    ObjectHashAggregate that dominates at the full grid. The DuckDB oracle
+    replays the FULL 4,860-combo grid through the same CTE pipeline the
+    reduced-grid queries use (~19 s at sf0.01) — so the flagship's Plan B
+    fused-pandas path is itself hash-checked against an independent engine,
+    not just pinned equal to Plan A by tests."""
     from ..operators.simulator_pandas import simulate_aggregate_pandas
 
     agged = simulate_aggregate_pandas(cci_view(spark, sf_dir), None)
