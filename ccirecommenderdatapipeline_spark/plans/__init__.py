@@ -22,6 +22,7 @@ from . import analytics  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import tpch2  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
@@ -53,6 +54,9 @@ _PRIORITY = [
     "pagerank_bipartite", "media_dedup", "corpus_pipeline",
     # (c) plan changed this round
     "doc_chunking", "best_return_full_grid",
+    # (d) round-4 additions
+    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
 ]
 
 
