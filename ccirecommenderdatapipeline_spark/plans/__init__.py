@@ -57,6 +57,7 @@ _PRIORITY = [
     # (d) round-4 additions
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
     "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
+    "best_return_depth3",
 ]
 
 

@@ -299,6 +299,36 @@ for _metric, _name in [
     )(_best_query(_metric))
 
 
+DEPTH3_YEARS = ["1", "3", "all"]
+
+
+@query(
+    "best_return_depth3",
+    oracle="WITH "
+    + _sim_cte(SIM_GRID, years=DEPTH3_YEARS)
+    + _agg_sql(YEARS_KEYS)
+    + (_best_cte(YEARS_KEYS) + "SELECT * FROM best").format(metric="revenue_rate"),
+)
+def q_best_return_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 at a THIRD search depth (1y / 3y / all): pins the single-pass
+    broadcast-boundary depth plan against the oracle's per-depth replay at
+    a depth that is neither the trivial slice nor the full history —
+    the 3y boundary lands mid-fixture, so off-by-one boundary bugs
+    (inclusive vs exclusive first-slice-date) would surface here. Reduced
+    2x2x2x2 grid keeps the three-way oracle replay cheap."""
+    agged = aggregate_strategies(
+        simulate_trades(cci_view(spark, sf_dir), SIM_GRID, years=DEPTH3_YEARS),
+        extra_keys=("search_years",),
+    )
+    return best_by(agged, "revenue_rate", extra_keys=("search_years",)).select(
+        "symbol", "search_years",
+        "condition_holding_days", "condition_target_return",
+        "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
+        "count_buy_date", "count_win", "count_lose", "avg_days_held",
+        "win_rate", "revenue_rate", "avg_revenue_per_days_held", "total_revenue",
+    )
+
+
 from ..operators.simulator import DEFAULT_GRID
 
 _FULL_BEST_COLS = (
