@@ -58,6 +58,7 @@ _PRIORITY = [
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
     "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
     "best_return_depth3",
+    "cluster_margin", "winnowing_dedup", "range_interval_window",
 ]
 
 

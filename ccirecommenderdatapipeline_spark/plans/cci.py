@@ -362,3 +362,35 @@ def q_rsi_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w_cnt") >= 14)
         .drop("w_cnt")
     )
+
+
+# --- calendar RANGE window: value-based frame over trading-day gaps ---------
+
+_RANGE7_BODY = """
+SELECT symbol, date, close_pr,
+       CAST(COUNT(*) OVER (PARTITION BY symbol ORDER BY date
+            RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_in_window,
+       ROUND(CAST(SUM(CAST(ROUND(close_pr, 2) AS DECIMAL(18,2)))
+                  OVER (PARTITION BY symbol ORDER BY date
+                        RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY symbol ORDER BY date
+                  RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW),
+             6) AS avg_close_7d
+FROM prices
+"""
+
+
+@query("range_interval_window", oracle="WITH " + PRICES_ORACLE_CTE + _RANGE7_BODY)
+def q_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-RANGE window frame: trailing 7-calendar-day average close
+    per symbol — a VALUE-based frame (RANGE + INTERVAL bound on the date
+    order key), not a row-count frame, so weekend/holiday gaps shrink the
+    window (n_in_window varies 1..7 while a ROWS frame would always hold
+    7). The frame sum is DECIMAL-exact before the single double division.
+    Same text on both engines; Spark evaluates it with one running frame
+    per symbol partition — same shuffle profile as every other per-symbol
+    window in the repo (bucketed layout applies)."""
+    prices_view(spark, sf_dir).createOrReplaceTempView("prices")
+    return spark.sql(_RANGE7_BODY)

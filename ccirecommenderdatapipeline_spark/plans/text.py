@@ -618,3 +618,88 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs2.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# --- winnowing: per-window minimum fingerprint selection (MOSS) -------------
+
+WINNOW_GRAM = 8      # character k-gram width
+WINNOW_W = 6         # winnowing window (guaranteed density <= 2/(w+1))
+WINNOW_SHARED = 5    # shared-fingerprint threshold for a candidate pair
+WINNOW_DF_CAP = 50   # stop-fingerprint cap (anti-skew, as dedup_ngram_jaccard)
+
+_WINNOW_FPS = f"""
+list_distinct(list_transform(
+    range(1, greatest(len(hashes) - {WINNOW_W - 1}, 1) + 1),
+    j -> list_min(list_slice(hashes, j, j + {WINNOW_W - 1}))))
+""".strip()
+
+
+@query(
+    "winnowing_dedup",
+    oracle="WITH " + DOCS2_CTE + f"""
+, hashed AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(text) - {WINNOW_GRAM - 1}, 1) + 1),
+                          i -> md5(substr(text, i, {WINNOW_GRAM}))) AS hashes
+    FROM docs2
+), fps AS (
+    SELECT doc_id, unnest({_WINNOW_FPS}) AS fp FROM hashed
+), keep AS (
+    SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_DF_CAP}
+), posting AS (
+    SELECT f.doc_id, f.fp FROM fps f JOIN keep k ON k.fp = f.fp
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM posting a JOIN posting b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_SHARED}
+""",
+)
+def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup candidates (Schleimer et al., the MOSS local
+    fingerprinting algorithm): per document, hash every {WINNOW_GRAM}-char
+    gram, slide a {WINNOW_W}-hash window and keep each window's MINIMUM —
+    guaranteeing any shared substring of length >= {WINNOW_GRAM +
+    WINNOW_W - 1} produces a shared fingerprint while selecting at most
+    2/(w+1) of all grams. Selected fingerprints build an inverted index;
+    pairs sharing >= {WINNOW_SHARED} fingerprints are candidates.
+
+    Scale shape: selection is a pure map (HOFs, no UDF); the posting-list
+    join is blocked per fingerprint with a {WINNOW_DF_CAP}-doc
+    stop-fingerprint cap (same anti-skew guard as dedup_ngram_jaccard), so
+    no bucket explodes on boilerplate text; never all-pairs."""
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    # substring with a per-element start index needs the expr form (the
+    # python substring() binds scalar start/len only)
+    hashed = docs2.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {WINNOW_GRAM - 1}, 1)), "
+            f"i -> md5(substring(text, i, {WINNOW_GRAM})))"
+        ).alias("hashes"),
+    )
+    fps = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(hashes) - {WINNOW_W - 1}, 1)), "
+                    f"j -> array_min(slice(hashes, j, {WINNOW_W})))"
+                )
+            )
+        ).alias("fp"),
+    )
+    keep = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= WINNOW_DF_CAP
+    )
+    posting = fps.join(keep.select("fp"), "fp")
+    a = posting.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_SHARED)
+    )

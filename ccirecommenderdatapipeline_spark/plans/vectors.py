@@ -406,3 +406,109 @@ def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("centroid_cosine")
     )
+
+
+_CENT_CTE = """
+, comp AS (
+    SELECT label, d.i AS dim, v[d.i] AS val
+    FROM vecs, UNNEST(generate_series(1, len(v))) AS d(i)
+), cent AS (
+    SELECT label, dim,
+           CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(*) AS c
+    FROM comp GROUP BY label, dim
+), carr AS (
+    SELECT label AS clabel, list(c ORDER BY dim) AS cv
+    FROM cent GROUP BY label
+), cnorm AS (
+    SELECT clabel, cv, sqrt(__DOT_CV_CV__) AS cnrm FROM carr
+)
+""".replace("__DOT_CV_CV__", _dot_sql("cv", "cv"))
+
+
+@query(
+    "cluster_margin",
+    oracle="WITH " + VECS_CTE + _CENT_CTE + f"""
+, scored AS (
+    SELECT p.vec_id, p.label, c.clabel,
+           {_dot_sql("p.v", "c.cv")} / (p.nrm * c.cnrm) AS cos_c
+    FROM n p CROSS JOIN cnorm c
+), margins AS (
+    SELECT vec_id, label,
+           MAX(CASE WHEN clabel = label THEN cos_c END)  AS own_cos,
+           MAX(CASE WHEN clabel <> label THEN cos_c END) AS best_other_cos
+    FROM scored GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(ROUND(SUM(CAST(ROUND(own_cos - best_other_cos, 8)
+                           AS DECIMAL(18,8))), 8) AS DOUBLE) AS sum_margin,
+       CAST(SUM(CASE WHEN own_cos < best_other_cos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_misassigned
+FROM margins GROUP BY label
+""",
+)
+def q_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality margins (simplified silhouette): every vector's
+    cosine to its OWN label centroid vs its best OTHER centroid, rolled up
+    per label (sum of margins + misassignment count) — the embedding-drift
+    / label-noise monitor a training-data pipeline runs after re-embedding.
+
+    Scale shape: centroids aggregate in long (label, dim) form with
+    DECIMAL-exact component sums (identical to ``vector_centroids``), then
+    collapse to a |labels|-row array table that BROADCASTS; scoring is one
+    map pass over the vectors (points x |labels| sequential-fold dots, no
+    shuffle), and the final per-label roll-up is map-combinable. Margins
+    are rounded to fixed scale before the DECIMAL sum so the roll-up is
+    combine-order exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = normalized_vectors(e)
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select("label", (F.col("pos") + 1).alias("dim"), "val")
+    cent = comp.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("val"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    carr = (
+        cent.groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    )
+    scored = vecs.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("cos_c"),
+    )
+    margins = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos_c"))).alias(
+            "own_cos"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos_c"))).alias(
+            "best_other_cos"
+        ),
+    )
+    return margins.groupBy("label").agg(
+        F.count("*").alias("n_points"),
+        F.round(
+            F.sum(
+                F.round(F.col("own_cos") - F.col("best_other_cos"), 8).cast(
+                    "decimal(18,8)"
+                )
+            ),
+            8,
+        )
+        .cast("double")
+        .alias("sum_margin"),
+        F.sum(
+            F.when(F.col("own_cos") < F.col("best_other_cos"), 1).otherwise(0)
+        ).alias("n_misassigned"),
+    )
