@@ -487,3 +487,100 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)
+
+
+def tws_user_stats(spark: SparkSession, staged_dir: str, checkpoint: str) -> DataFrame:
+    """Custom stateful operator via transformWithStateInPandas (Spark 4's
+    arbitrary-state API, successor to applyInPandasWithState): per-user
+    running (n_events, exact micro-unit value sum, max event ts) carried in
+    a ValueState across micro-batches (maxFilesPerTrigger=1 forces one
+    batch per staged file). Emits the running totals every batch; totals
+    are monotone per user, so the final state is the per-user max row.
+
+    Exactness discipline: ``value`` is fixed to 6 decimals and scaled to
+    int64 micro-units IN THE PLAN (decimal arithmetic) before it reaches
+    Python, so the pandas-side accumulation is integer-exact and
+    combine-order free."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql import types as T
+
+    sdf = events_stream(spark, staged_dir, maxFilesPerTrigger=1).select(
+        "user_id",
+        (F.round("value", 6).cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("value_micros"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_micros", T.LongType()),
+        T.StructField("max_ts_us", T.LongType()),
+    ])
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState(
+                "stats",
+                T.StructType([
+                    T.StructField("n", T.LongType()),
+                    T.StructField("s", T.LongType()),
+                    T.StructField("m", T.LongType()),
+                ]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, m = (
+                self.state.get() if self.state.exists() else (0, 0, -(1 << 62))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += int(pdf["value_micros"].sum())
+                m = max(m, int(pdf["ts_us"].max()))
+            self.state.update((n, s, m))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value_micros": [s],
+                    "max_ts_us": [m],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    updates = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    log = run_to_memory(updates, output_mode="append", checkpoint=checkpoint)
+    # totals are monotone per user -> the final state is the max row
+    w_last = F.struct("n_events", "sum_value_micros", "max_ts_us")
+    return (
+        log.groupBy("user_id")
+        .agg(F.max(w_last).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            (F.col("s.sum_value_micros").cast("double") / 1_000_000).alias("sum_value"),
+            F.col("s.max_ts_us").alias("max_ts_us"),
+        )
+    )
+
+
+def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query form of ``tws_user_stats``."""
+    import shutil
+    import tempfile
+
+    staged = stage_events_dir(spark, sf_dir)
+    checkpoint = tempfile.mkdtemp(prefix="tws_stats_ckpt_")
+    try:
+        return tws_user_stats(spark, staged, checkpoint)
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)

@@ -122,3 +122,31 @@ def test_stateful_cci_stream_equals_batch(spark):
         both_null = m[c].isna() & m[f"{c}_b"].isna()
         diff = (m[c] - m[f"{c}_b"]).abs() < 1e-9
         assert (both_null | diff).all(), c
+
+
+def test_tws_user_stats_matches_batch(spark):
+    """transformWithStateInPandas running per-user stats == batch GROUP BY.
+
+    Skips where google.protobuf is absent (the TWS Python worker runs a
+    protobuf-RPC state server); the operator itself is exercised on any
+    real cluster via the import-gated registered query."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from ccirecommenderdatapipeline_spark.streaming.jobs import (
+        stream_tws_user_stats,
+    )
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = stream_tws_user_stats(spark, SF_SMALL)
+    want = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
