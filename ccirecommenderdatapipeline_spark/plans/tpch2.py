@@ -15,6 +15,7 @@ display sums round at the aggregate boundary.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.tables import load_table
 from .registry import query
@@ -388,13 +389,18 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL-summed then fixed to 2 decimals BEFORE the max-equality gate,
     so the winner cannot depend on double combine order. The max is a
     one-row aggregate broadcast-crossed into the filter (the order_sizing
-    pattern) — no second scan of the revenue CTE at scale."""
+    pattern); the tiny |suppliers|-row revenue table is persisted so the
+    max branch and the join branch share ONE fact scan (Spark's
+    ReuseExchange does not canonicalize the two aggregate chains as equal
+    — verified empirically — so the cache makes the reuse explicit)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_rev_dec()), 2).cast("double").alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("total_revenue"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     top = revenue.agg(F.max("total_revenue").alias("best_revenue"))
     s = _t(spark, sf_dir, "supplier")

@@ -45,3 +45,54 @@ def test_simulator_grid_is_broadcast(spark):
 def test_lookup_join_is_broadcast(spark):
     txt = _explain(spark, "lookup_join")
     assert "BroadcastHashJoin" in txt
+
+
+def test_tpch_q15_computes_revenue_once(spark):
+    # the max-revenue gate must not trigger a second lineitem scan chain:
+    # the persisted revenue table serves both the max and the join branch
+    txt = _explain(spark, "tpch_q15")
+    assert "InMemoryTableScan" in txt
+    # one lineitem scan feeds the cache; the second scan is supplier only
+    assert txt.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in txt
+
+
+def test_tpch_q19_pushes_per_side_disjunctions(spark):
+    txt = _explain(spark, "tpch_q19")
+    # brand/size terms reach the part scan as pushed filters
+    assert "PushedFilters" in txt
+    assert "p_brand" in txt
+
+
+def test_tpch_q20_is_semi_join_cascade(spark):
+    txt = _explain(spark, "tpch_q20")
+    assert "LeftSemi" in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_tpch_q21_rewrites_exists_to_semi_anti(spark):
+    txt = _explain(spark, "tpch_q21")
+    assert "LeftSemi" in txt
+    assert "LeftAnti" in txt
+
+
+def test_cluster_margin_broadcasts_centroids(spark):
+    txt = _explain(spark, "cluster_margin")
+    assert "BroadcastNestedLoopJoin" in txt  # |labels|-row centroid table
+    assert "SortMergeJoin" not in txt
+
+
+def test_sequence_packing_has_no_per_source_window_over_data(spark):
+    # the big window must be keyed (source, _bucket); the source-only
+    # window may appear ONLY over the tiny bucket-totals table (which sits
+    # below a broadcast exchange in the executed plan)
+    df = plans.QUERIES["sequence_packing"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    big_windows = [
+        ln for ln in plan.splitlines()
+        if "Window [sum(n_tokens" in ln and "_bucket" not in ln
+    ]
+    assert big_windows == [], big_windows
+    assert "BroadcastHashJoin" in plan
