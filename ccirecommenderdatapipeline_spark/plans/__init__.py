@@ -59,6 +59,8 @@ _PRIORITY = [
     "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
     "best_return_depth3",
     "cluster_margin", "winnowing_dedup", "range_interval_window",
+    # (c cont.) restaged through a parquet staging table this round
+    "stream_execution_feed",
 ]
 
 
