@@ -42,6 +42,9 @@ HEADLINE = [
     "tpch_q5",                   # six-table snowflake join chain (r3)
     "funnel_analysis",           # sequential-stage event funnel (r3)
     "bm25_search",               # inverted-index lexical ranking (r3)
+    "tpch_q21",                  # EXISTS/NOT-EXISTS semi+anti cascade (r4)
+    "winnowing_dedup",           # MOSS per-window-min fingerprint dedup (r4)
+    "cluster_margin",            # broadcast-centroid embedding scoring (r4)
 ]
 
 

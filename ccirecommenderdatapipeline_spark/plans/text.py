@@ -703,3 +703,156 @@ def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_SHARED)
     )
+
+
+# --- incremental dedup: new batch vs indexed corpus -------------------------
+
+_INC_GRAMS = """
+list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE CAST([] AS VARCHAR[]) END)
+""".strip()
+
+_INC_BAND_KEY = (
+    "((sig[3 * b.band_idx + 1] * 31 + sig[3 * b.band_idx + 2]) % 2147483647"
+    " * 31 + sig[3 * b.band_idx + 3]) % 2147483647"
+)
+
+
+@query(
+    "dedup_incremental",
+    oracle="WITH " + TOK_CTE + f"""
+, grams_c AS (SELECT doc_id, {_INC_GRAMS} AS grams FROM tok)
+, btok AS (
+    SELECT t.doc_id + 100000 AS doc_id,
+           CASE WHEN t.doc_id % 5 = 0 THEN list_reverse(t.toks)
+                ELSE t.toks END AS toks
+    FROM tok t
+)
+, grams_b AS (SELECT doc_id, {_INC_GRAMS} AS grams FROM btok)
+, sig_c AS (SELECT doc_id, {_minhash_sql()} AS sig FROM grams_c)
+, sig_b AS (SELECT doc_id, {_minhash_sql()} AS sig FROM grams_b)
+, bands_c AS (
+    SELECT doc_id, b.band_idx, {_INC_BAND_KEY} AS band_key
+    FROM sig_c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+)
+, bands_b AS (
+    SELECT doc_id, b.band_idx, {_INC_BAND_KEY} AS band_key
+    FROM sig_b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+)
+, cand AS (
+    SELECT DISTINCT nb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+    FROM bands_b nb JOIN bands_c cb
+      ON cb.band_idx = nb.band_idx AND cb.band_key = nb.band_key
+)
+, scored AS (
+    SELECT c.batch_doc, c.corpus_doc,
+           len(list_filter(range(1, {MINHASH_K + 1}),
+               i -> sb.sig[i] = sc.sig[i])) / {MINHASH_K} AS est_jaccard
+    FROM cand c
+    JOIN sig_b sb ON sb.doc_id = c.batch_doc
+    JOIN sig_c sc ON sc.doc_id = c.corpus_doc
+)
+, hits AS (
+    SELECT batch_doc, n_matches, corpus_doc AS best_match_doc,
+           est_jaccard AS best_est
+    FROM (
+        SELECT batch_doc, corpus_doc, est_jaccard,
+               CAST(COUNT(*) OVER (PARTITION BY batch_doc) AS BIGINT) AS n_matches,
+               ROW_NUMBER() OVER (PARTITION BY batch_doc
+                   ORDER BY est_jaccard DESC, corpus_doc) AS rn
+        FROM scored WHERE est_jaccard >= {JACCARD_THRESHOLD}
+    ) WHERE rn = 1
+)
+SELECT b.doc_id AS batch_doc,
+       COALESCE(h.n_matches, 0)   AS n_matches,
+       h.best_match_doc,
+       h.best_est,
+       (h.batch_doc IS NULL)      AS is_novel
+FROM btok b LEFT JOIN hits h ON h.batch_doc = b.doc_id
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup — the shape a 100 TB ingest actually runs
+    daily: the NEW batch's LSH bands probe the EXISTING corpus's band
+    index; the full corpus is never re-paired against itself. The batch is
+    a deterministic re-delivery of the corpus with every 5th document
+    token-REVERSED (novel content: reversed trigrams share almost nothing),
+    so the result must flag exactly the mutated docs as novel and match
+    the rest back to their originals.
+
+    Scale shape: the corpus band index is the pre-built artifact (in
+    production: bucketed/materialized once, appended per batch); the batch
+    side is orders of magnitude smaller and its bands shuffle into the
+    index's (band_idx, band_key) partitioning — work proportional to the
+    BATCH, not the corpus. Verification stays O(1) per candidate
+    (12-component signatures)."""
+    corpus = _docs(spark, sf_dir)
+    c_toks = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+    b_toks = c_toks.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.reverse("toks"))
+        .otherwise(F.col("toks"))
+        .alias("toks"),
+    )
+
+    def sigs(toks_df: DataFrame) -> DataFrame:
+        grams = toks_df.select(
+            "doc_id", F.array_distinct(word_ngrams(F.col("toks"), 3)).alias("grams")
+        )
+        return grams.select("doc_id", minhash_signature(F.col("grams")).alias("sig"))
+
+    def bands(sig_df: DataFrame, id_alias: str) -> DataFrame:
+        return sig_df.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("sig").alias(f"sig_{id_alias}"),
+            F.explode(lsh_bands(F.col("sig"))).alias("b"),
+        ).select(
+            id_alias, f"sig_{id_alias}", F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_key").alias("band_key"),
+        )
+
+    b_bands = bands(sigs(b_toks), "batch_doc")
+    c_bands = bands(sigs(c_toks), "corpus_doc")
+    cand = (
+        b_bands.join(c_bands, ["band_idx", "band_key"])
+        .select("batch_doc", "corpus_doc", "sig_batch_doc", "sig_corpus_doc")
+        .dropDuplicates(["batch_doc", "corpus_doc"])
+    )
+    scored = cand.select(
+        "batch_doc",
+        "corpus_doc",
+        signature_match_frac(
+            F.col("sig_batch_doc"), F.col("sig_corpus_doc")
+        ).alias("est_jaccard"),
+    )
+    hits = (
+        scored.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .groupBy("batch_doc")
+        .agg(
+            F.count("*").alias("n_matches"),
+            # argmax by est, ties -> smallest corpus doc (negated id in the
+            # struct ordering)
+            F.max(
+                F.struct(F.col("est_jaccard"), (-F.col("corpus_doc")).alias("negdoc"))
+            ).alias("best"),
+        )
+        .select(
+            "batch_doc",
+            "n_matches",
+            (-F.col("best.negdoc")).alias("best_match_doc"),
+            F.col("best.est_jaccard").alias("best_est"),
+        )
+    )
+    return (
+        b_toks.select(F.col("doc_id").alias("batch_doc"))
+        .join(hits, "batch_doc", "left")
+        .select(
+            "batch_doc",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_match_doc",
+            "best_est",
+            F.col("n_matches").isNull().alias("is_novel"),
+        )
+    )
