@@ -152,3 +152,67 @@ def q_stream_execution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "exec_id BIGINT, order_no BIGINT, exec_qty BIGINT, exec_price DOUBLE"
     ).parquet(staging)
+
+
+@query(
+    "order_ledger_roundtrip",
+    oracle=f"""
+WITH keys AS (
+    SELECT s.suppkey, a.account_id
+    FROM (SELECT unnest(range(1, {N_SYMBOLS} + 1)) AS suppkey) s
+    CROSS JOIN (SELECT unnest(range(1, {N_ACCOUNTS} + 1)) AS account_id) a
+), rows_ AS (
+    SELECT CAST(account_id AS INTEGER)                     AS account_id,
+           CAST(suppkey AS VARCHAR)                        AS symbol,
+           CAST((suppkey * 7 + account_id * 13) % 100 AS BIGINT) AS hold_qty,
+           ((suppkey * 131 + account_id * 17) % 9000) / 100.0 + 10.0 AS avg_buy_price,
+           ((suppkey * 197 + account_id * 29) % 9000) / 100.0 + 10.0 AS current_price
+    FROM keys
+)
+SELECT account_id, symbol,
+       CASE WHEN current_price > avg_buy_price THEN 'SELL' ELSE 'HOLD' END AS side,
+       hold_qty                                   AS order_qty,
+       current_price                              AS limit_price
+FROM rows_
+WHERE hold_qty > 0
+""",
+)
+def q_order_ledger_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 order sink through a CUSTOM Python DataSource WRITER: held
+    positions become order rows, each executor partition lands as one
+    task-committed JSONL file, and the driver-side commit writes the
+    manifest that gates visibility (two-phase commit — retried tasks never
+    leak). The query returns the MANIFEST-GATED read-back, which must be
+    cell-exact against the oracle's recomputation of the same orders —
+    proving the write path (partitioned write + commit protocol + codec)
+    loses and invents nothing. Doubles survive the JSON hop exactly
+    (shortest-repr round-trip)."""
+    import tempfile
+
+    from ..sources.ledger import read_ledger, register as register_sink
+
+    register(spark)
+    register_sink(spark)
+    bal = (
+        spark.read.format("broker_balances")
+        .option("n_symbols", N_SYMBOLS)
+        .option("n_accounts", N_ACCOUNTS)
+        .load()
+    )
+    orders = bal.filter(F.col("hold_qty") > 0).select(
+        "account_id",
+        "symbol",
+        F.when(F.col("current_price") > F.col("avg_buy_price"), "SELL")
+        .otherwise("HOLD")
+        .alias("side"),
+        F.col("hold_qty").alias("order_qty"),
+        F.col("current_price").alias("limit_price"),
+    )
+    path = tempfile.mkdtemp(prefix="order_ledger_")
+    orders.write.format("order_ledger").option("path", path).mode("append").save()
+    return read_ledger(
+        spark,
+        path,
+        "account_id INT, symbol STRING, side STRING, order_qty BIGINT, "
+        "limit_price DOUBLE",
+    )
