@@ -61,7 +61,7 @@ _PRIORITY = [
     "cluster_margin", "winnowing_dedup", "range_interval_window",
     # (c cont.) restaged through a parquet staging table this round
     "stream_execution_feed",
-    "dedup_incremental", "order_ledger_roundtrip",
+    "dedup_incremental", "order_ledger_roundtrip", "linear_interpolate",
 ]
 
 

@@ -491,3 +491,84 @@ def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("p.k").alias("sum_k"),
     )
+
+
+@query(
+    "linear_interpolate",
+    oracle="WITH " + PRICES_ORACLE_CTE + """
+, px AS (SELECT symbol, date, close_pr FROM prices WHERE CAST(symbol AS BIGINT) % 20 = 0)
+, bounds AS (SELECT symbol, min(date) AS lo, max(date) AS hi FROM px GROUP BY 1)
+, cal AS (
+    SELECT symbol, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+)
+SELECT cal.symbol, cal.d,
+       CAST(t.date IS NOT NULL AS BOOLEAN) AS is_trading,
+       CASE
+           WHEN t.date IS NOT NULL THEN t.close_pr
+           WHEN b.date IS NULL     THEN a.close_pr
+           ELSE ROUND(a.close_pr + (b.close_pr - a.close_pr)
+                * (CAST(cal.d - a.date AS INTEGER)
+                   / CAST(b.date - a.date AS INTEGER)), 8)
+       END AS close_interp,
+       CASE
+           WHEN t.date IS NOT NULL THEN 'exact'
+           WHEN b.date IS NULL     THEN 'locf'
+           ELSE 'interp'
+       END AS interp_kind
+FROM cal
+LEFT JOIN px t ON t.symbol = cal.symbol AND t.date = cal.d
+ASOF LEFT JOIN px a ON a.symbol = cal.symbol AND cal.d >= a.date
+ASOF LEFT JOIN px b ON b.symbol = cal.symbol AND cal.d <= b.date
+""",
+)
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation over the dense calendar: non-trading
+    days get the straight line between the previous and next trading close
+    (LOCF past the last trade; exact on trading days) — resampling for
+    models that need gap-free daily series. Spark states the fill as two
+    ignoreNulls running windows (backward last + forward first) inside the
+    per-symbol partition — ONE shuffle total; the oracle states it as the
+    equivalent pair of ASOF joins. The interpolation expression tree is
+    identical in both engines (int/int day-fraction, one multiply, one
+    add), so values match bit-exactly before the defensive ROUND."""
+    px = prices_view(spark, sf_dir).filter(
+        F.col("symbol").cast("long") % 20 == 0
+    ).select("symbol", "date", "close_pr")
+    cal = (
+        px.groupBy("symbol")
+        .agg(F.min("date").alias("lo"), F.max("date").alias("hi"))
+        .select(
+            "symbol",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"),
+        )
+    )
+    joined = cal.join(
+        px.select("symbol", F.col("date").alias("d"), "close_pr"),
+        ["symbol", "d"],
+        "left",
+    )
+    wb = Window.partitionBy("symbol").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("symbol").orderBy("d").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    prev_c = F.last("close_pr", ignorenulls=True).over(wb)
+    prev_d = F.last(F.when(F.col("close_pr").isNotNull(), F.col("d")), True).over(wb)
+    next_c = F.first("close_pr", ignorenulls=True).over(wf)
+    next_d = F.first(F.when(F.col("close_pr").isNotNull(), F.col("d")), True).over(wf)
+    frac = F.datediff(F.col("d"), prev_d) / F.datediff(next_d, prev_d)
+    return joined.select(
+        "symbol",
+        "d",
+        F.col("close_pr").isNotNull().alias("is_trading"),
+        F.when(F.col("close_pr").isNotNull(), F.col("close_pr"))
+        .when(next_c.isNull(), prev_c)
+        .otherwise(F.round(prev_c + (next_c - prev_c) * frac, 8))
+        .alias("close_interp"),
+        F.when(F.col("close_pr").isNotNull(), "exact")
+        .when(next_c.isNull(), "locf")
+        .otherwise("interp")
+        .alias("interp_kind"),
+    )
