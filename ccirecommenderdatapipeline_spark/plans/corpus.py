@@ -467,3 +467,58 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["corpus_pipeline"] = _pipeline_oracle()
+
+
+# --- Python UDTF: the table-function chunker ---------------------------------
+
+UDTF_CHUNK = 64      # chars per UDTF chunk (distinct from CHUNK_LEN batteries)
+
+
+@query(
+    "udtf_chunker",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST(u.s - 1 AS INTEGER)                         AS piece_idx,
+       substr(d.text, 1 + (CAST(u.s AS INTEGER) - 1) * {UDTF_CHUNK}, {UDTF_CHUNK})
+                                                        AS piece,
+       CAST(length(substr(d.text,
+            1 + (CAST(u.s AS INTEGER) - 1) * {UDTF_CHUNK}, {UDTF_CHUNK}))
+            AS INTEGER)                                 AS piece_len
+FROM documents d,
+     UNNEST(generate_series(1, CAST(ceil(d.n_chars / {UDTF_CHUNK}.0) AS BIGINT)))
+         AS u(s)
+WHERE d.n_chars >= 1
+""",
+)
+def q_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function): a lateral-join
+    chunker — each document row expands to its non-overlapping
+    {UDTF_CHUNK}-char pieces through the arrow-evaluated UDTF path
+    (`LATERAL udtf(...)`), exercising the analyzer's table-function
+    resolution rather than explode(). The same chunking is restated
+    arithmetically in the oracle (generate_series over ceil(n/W)).
+
+    Scale note: a UDTF is row-at-a-time Python — fine for connector-style
+    expansion logic that built-ins can't express, but the repo's hot-path
+    chunkers (doc_chunking) stay in Catalyst HOFs; this query pins the
+    SURFACE so a user porting UDTF code gets a verified path."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="piece_idx INT, piece STRING, piece_len INT")
+    class Chunker:
+        def eval(self, text: str, width: int):
+            if not text:
+                return
+            for i in range(0, (len(text) + width - 1) // width):
+                piece = text[i * width:(i + 1) * width]
+                yield i, piece, len(piece)
+
+    spark.udtf.register("chunker", Chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.piece_idx, c.piece, c.piece_len
+        FROM documents d, LATERAL chunker(d.text, {UDTF_CHUNK}) c
+        WHERE d.n_chars >= 1
+        """
+    )
