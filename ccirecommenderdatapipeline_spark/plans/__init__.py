@@ -62,7 +62,7 @@ _PRIORITY = [
     # (c cont.) restaged through a parquet staging table this round
     "stream_execution_feed",
     "dedup_incremental", "order_ledger_roundtrip", "linear_interpolate",
-    "udtf_chunker",
+    "udtf_chunker", "dpp_partitioned_join",
 ]
 
 

@@ -741,3 +741,51 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)")).cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "dpp_partitioned_join",
+    oracle="""
+WITH o AS (
+    SELECT *, CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year
+    FROM orders
+), picked AS (
+    SELECT DISTINCT o_year FROM o WHERE o_year >= 2000
+)
+SELECT o.o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM o JOIN picked p ON p.o_year = o.o_year
+GROUP BY o.o_year
+""",
+)
+def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the year-partitioned orders fact joins a
+    runtime-derived year dim — Catalyst injects the dim's values as a
+    DynamicPruningSubquery into the fact scan's PartitionFilters, so only
+    the surviving year directories are ever LISTED or read (the 100 TB
+    fact-table discipline: partition elimination must happen at the file
+    index, not per row). The executed plan carries ``dynamicpruning#`` on
+    the scan (pinned by test_plans.py); the oracle restates the join over
+    the unpartitioned view."""
+    out = os.path.join(STORAGE_ROOT, f"{_tag(sf_dir)}_orders_by_year")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year(F.to_date("o_orderdate")).cast("int")
+        )
+        o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        fact.select("o_year").distinct().filter(F.col("o_year") >= 2000)
+    )
+    return (
+        fact.join(dim.hint("broadcast"), "o_year")
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -96,3 +96,11 @@ def test_sequence_packing_has_no_per_source_window_over_data(spark):
     ]
     assert big_windows == [], big_windows
     assert "BroadcastHashJoin" in plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark):
+    txt = _explain(spark, "dpp_partitioned_join")
+    # the fact scan must carry the runtime pruning subquery in its
+    # PARTITION filters (file-index elimination, not per-row filtering)
+    assert "dynamicpruning" in txt.lower()
+    assert "PartitionFilters" in txt
