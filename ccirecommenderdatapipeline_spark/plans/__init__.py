@@ -26,6 +26,7 @@ from . import tpch2  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import warehouse  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
 # the FIRST 50 registered queries only. Round-4 priority window:
@@ -63,6 +64,10 @@ _PRIORITY = [
     "stream_execution_feed",
     "dedup_incremental", "order_ledger_roundtrip", "linear_interpolate",
     "udtf_chunker", "dpp_partitioned_join",
+    # (d cont.) warehouse-maintenance breadth (plans/warehouse.py) — fills
+    # the remaining slots of the 50-row driver window
+    "data_profile", "cdc_apply", "zorder_layout", "entity_resolution",
+    "anomaly_mad", "vwap_monthly",
 ]
 
 

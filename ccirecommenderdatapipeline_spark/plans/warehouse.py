@@ -1,0 +1,524 @@
+"""Warehouse-maintenance & data-management breadth: column profiling, CDC
+apply (upsert + tombstone delete), Z-order clustering layout, blocked fuzzy
+entity resolution, quantile feature binning, VWAP rollup, MAD outlier
+detection, and bigram language-model counts.
+
+These extend the engine past the reference's own surface (its pandas layer
+has no table-maintenance story — daily_function.py keeps everything in
+per-run DataFrames) into the operations a 100 TB lakehouse actually runs:
+profiling before ingestion, CDC replication onto snapshots, clustering for
+data skipping, entity resolution across feeds, and featurization for
+training.
+
+Scale notes:
+- ``data_profile`` is ONE pass over the table (a single hash aggregate of
+  map-combinable count/min/max/HLL-free exact distincts via grouped
+  subaggregates) reshaped to long form — not one scan per column.
+- ``cdc_apply`` shuffles once on the key; keep-last is a WindowGroupLimit-
+  prunable row_number, and the snapshot side joins on the same key
+  partitioning.
+- ``zorder_layout`` is pure map-side bit math; at scale the z-value feeds
+  ``repartitionByRange`` so each output file owns a rectangle in
+  (customer, day) space — min/max footer stats then prune BOTH predicates.
+- ``entity_resolution`` blocks on nationkey (the classic ER blocking step)
+  so the quadratic distance pass runs only inside blocks; never all-pairs.
+- ``anomaly_mad`` reuses the engine-exact discrete-median trick from
+  ``quantile_disc`` (integer-rank type-1 quantile) twice — no interpolated
+  percentile ever crosses engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.text import tokens
+from ..sources.prices import PRICES_ORACLE_CTE, prices_view
+from ..sources.tables import load_table
+from .registry import query
+from .text import TOK_CTE
+
+
+# ---------------------------------------------------------------------------
+# data_profile — per-column stats in ONE scan
+# ---------------------------------------------------------------------------
+
+@query(
+    "data_profile",
+    oracle="""
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS nn_custkey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_custkey,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_custkey,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS nn_totalprice,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_totalprice,
+           MIN(o_totalprice) AS min_totalprice,
+           MAX(o_totalprice) AS max_totalprice,
+           CAST(COUNT(o_orderdate) AS BIGINT) AS nn_orderdate,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_orderdate,
+           CAST(date_diff('day', DATE '1970-01-01', MIN(o_orderdate)) AS DOUBLE) AS min_orderdate,
+           CAST(date_diff('day', DATE '1970-01-01', MAX(o_orderdate)) AS DOUBLE) AS max_orderdate,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_orderstatus,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_orderstatus
+    FROM orders
+)
+SELECT 'o_custkey' AS column_name, n_rows, n_rows - nn_custkey AS n_nulls,
+       nd_custkey AS n_distinct, min_custkey AS min_num, max_custkey AS max_num
+FROM base
+UNION ALL
+SELECT 'o_totalprice', n_rows, n_rows - nn_totalprice, nd_totalprice,
+       min_totalprice, max_totalprice FROM base
+UNION ALL
+SELECT 'o_orderdate', n_rows, n_rows - nn_orderdate, nd_orderdate,
+       min_orderdate, max_orderdate FROM base
+UNION ALL
+SELECT 'o_orderstatus', n_rows, n_rows - nn_orderstatus, nd_orderstatus,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM base
+""",
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE TABLE / df.summary analogue) emitted as
+    one row per column: null count, exact distinct count, numeric min/max
+    (dates as epoch days; strings get NULL bounds). ONE scan — a single
+    multi-aggregate (count-distincts share the scan via Spark's expand
+    rewrite) unpivoted to long form; never a per-column pass over 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("double").alias("min_custkey"),
+        F.max("o_custkey").cast("double").alias("max_custkey"),
+        F.count("o_totalprice").alias("nn_totalprice"),
+        F.countDistinct("o_totalprice").alias("nd_totalprice"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+        F.count("o_orderdate").alias("nn_orderdate"),
+        F.countDistinct("o_orderdate").alias("nd_orderdate"),
+        F.datediff(F.min("o_orderdate"), F.lit("1970-01-01")).cast("double").alias("min_orderdate"),
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01")).cast("double").alias("max_orderdate"),
+        F.count("o_orderstatus").alias("nn_orderstatus"),
+        F.countDistinct("o_orderstatus").alias("nd_orderstatus"),
+    )
+    # long-form reshape via stack (Expand node): the aggregate runs ONCE —
+    # a 4-way union of selects over `base` would re-plan the agg per branch
+    return base.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey',    n_rows - nn_custkey,    nd_custkey,    min_custkey,    max_custkey, "
+            "'o_totalprice', n_rows - nn_totalprice, nd_totalprice, min_totalprice, max_totalprice, "
+            "'o_orderdate',  n_rows - nn_orderdate,  nd_orderdate,  min_orderdate,  max_orderdate, "
+            "'o_orderstatus',n_rows - nn_orderstatus,nd_orderstatus,CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+            ") AS (column_name, n_nulls, n_distinct, min_num, max_num)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num")
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply — change stream onto a snapshot: keep-last upsert + tombstones
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_apply",
+    oracle="""
+WITH snapshot AS (
+    SELECT o_orderkey AS key, ROUND(o_totalprice, 2) AS val
+    FROM orders WHERE o_orderkey % 3 <> 0
+), changes AS (
+    SELECT l_orderkey AS key,
+           CAST(l_linenumber AS BIGINT) AS seq,
+           CASE WHEN l_linenumber % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+           ROUND(l_extendedprice, 2) AS val
+    FROM lineitem WHERE l_orderkey % 5 = 0
+), last_change AS (
+    SELECT key, op, val FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1
+)
+SELECT COALESCE(s.key, c.key) AS key,
+       CASE WHEN c.key IS NULL THEN s.val ELSE c.val END AS val,
+       CASE WHEN c.key IS NULL THEN 'kept'
+            WHEN s.key IS NULL THEN 'inserted'
+            ELSE 'updated' END AS change_kind
+FROM snapshot s
+FULL OUTER JOIN last_change c ON s.key = c.key
+WHERE c.op IS NULL OR c.op <> 'D'
+""",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: apply a keyed change stream (U upserts, D tombstones,
+    ordered by a per-key sequence) onto a snapshot — the replication shape
+    Delta/Hudi MERGE INTO serves; the reference's closest analogue is the
+    keep-last order upsert (daily_function.py:466-516) which lacks deletes.
+
+    Plan: changes keep-last is one row_number window (WindowGroupLimit
+    prunes map-side); the full-outer join shares the key partitioning, so
+    the whole apply is ONE shuffle of each side at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    snapshot = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.round("o_totalprice", 2).alias("val"),
+    )
+    changes = li.filter(F.col("l_orderkey") % 5 == 0).select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").cast("long").alias("seq"),
+        F.when(F.col("l_linenumber") % 7 == 0, "D").otherwise("U").alias("op"),
+        F.round("l_extendedprice", 2).alias("val"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    last_change = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "val")
+    )
+    joined = snapshot.alias("s").join(
+        last_change.alias("c"), F.col("s.key") == F.col("c.key"), "full_outer"
+    )
+    return (
+        joined.filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("s.key"), F.col("c.key")).alias("key"),
+            F.when(F.col("c.key").isNull(), F.col("s.val"))
+            .otherwise(F.col("c.val"))
+            .alias("val"),
+            F.when(F.col("c.key").isNull(), "kept")
+            .when(F.col("s.key").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("change_kind"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout — interleaved-bit clustering for two-dimensional skipping
+# ---------------------------------------------------------------------------
+
+_ZBITS = 8  # 8 bits per dimension -> 16-bit z-value, 256 buckets of 256 cells
+
+
+def _z_sql(x: str, y: str) -> str:
+    """Bit-interleave SQL (portable >> & << arithmetic), x in odd bits."""
+    parts = []
+    for i in range(_ZBITS):
+        parts.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        parts.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(parts)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+WITH dims AS (
+    SELECT o_orderkey,
+           o_custkey % 256 AS xd,
+           date_diff('day', DATE '1970-01-01', o_orderdate) % 256 AS yd
+    FROM orders
+), z AS (
+    SELECT o_orderkey, xd, yd, {_z_sql('xd', 'yd')} AS zval FROM dims
+)
+SELECT CAST(zval >> 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(xd) AS BIGINT) AS min_x, CAST(MAX(xd) AS BIGINT) AS max_x,
+       CAST(MIN(yd) AS BIGINT) AS min_y, CAST(MAX(yd) AS BIGINT) AS max_y
+FROM z
+GROUP BY 1
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout: interleave 8 bits of the customer
+    dimension with 8 bits of the day dimension, bucket rows by the top 8
+    z-bits, and report each bucket's (x, y) bounding box. Every bucket's box
+    is a bounded rectangle (max_x-min_x < 16 and max_y-min_y < 16 for full
+    buckets) — the property parquet min/max footers need to prune BOTH
+    ``o_custkey`` and ``o_orderdate`` predicates after a
+    ``repartitionByRange(zval)`` write. The interleave is pure codegen bit
+    math (shift/and/or) — no UDF, no shuffle before the bucket agg."""
+    o = load_table(spark, sf_dir, "orders")
+    xd = F.col("o_custkey") % 256
+    yd = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 256
+    dims = o.select(
+        "o_orderkey", xd.alias("xd"), yd.cast("long").alias("yd")
+    )
+    zval = None
+    for i in range(_ZBITS):
+        xbit = F.shiftleft(F.shiftright(F.col("xd"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ybit = F.shiftleft(F.shiftright(F.col("yd"), i).bitwiseAND(F.lit(1)), 2 * i)
+        zval = xbit + ybit if zval is None else zval + xbit + ybit
+    z = dims.withColumn("zval", zval)
+    return z.groupBy(F.shiftright("zval", 8).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("xd").cast("long").alias("min_x"),
+        F.max("xd").cast("long").alias("max_x"),
+        F.min("yd").cast("long").alias("min_y"),
+        F.max("yd").cast("long").alias("max_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entity_resolution — blocked fuzzy best-match join
+# ---------------------------------------------------------------------------
+
+@query(
+    "entity_resolution",
+    oracle="""
+WITH pairs AS (
+    SELECT s.s_suppkey, s.s_name, c.c_custkey, c.c_name,
+           CAST(levenshtein(s.s_name, c.c_name) AS INTEGER) AS dist
+    FROM supplier s
+    JOIN customer c ON s.s_nationkey = c.c_nationkey
+), best AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey
+              ORDER BY dist, c_custkey) AS rn
+    FROM pairs
+)
+SELECT s_suppkey, s_name, c_custkey AS match_custkey,
+       c_name AS match_name, dist
+FROM best WHERE rn = 1
+""",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: block candidate pairs on nationkey (the classic
+    blocking step — never all-pairs), score each pair with Levenshtein edit
+    distance, keep the best match per left entity (distance then key
+    tie-break). The same shape links records across two 100 TB feeds: the
+    block key bounds each task's pair count, and the per-entity argmin is a
+    WindowGroupLimit-prunable row_number."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    pairs = s.join(c, s["s_nationkey"] == c["c_nationkey"]).select(
+        "s_suppkey", "s_name", "c_custkey", "c_name",
+        F.levenshtein("s_name", "c_name").cast("int").alias("dist"),
+    )
+    w = Window.partitionBy("s_suppkey").orderBy("dist", "c_custkey")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("c_custkey").alias("match_custkey"),
+            F.col("c_name").alias("match_name"), "dist",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature_binning — exact quantile discretization (ML featurization)
+# ---------------------------------------------------------------------------
+
+@query(
+    "feature_binning",
+    oracle="""
+WITH binned AS (
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS bin
+    FROM customer
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi,
+       CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+FROM binned
+GROUP BY bin
+""",
+)
+def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (QuantileDiscretizer's exact form): NTILE(10)
+    over (value, key) — the key tie-break makes the SQL-standard ntile
+    deterministic and engine-exact — then per-bin count/bounds/decimal-exact
+    sum. At 100 TB the global ntile becomes a rangepartition + per-range
+    offset pass (same two-phase trick as sequence packing); bin EDGES from
+    approx_percentile are the streaming-friendly variant."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    binned = c.select(
+        "c_custkey", "c_acctbal", F.ntile(10).over(w).cast("int").alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        F.sum(F.round("c_acctbal", 2).cast("decimal(18,2)")).cast("double").alias("bal_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vwap_monthly — volume-weighted average price rollup
+# ---------------------------------------------------------------------------
+
+@query(
+    "vwap_monthly",
+    oracle=f"""
+WITH {PRICES_ORACLE_CTE},
+monthly AS (
+    SELECT symbol, CAST(date_trunc('month', date) AS DATE) AS month,
+           CAST(SUM(CAST(ROUND(close_pr * daily_trade_stock, 2)
+                    AS DECIMAL(28,2))) AS DOUBLE) AS pv_sum,
+           CAST(SUM(daily_trade_stock) AS BIGINT) AS vol_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM prices GROUP BY 1, 2
+)
+SELECT symbol, month, pv_sum, vol_sum, n_days,
+       pv_sum / CAST(vol_sum AS DOUBLE) AS vwap
+FROM monthly WHERE vol_sum > 0
+""",
+)
+def q_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly VWAP per symbol. Numeric-determinism contract: the
+    price-volume product is rounded to its exact 2-decimal scale and summed
+    as DECIMAL (order-independent), then the final division runs on
+    bit-identical doubles — no post-division rounding, so no half-boundary
+    hazard (see sources/prices.py). One map-combinable hash aggregate."""
+    p = prices_view(spark, sf_dir)
+    monthly = (
+        p.groupBy(
+            "symbol", F.date_trunc("month", "date").cast("date").alias("month")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("close_pr") * F.col("daily_trade_stock"), 2)
+                .cast("decimal(28,2)")
+            ).cast("double").alias("pv_sum"),
+            F.sum("daily_trade_stock").cast("long").alias("vol_sum"),
+            F.count("*").alias("n_days"),
+        )
+    )
+    return monthly.filter(F.col("vol_sum") > 0).withColumn(
+        "vwap", F.col("pv_sum") / F.col("vol_sum").cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# anomaly_mad — robust outlier detection via discrete median + MAD
+# ---------------------------------------------------------------------------
+
+_MEDIAN_RANK = "(n + 1) // 2"  # type-1 discrete median (lower of middle pair)
+
+
+@query(
+    "anomaly_mad",
+    oracle=f"""
+WITH ranked AS (
+    SELECT event_type, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), med AS (
+    SELECT event_type,
+           MIN(CASE WHEN rn = {_MEDIAN_RANK} THEN value END) AS med
+    FROM ranked GROUP BY event_type
+), dev AS (
+    SELECT r.event_type, r.event_id, r.value, m.med,
+           ABS(r.value - m.med) AS adev
+    FROM ranked r JOIN med m USING (event_type)
+), dev_ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY adev, event_id) AS arn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+), mad AS (
+    SELECT event_type,
+           MIN(CASE WHEN arn = {_MEDIAN_RANK} THEN adev END) AS mad
+    FROM dev_ranked GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value, d.med, m.mad
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev > 6 * m.mad AND m.mad > 0
+""",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: |value - median| > 6 * MAD, both
+    medians the engine-exact type-1 discrete form (integer rank over a
+    (value, id)-ordered window — same trick as ``quantile_disc``; an
+    interpolated median could never hash-match across engines). Two window
+    passes over the SAME event_type partitioning — the second reuses the
+    first's shuffle. The reference's MAD is the rolling W2 form
+    (daily_function.py:1006-1015); this is its grouped, whole-table
+    sibling."""
+    e = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "event_id", "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("value"))).alias("med")
+    )
+    dev = ranked.join(med, "event_type").select(
+        "event_type", "event_id", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    w_arank = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dev_ranked = dev.select(
+        "*",
+        F.row_number().over(w_arank).alias("arn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    mad = dev_ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("arn") == F.expr("(n + 1) DIV 2"), F.col("adev"))).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter((F.col("adev") > 6 * F.col("mad")) & (F.col("mad") > 0))
+        .select("event_type", "event_id", "value", "med", "mad")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm — n-gram language-model counts over the corpus
+# ---------------------------------------------------------------------------
+
+@query(
+    "bigram_lm",
+    oracle=f"""
+WITH {TOK_CTE},
+zipped AS (
+    SELECT doc_id,
+           list_zip(toks[1:len(toks)-1], toks[2:len(toks)]) AS pairs
+    FROM tok
+), bigrams AS (
+    SELECT p.pair[1] AS w1, p.pair[2] AS w2
+    FROM zipped z, UNNEST(z.pairs) AS p(pair)
+), counts AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bigrams GROUP BY w1, w2
+), uni AS (
+    SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM counts GROUP BY w1
+), ranked AS (
+    SELECT c.w1, c.w2, c.c2, u.c1,
+           ROW_NUMBER() OVER (PARTITION BY c.w1
+                              ORDER BY c.c2 DESC, c.w2) AS rn
+    FROM counts c JOIN uni u USING (w1)
+)
+SELECT w1, w2, c2, c1 FROM ranked WHERE rn <= 3 AND c1 >= 50
+""",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM count tables (the n-gram statistics a data pipeline feeds
+    into contamination scans, quality heuristics, and classic LM smoothing):
+    per-first-token top-3 continuations with bigram and unigram counts,
+    frequent heads only. The bigram generator is a map-side zip of the token
+    array with its own tail (no positional self-join in Spark — the oracle
+    states the join form); counts are two map-combinable aggregates; top-3
+    per head is WindowGroupLimit-prunable. Pure integers — hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = counts.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    w = Window.partitionBy("w1").orderBy(F.col("c2").desc(), "w2")
+    ranked = counts.join(uni, "w1").withColumn("rn", F.row_number().over(w))
+    return ranked.filter((F.col("rn") <= 3) & (F.col("c1") >= 50)).select(
+        "w1", "w2", "c2", "c1"
+    )

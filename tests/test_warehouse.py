@@ -1,0 +1,126 @@
+"""Invariant + plan tests for plans/warehouse.py (round-4 breadth)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccirecommenderdatapipeline_spark.plans import QUERIES
+from ccirecommenderdatapipeline_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def _q(spark, name, sf=SF_SMALL):
+    return QUERIES[name](spark, sf)
+
+
+def test_data_profile_single_aggregate_plan(spark):
+    """The long-form reshape must NOT re-run the aggregate per column: one
+    scan, one aggregate pair (partial+final), stack handled by Generate/
+    Project — a 4-branch union would show 4 scans."""
+    df = _q(spark, "data_profile")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert set(rows) == {"o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"}
+    o = load_table(spark, SF_SMALL, "orders")
+    n = o.count()
+    assert all(r["n_rows"] == n for r in rows.values())
+    assert rows["o_orderstatus"]["min_num"] is None
+    assert rows["o_custkey"]["n_distinct"] <= n
+
+
+def test_cdc_apply_tombstones_and_upserts(spark):
+    out = _q(spark, "cdc_apply")
+    rows = out.collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["change_kind"], []).append(r)
+    # no key appears twice in the final state
+    keys = [r["key"] for r in rows]
+    assert len(keys) == len(set(keys))
+    # every key whose LAST change was a delete is absent
+    li = load_table(spark, SF_SMALL, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    last = (
+        li.groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.max_by(F.col("l_linenumber"), F.col("l_linenumber")).alias("last_ln"))
+    )
+    deleted = {r["key"] for r in last.filter(F.col("last_ln") % 7 == 0).collect()}
+    assert deleted.isdisjoint(keys)
+    # inserted rows are change-keys not in the snapshot (o_orderkey % 3 == 0)
+    assert all(r["key"] % 3 == 0 for r in by_kind.get("inserted", []))
+    assert all(r["key"] % 3 != 0 for r in by_kind.get("kept", []))
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """Each full 256-row z-bucket owns a 16x16 rectangle — the property that
+    makes parquet min/max footers prune BOTH dimensions after a z-ordered
+    write. (Partial buckets can only be narrower.)"""
+    rows = _q(spark, "zorder_layout").collect()
+    assert rows
+    for r in rows:
+        assert r["max_x"] - r["min_x"] <= 15, r
+        assert r["max_y"] - r["min_y"] <= 15, r
+    # buckets jointly cover all rows
+    n = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == n
+
+
+def test_entity_resolution_one_best_match_per_supplier(spark):
+    out = _q(spark, "entity_resolution").collect()
+    sup = load_table(spark, SF_SMALL, "supplier")
+    assert len(out) == sup.count()  # every supplier resolved exactly once
+    # the reported match is truly the block's minimum distance
+    import random
+
+    probe = random.Random(7).sample(out, min(3, len(out)))
+    cust = load_table(spark, SF_SMALL, "customer")
+    for r in probe:
+        s_nat = sup.filter(F.col("s_suppkey") == r["s_suppkey"]).head()["s_nationkey"]
+        best = (
+            cust.filter(F.col("c_nationkey") == s_nat)
+            .select(F.min(F.levenshtein(F.lit(r["s_name"]), F.col("c_name"))).alias("d"))
+            .head()["d"]
+        )
+        assert r["dist"] == best
+
+
+def test_feature_binning_is_a_partition_of_rows(spark):
+    rows = sorted(_q(spark, "feature_binning").collect(), key=lambda r: r["bin"])
+    n = load_table(spark, SF_SMALL, "customer").count()
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    assert sum(r["n"] for r in rows) == n
+    # ntile balance: sizes differ by at most 1; bins are value-ordered
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_vwap_bounded_by_price_range(spark):
+    rows = _q(spark, "vwap_monthly").collect()
+    assert rows
+    for r in rows:
+        assert r["vol_sum"] > 0
+        # vwap is a convex combination of daily closes
+        assert r["pv_sum"] / r["vol_sum"] == r["vwap"]
+
+
+def test_anomaly_mad_flags_are_extreme(spark):
+    out = _q(spark, "anomaly_mad").collect()
+    for r in out:
+        assert abs(r["value"] - r["med"]) > 6 * r["mad"]
+        assert r["mad"] > 0
+
+
+def test_bigram_lm_counts_consistent(spark):
+    rows = _q(spark, "bigram_lm").collect()
+    assert rows
+    for r in rows:
+        assert r["c2"] <= r["c1"]
+        assert r["c1"] >= 50
+    # at most 3 continuations per head
+    heads = {}
+    for r in rows:
+        heads[r["w1"]] = heads.get(r["w1"], 0) + 1
+    assert max(heads.values()) <= 3
