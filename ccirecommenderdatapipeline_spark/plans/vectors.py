@@ -512,3 +512,97 @@ def q_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("own_cos") < F.col("best_other_cos"), 1).otherwise(0)
         ).alias("n_misassigned"),
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle="WITH " + VECS_CTE + """
+, dims AS (
+    SELECT t.i AS dim, v[t.i] AS val
+    FROM vecs, UNNEST(range(1, len(v) + 1)) AS t(i)
+), stats AS (
+    SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM dims GROUP BY dim
+), codebook AS (
+    SELECT list(mn ORDER BY dim) AS mins,
+           list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY dim) AS rgs
+    FROM stats
+), quant AS (
+    SELECT vec_id, label,
+           list_transform(range(1, len(v) + 1),
+               i -> CAST(least(floor((v[i] - c.mins[i]) * 255 / c.rgs[i]),
+                               255) AS BIGINT)) AS qs,
+           list_transform(range(1, len(v) + 1),
+               i -> abs(v[i] - (c.mins[i]
+                    + (least(floor((v[i] - c.mins[i]) * 255 / c.rgs[i]), 255)
+                       + 0.5) * c.rgs[i] / 255))) AS errs
+    FROM vecs CROSS JOIN codebook c
+)
+SELECT vec_id, label,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qs),
+                        (x, y) -> x + y) AS BIGINT) AS q_sum,
+       list_max(errs) AS err_max
+FROM quant
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the compression
+    pass that shrinks a 100 TB float32 embedding store 4x before ANN
+    serving. Per-dimension (min, range) codebook from one posexplode
+    aggregate (64 rows — broadcasts), then quantize + reconstruction error
+    per vector in a single map pass (floor-based bucketing: no round()
+    half-boundary semantics cross the engines; error folds are exact picks
+    / integer sums). Per-vector output: integer code checksum + max abs
+    reconstruction error."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.size("v") > 0)
+    comp = vecs.select(
+        F.posexplode("v").alias("pos", "val")
+    ).select((F.col("pos") + 1).alias("dim"), "val")
+    stats = comp.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    codebook = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))),
+            lambda s: F.when(s["mx"] > s["mn"], s["mx"] - s["mn"]).otherwise(F.lit(1.0)),
+        ).alias("rgs"),
+    )
+    quant = vecs.crossJoin(F.broadcast(codebook))
+    idx = F.sequence(F.lit(1), F.size("v"))
+
+    def _q(i):
+        return F.least(
+            F.floor(
+                (F.element_at("v", i) - F.element_at("mins", i))
+                * 255
+                / F.element_at("rgs", i)
+            ),
+            F.lit(255),
+        )
+
+    def _err(i):
+        return F.abs(
+            F.element_at("v", i)
+            - (
+                F.element_at("mins", i)
+                + (_q(i) + 0.5) * F.element_at("rgs", i) / 255
+            )
+        )
+
+    out = quant.select(
+        "vec_id", "label",
+        F.transform(idx, lambda i: _q(i).cast("long")).alias("qs"),
+        F.transform(idx, _err).alias("errs"),
+    )
+    return out.select(
+        "vec_id", "label",
+        F.aggregate(
+            "qs", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_max("errs").alias("err_max"),
+    )

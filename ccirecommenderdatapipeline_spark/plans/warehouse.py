@@ -522,3 +522,139 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter((F.col("rn") <= 3) & (F.col("c1") >= 50)).select(
         "w1", "w2", "c2", "c1"
     )
+
+
+# ---------------------------------------------------------------------------
+# constraint_checks — Deequ-style data-quality constraint suite
+# ---------------------------------------------------------------------------
+
+@query(
+    "constraint_checks",
+    oracle="""
+WITH agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS pk_dups,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+    FROM orders
+), ri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'pk_unique' AS constraint_name, pk_dups AS violations, pk_dups = 0 AS passed FROM agg
+UNION ALL
+SELECT 'custkey_complete', null_cust, null_cust = 0 FROM agg
+UNION ALL
+SELECT 'price_positive', nonpos_price, nonpos_price = 0 FROM agg
+UNION ALL
+SELECT 'status_domain', bad_status, bad_status = 0 FROM agg
+UNION ALL
+SELECT 'fk_customer', orphans, orphans = 0 FROM ri
+""",
+)
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (the Deequ/Great-Expectations shape):
+    primary-key uniqueness, completeness, value range, domain membership —
+    ALL from one conditional-aggregate scan — plus referential integrity as
+    a broadcast anti-join count. At 100 TB that is one map-combinable pass
+    over the fact table and one semi-join against the (much smaller) dim;
+    never one scan per constraint. Reshape to long form via stack."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    agg = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_dups"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_cust"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    orphans = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+    long_agg = agg.select(
+        F.expr(
+            "stack(4, 'pk_unique', pk_dups, 'custkey_complete', null_cust, "
+            "'price_positive', nonpos_price, 'status_domain', bad_status) "
+            "AS (constraint_name, violations)"
+        )
+    )
+    long_ri = orphans.select(
+        F.lit("fk_customer").alias("constraint_name"),
+        F.col("orphans").alias("violations"),
+    )
+    return long_agg.unionByName(long_ri).withColumn(
+        "passed", F.col("violations") == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_correlation — decimal-exact Pearson correlation per symbol
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_correlation",
+    oracle=f"""
+WITH {PRICES_ORACLE_CTE},
+mom AS (
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(close_pr AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(daily_trade_stock) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(ROUND(close_pr * daily_trade_stock, 2)
+                    AS DECIMAL(28,2))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(ROUND(close_pr * close_pr, 4)
+                    AS DECIMAL(32,4))) AS DOUBLE) AS sxx,
+           CAST(SUM(daily_trade_stock * daily_trade_stock) AS DOUBLE) AS syy
+    FROM prices GROUP BY symbol
+)
+SELECT symbol, n,
+       ROUND((n * sxy - sx * sy)
+       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS corr_pv
+FROM mom
+WHERE n >= 20 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+)
+def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol Pearson correlation between close price and volume —
+    hash-exact across engines, which ``corr()`` can never be (its running
+    sums are combine-order dependent). The trick: accumulate the five
+    moments as DECIMAL-exact sums (close is 2-dec money, products rounded
+    at their exact scale), cast once to double (same decimal -> same bits
+    in both engines), and evaluate the closed form per-row with IEEE
+    arithmetic + correctly-rounded sqrt; the final value is rounded to 8
+    decimals because compilers may contract the a*b - c*d numerator into
+    an FMA (observed: one symbol 1-ulp apart). One map-combinable
+    aggregate."""
+    p = prices_view(spark, sf_dir)
+    mom = p.groupBy("symbol").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("close_pr").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum("daily_trade_stock").cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("close_pr") * F.col("daily_trade_stock"), 2)
+            .cast("decimal(28,2)")
+        ).cast("double").alias("sxy"),
+        F.sum(
+            F.round(F.col("close_pr") * F.col("close_pr"), 4).cast("decimal(32,4)")
+        ).cast("double").alias("sxx"),
+        F.sum(
+            F.col("daily_trade_stock") * F.col("daily_trade_stock")
+        ).cast("double").alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        mom.filter((F.col("n") >= 20) & (varx > 0) & (vary > 0))
+        .select(
+            "symbol", "n",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.sqrt(varx) * F.sqrt(vary)),
+                8,
+            ).alias("corr_pv"),
+        )
+    )

@@ -60,3 +60,29 @@ def test_embedding_dedup_exactly_injected_pairs(spark):
     assert (pairs["vec_b"] == pairs["vec_a"] + 100000).all()
     n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
     assert len(pairs) == n
+
+
+def test_embedding_quantize_error_bound(spark):
+    """Reconstruction error of uniform int8 quantization is bounded by half
+    a quantization step per dimension: err_max <= max_dim_range / 255 / 2
+    (+ FP slack)."""
+    from pyspark.sql import functions as F
+    from ccirecommenderdatapipeline_spark.plans import QUERIES
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["embedding_quantize"](spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    dims = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    widest = (
+        dims.groupBy("pos").agg((F.max("val") - F.min("val")).alias("rg"))
+        .agg(F.max("rg").alias("w")).head()["w"]
+    )
+    rows = out.collect()
+    assert len(rows) == e.count()
+    bound = widest / 255 / 2 * (1 + 1e-9)
+    for r in rows:
+        assert 0.0 <= r["err_max"] <= bound, (r, bound)
+        assert 0 <= r["q_sum"] <= 255 * 64

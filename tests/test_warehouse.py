@@ -124,3 +124,43 @@ def test_bigram_lm_counts_consistent(spark):
     for r in rows:
         heads[r["w1"]] = heads.get(r["w1"], 0) + 1
     assert max(heads.values()) <= 3
+
+
+def test_constraint_checks_all_pass_on_clean_fixture(spark):
+    rows = {r["constraint_name"]: r for r in _q(spark, "constraint_checks").collect()}
+    assert set(rows) == {
+        "pk_unique", "custkey_complete", "price_positive", "status_domain",
+        "fk_customer",
+    }
+    for r in rows.values():
+        assert r["passed"] and r["violations"] == 0, r
+
+
+def test_constraint_checks_two_scans_only(spark):
+    """One conditional-aggregate scan of orders + one RI anti-join pair —
+    NOT one scan per constraint (5 scans would show here)."""
+    plan = (
+        _q(spark, "constraint_checks")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") <= 3, plan  # orders x2 branches + customer
+
+
+def test_stats_correlation_in_range_and_matches_builtin(spark):
+    from pyspark.sql import functions as F2
+    from ccirecommenderdatapipeline_spark.sources.prices import prices_view
+
+    rows = _q(spark, "stats_correlation").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["corr_pv"] <= 1.0
+    # spot-check vs Spark's builtin corr (FP-loose: builtin is order-dependent)
+    p = prices_view(spark, "/root/testdata/sf0.001")
+    builtin = {
+        r["symbol"]: r["c"]
+        for r in p.groupBy("symbol")
+        .agg(F2.corr("close_pr", "daily_trade_stock").alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r["corr_pv"] - builtin[r["symbol"]]) < 1e-6
