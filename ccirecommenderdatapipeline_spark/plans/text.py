@@ -665,10 +665,16 @@ def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     2/(w+1) of all grams. Selected fingerprints build an inverted index;
     pairs sharing >= {WINNOW_SHARED} fingerprints are candidates.
 
-    Scale shape: selection is a pure map (HOFs, no UDF); the posting-list
-    join is blocked per fingerprint with a {WINNOW_DF_CAP}-doc
-    stop-fingerprint cap (same anti-skew guard as dedup_ngram_jaccard), so
-    no bucket explodes on boilerplate text; never all-pairs."""
+    Scale shape: selection is a pure map (HOFs, no UDF); pairs come from
+    GROUPED fingerprint buckets (collect the <= {WINNOW_DF_CAP} doc_ids per
+    fingerprint, expand i<j combos map-side — the same grouped-bucket
+    pattern as dedup_minhash_lsh) rather than a posting self-join: the
+    self-join form re-evaluated the whole md5 fingerprint pass FOUR times
+    (keep + both join sides; 8 scans, 0 reused exchanges in the executed
+    plan) — this form hashes every gram exactly once and shuffles once on
+    fp. Oversized buckets (> {WINNOW_DF_CAP} docs) are stop-fingerprints,
+    dropped before expansion, so no bucket explodes on boilerplate text;
+    never all-pairs."""
     docs2 = with_recrawl(_docs(spark, sf_dir))
     # substring with a per-element start index needs the expr form (the
     # python substring() binds scalar start/len only)
@@ -690,16 +696,22 @@ def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    keep = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= WINNOW_DF_CAP
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= WINNOW_DF_CAP))
     )
-    posting = fps.join(keep.select("fp"), "fp")
-    a = posting.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = posting.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(docs) - 1), "
+                "i -> transform(sequence(i + 1, size(docs)), "
+                "j -> struct(docs[i - 1] AS doc_a, docs[j - 1] AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_SHARED)
     )
