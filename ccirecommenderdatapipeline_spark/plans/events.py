@@ -270,3 +270,76 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+    SELECT user_id, event_type AS state, ts, event_id
+    FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+), dim AS (
+    SELECT user_id, state,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+           epoch_us(ts)              AS valid_from_us,
+           epoch_us(LEAD(ts) OVER w) AS valid_to_us
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), probes AS (
+    SELECT event_id AS probe_id, user_id, epoch_us(ts) AS p_us
+    FROM events WHERE event_id % 97 = 0
+)
+SELECT p.probe_id, p.user_id, p.p_us, d.state, d.version
+FROM probes p JOIN dim d
+  ON d.user_id = p.user_id
+ AND d.valid_from_us <= p.p_us
+ AND (d.valid_to_us IS NULL OR p.p_us < d.valid_to_us)
+""",
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each probe fact looks up the SCD2
+    dimension VERSION that was valid at its event time — the
+    training-data-leakage-safe dimension lookup every feature pipeline
+    needs (joining `is_current` instead leaks the future). The interval
+    predicate rides the user_id equi-join, and versions-per-user is
+    bounded, so the range filter inside each key group is linear — no
+    quadratic blowup; at 100 TB both sides shuffle once on user_id (or
+    none, bucketed). [valid_from, valid_to) semantics make a probe at an
+    exact change instant resolve to the NEW version, and zero-length
+    versions (same-microsecond flips) match nothing — exactly one match
+    per probe, pinned by test."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    )
+    dim = changes.select(
+        "user_id", "state",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+    probes = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("probe_id"), "user_id",
+            F.unix_micros("ts").alias("p_us"),
+        )
+    )
+    return probes.join(
+        dim,
+        (dim["user_id"] == probes["user_id"])
+        & (dim["valid_from_us"] <= probes["p_us"])
+        & (dim["valid_to_us"].isNull() | (probes["p_us"] < dim["valid_to_us"])),
+    ).select(
+        "probe_id", probes["user_id"], "p_us", "state", "version",
+    )

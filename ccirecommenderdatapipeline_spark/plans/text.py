@@ -868,3 +868,71 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_matches").isNull().alias("is_novel"),
         )
     )
+
+
+# --- containment near-dup (small-doc-inside-big-doc) -------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle="WITH " + DOCS2_CTE + TOK2_CTE + GRAMS2_CTE + f"""
+, expl AS (
+    SELECT doc_id, unnest(grams) AS g FROM grams_cte
+), rare AS (
+    SELECT doc_id, g FROM expl
+    QUALIFY COUNT(*) OVER (PARTITION BY g) <= {DF_CAP}
+), rsize AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rare GROUP BY 1
+), inter AS (
+    SELECT r1.doc_id AS doc_a, r2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_grams
+    FROM rare r1 JOIN rare r2 ON r1.g = r2.g AND r1.doc_id < r2.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter_grams,
+       LEAST(s1.n, s2.n) AS min_grams,
+       i.inter_grams / LEAST(s1.n, s2.n) AS containment
+FROM inter i
+JOIN rsize s1 ON s1.doc_id = i.doc_a
+JOIN rsize s2 ON s2.doc_id = i.doc_b
+WHERE i.inter_grams / LEAST(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored near-dup candidates: containment = |A∩B| /
+    min(|A|, |B|) (Broder's containment coefficient) over the same
+    DF-capped trigram inverted index as ``dedup_ngram_jaccard``. Jaccard
+    misses a short document wholly embedded in a long one (the union term
+    dilutes the score); containment is the metric exact-substring dedup
+    work uses for exactly that case — the quote/boilerplate-inclusion
+    shape a training corpus needs stripped. Same scale properties as the
+    jaccard form: one shuffle on the shingle key, stop-shingle cap bounds
+    every bucket."""
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    shingled = _shingled(docs2)
+    expl = shingled.select("doc_id", F.explode("grams").alias("g"))
+    rare = expl.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("df") <= DF_CAP).select("doc_id", "g")
+    rsize = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+    r1 = rare.select(F.col("doc_id").alias("doc_a"), "g")
+    r2 = rare.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        r1.join(r2, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_grams"))
+    )
+    s1 = rsize.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1"))
+    s2 = rsize.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2"))
+    min_g = F.least("n1", "n2")
+    return (
+        inter.join(s1, "doc_a").join(s2, "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter_grams",
+            min_g.alias("min_grams"),
+            (F.col("inter_grams") / min_g).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

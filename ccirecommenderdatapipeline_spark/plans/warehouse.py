@@ -658,3 +658,46 @@ def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr_pv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram_equiwidth — fixed-bin histogram via width_bucket
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 600000.0, 20
+
+
+@query(
+    "histogram_equiwidth",
+    oracle=f"""
+WITH binned AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_totalprice < {_HIST_LO} THEN 0
+                WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_N + 1}
+                ELSE CAST(FLOOR(({_HIST_N} * (o_totalprice - {_HIST_LO}))
+                          / ({_HIST_HI} - {_HIST_LO})) AS BIGINT) + 1
+           END AS bucket
+    FROM orders
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+FROM binned GROUP BY bucket
+""",
+)
+def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value via the SQL-standard
+    ``width_bucket`` (underflow bucket 0, overflow bucket n+1) — the
+    profiling histogram ANALYZE-style stats collection runs. DuckDB lacks
+    width_bucket, so the oracle restates Spark's exact WidthBucket
+    arithmetic (``floor(n * (v - lo) / (hi - lo)) + 1`` — multiplication
+    first, same IEEE order). Map-side bucket assignment + one
+    map-combinable aggregate; 22 output rows regardless of input size."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.width_bucket(
+            "o_totalprice", F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_N)
+        ).alias("bucket"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    )

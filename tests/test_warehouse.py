@@ -164,3 +164,38 @@ def test_stats_correlation_in_range_and_matches_builtin(spark):
     }
     for r in rows:
         assert abs(r["corr_pv"] - builtin[r["symbol"]]) < 1e-6
+
+
+def test_scd2_point_in_time_exactly_one_version_per_probe(spark):
+    out = _q(spark, "scd2_point_in_time").collect()
+    probes = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("event_id") % 97 == 0).count()
+    )
+    assert len(out) == probes  # every probe resolves to exactly one version
+    assert len({r["probe_id"] for r in out}) == len(out)
+
+
+def test_histogram_equiwidth_partitions_and_bounds(spark):
+    rows = _q(spark, "histogram_equiwidth").collect()
+    n_total = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n"] for r in rows) == n_total
+    step = 600000.0 / 20
+    for r in rows:
+        if 1 <= r["bucket"] <= 20:
+            assert (r["bucket"] - 1) * step <= r["lo"] <= r["hi"] < r["bucket"] * step
+
+
+def test_containment_dominates_jaccard(spark):
+    """containment = inter/min >= inter/union = jaccard, and the containment
+    query surfaces the embedded-doc pairs the jaccard threshold admits."""
+    cont = {(r["doc_a"], r["doc_b"]): r for r in _q(spark, "dedup_containment").collect()}
+    jacc = _q(spark, "dedup_ngram_jaccard").collect()
+    assert cont
+    for r in cont.values():
+        assert 0.8 <= r["containment"] <= 1.0 + 1e-12
+        assert r["inter_grams"] <= r["min_grams"]
+    for j in jacc:
+        k = (j["doc_a"], j["doc_b"])
+        if k in cont:
+            assert cont[k]["containment"] >= j["jaccard"] - 1e-12
