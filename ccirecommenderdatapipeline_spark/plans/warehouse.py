@@ -701,3 +701,74 @@ def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("bucket").agg(
         F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# cogroup_asof — grouped COGROUP merge (the pandas-API surface's last corner)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cogroup_asof",
+    oracle=f"""
+WITH {PRICES_ORACLE_CTE},
+signals AS (
+    SELECT symbol, date AS signal_date FROM prices
+    WHERE EXTRACT(day FROM date) = 1
+), nxt AS (
+    SELECT s.symbol, s.signal_date, p.date AS next_date, p.open_pr AS next_open,
+           ROW_NUMBER() OVER (PARTITION BY s.symbol, s.signal_date
+                              ORDER BY p.date) AS rn
+    FROM signals s
+    JOIN prices p ON p.symbol = s.symbol AND p.date > s.signal_date
+)
+SELECT symbol, signal_date, next_date, next_open
+FROM nxt WHERE rn = 1
+""",
+)
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-trading-day as-of alignment implemented with grouped COGROUP +
+    ``applyInPandas`` — the remaining corner of the Pandas-on-Spark UDF
+    surface (grouped map, map_partitions, grouped state, and UDTF are all
+    exercised elsewhere). Each symbol's (signals, prices) pair arrives as
+    two pandas frames; a vectorized ``searchsorted`` finds the first price
+    strictly after each signal — the distributed pattern for custom
+    alignment rules no join predicate can express (here it IS expressible,
+    which is what makes it oracle-checkable; values are picks, never
+    recomputed, so parity is exact). Scale: one shuffle of each side on
+    symbol, Arrow-batched transfer, per-group state bounded by one
+    symbol's history — the same envelope as the flagship simulator."""
+    import pandas as pd
+
+    p = prices_view(spark, sf_dir).select("symbol", "date", "open_pr")
+    signals = p.filter(F.dayofmonth("date") == 1).select(
+        "symbol", F.col("date").alias("signal_date")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=["symbol", "signal_date", "next_date", "next_open"]
+            )
+        left = left.sort_values("signal_date").reset_index(drop=True)
+        right = right.sort_values("date").reset_index(drop=True)
+        # first price strictly after each signal date
+        idx = right["date"].searchsorted(left["signal_date"], side="right")
+        ok = idx < len(right)
+        out = pd.DataFrame(
+            {
+                "symbol": left.loc[ok, "symbol"].values,
+                "signal_date": left.loc[ok, "signal_date"].values,
+                "next_date": right["date"].values[idx[ok]],
+                "next_open": right["open_pr"].values[idx[ok]],
+            }
+        )
+        return out
+
+    return (
+        signals.groupBy("symbol")
+        .cogroup(p.groupBy("symbol"))
+        .applyInPandas(
+            merge,
+            "symbol string, signal_date date, next_date date, next_open double",
+        )
+    )

@@ -104,3 +104,56 @@ def test_dpp_join_prunes_fact_partitions(spark):
     # PARTITION filters (file-index elimination, not per-row filtering)
     assert "dynamicpruning" in txt.lower()
     assert "PartitionFilters" in txt
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Spark's runtime row-group filter: with a selective creation side and
+    a shuffle join, the optimizer injects bloom_filter_agg/might_contain on
+    the application side — the 100 TB mechanism that prunes fact rows
+    BEFORE the shuffle (complementing DPP, which prunes whole partitions)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            F.col("o_totalprice") > 500000
+        )
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderstatus").count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt.lower(), opt
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_observe_metrics_ride_the_query(spark):
+    """df.observe: accumulator-style metrics collected DURING the action —
+    the operational audit channel (row counts, null counts) that costs no
+    second scan at 100 TB."""
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation("audit")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    df = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_cust"),
+    ).filter(F.col("o_totalprice") > 0)
+    n = df.count()
+    got = obs.get
+    assert got["rows_seen"] == o.count() >= n
+    assert got["null_cust"] == 0
