@@ -432,9 +432,11 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier detection: |value - median| > 6 * MAD, both
     medians the engine-exact type-1 discrete form (integer rank over a
     (value, id)-ordered window — same trick as ``quantile_disc``; an
-    interpolated median could never hash-match across engines). Two window
-    passes over the SAME event_type partitioning — the second reuses the
-    first's shuffle. The reference's MAD is the rolling W2 form
+    interpolated median could never hash-match across engines). Every step
+    (value rank, median pick, deviation rank, MAD pick, final filter) is a
+    window over the SAME event_type partitioning, so the whole query is
+    ONE scan and ONE shuffle (the agg-then-join-back form re-scanned the
+    fact four times). The reference's MAD is the rolling W2 form
     (daily_function.py:1006-1015); this is its grouped, whole-table
     sibling."""
     e = load_table(spark, sf_dir, "events")
@@ -445,25 +447,21 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rank).alias("rn"),
         F.count("*").over(w_all).alias("n"),
     )
-    med = ranked.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("value"))).alias("med")
-    )
-    dev = ranked.join(med, "event_type").select(
-        "event_type", "event_id", "value", "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
-    )
+    med = ranked.withColumn(
+        "med",
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("value"))
+        ).over(w_all),
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
     w_arank = Window.partitionBy("event_type").orderBy("adev", "event_id")
-    dev_ranked = dev.select(
-        "*",
-        F.row_number().over(w_arank).alias("arn"),
-        F.count("*").over(w_all).alias("n"),
-    )
-    mad = dev_ranked.groupBy("event_type").agg(
-        F.min(F.when(F.col("arn") == F.expr("(n + 1) DIV 2"), F.col("adev"))).alias("mad")
+    mad = med.withColumn("arn", F.row_number().over(w_arank)).withColumn(
+        "mad",
+        F.max(
+            F.when(F.col("arn") == F.expr("(n + 1) DIV 2"), F.col("adev"))
+        ).over(w_all),
     )
     return (
-        dev.join(mad, "event_type")
-        .filter((F.col("adev") > 6 * F.col("mad")) & (F.col("mad") > 0))
+        mad.filter((F.col("adev") > 6 * F.col("mad")) & (F.col("mad") > 0))
         .select("event_type", "event_id", "value", "med", "mad")
     )
 
