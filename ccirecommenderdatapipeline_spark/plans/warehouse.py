@@ -284,9 +284,17 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: block candidate pairs on nationkey (the classic
     blocking step — never all-pairs), score each pair with Levenshtein edit
     distance, keep the best match per left entity (distance then key
-    tie-break). The same shape links records across two 100 TB feeds: the
-    block key bounds each task's pair count, and the per-entity argmin is a
-    WindowGroupLimit-prunable row_number."""
+    tie-break); the per-entity argmin is a WindowGroupLimit-prunable
+    row_number.
+
+    Scale honesty (measured, SCALING.md): pair count is quadratic in BLOCK
+    size — 10.8× runtime at 5× data here, because both sides of every
+    nation block grew 5×. Exact best-match-per-entity admits no lossless
+    pruning, so this is the bounded-block BASELINE (fine for dimension-
+    sized feeds, exactly like ``knn_brute_force`` for vectors); at
+    fact-table scale the blocking key must be rarer — the q-gram /
+    MinHash-LSH prefix-filtering machinery in ``dedup_ngram_jaccard`` /
+    ``dedup_minhash_lsh`` IS that scale path for string records."""
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
     pairs = s.join(c, s["s_nationkey"] == c["c_nationkey"]).select(
