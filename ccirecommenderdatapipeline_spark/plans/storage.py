@@ -789,3 +789,51 @@ def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --- schema evolution: mergeSchema over heterogeneous snapshots --------------
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+WITH unioned AS (
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE EXTRACT(year FROM o_orderdate) < 1998
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE EXTRACT(year FROM o_orderdate) >= 1998
+)
+SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM unioned
+GROUP BY 1
+""",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: a table whose early files predate a column
+    (`o_orderpriority` added in 1998). Two physical snapshots with
+    DIFFERENT parquet schemas are staged, then read back as ONE table with
+    ``mergeSchema=true`` — Spark fills the missing column with nulls per
+    file, exactly the additive-evolution contract a 100 TB lakehouse table
+    relies on (readers must not require a rewrite of old files). The
+    aggregation proves old and new files participate in one plan. Staging
+    is idempotent-overwrite per sf (same harness as S2/S13 above);
+    mergeSchema costs a footer-schema union at planning time only — the
+    scan itself stays columnar and prunable."""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(STORAGE_ROOT, _tag(sf_dir), "evolve")
+    old = o.filter(F.year("o_orderdate") < 1998).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.year("o_orderdate") >= 1998).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "part=old"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "part=new"))
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("double").alias("total_price"),
+    )

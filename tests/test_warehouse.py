@@ -199,3 +199,23 @@ def test_containment_dominates_jaccard(spark):
         k = (j["doc_a"], j["doc_b"])
         if k in cont:
             assert cont[k]["containment"] >= j["jaccard"] - 1e-12
+
+
+def test_schema_evolution_scan_stays_prunable(spark):
+    """mergeSchema must not break columnar pruning or pushdown: a filter
+    on the evolved column reaches the scan, and old files contribute rows
+    with the column null-filled."""
+    out = {r["priority"]: r for r in _q(spark, "schema_evolution_read").collect()}
+    assert "<pre-evolution>" in out and len(out) == 6
+    o = load_table(spark, SF_SMALL, "orders")
+    pre = o.filter(F.year("o_orderdate") < 1998).count()
+    assert out["<pre-evolution>"]["n_orders"] == pre > 0
+    assert sum(r["n_orders"] for r in out.values()) == o.count()
+    # pushdown probe on the merged read
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        "/tmp/spark_graft_storage/sf0.001/evolve"
+    )
+    probe = merged.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>" in plan
