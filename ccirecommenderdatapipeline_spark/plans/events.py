@@ -343,3 +343,46 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "probe_id", probes["user_id"], "p_us", "state", "version",
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+), totals AS (
+    SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.n, t.row_total,
+       ROUND(p.n / t.row_total, 6) AS p_transition
+FROM pairs p JOIN totals t USING (prev_type)
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lag within the user timeline, count (prev, next) pairs, normalize per
+    source state — the behavioral-model input product analytics derives
+    from clickstreams. One user_id shuffle for the lag; the |types|²
+    transition aggregate is map-combinable and tiny; probability is an
+    integer ratio rounded at fixed scale (engine-exact, as heavy_hitters'
+    share)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
+    return pairs.join(totals, "prev_type").select(
+        "prev_type", "next_type", "n", "row_total",
+        F.round(F.col("n") / F.col("row_total"), 6).alias("p_transition"),
+    )

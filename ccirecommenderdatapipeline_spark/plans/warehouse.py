@@ -778,3 +778,54 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol string, signal_date date, next_date date, next_open double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonality_dow — day-of-week seasonal profile (decimal-exact means)
+# ---------------------------------------------------------------------------
+
+@query(
+    "seasonality_dow",
+    oracle=f"""
+WITH {PRICES_ORACLE_CTE},
+by_dow AS (
+    SELECT symbol, CAST(isodow(date) AS INTEGER) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(close_pr AS DECIMAL(18,2))) AS DOUBLE) AS close_sum
+    FROM prices GROUP BY 1, 2
+), overall AS (
+    SELECT symbol,
+           CAST(SUM(n_days) AS BIGINT) AS n_total,
+           CAST(SUM(CAST(close_sum AS DECIMAL(28,2))) AS DOUBLE) AS sum_total
+    FROM by_dow GROUP BY 1
+)
+SELECT d.symbol, d.dow, d.n_days, d.close_sum,
+       d.close_sum / d.n_days AS dow_mean,
+       d.close_sum / d.n_days - o.sum_total / o.n_total AS dow_deviation
+FROM by_dow d JOIN overall o USING (symbol)
+""",
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per symbol: mean close per ISO
+    weekday and its deviation from the symbol's overall mean. Means are
+    division of a DECIMAL-exact sum by an integer count (per-row IEEE on
+    bit-identical inputs — never a multi-row double AVG, which is
+    combine-order dependent; see the prices contract). The second rollup
+    re-aggregates the 7-row-per-symbol profile, not the raw data."""
+    p = prices_view(spark, sf_dir)
+    by_dow = p.groupBy(
+        "symbol", (F.expr("weekday(date)") + 1).cast("int").alias("dow")
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("close_pr").cast("decimal(18,2)")).cast("double").alias("close_sum"),
+    )
+    overall = by_dow.groupBy("symbol").agg(
+        F.sum("n_days").cast("long").alias("n_total"),
+        F.sum(F.col("close_sum").cast("decimal(28,2)")).cast("double").alias("sum_total"),
+    )
+    dow_mean = F.col("close_sum") / F.col("n_days")
+    return by_dow.join(overall, "symbol").select(
+        "symbol", "dow", "n_days", "close_sum",
+        dow_mean.alias("dow_mean"),
+        (dow_mean - F.col("sum_total") / F.col("n_total")).alias("dow_deviation"),
+    )

@@ -219,3 +219,28 @@ def test_schema_evolution_scan_stays_prunable(spark):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]" in plan
     assert "ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>" in plan
+
+
+def test_event_transitions_rows_are_distributions(spark):
+    rows = _q(spark, "event_transitions").collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, grp in by_prev.items():
+        total = grp[0]["row_total"]
+        assert sum(r["n"] for r in grp) == total
+        assert abs(sum(r["p_transition"] for r in grp) - 1.0) < 1e-4
+
+
+def test_seasonality_deviations_center_on_zero(spark):
+    rows = _q(spark, "seasonality_dow").collect()
+    assert rows
+    by_sym = {}
+    for r in rows:
+        by_sym.setdefault(r["symbol"], []).append(r)
+    for sym, grp in by_sym.items():
+        # weighted deviations sum to ~0 (exact up to double rounding)
+        s = sum(r["dow_deviation"] * r["n_days"] for r in grp)
+        assert abs(s) < 1e-6 * max(abs(r["close_sum"]) for r in grp)
+        assert {r["dow"] for r in grp} <= set(range(1, 8))
