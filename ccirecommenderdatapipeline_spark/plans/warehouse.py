@@ -829,3 +829,110 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow_mean.alias("dow_mean"),
         (dow_mean - F.col("sum_total") / F.col("n_total")).alias("dow_deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# entity_resolution_qgram — prefix-filtered ER (the fact-scale path)
+# ---------------------------------------------------------------------------
+
+ER_QGRAM = 3          # character q-gram width over the numeric suffix
+ER_GRAM_CAP = 20      # per-(nation, gram) candidate cap (stop-gram guard)
+
+
+@query(
+    "entity_resolution_qgram",
+    oracle=f"""
+WITH s_suffix AS (
+    SELECT s_suppkey, s_name, s_nationkey,
+           regexp_extract(s_name, '[0-9]+$') AS sfx
+    FROM supplier
+), c_suffix AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           regexp_extract(c_name, '[0-9]+$') AS sfx
+    FROM customer
+), s_grams AS (
+    SELECT DISTINCT s_suppkey, s_name, s_nationkey, g.gram
+    FROM s_suffix,
+         UNNEST(list_transform(range(1, len(sfx) - {ER_QGRAM - 2}),
+                i -> substr(sfx, i, {ER_QGRAM}))) AS g(gram)
+), c_grams_all AS (
+    SELECT DISTINCT c_custkey, c_name, c_nationkey, g.gram
+    FROM c_suffix,
+         UNNEST(list_transform(range(1, len(sfx) - {ER_QGRAM - 2}),
+                i -> substr(sfx, i, {ER_QGRAM}))) AS g(gram)
+), c_grams AS (
+    SELECT * FROM c_grams_all
+    QUALIFY COUNT(*) OVER (PARTITION BY c_nationkey, gram) <= {ER_GRAM_CAP}
+), cand AS (
+    SELECT DISTINCT s.s_suppkey, s.s_name, c.c_custkey, c.c_name
+    FROM s_grams s JOIN c_grams c
+      ON c.c_nationkey = s.s_nationkey AND c.gram = s.gram
+), best AS (
+    SELECT s_suppkey, s_name, c_custkey, c_name,
+           CAST(levenshtein(s_name, c_name) AS INTEGER) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                              ORDER BY levenshtein(s_name, c_name), c_custkey) AS rn
+    FROM cand
+)
+SELECT s_suppkey, s_name, c_custkey AS match_custkey,
+       c_name AS match_name, dist
+FROM best WHERE rn = 1
+""",
+)
+def q_entity_resolution_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered entity resolution — the FACT-SCALE path next to
+    ``entity_resolution``'s bounded-block baseline (the same pairing as
+    knn_brute_force / knn_ivf). Candidates must share a rare character
+    q-gram of the numeric name suffix WITHIN the nation block; a
+    per-(nation, gram) cap drops hub grams (the PPJoin/prefix-filter
+    family's stop-gram guard), so pair count per supplier is bounded by
+    grams x cap instead of |block|. Exact Levenshtein then scores only the
+    surviving candidates. Suppliers whose grams are all hubs drop out —
+    the usual prefix-filter recall trade, stated rather than hidden."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.regexp_extract("s_name", "[0-9]+$", 0).alias("sfx"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.regexp_extract("c_name", "[0-9]+$", 0).alias("sfx"),
+    )
+
+    def grams(df, idcols):
+        return df.select(
+            *idcols,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(sfx) - {ER_QGRAM - 1}, 1)), "
+                        f"i -> substring(sfx, i, {ER_QGRAM}))"
+                    )
+                )
+            ).alias("gram"),
+        )
+
+    s_grams = grams(s, ["s_suppkey", "s_name", "s_nationkey"])
+    c_grams = grams(c, ["c_custkey", "c_name", "c_nationkey"]).withColumn(
+        "df", F.count("*").over(Window.partitionBy("c_nationkey", "gram"))
+    ).filter(F.col("df") <= ER_GRAM_CAP).drop("df")
+    cand = (
+        s_grams.join(
+            c_grams,
+            (s_grams["s_nationkey"] == c_grams["c_nationkey"])
+            & (s_grams["gram"] == c_grams["gram"]),
+        )
+        .select("s_suppkey", "s_name", "c_custkey", "c_name")
+        .distinct()
+    )
+    dist = F.levenshtein("s_name", "c_name")
+    w = Window.partitionBy("s_suppkey").orderBy(dist, F.col("c_custkey"))
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("c_custkey").alias("match_custkey"),
+            F.col("c_name").alias("match_name"), "dist",
+        )
+    )

@@ -244,3 +244,16 @@ def test_seasonality_deviations_center_on_zero(spark):
         s = sum(r["dow_deviation"] * r["n_days"] for r in grp)
         assert abs(s) < 1e-6 * max(abs(r["close_sum"]) for r in grp)
         assert {r["dow"] for r in grp} <= set(range(1, 8))
+
+
+def test_er_qgram_agrees_with_exact_on_shared_suppliers(spark):
+    """The prefix-filtered path must (a) resolve most suppliers (recall of
+    the candidate generator) and (b) when the exact best match survives the
+    gram filter, agree with the exact blocked form."""
+    exact = {r["s_suppkey"]: r for r in _q(spark, "entity_resolution").collect()}
+    fast = {r["s_suppkey"]: r for r in _q(spark, "entity_resolution_qgram").collect()}
+    assert len(fast) >= 0.9 * len(exact)  # candidate-generation recall
+    agree = sum(
+        1 for k, r in fast.items() if exact[k]["dist"] == r["dist"]
+    )
+    assert agree >= 0.95 * len(fast)  # filtered best is the true best dist
