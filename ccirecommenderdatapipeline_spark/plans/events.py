@@ -381,8 +381,10 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
-    totals = pairs.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
-    return pairs.join(totals, "prev_type").select(
-        "prev_type", "next_type", "n", "row_total",
-        F.round(F.col("n") / F.col("row_total"), 6).alias("p_transition"),
+    # row totals as a window over the tiny |types|^2 aggregate — NOT a
+    # groupBy + join back, which would re-run the raw-events pass twice
+    row_total = F.sum("n").over(Window.partitionBy("prev_type")).cast("long")
+    return pairs.select(
+        "prev_type", "next_type", "n", row_total.alias("row_total"),
+        F.round(F.col("n") / row_total, 6).alias("p_transition"),
     )

@@ -819,15 +819,18 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.sum(F.col("close_pr").cast("decimal(18,2)")).cast("double").alias("close_sum"),
     )
-    overall = by_dow.groupBy("symbol").agg(
-        F.sum("n_days").cast("long").alias("n_total"),
-        F.sum(F.col("close_sum").cast("decimal(28,2)")).cast("double").alias("sum_total"),
+    # symbol totals as windows over the 7-row-per-symbol profile — NOT a
+    # groupBy + join back, which would re-run the prices scan twice
+    w_sym = Window.partitionBy("symbol")
+    n_total = F.sum("n_days").over(w_sym).cast("long")
+    sum_total = (
+        F.sum(F.col("close_sum").cast("decimal(28,2)")).over(w_sym).cast("double")
     )
     dow_mean = F.col("close_sum") / F.col("n_days")
-    return by_dow.join(overall, "symbol").select(
+    return by_dow.select(
         "symbol", "dow", "n_days", "close_sum",
         dow_mean.alias("dow_mean"),
-        (dow_mean - F.col("sum_total") / F.col("n_total")).alias("dow_deviation"),
+        (dow_mean - sum_total / n_total).alias("dow_deviation"),
     )
 
 
