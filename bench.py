@@ -45,6 +45,8 @@ HEADLINE = [
     "tpch_q21",                  # EXISTS/NOT-EXISTS semi+anti cascade (r4)
     "winnowing_dedup",           # MOSS per-window-min fingerprint dedup (r4)
     "cluster_margin",            # broadcast-centroid embedding scoring (r4)
+    "cdc_apply",                 # CDC merge: upserts + tombstones (r4)
+    "entity_resolution_qgram",   # prefix-filtered ER scale path (r4)
 ]
 
 

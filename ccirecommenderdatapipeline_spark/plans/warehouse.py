@@ -1,7 +1,10 @@
 """Warehouse-maintenance & data-management breadth: column profiling, CDC
 apply (upsert + tombstone delete), Z-order clustering layout, blocked fuzzy
-entity resolution, quantile feature binning, VWAP rollup, MAD outlier
-detection, and bigram language-model counts.
+entity resolution (exact baseline + q-gram prefix-filtered scale path),
+quantile feature binning, VWAP rollup, MAD outlier detection, bigram
+language-model counts, Deequ-style constraint checks, decimal-exact Pearson
+correlation, width_bucket histograms, COGROUP as-of alignment, and
+day-of-week seasonality profiles.
 
 These extend the engine past the reference's own surface (its pandas layer
 has no table-maintenance story — daily_function.py keeps everything in
