@@ -572,3 +572,123 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("interp")
         .alias("interp_kind"),
     )
+
+
+# --- null-semantics battery --------------------------------------------------
+# Engines disagree BY DEFAULT here (Spark sorts nulls first ascending,
+# DuckDB last; SQL '=' never matches NULL), so each query states the
+# placement/match rule explicitly on both sides — the portability contract
+# a multi-engine shop needs pinned.
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+WITH a AS (
+    SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 100 END AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+), b AS (
+    SELECT CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_orderkey % 100 END AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY 1
+)
+SELECT a.k AS k, a.n_orders, b.n_lines
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the NULL group
+    on each side matches the NULL group on the other — plain `=` silently
+    drops it, the classic missing-rows bug when a join key is nullable.
+    Spark still hash-partitions on the null-safe key, so the plan is an
+    ordinary shuffle join, not a cartesian fallback."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.groupBy(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 100).alias("k")
+    ).agg(F.count("*").alias("n_orders"))
+    b = li.groupBy(
+        F.when(F.col("l_orderkey") % 11 == 0, None)
+        .otherwise(F.col("l_orderkey") % 100).alias("k")
+    ).agg(F.count("*").alias("n_lines"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_orders", "n_lines"
+    )
+
+
+@query(
+    "explode_outer_battery",
+    oracle="""
+WITH arrs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN CAST([] AS VARCHAR[])
+                ELSE ['a', 'b', 'c'] END AS arr
+    FROM documents
+)
+SELECT doc_id, t.tok
+FROM arrs, UNNEST(arr) AS t(tok)
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR)
+FROM arrs WHERE len(arr) = 0
+""",
+)
+def q_explode_outer_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with EMPTY arrays survive as a single
+    null-element row (plain explode drops them — a silent data-loss corner
+    when flattening sparse nested data). The oracle states the same
+    semantics as unnest UNION the empty-array remainder."""
+    d = load_table(spark, sf_dir, "documents")
+    arrs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(F.lit("a"), F.lit("b"), F.lit("c")))
+        .alias("arr"),
+    )
+    return arrs.select("doc_id", F.explode_outer("arr").alias("tok"))
+
+
+@query(
+    "null_ordering_battery",
+    oracle="""
+WITH v AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS val
+    FROM orders
+), r AS (
+    SELECT o_orderstatus, o_orderkey, val,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY val ASC NULLS LAST, o_orderkey) AS rn_last,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY val DESC NULLS FIRST, o_orderkey) AS rn_first
+    FROM v
+)
+SELECT o_orderstatus, o_orderkey, val, rn_last, rn_first
+FROM r WHERE rn_last <= 3 OR rn_first <= 3
+""",
+)
+def q_null_ordering_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null placement in ORDER BY: Spark defaults to NULLS FIRST
+    ascending while DuckDB (per standard) defaults to NULLS LAST, so any
+    cross-engine ranking over a nullable key MUST state the placement —
+    both directions pinned here (asc_nulls_last / desc_nulls_first) with
+    a key tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey", "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_totalprice")).alias("val"),
+    )
+    w_last = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("val").asc_nulls_last(), F.col("o_orderkey")
+    )
+    w_first = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("val").desc_nulls_first(), F.col("o_orderkey")
+    )
+    return (
+        v.withColumn("rn_last", F.row_number().over(w_last))
+        .withColumn("rn_first", F.row_number().over(w_first))
+        .filter((F.col("rn_last") <= 3) | (F.col("rn_first") <= 3))
+        .select("o_orderstatus", "o_orderkey", "val", "rn_last", "rn_first")
+    )
