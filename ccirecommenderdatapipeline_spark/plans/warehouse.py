@@ -942,3 +942,73 @@ def q_entity_resolution_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("match_name"), "dist",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorize_clip — percentile clipping (feature cleaning, engine-exact)
+# ---------------------------------------------------------------------------
+
+@query(
+    "winsorize_clip",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), bounds AS (
+    SELECT event_type, event_id, value, rn, n,
+           MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN value END)
+               OVER (PARTITION BY event_type) AS p05,
+           MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END)
+               OVER (PARTITION BY event_type) AS p95
+    FROM ranked
+), clipped AS (
+    SELECT event_type,
+           LEAST(GREATEST(value, p05), p95) AS cv,
+           CAST(value < p05 OR value > p95 AS INTEGER) AS was_clipped
+    FROM bounds
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(was_clipped) AS BIGINT) AS n_clipped,
+       CAST(SUM(CAST(ROUND(cv, 6) AS DECIMAL(28,6))) AS DOUBLE) AS clipped_sum
+FROM clipped GROUP BY event_type
+""",
+)
+def q_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping at p05/p95) — the feature-
+    cleaning pass that tames heavy tails before model training. Bounds are
+    type-1 discrete quantiles (ceil(q*n) integer rank — engine-exact, as
+    quantile_disc) surfaced as windows over the SAME event_type
+    partitioning as the rank itself: one scan, one shuffle, zero joins
+    (the anomaly_mad lesson applied from the start). The roll-up sums
+    clipped values at fixed 6-decimal scale so the aggregate is
+    combine-order exact."""
+    e = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "event_id", "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    bounds = ranked.withColumns({
+        "p05": F.max(
+            F.when(F.col("rn") == F.expr("(5 * n + 99) DIV 100"), F.col("value"))
+        ).over(w_all),
+        "p95": F.max(
+            F.when(F.col("rn") == F.expr("(95 * n + 99) DIV 100"), F.col("value"))
+        ).over(w_all),
+    })
+    clipped = bounds.select(
+        "event_type",
+        F.least(F.greatest("value", F.col("p05")), F.col("p95")).alias("cv"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")))
+        .cast("int").alias("was_clipped"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("was_clipped").cast("long").alias("n_clipped"),
+        F.sum(F.round("cv", 6).cast("decimal(28,6)")).cast("double").alias("clipped_sum"),
+    )
