@@ -162,3 +162,88 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# --- cross-modal duplicate reconciliation ------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+from ..operators.text import with_recrawl  # noqa: E402
+from .registry import ORACLES  # noqa: E402
+from .text import DOCS2_CTE  # noqa: E402
+
+
+@query(
+    "cross_modal_dedup",
+    oracle=f"""
+WITH {DOCS2_CTE.strip().rstrip()},
+exact_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM docs2 a JOIN docs2 b
+      ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+), near_pairs AS (
+    SELECT doc_a, doc_b, jaccard FROM ({ORACLES["dedup_ngram_jaccard"]})
+)
+SELECT COALESCE(e.doc_a, n.doc_a) AS doc_a,
+       COALESCE(e.doc_b, n.doc_b) AS doc_b,
+       e.doc_a IS NOT NULL AS by_hash,
+       n.doc_a IS NOT NULL AS by_text,
+       n.jaccard,
+       CASE WHEN e.doc_a IS NOT NULL AND n.doc_a IS NOT NULL THEN 'both'
+            WHEN e.doc_a IS NOT NULL THEN 'hash_only'
+            ELSE 'text_only' END AS verdict
+FROM exact_pairs e
+FULL OUTER JOIN near_pairs n ON n.doc_a = e.doc_a AND n.doc_b = e.doc_b
+""",
+)
+def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate reconciliation — the audit a multimodal ingest
+    runs after its per-modality dedup stages: binary content-hash verdicts
+    (stage 1, `media_dedup`'s mechanism) FULL OUTER joined with text
+    near-dup verdicts (`dedup_ngram_jaccard`'s inverted index), classifying
+    every candidate pair as both / hash_only / text_only. hash_only pairs
+    are byte-identical blobs whose extracted text diverged (codec drift);
+    text_only pairs are re-encoded media with matching content — exactly
+    the two disagreement classes an ingest pipeline escalates. Reuses BOTH
+    the Spark builders and the DuckDB oracle of the underlying stages (the
+    oracle nests the jaccard query's SQL verbatim), so the composition
+    stays hash-checked end to end. Scale: hash groups are collect_list
+    bounded (identical blobs are rare); the verdict join keys on the pair."""
+    from .text import q_dedup_ngram_jaccard
+
+    docs2 = with_recrawl(load_table(spark, sf_dir, "documents"))
+    groups = (
+        docs2.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    exact = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(docs) - 1), "
+                "i -> transform(sequence(i + 1, size(docs)), "
+                "j -> struct(docs[i - 1] AS doc_a, docs[j - 1] AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    near = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    e = exact.alias("e")
+    n = near.alias("n")
+    j = e.join(
+        n,
+        (F.col("e.doc_a") == F.col("n.doc_a")) & (F.col("e.doc_b") == F.col("n.doc_b")),
+        "full_outer",
+    )
+    by_hash = F.col("e.doc_a").isNotNull()
+    by_text = F.col("n.doc_a").isNotNull()
+    return j.select(
+        F.coalesce(F.col("e.doc_a"), F.col("n.doc_a")).alias("doc_a"),
+        F.coalesce(F.col("e.doc_b"), F.col("n.doc_b")).alias("doc_b"),
+        by_hash.alias("by_hash"),
+        by_text.alias("by_text"),
+        F.col("n.jaccard").alias("jaccard"),
+        F.when(by_hash & by_text, "both")
+        .when(by_hash, "hash_only")
+        .otherwise("text_only")
+        .alias("verdict"),
+    )

@@ -52,3 +52,25 @@ def test_frame_sampling_expands_rows(spark):
         n_frames = (len(text.encode()) + FRAME_BYTES - 1) // FRAME_BYTES
         expected = (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
         assert got[mid] == expected, mid
+
+
+def test_cross_modal_verdicts_partition_pairs(spark):
+    """Every recrawl twin must be hash-dup; verdict classes are disjoint
+    and jointly cover the pair set."""
+    from ccirecommenderdatapipeline_spark.plans import QUERIES
+
+    rows = QUERIES["cross_modal_dedup"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    kinds = {}
+    for r in rows:
+        kinds.setdefault(r["verdict"], 0)
+        kinds[r["verdict"]] += 1
+        assert r["by_hash"] or r["by_text"]
+        if r["verdict"] == "both":
+            assert r["by_hash"] and r["by_text"] and r["jaccard"] is not None
+        if r["verdict"] == "hash_only":
+            assert r["jaccard"] is None
+    # the recrawl fixture guarantees one byte-identical twin per doc
+    n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    n_hash = kinds.get("both", 0) + kinds.get("hash_only", 0)
+    assert n_hash >= n_docs
