@@ -30,3 +30,24 @@ def test_daily_batch_end_to_end(spark):
 
     # idempotence: a rerun overwrites to the same counts (S13 semantics)
     assert run_daily_batch(spark, SF_SMALL, out) == counts
+
+
+def test_registry_contract_integrity():
+    """Driver-contract invariants: every oracle belongs to a registered
+    query, names are stable identifiers, and the 50-query driver window is
+    exactly filled by the priority list (a short _PRIORITY silently wastes
+    verdict slots; an over-long one silently drops names)."""
+    from ccirecommenderdatapipeline_spark.plans import ORACLES, QUERIES, _PRIORITY
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert all(n.isidentifier() for n in QUERIES)
+    window = list(QUERIES)[:50]
+    in_registry = [n for n in _PRIORITY if n in QUERIES]
+    assert window == in_registry[:50]
+    assert len(in_registry) == 50, (
+        f"_PRIORITY covers {len(in_registry)} of the 50 driver slots"
+    )
+    # rows-only set is exactly the documented non-SQL MLlib stages
+    assert set(QUERIES) - set(ORACLES) == {
+        "ml_tfidf", "ml_minhash_lsh", "ml_kmeans_clusters", "ml_logreg_accuracy"
+    }
