@@ -692,3 +692,46 @@ def q_null_ordering_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn_last") <= 3) | (F.col("rn_first") <= 3))
         .select("o_orderstatus", "o_orderkey", "val", "rn_last", "rn_first")
     )
+
+
+@query(
+    "param_sql_revenue",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.09
+GROUP BY l_returnflag
+""",
+)
+def q_param_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named-parameter API): the query text
+    carries :start/:end/:lo/:hi placeholders and values bind server-side as
+    LITERALS — injection-proof AND constant-foldable, so predicate
+    pushdown sees real constants (the string-interpolation alternative is
+    neither). The view registration + spark.sql(..., args=...) path is the
+    BI/report surface of the engine; revenue is the decimal-exact 4-dec
+    product sum per the prices contract."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                        AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem_v
+        WHERE l_shipdate >= :start AND l_shipdate < :end
+          AND l_discount BETWEEN :lo AND :hi
+        GROUP BY l_returnflag
+        """,
+        args={
+            "start": "1998-01-01",
+            "end": "1999-01-01",
+            "lo": 0.02,
+            "hi": 0.09,
+        },
+    )

@@ -355,3 +355,21 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_merge_upsert
 
     return stream_merge_upsert(spark, sf_dir)
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query("stream_session_agg", oracle=_ORACLES["session_window_builtin"])
+def q_stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family extension: NATIVE session windows running as a REAL stream
+    in APPEND mode — each session emitted exactly once when the watermark
+    passes its end (the production emission contract, vs the complete-mode
+    retention the tumbling query uses). A far-future sentinel batch
+    advances the watermark past the tail sessions so the bounded fixture
+    flushes completely; result == the batch session_window_builtin ==
+    its DuckDB oracle, row for row. See streaming/jobs.py:
+    stream_session_agg."""
+    from ..streaming.jobs import stream_session_agg
+
+    return stream_session_agg(spark, sf_dir)

@@ -584,3 +584,61 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tws_user_stats(spark, staged, checkpoint)
     finally:
         shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+def stage_events_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Events as 4 parquet files PLUS a later single-row sentinel file whose
+    event time sits past every possible session end (max_ts + gap + 1h).
+    With maxFilesPerTrigger=4, availableNow processes the real events as
+    batch 1 and the sentinel as batch 2 — advancing the watermark past all
+    real session ends so APPEND mode emits every finalized session (append
+    only ever emits windows below the watermark; without the sentinel the
+    tail sessions would stay in state and be dropped at query end).
+    Idempotent per sf_dir."""
+    from ..sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(STAGE_ROOT, f"{tag}_events_sess_v1")
+    marker = os.path.join(out, "_staged_ok")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(4).write.mode("overwrite").parquet(out)
+        max_ts = ev.agg(F.max("ts").alias("m")).head()["m"]
+        sentinel = ev.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {(GAP_US + HOUR_US) // 1_000_000} SECONDS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(out)
+        open(marker, "w").close()
+    return out
+
+
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NATIVE session windows: file source -> 0s watermark ->
+    per-user session_window agg -> APPEND mode (the production shape:
+    each session emitted exactly once, when the watermark passes its end)
+    -> availableNow -> memory sink. The sentinel batch finalizes the tail;
+    its own row is filtered from the result."""
+    staged = stage_events_with_sentinel(spark, sf_dir)
+    sdf = events_stream(spark, staged, maxFilesPerTrigger=4).withWatermark(
+        "ts", "0 seconds"
+    )
+    plan = (
+        sdf.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_value_sum().alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            F.unix_micros(F.col("w.end")).alias("w_end_us"),
+            "n_events", "sum_value",
+        )
+    )
+    out = run_to_memory(plan, "append")
+    return out.filter(F.col("user_id") >= 0)
