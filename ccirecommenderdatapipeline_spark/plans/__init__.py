@@ -70,30 +70,14 @@ _PRIORITY = [
     "anomaly_mad", "vwap_monthly",
 ]
 
-# ROUND-5 ROTATION: after r4's driver run, exactly these 22 registered
-# names (18 oracle-backed + the 4 genuinely rows-only ml_* stages) will
+# ROUND-5 ROTATION: after r4's driver run, exactly these 24 registered
+# names (20 oracle-backed + the 4 genuinely rows-only ml_* stages) will
 # still lack a driver verdict — all local-gate/pytest green. Set round 5's
 # _PRIORITY to them first, then backfill with plan-changed representatives:
 #   dedup_containment, embedding_quantize, cross_modal_dedup,
 #   schema_evolution_read, ml_tfidf, ml_minhash_lsh, ml_kmeans_clusters,
 #   ml_logreg_accuracy, null_safe_join, explode_outer_battery,
-#   null_ordering_battery, scd2_point_in_time, event_transitions,
-#   feature_binning, bigram_lm, constraint_checks, stats_correlation,
-#   histogram_equiwidth, cogroup_asof, seasonality_dow,
-#   entity_resolution_qgram, winsorize_clip
-
-
-def _reorder() -> None:
-    ordered = [n for n in _PRIORITY if n in QUERIES] + [
-        n for n in QUERIES if n not in _PRIORITY
-    ]
-    q_snap, o_snap = dict(QUERIES), dict(ORACLES)
-    QUERIES.clear()
-    QUERIES.update({n: q_snap[n] for n in ordered})
-    ORACLES.clear()
-    ORACLES.update({n: o_snap[n] for n in ordered if n in o_snap})
-
-
-_reorder()
-
-__all__ = ["QUERIES", "ORACLES", "query"]
+#   null_ordering_battery, param_sql_revenue, stream_session_agg,
+#   scd2_point_in_time, event_transitions, feature_binning, bigram_lm,
+#   constraint_checks, stats_correlation, histogram_equiwidth,
+#   cogroup_asof, seasonality_dow, entity_resolution_qgram, winsorize_clip
