@@ -157,3 +157,38 @@ def test_observe_metrics_ride_the_query(spark):
     got = obs.get
     assert got["rows_seen"] == o.count() >= n
     assert got["null_cust"] == 0
+
+
+def test_file_metadata_columns_available(spark):
+    """The hidden _metadata struct (file_path, file_size, row_index) rides
+    any file-source scan — the lineage/audit surface debugging a 100 TB
+    ingest needs (which file produced this row) without a custom reader."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    rows = df.limit(5).collect()
+    assert all(r["fp"].endswith(".parquet") for r in rows)
+    assert all(r["ri"] >= 0 for r in rows)
+    n_files = df.select("fp").distinct().count()
+    assert n_files >= 1
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The four join-strategy hints each force their physical operator —
+    the manual override surface when stats mislead the planner."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+
+    def plan(hint):
+        j = o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"])
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan("broadcast")
+    assert "SortMergeJoin" in plan("merge")
+    assert "ShuffledHashJoin" in plan("shuffle_hash")

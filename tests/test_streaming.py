@@ -150,3 +150,27 @@ def test_tws_user_stats_matches_batch(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_session_append_equals_batch_builtin(spark):
+    """APPEND-mode streaming session windows must emit exactly the batch
+    session_window result — every session once, none retained, sentinel
+    excluded."""
+    from ccirecommenderdatapipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        (r["user_id"], r["w_start_us"]): r
+        for r in QUERIES["stream_session_agg"](spark, sf).collect()
+    }
+    batch = {
+        (r["user_id"], r["w_start_us"]): r
+        for r in QUERIES["session_window_builtin"](spark, sf).collect()
+    }
+    assert stream.keys() == batch.keys()
+    for k, b in batch.items():
+        s = stream[k]
+        assert (s["w_end_us"], s["n_events"], s["sum_value"]) == (
+            b["w_end_us"], b["n_events"], b["sum_value"]
+        )
+    assert all(uid >= 0 for uid, _ in stream)
