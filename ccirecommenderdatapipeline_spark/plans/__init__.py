@@ -81,3 +81,19 @@ _PRIORITY = [
 #   scd2_point_in_time, event_transitions, feature_binning, bigram_lm,
 #   constraint_checks, stats_correlation, histogram_equiwidth,
 #   cogroup_asof, seasonality_dow, entity_resolution_qgram, winsorize_clip
+
+
+def _reorder() -> None:
+    ordered = [n for n in _PRIORITY if n in QUERIES] + [
+        n for n in QUERIES if n not in _PRIORITY
+    ]
+    q_snap, o_snap = dict(QUERIES), dict(ORACLES)
+    QUERIES.clear()
+    QUERIES.update({n: q_snap[n] for n in ordered})
+    ORACLES.clear()
+    ORACLES.update({n: o_snap[n] for n in ordered if n in o_snap})
+
+
+_reorder()
+
+__all__ = ["QUERIES", "ORACLES", "query"]
