@@ -522,3 +522,69 @@ def q_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.n_chars >= 1
         """
     )
+
+
+@query(
+    "distinctive_terms",
+    oracle=f"""
+WITH {TOK_CTE},
+terms AS (
+    SELECT source, unnest(toks) AS term FROM tok
+), st AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st FROM terms GROUP BY 1, 2
+), src_tot AS (
+    SELECT source, CAST(SUM(c_st) AS BIGINT) AS src_n FROM st GROUP BY 1
+), g AS (
+    SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_g FROM st GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(c_g) AS BIGINT) AS n FROM g
+), scored AS (
+    SELECT s.source, s.term, s.c_st, gt.c_g,
+           ROUND((s.c_st / st2.src_n) / (gt.c_g / t.n), 6) AS lift
+    FROM st s
+    JOIN src_tot st2 USING (source)
+    JOIN g gt USING (term)
+    CROSS JOIN tot t
+    WHERE s.c_st >= 5
+)
+SELECT source, term, c_st, c_g, lift
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY lift DESC, term) AS rn
+    FROM scored
+) WHERE rn <= 5
+""",
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: each term's frequency LIFT
+    ((share within source) / (share globally)), top-5 per source with a
+    minimum-count support filter — the corpus-exploration pass that
+    surfaces domain drift before a training mix is frozen. All inputs are
+    integer counts; lift is per-row division of exact integers rounded at
+    fixed scale, so ordering and values are engine-exact. Two
+    map-combinable count aggregates share the (source, term) shuffle; the
+    global totals are tiny broadcasts; top-5 is WindowGroupLimit-pruned."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    st = terms.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    src_tot = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("src_n"))
+    g = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_g"))
+    tot = g.agg(F.sum("c_g").cast("long").alias("n"))
+    scored = (
+        st.filter(F.col("c_st") >= 5)
+        .join(F.broadcast(src_tot), "source")
+        .join(g, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "term", "c_st", "c_g",
+            F.round(
+                (F.col("c_st") / F.col("src_n")) / (F.col("c_g") / F.col("n")), 6
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("lift").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "c_st", "c_g", "lift")
+    )
