@@ -394,3 +394,79 @@ def q_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     window in the repo (bucketed layout applies)."""
     prices_view(spark, sf_dir).createOrReplaceTempView("prices")
     return spark.sql(_RANGE7_BODY)
+
+
+# --- rolling correlation (engine-exact windowed moments) ---------------------
+
+ROLLCORR_W = 30
+
+
+@query(
+    "rolling_correlation",
+    oracle=f"""
+WITH {PRICES_ORACLE_CTE},
+mom AS (
+    SELECT symbol, date,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        CAST(SUM(CAST(close_pr AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+        CAST(SUM(daily_trade_stock) OVER w AS DOUBLE) AS sy,
+        CAST(SUM(CAST(ROUND(close_pr * daily_trade_stock, 2)
+                 AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(ROUND(close_pr * close_pr, 4)
+                 AS DECIMAL(32,4))) OVER w AS DOUBLE) AS sxx,
+        CAST(SUM(daily_trade_stock * daily_trade_stock) OVER w AS DOUBLE) AS syy
+    FROM prices
+    WINDOW w AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN {ROLLCORR_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, date,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS corr30
+FROM mom
+WHERE n = {ROLLCORR_W} AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+)
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day price/volume correlation per symbol — the windowed
+    sibling of ``stats_correlation`` and a standard quant feature. The five
+    moments are WINDOWED DECIMAL-exact sums over one (symbol, date)
+    partitioning (order-independent within the frame), the closed form is
+    per-row IEEE, and the result is rounded at 8 decimals (the a*b - c*d
+    FMA-contraction lesson). Partial leading windows are excluded by the
+    exact n = {ROLLCORR_W} gate. ONE shuffle; every moment shares the same
+    window frame, so Spark evaluates all five in a single Window node."""
+    p = prices_view(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("date")
+        .rowsBetween(-(ROLLCORR_W - 1), 0)
+    )
+    mom = p.select(
+        "symbol", "date",
+        F.count("*").over(w).alias("n"),
+        F.sum(F.col("close_pr").cast("decimal(18,2)")).over(w).cast("double").alias("sx"),
+        F.sum("daily_trade_stock").over(w).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("close_pr") * F.col("daily_trade_stock"), 2)
+            .cast("decimal(28,2)")
+        ).over(w).cast("double").alias("sxy"),
+        F.sum(
+            F.round(F.col("close_pr") * F.col("close_pr"), 4).cast("decimal(32,4)")
+        ).over(w).cast("double").alias("sxx"),
+        F.sum(
+            F.col("daily_trade_stock") * F.col("daily_trade_stock")
+        ).over(w).cast("double").alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        mom.filter((F.col("n") == ROLLCORR_W) & (varx > 0) & (vary > 0))
+        .select(
+            "symbol", "date",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.sqrt(varx) * F.sqrt(vary)),
+                8,
+            ).alias("corr30"),
+        )
+    )

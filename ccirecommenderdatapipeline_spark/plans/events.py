@@ -388,3 +388,81 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", "next_type", "n", row_total.alias("row_total"),
         F.round(F.col("n") / row_total, 6).alias("p_transition"),
     )
+
+
+@query(
+    "attribution_models",
+    oracle="""
+WITH purchases AS (
+    SELECT event_id AS purchase_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS p_us,
+           ROUND(value, 6) AS amount
+    FROM events WHERE event_type = 'purchase'
+), touches AS (
+    SELECT user_id, event_type AS channel, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS t_us
+    FROM events WHERE event_type IN ('view', 'click', 'signup')
+), windowed AS (
+    SELECT p.purchase_id, p.amount, t.channel, t.t_us, t.event_id
+    FROM purchases p
+    JOIN touches t ON t.user_id = p.user_id
+     AND t.t_us < p.p_us
+     AND t.t_us >= p.p_us - CAST(604800000000 AS BIGINT)
+), credited AS (
+    SELECT purchase_id, amount, channel, t_us, event_id,
+           ROW_NUMBER() OVER (PARTITION BY purchase_id
+                              ORDER BY t_us, event_id)          AS rn_first,
+           ROW_NUMBER() OVER (PARTITION BY purchase_id
+                              ORDER BY t_us DESC, event_id DESC) AS rn_last
+    FROM windowed
+)
+SELECT channel,
+       CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch_n,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)  AS last_touch_n,
+       CAST(SUM(CASE WHEN rn_first = 1
+                THEN CAST(amount AS DECIMAL(18,6)) END) AS DOUBLE)   AS first_touch_rev,
+       CAST(SUM(CASE WHEN rn_last = 1
+                THEN CAST(amount AS DECIMAL(18,6)) END) AS DOUBLE)   AS last_touch_rev
+FROM credited GROUP BY channel
+""",
+)
+def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, first-touch vs last-touch side by side: each
+    purchase credits the earliest and the latest touch event (view / click
+    / signup) in its trailing 7-day window. One interval-predicate join on
+    user_id; both credit picks are WindowGroupLimit-prunable row_numbers
+    over the SAME purchase partitioning; revenue sums are DECIMAL-exact at
+    the value column's rounded scale. Comparing the two models' per-channel
+    totals is the standard channel-mix sanity report."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.round("value", 6).alias("amount"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("user_id").alias("t_user"), F.col("event_type").alias("channel"),
+        "event_id", F.unix_micros("ts").alias("t_us"),
+    )
+    windowed = purchases.join(
+        touches,
+        (purchases["user_id"] == touches["t_user"])
+        & (touches["t_us"] < purchases["p_us"])
+        & (touches["t_us"] >= purchases["p_us"] - 7 * 86400 * 1_000_000),
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy("t_us", "event_id")
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    credited = windowed.select(
+        "purchase_id", "amount", "channel",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    dec_amount = F.col("amount").cast("decimal(18,6)")
+    return credited.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0)).alias("first_touch_n"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0)).alias("last_touch_n"),
+        F.sum(F.when(F.col("rn_first") == 1, dec_amount)).cast("double").alias("first_touch_rev"),
+        F.sum(F.when(F.col("rn_last") == 1, dec_amount)).cast("double").alias("last_touch_rev"),
+    )
