@@ -70,17 +70,19 @@ _PRIORITY = [
     "anomaly_mad", "vwap_monthly",
 ]
 
-# ROUND-5 ROTATION: after r4's driver run, exactly these 24 registered
-# names (20 oracle-backed + the 4 genuinely rows-only ml_* stages) will
+# ROUND-5 ROTATION: after r4's driver run, exactly these 27 registered
+# names (23 oracle-backed + the 4 genuinely rows-only ml_* stages) will
 # still lack a driver verdict — all local-gate/pytest green. Set round 5's
 # _PRIORITY to them first, then backfill with plan-changed representatives:
 #   dedup_containment, embedding_quantize, cross_modal_dedup,
 #   schema_evolution_read, ml_tfidf, ml_minhash_lsh, ml_kmeans_clusters,
 #   ml_logreg_accuracy, null_safe_join, explode_outer_battery,
 #   null_ordering_battery, param_sql_revenue, stream_session_agg,
-#   scd2_point_in_time, event_transitions, feature_binning, bigram_lm,
-#   constraint_checks, stats_correlation, histogram_equiwidth,
-#   cogroup_asof, seasonality_dow, entity_resolution_qgram, winsorize_clip
+#   scd2_point_in_time, event_transitions, attribution_models,
+#   feature_binning, bigram_lm, constraint_checks, stats_correlation,
+#   rolling_correlation, histogram_equiwidth, cogroup_asof,
+#   seasonality_dow, entity_resolution_qgram, winsorize_clip,
+#   distinctive_terms
 
 
 def _reorder() -> None:
