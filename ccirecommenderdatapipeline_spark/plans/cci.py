@@ -470,3 +470,76 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr30"),
         )
     )
+
+
+# --- CUSUM drift detection (data-quality / regime monitoring) ----------------
+
+@query(
+    "cusum_drift",
+    oracle=f"""
+WITH {PRICES_ORACLE_CTE},
+stats AS (
+    SELECT symbol,
+           SUM(CAST(close_pr AS DECIMAL(18,2))) AS s_tot,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM prices GROUP BY symbol
+), dev AS (
+    -- exact scaled deviation: close*n - total  ==  n * (close - mean),
+    -- a positive monotone transform of the cusum (argmax preserved) that
+    -- needs NO rounding — round(close - mean, 2) hit half-tie cases where
+    -- Spark (HALF_UP) and DuckDB disagree
+    SELECT p.symbol, p.date,
+           CAST(p.close_pr AS DECIMAL(18,2)) * s.n - s.s_tot AS d,
+           s.n
+    FROM prices p JOIN stats s USING (symbol)
+), cusum AS (
+    SELECT symbol, date, n,
+           CAST(SUM(d) OVER (PARTITION BY symbol ORDER BY date
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n AS c
+    FROM dev
+)
+SELECT symbol, date AS peak_date, c AS peak_cusum, n
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol
+              ORDER BY ABS(c) DESC, date) AS rn
+    FROM cusum
+) WHERE rn = 1 AND n >= 100
+""",
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point location per symbol: the date where the running
+    sum of (close - symbol mean) peaks in magnitude — the classic
+    distribution-drift monitor a data-quality layer runs over any metric
+    stream (a stable series oscillates near zero; a level shift sends the
+    cusum to its extremum AT the change point). Determinism: the mean is
+    one exact-decimal-sum division; deviations are rounded to money scale
+    and cumulated as DECIMAL (combine-order exact); the argmax is
+    row_number tie-broken on date. The running sum partitions by symbol,
+    so every task owns one bounded series — nothing global, unlike the
+    sequence-packing prefix sum this repo reworked."""
+    p = prices_view(spark, sf_dir)
+    stats = p.groupBy("symbol").agg(
+        F.sum(F.col("close_pr").cast("decimal(18,2)")).alias("s_tot"),
+        F.count("*").alias("n"),
+    )
+    dev = p.join(stats, "symbol").select(
+        "symbol", "date", "n",
+        (F.col("close_pr").cast("decimal(18,2)") * F.col("n") - F.col("s_tot"))
+        .alias("d"),
+    )
+    w_run = Window.partitionBy("symbol").orderBy("date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cusum = dev.select(
+        "symbol", "date", "n",
+        (F.sum("d").over(w_run).cast("double") / F.col("n")).alias("c"),
+    )
+    w_peak = Window.partitionBy("symbol").orderBy(F.abs(F.col("c")).desc(), "date")
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_peak))
+        .filter((F.col("rn") == 1) & (F.col("n") >= 100))
+        .select(
+            "symbol", F.col("date").alias("peak_date"),
+            F.col("c").alias("peak_cusum"), "n",
+        )
+    )
