@@ -257,3 +257,45 @@ def test_er_qgram_agrees_with_exact_on_shared_suppliers(spark):
         1 for k, r in fast.items() if exact[k]["dist"] == r["dist"]
     )
     assert agree >= 0.95 * len(fast)  # filtered best is the true best dist
+
+
+def test_attribution_credit_conservation(spark):
+    """Each purchase with >=1 touch in window yields exactly ONE first-touch
+    and ONE last-touch credit, so both models' credit totals are equal."""
+    rows = _q(spark, "attribution_models").collect()
+    assert rows
+    assert sum(r["first_touch_n"] for r in rows) == sum(
+        r["last_touch_n"] for r in rows
+    )
+    for r in rows:
+        assert r["channel"] in {"view", "click", "signup"}
+
+
+def test_rolling_correlation_bounded(spark):
+    rows = _q(spark, "rolling_correlation").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["corr30"] <= 1.0 + 1e-9
+
+
+def test_cusum_peak_is_global_max(spark):
+    """The reported peak really is the per-symbol max |cusum| (independent
+    pandas recomputation from raw prices)."""
+    import pandas as pd
+    from ccirecommenderdatapipeline_spark.sources.prices import prices_view
+
+    out = {r["symbol"]: r for r in _q(spark, "cusum_drift").collect()}
+    pdf = (
+        prices_view(spark, SF_SMALL)
+        .select("symbol", "date", "close_pr")
+        .toPandas()
+        .sort_values(["symbol", "date"])
+    )
+    for sym, g in pdf.groupby("symbol"):
+        if len(g) < 100 or sym not in out:
+            continue
+        # exact scaled deviations as in the query: close*n - total
+        total = g["close_pr"].round(2).sum()
+        c = ((g["close_pr"].round(2) * len(g)) - total).cumsum() / len(g)
+        peak = c.abs().max()
+        assert abs(abs(out[sym]["peak_cusum"]) - peak) < 1e-4 * max(peak, 1.0)
