@@ -518,14 +518,17 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every task owns one bounded series — nothing global, unlike the
     sequence-packing prefix sum this repo reworked."""
     p = prices_view(spark, sf_dir)
-    stats = p.groupBy("symbol").agg(
-        F.sum(F.col("close_pr").cast("decimal(18,2)")).alias("s_tot"),
-        F.count("*").alias("n"),
-    )
-    dev = p.join(stats, "symbol").select(
-        "symbol", "date", "n",
-        (F.col("close_pr").cast("decimal(18,2)") * F.col("n") - F.col("s_tot"))
-        .alias("d"),
+    # symbol totals as WINDOWS over the same symbol partitioning the
+    # running sum needs anyway — the agg-and-join-back form re-scanned
+    # prices (2 scans -> 1; the anomaly_mad lesson)
+    w_sym = Window.partitionBy("symbol")
+    dev = p.select(
+        "symbol", "date",
+        F.count("*").over(w_sym).alias("n"),
+        (
+            F.col("close_pr").cast("decimal(18,2)") * F.count("*").over(w_sym)
+            - F.sum(F.col("close_pr").cast("decimal(18,2)")).over(w_sym)
+        ).alias("d"),
     )
     w_run = Window.partitionBy("symbol").orderBy("date").rowsBetween(
         Window.unboundedPreceding, 0

@@ -566,7 +566,17 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     global totals are tiny broadcasts; top-5 is WindowGroupLimit-pruned."""
     d = load_table(spark, sf_dir, "documents")
     terms = d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
-    st = terms.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    # persist the (source, term) count table: it is the materialized
+    # vocabulary index (bounded by |vocab| x |sources|, far smaller than
+    # the corpus) and THREE consumers read it — without the persist each
+    # branch re-tokenized the full corpus (4 scans in the executed plan)
+    from pyspark.storagelevel import StorageLevel
+
+    st = (
+        terms.groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     src_tot = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("src_n"))
     g = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_g"))
     tot = g.agg(F.sum("c_g").cast("long").alias("n"))
