@@ -70,8 +70,8 @@ _PRIORITY = [
     "anomaly_mad", "vwap_monthly",
 ]
 
-# ROUND-5 ROTATION: after r4's driver run, exactly these 28 registered
-# names (24 oracle-backed + the 4 genuinely rows-only ml_* stages) will
+# ROUND-5 ROTATION: after r4's driver run, exactly these 29 registered
+# names (25 oracle-backed + the 4 genuinely rows-only ml_* stages) will
 # still lack a driver verdict — all local-gate/pytest green. Set round 5's
 # _PRIORITY to them first, then backfill with plan-changed representatives:
 #   dedup_containment, embedding_quantize, cross_modal_dedup,
@@ -82,7 +82,7 @@ _PRIORITY = [
 #   feature_binning, bigram_lm, constraint_checks, stats_correlation,
 #   rolling_correlation, histogram_equiwidth, cogroup_asof,
 #   seasonality_dow, entity_resolution_qgram, winsorize_clip,
-#   distinctive_terms, cusum_drift
+#   distinctive_terms, cusum_drift, inventory_clamped
 
 
 def _reorder() -> None:

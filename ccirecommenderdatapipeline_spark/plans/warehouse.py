@@ -1012,3 +1012,66 @@ def q_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("was_clipped").cast("long").alias("n_clipped"),
         F.sum(F.round("cv", 6).cast("decimal(28,6)")).cast("double").alias("clipped_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# inventory_clamped — non-associative running balance (sequential fold)
+# ---------------------------------------------------------------------------
+
+@query(
+    "inventory_clamped",
+    oracle="""
+WITH moves AS (
+    SELECT l_partkey AS part,
+           CASE WHEN l_linenumber % 2 = 1 THEN CAST(l_quantity AS BIGINT)
+                ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+           l_shipdate, l_orderkey, l_linenumber
+    FROM lineitem
+), ordered AS (
+    SELECT part,
+           list(delta ORDER BY l_shipdate, l_orderkey, l_linenumber) AS deltas
+    FROM moves GROUP BY part
+)
+SELECT part,
+       CAST(len(deltas) AS BIGINT) AS n_moves,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), deltas),
+                        (acc, d) -> greatest(acc + d, 0)) AS BIGINT)
+           AS final_balance
+FROM ordered
+""",
+)
+def q_inventory_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running inventory with a zero floor: balance_t = max(0, balance_{t-1}
+    + delta_t) — a NON-ASSOCIATIVE recurrence (the clamp destroys the
+    prefix-sum decomposition), so no window SUM can express it; it is the
+    classic case for the per-key sequential fold (sorted collect_list +
+    ``aggregate`` HOF, DuckDB ``list_reduce`` — same association order, see
+    ``ewma_latest``). Integer arithmetic throughout — engine-exact. Scale:
+    one shuffle on part; each fold's state is one bounded key history, the
+    same envelope as the simulator's grouped state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    moves = li.select(
+        F.col("l_partkey").alias("part"),
+        F.when(F.col("l_linenumber") % 2 == 1, F.col("l_quantity").cast("long"))
+        .otherwise(-F.col("l_quantity").cast("long")).alias("delta"),
+        "l_shipdate", "l_orderkey", "l_linenumber",
+    )
+    ordered = moves.groupBy("part").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_shipdate", "l_orderkey", "l_linenumber", "delta")
+                )
+            ),
+            lambda s: s["delta"],
+        ).alias("deltas")
+    )
+    return ordered.select(
+        "part",
+        F.size("deltas").cast("long").alias("n_moves"),
+        F.aggregate(
+            "deltas",
+            F.lit(0).cast("long"),
+            lambda acc, d: F.greatest(acc + d, F.lit(0).cast("long")),
+        ).alias("final_balance"),
+    )

