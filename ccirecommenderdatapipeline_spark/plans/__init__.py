@@ -27,6 +27,7 @@ from . import events  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import warehouse  # noqa: E402,F401
+from . import training  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
 # the FIRST 50 registered queries only. Round-4 priority window:
@@ -82,7 +83,9 @@ _PRIORITY = [
 #   feature_binning, bigram_lm, constraint_checks, stats_correlation,
 #   rolling_correlation, histogram_equiwidth, cogroup_asof,
 #   seasonality_dow, entity_resolution_qgram, winsorize_clip,
-#   distinctive_terms, cusum_drift, inventory_clamped
+#   distinctive_terms, cusum_drift, inventory_clamped,
+#   training_order_shuffle, mixture_resample, bigram_perplexity,
+#   semantic_dedup
 
 
 def _reorder() -> None:

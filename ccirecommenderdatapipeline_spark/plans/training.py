@@ -1,0 +1,405 @@
+"""Training-run data-prep operators: deterministic global example ordering,
+temperature-weighted epoch resampling, bigram-LM document scoring, and
+SemDeDup-style centroid-blocked semantic dedup.
+
+These extend the north-star LLM-pipeline surface (SURVEY.md §6 /
+reference daily_function.py's per-symbol batching analog): once a corpus is
+cleaned and deduplicated, a trainer still needs (a) a reproducible global
+shuffle order, (b) a source-mixture upsampling schedule, (c) a cheap LM
+perplexity proxy for quality filtering, and (d) embedding-level semantic
+dedup blocked by cluster (SemDeDup, Abbas et al. 2023) rather than by
+exact-duplicate cosine.
+
+Determinism contracts follow the repo conventions: md5 hex is identical
+across Spark and DuckDB; dot products are sequential folds
+(operators/vectors.py); transcendentals (ln) are rounded per-term BEFORE the
+ordered sequential fold so a ≤1-ulp libm difference cannot reach the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..operators.text import tokens
+from ..operators.vectors import assign_to_centroids, cosine, normalized_vectors
+from ..sources.tables import load_table
+from .quality import MIX_BUDGET
+from .registry import query
+from .vectors import DEDUP_COS, N_CENTROIDS, VECS_CTE, _dot_sql
+
+SHUFFLE_SEED = "s42:"   # seed prefix baked into the shuffle key
+MIX_SEED = "mix:"       # seed prefix for remainder-doc selection
+RANK_BUCKETS = 256      # hex-prefix buckets for the two-phase global rank
+LOGP_DP = 6             # per-bigram ln() rounding (see module docstring)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def two_phase_rank(
+    df: DataFrame,
+    key_col: str,
+    part_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    out: str = "rk",
+) -> DataFrame:
+    """1-based dense position of each row within ``part_cols`` ordered by
+    ``(key_col, id_col)`` — WITHOUT a single-task global sort.
+
+    A plain ``ROW_NUMBER() OVER (PARTITION BY part ORDER BY key)`` serializes
+    each partition group into ONE task — a global shuffle order (no
+    partition cols) would rank 100 TB on one thread. Instead, the same
+    two-phase shape as corpus._with_start_tok:
+
+    1. bucket rows by the first two hex chars of ``key_col`` (md5 hex is
+       uniform, and lowercase-hex lexicographic order == numeric order, so
+       bucket order is consistent with key order);
+    2. row_number within (part, bucket) — parallelism is |part| x 256,
+       each task ~1/256 of a group;
+    3. per-(part, bucket) counts -> cumulative bucket offsets over the tiny
+       offsets table;
+    4. broadcast offsets back, rank = offset + within-bucket row_number.
+
+    Integer arithmetic only — bit-identical to the one-window oracle form.
+    """
+    df = df.withColumn(
+        "_bucket", F.conv(F.substring(F.col(key_col), 1, 2), 16, 10).cast("long")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w_in = Window.partitionBy(*part_cols, "_bucket").orderBy(key_col, id_col)
+    within = df.withColumn("_rn", F.row_number().over(w_in).cast("long"))
+    counts = df.groupBy(*part_cols, "_bucket").agg(F.count("*").alias("_bn"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols,
+        "_bucket",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_boff"),
+    )
+    return (
+        within.join(F.broadcast(offsets), [*part_cols, "_bucket"])
+        .withColumn(out, (F.col("_boff") + F.col("_rn")).cast("long"))
+        .drop("_bucket", "_rn", "_boff")
+    )
+
+
+# --- 1. deterministic global training order ---------------------------------
+
+@query(
+    "training_order_shuffle",
+    oracle=f"""
+SELECT doc_id, source,
+       md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS pos
+FROM documents
+""",
+)
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-data order: every document gets a dense
+    1-based position in md5(seed || doc_id) order — the seeded shuffle a
+    trainer replays across restarts. The oracle is one global window; the
+    Spark plan is the two-phase bucketed rank (see two_phase_rank) so no
+    single task ever owns the whole corpus."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return two_phase_rank(d, "shuffle_key", out="pos").select(
+        "doc_id", "source", "shuffle_key", "pos"
+    )
+
+
+# --- 2. temperature-weighted epoch resampling --------------------------------
+
+@query(
+    "mixture_resample",
+    oracle=f"""
+WITH c AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), d AS (
+    SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list_sort(list(sqrt(CAST(n_docs AS DOUBLE))))),
+               (a, b) -> a + b) AS denom
+    FROM c
+), t AS (
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / denom * {MIX_BUDGET})
+                AS BIGINT) AS target_docs
+    FROM c, d
+), r AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('{MIX_SEED}' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+), rep AS (
+    SELECT r.doc_id, r.source, t.target_docs,
+           CAST(t.target_docs // t.n_docs
+                + CASE WHEN r.rk <= t.target_docs % t.n_docs THEN 1 ELSE 0 END
+                AS INTEGER) AS n_repeats
+    FROM r JOIN t USING (source)
+)
+SELECT doc_id, source, n_repeats, CAST(u.e AS INTEGER) AS epoch
+FROM rep, UNNEST(generate_series(1, n_repeats)) AS u(e)
+WHERE n_repeats >= 1
+""",
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture schedule: corpus_mix's sqrt-temperature targets
+    turned into per-document integer repeat counts (floor share for every
+    doc, the remainder assigned to the seeded-hash-lowest ``rk`` docs of
+    each source), then exploded to one row per (doc, epoch) — the exact
+    expansion a data loader consumes. Repeat assignment is integer
+    arithmetic on corpus_mix's driver-green targets; the per-source rank is
+    the two-phase bucketed form so a 100 TB source never ranks on one task;
+    the explode is map-side (sequence guarded to n_repeats >= 1, the
+    doc_chunking empty-boundary lesson)."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    denom = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n_docs").cast("double")))),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("denom")
+    )
+    targets = counts.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double")) / F.col("denom") * MIX_BUDGET
+        )
+        .cast("long")
+        .alias("target_docs"),
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(MIX_SEED), F.col("doc_id").cast("string"))).alias("_k"),
+    )
+    ranked = two_phase_rank(keyed, "_k", part_cols=("source",), out="rk")
+    rep = ranked.join(F.broadcast(targets), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.expr("target_docs div n_docs")
+            + F.when(F.col("rk") <= F.col("target_docs") % F.col("n_docs"), 1)
+            .otherwise(0)
+        )
+        .cast("int")
+        .alias("n_repeats"),
+    )
+    return (
+        rep.filter(F.col("n_repeats") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_repeats",
+            F.explode(F.sequence(F.lit(1), F.col("n_repeats"))).alias("epoch"),
+        )
+        .select("doc_id", "source", "n_repeats", F.col("epoch").cast("int").alias("epoch"))
+    )
+
+
+# --- 3. bigram-LM perplexity proxy -------------------------------------------
+
+_PPL_TOK_CTE = """
+tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               t -> t <> '') AS toks
+    FROM documents
+)
+"""
+
+
+@query(
+    "bigram_perplexity",
+    oracle=f"""
+WITH {_PPL_TOK_CTE},
+big AS (
+    SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+           toks[CAST(r.i AS INTEGER)] AS w1,
+           toks[CAST(r.i AS INTEGER) + 1] AS w2
+    FROM tok, UNNEST(range(1, len(toks))) AS r(i)
+    WHERE len(toks) >= 2
+), c2 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+), vocab AS (
+    SELECT CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS v
+    FROM (SELECT UNNEST(toks) AS tok FROM tok) t
+), scored AS (
+    SELECT b.doc_id, b.pos,
+           ROUND(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v)), {LOGP_DP}) AS logp
+    FROM big b
+    JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    JOIN c1 ON b.w1 = c1.w1
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                       list(logp ORDER BY pos)),
+                          (a, b) -> a + b) / COUNT(*), 4) AS avg_nll
+FROM scored
+GROUP BY doc_id
+""",
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one-smoothed
+    corpus bigram LM — the classic cheap perplexity proxy for quality
+    filtering (high avg_nll = unusual text). P(w2|w1) = (c(w1,w2)+1) /
+    (c(w1)+V). Every bigram's logp is rounded to {LOGP_DP} dp BEFORE the
+    position-ordered sequential fold, so both engines sum identical doubles
+    in identical order (a ≤1-ulp libm ln() difference cannot reach the
+    hash). Scale shape: bigram counts are map-combinable hash aggs; the
+    count join shuffles on (w1, w2); V is a broadcast one-row agg; the
+    per-doc re-agg collects at most one struct per bigram of one document
+    (bounded by doc length)."""
+    d = _docs(spark, sf_dir)
+    # tokenize ONCE: vocab (all docs) and the bigram generator (docs with
+    # >= 2 tokens) share the persisted token table instead of re-running the
+    # regex pass per consumer (the distinctive_terms audit lesson)
+    alltok = d.select("doc_id", tokens(F.col("text")).alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tok = alltok.filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    big = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, n - 1).alias("w2"),
+            )
+        ).alias("pos", "bg"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+    big = big.persist(StorageLevel.MEMORY_AND_DISK)  # counts + scoring reuse
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = alltok.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            F.round(
+                F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))),
+                LOGP_DP,
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+                F.lit(0.0),
+                lambda a, x: a + x["logp"],
+            )
+            / F.count("*"),
+            4,
+        ).alias("avg_nll"),
+    )
+
+
+# --- 4. SemDeDup: centroid-blocked semantic dedup ----------------------------
+
+@query(
+    "semantic_dedup",
+    oracle="WITH " + VECS_CTE.replace(
+        "FROM embeddings",
+        """FROM (SELECT vec_id, label, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, label, embedding FROM embeddings)""",
+        1,
+    )
+    + f"""
+, cents AS (
+    SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
+), assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY {_dot_sql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC,
+                            c.cid) AS rn
+        FROM n CROSS JOIN cents c) s
+    WHERE rn = 1
+), m AS (
+    SELECT a.cid, n.vec_id, n.v, n.nrm FROM assign a JOIN n USING (vec_id)
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid,
+       {_dot_sql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {_dot_sql("a.v", "b.v")} / (a.nrm * b.nrm) >= {DEDUP_COS}
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its nearest
+    IVF centroid, then find near-duplicate pairs WITHIN each cluster only —
+    the blocking key is learned (cluster id), not a metadata label like
+    embedding_dedup_cosine's. Duplicate injection mirrors the recrawl
+    fixture. Scale shape: assignment is a broadcast map-only stage
+    (centroids are tiny); pair-gen is quadratic only within a cluster — at
+    100 TB the codebook grows with the corpus (k ~ sqrt(N)) so block sizes
+    stay bounded, the same contract as the LSH band tables. Cosines are
+    sequential-fold doubles, bit-identical to the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    # norms feed the centroid table, the assignment cross join, and both
+    # pair sides — persist so the plan reuses ONE scan (audited: 12 parquet
+    # scans without this)
+    nrm = normalized_vectors(base).persist(StorageLevel.MEMORY_AND_DISK)
+    cents = nrm.filter(F.col("vec_id") < N_CENTROIDS)
+    assigned = assign_to_centroids(nrm, cents)
+    m = assigned.join(nrm, "vec_id").select("cid", "vec_id", "v", "nrm")
+    a = m.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "cid",
+            cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= DEDUP_COS)
+    )

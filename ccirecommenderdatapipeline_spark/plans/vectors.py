@@ -606,3 +606,66 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_sum"),
         F.array_max("errs").alias("err_max"),
     )
+
+
+# --- ANN quality evaluation: IVF recall@k against the exact baseline ---------
+
+from .registry import ORACLES as _ORACLES  # noqa: E402  (self-composition)
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+WITH exact AS ({{bf}}),
+approx AS ({{ivf}}),
+hits AS (
+    SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+), ks AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY query_id
+)
+SELECT ks.query_id, ks.k, hits.hits,
+       CAST(hits.hits AS DOUBLE) / ks.k AS recall
+FROM ks JOIN hits USING (query_id)
+""",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against the exact brute-force baseline,
+    per query vector — the eval loop that decides whether N_PROBES is high
+    enough before an index ships. Both sides reuse the registered plans
+    verbatim (and the oracle composes the two registered oracle texts as
+    CTEs), so this measures exactly what users run. The join is on
+    (query_id, neighbor_id) — at scale both sides are already small (k rows
+    per query), so the eval cost is dominated by the two kNN plans
+    themselves. recall = hits/k is an exact binary-rational division."""
+    bf = q_knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = q_knn_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("iv_neighbor")
+    )
+    hits = (
+        bf.join(
+            iv,
+            (bf["query_id"] == iv["query_id"])
+            & (bf["neighbor_id"] == iv["iv_neighbor"]),
+            "left",
+        )
+        .groupBy(bf["query_id"].alias("query_id"))
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.count("iv_neighbor").cast("long").alias("hits"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "k",
+        "hits",
+        (F.col("hits").cast("double") / F.col("k")).alias("recall"),
+    )
+
+
+# splice the registered oracle texts into the composed eval oracle
+_ORACLES["ann_recall_eval"] = _ORACLES["ann_recall_eval"].format(
+    bf=_ORACLES["knn_brute_force"], ivf=_ORACLES["knn_ivf"]
+)

@@ -1,0 +1,126 @@
+"""Invariants for the training-run data-prep queries (plans/training.py):
+two-phase rank parity vs the naive global window, mixture budget
+conservation, a pure-Python bigram-NLL replay, and SemDeDup twin recovery."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Window, functions as F
+
+from ccirecommenderdatapipeline_spark.plans.training import (
+    q_bigram_perplexity,
+    q_mixture_resample,
+    q_semantic_dedup,
+    q_training_order_shuffle,
+    two_phase_rank,
+)
+from tests.conftest import SF_MED, SF_SMALL
+
+
+@st.composite
+def keyed_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    ids = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    return [(i, draw(st.sampled_from(["a", "b", "c"]))) for i in ids]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=keyed_rows())
+def test_two_phase_rank_matches_naive_window(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING").withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    )
+    got = {
+        r["doc_id"]: r["rk"]
+        for r in two_phase_rank(df, "k", part_cols=("source",)).collect()
+    }
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    want = {
+        r["doc_id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_training_order_is_a_permutation(spark):
+    rows = q_training_order_shuffle(spark, SF_SMALL).collect()
+    n = len(rows)
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    # position order == key order
+    by_pos = sorted(rows, key=lambda r: r["pos"])
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in by_pos]
+    assert keys == sorted(keys)
+
+
+def test_mixture_resample_conserves_budget(spark):
+    rows = q_mixture_resample(spark, SF_SMALL).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r["doc_id"], r["source"]), set()).add(r["epoch"])
+    # epochs per doc are exactly 1..n_repeats
+    for r in rows:
+        eps = per_doc[(r["doc_id"], r["source"])]
+        assert eps == set(range(1, r["n_repeats"] + 1))
+    # per-source row total equals the temperature target
+    from ccirecommenderdatapipeline_spark.plans.quality import (
+        MIX_BUDGET,
+        q_corpus_mix,
+    )
+    targets = {
+        r["source"]: r["target_docs"] for r in q_corpus_mix(spark, SF_SMALL).collect()
+    }
+    got = Counter(r["source"] for r in rows)
+    assert dict(got) == {s: t for s, t in targets.items() if t > 0}
+    assert sum(got.values()) <= MIX_BUDGET
+
+
+def test_bigram_nll_matches_pure_python_replay(spark):
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in q_bigram_perplexity(spark, SF_SMALL).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    toks = {
+        d: [t for t in re.sub("[^a-z]+", " ", txt.lower()).split(" ") if t]
+        for d, txt in docs.items()
+    }
+    bigrams = {d: list(zip(ts, ts[1:])) for d, ts in toks.items() if len(ts) >= 2}
+    c2 = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    c1 = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    vocab = len({t for ts in toks.values() for t in ts})
+    assert set(got) == set(bigrams)
+    for d, bgs in bigrams.items():
+        logps = [
+            round(math.log((c2[bg] + 1.0) / (c1[bg[0]] + vocab)), 6) for bg in bgs
+        ]
+        acc = 0.0
+        for lp in logps:
+            acc += lp
+        want = round(-acc / len(bgs), 4)
+        assert got[d] == (len(bgs), want)
+
+
+def test_semantic_dedup_recovers_injected_twins(spark):
+    pairs = {
+        (r["vec_a"], r["vec_b"]) for r in q_semantic_dedup(spark, SF_MED).collect()
+    }
+    n_vecs = spark.read.parquet(f"{SF_MED}/embeddings.parquet").count()
+    # every injected recrawl twin lands in its original's cluster at cos ~1
+    missing = [
+        v for v in range(n_vecs) if (v, v + 100000) not in pairs
+    ]
+    assert missing == []
