@@ -403,3 +403,75 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= DEDUP_COS)
     )
+
+
+# --- 5. BPE first-merge candidates -------------------------------------------
+
+BPE_TOP = 10
+
+
+@query(
+    "bpe_merge_pairs",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               t -> t <> '') AS toks
+    FROM documents
+), words AS (
+    SELECT t.w AS word, CAST(COUNT(*) AS BIGINT) AS wc
+    FROM (SELECT UNNEST(toks) AS w FROM tok) t
+    GROUP BY t.w
+), pairs AS (
+    SELECT substr(word, CAST(r.i AS INTEGER), 2) AS pair, wc, word
+    FROM words, UNNEST(range(1, len(word))) AS r(i)
+    WHERE len(word) >= 2
+), agg AS (
+    SELECT pair,
+           CAST(SUM(wc) AS BIGINT)              AS pair_count,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM pairs GROUP BY pair
+), ranked AS (
+    SELECT pair, pair_count, n_words,
+           CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INTEGER)
+               AS rank
+    FROM agg
+)
+SELECT pair, pair_count, n_words, rank FROM ranked WHERE rank <= {BPE_TOP}
+""",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round: the {BPE_TOP} most frequent adjacent character
+    pairs across the corpus, weighted by word occurrence — the argmax a BPE
+    tokenizer trainer merges first. Scale shape: the word-frequency table is
+    the only corpus-sized agg (map-combinable); pair generation explodes the
+    DISTINCT-word table (vocabulary-sized, not corpus-sized — the standard
+    BPE trick), and the final ranking windows over at most 26^2 candidate
+    pairs (alpha alphabet), so the unpartitioned window is bounded tiny."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "wc",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "wc", "word"
+        )
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("wc").cast("long").alias("pair_count"),
+        F.countDistinct("word").cast("long").alias("n_words"),
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BPE_TOP)
+    )

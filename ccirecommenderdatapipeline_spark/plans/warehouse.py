@@ -1075,3 +1075,58 @@ def q_inventory_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, d: F.greatest(acc + d, F.lit(0).cast("long")),
         ).alias("final_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile — shuffle-key distribution diagnostics
+# ---------------------------------------------------------------------------
+
+@query(
+    "key_skew_profile",
+    oracle="""
+WITH c AS (
+    SELECT l_suppkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), top AS (
+    SELECT k AS top_key, CAST(cnt AS BIGINT) AS top_cnt
+    FROM c ORDER BY cnt DESC, k LIMIT 1
+), prof AS (
+    SELECT CAST(SUM(cnt) AS BIGINT)  AS n_rows,
+           CAST(COUNT(*) AS BIGINT)  AS n_keys,
+           CAST(MAX(cnt) AS BIGINT)  AS max_cnt,
+           CAST(MIN(cnt) AS BIGINT)  AS min_cnt
+    FROM c
+)
+SELECT n_rows, n_keys, max_cnt, min_cnt, top_key, top_cnt,
+       CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio
+FROM prof, top
+""",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over the fact table's join key — the
+    pre-flight check that decides whether a salted join / AQE skew hints are
+    needed before a 100 TB shuffle: per-key cardinalities collapsed to a
+    one-row profile (row/key counts, max/min per-key size, hottest key,
+    and max-to-mean ratio). Scale shape: the per-key count is a
+    map-combinable hash agg; everything downstream is a one-row cross join
+    of two tiny aggregates (the top-1 via TakeOrderedAndProject, not a
+    global window). skew_ratio = max*keys/rows is two IEEE-exact ops —
+    bit-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("k")).agg(F.count("*").alias("cnt"))
+    top = (
+        c.orderBy(F.desc("cnt"), F.asc("k"))
+        .limit(1)
+        .select(F.col("k").alias("top_key"), F.col("cnt").cast("long").alias("top_cnt"))
+    )
+    prof = c.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.min("cnt").cast("long").alias("min_cnt"),
+    )
+    return prof.crossJoin(F.broadcast(top)).select(
+        "n_rows", "n_keys", "max_cnt", "min_cnt", "top_key", "top_cnt",
+        (F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+            "skew_ratio"
+        ),
+    )

@@ -124,3 +124,34 @@ def test_semantic_dedup_recovers_injected_twins(spark):
         v for v in range(n_vecs) if (v, v + 100000) not in pairs
     ]
     assert missing == []
+
+
+def test_bpe_merge_pairs_shape(spark):
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        BPE_TOP,
+        q_bpe_merge_pairs,
+    )
+    rows = q_bpe_merge_pairs(spark, SF_SMALL).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, BPE_TOP + 1)
+    )
+    counts = [r["pair_count"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["pair"]) == 2 and r["pair"].isalpha() for r in rows)
+    assert all(r["n_words"] >= 1 for r in rows)
+
+
+def test_key_skew_profile_consistency(spark):
+    from ccirecommenderdatapipeline_spark.plans.warehouse import q_key_skew_profile
+    from collections import Counter
+
+    (row,) = q_key_skew_profile(spark, SF_SMALL).collect()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select("l_suppkey")
+    c = Counter(r["l_suppkey"] for r in li.collect())
+    assert row["n_rows"] == sum(c.values())
+    assert row["n_keys"] == len(c)
+    assert row["max_cnt"] == max(c.values())
+    assert row["min_cnt"] == min(c.values())
+    best = min(k for k, v in c.items() if v == row["max_cnt"])
+    assert (row["top_key"], row["top_cnt"]) == (best, c[best])
+    assert row["skew_ratio"] == row["max_cnt"] * row["n_keys"] / row["n_rows"]
