@@ -47,6 +47,9 @@ HEADLINE = [
     "cluster_margin",            # broadcast-centroid embedding scoring (r4)
     "cdc_apply",                 # CDC merge: upserts + tombstones (r4)
     "entity_resolution_qgram",   # prefix-filtered ER scale path (r4)
+    "training_order_shuffle",    # two-phase seeded global order (r4)
+    "bigram_perplexity",         # corpus LM scoring chain (r4)
+    "semantic_dedup",            # SemDeDup centroid-blocked pairs (r4)
 ]
 
 
