@@ -139,3 +139,53 @@ def sample_frames(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, FRAMES_SCHEMA)
+
+
+RESIZE_TARGET_W = 16      # fake codec: resize down to ~16 "pixels" wide
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("stride", T.IntegerType()),
+    T.StructField("new_width", T.IntegerType()),
+    T.StructField("resized_len", T.IntegerType()),
+    T.StructField("resized_hash", T.StringType()),
+])
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """mapInPandas resize stage (image-kind rows): the fake codec
+    "downsamples" by keeping every stride-th payload byte, where
+    stride = max(1, width // RESIZE_TARGET_W). Emits the resized payload's
+    hash/length plus the new geometry — the blob itself is projected away
+    before anything downstream can shuffle it. On a real cluster the body
+    of ``resize`` is the only line that changes (PIL/cv2 resize on the
+    decoded ndarray); the Arrow batch shape, schema, and partitioning are
+    identical."""
+
+    target_w = RESIZE_TARGET_W
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resize(raw: bytes, width: int) -> tuple[int, bytes]:
+            stride = max(1, width // target_w)
+            return stride, raw[::stride]
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in RESIZED_SCHEMA.fields}
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                raw = bytes(payload)
+                width, height = int(meta["width"]), int(meta["height"])
+                stride, resized = resize(raw, width)
+                out["media_id"].append(mid)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["stride"].append(stride)
+                out["new_width"].append((width + stride - 1) // stride)
+                out["resized_len"].append(len(resized))
+                out["resized_hash"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)

@@ -85,7 +85,8 @@ _PRIORITY = [
 #   seasonality_dow, entity_resolution_qgram, winsorize_clip,
 #   distinctive_terms, cusum_drift, inventory_clamped,
 #   training_order_shuffle, mixture_resample, bigram_perplexity,
-#   semantic_dedup, ann_recall_eval, bpe_merge_pairs, key_skew_profile
+#   semantic_dedup, ann_recall_eval, bpe_merge_pairs, key_skew_profile,
+#   media_resize
 
 
 def _reorder() -> None:

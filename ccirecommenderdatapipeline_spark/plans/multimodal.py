@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.multimodal import extract_features, media_table, sample_frames
+from ..operators.multimodal import (
+    extract_features,
+    media_table,
+    resize_media,
+    sample_frames,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -247,3 +252,41 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("text_only")
         .alias("verdict"),
     )
+
+
+@query(
+    "media_resize",
+    oracle="""
+WITH img AS (
+    SELECT doc_id AS media_id, text,
+           CAST(16 + n_chars % 64 AS INTEGER) AS width,
+           CAST(16 + doc_id % 32 AS INTEGER)  AS height,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n
+    FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+), strided AS (
+    SELECT media_id, width, height, n, text,
+           CAST(greatest(1, width // 16) AS INTEGER) AS stride
+    FROM img
+), resized AS (
+    SELECT media_id, width, height, stride,
+           CAST((width + stride - 1) // stride AS INTEGER) AS new_width,
+           array_to_string(
+               list_transform(range(1, n + 1, stride),
+                              i -> substr(text, CAST(i AS INTEGER), 1)), '')
+               AS rtext
+    FROM strided
+)
+SELECT media_id, width, height, stride, new_width,
+       CAST(length(rtext) AS INTEGER) AS resized_len,
+       md5(rtext)                     AS resized_hash
+FROM resized
+""",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the media pipeline (the brief's decode → resize →
+    feature-extract chain): every image payload downsampled by the fake
+    codec's byte stride inside an Arrow ``mapInPandas`` batch. The oracle
+    reproduces each resized payload with a stride substr walk over the
+    (ASCII) text, so the md5 of the resized blob is checked exactly. Blobs
+    stay out of every exchange — the stage emits geometry + hash only."""
+    return resize_media(_media(spark, sf_dir).repartition(8, "media_id"))

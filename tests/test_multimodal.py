@@ -74,3 +74,29 @@ def test_cross_modal_verdicts_partition_pairs(spark):
     n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
     n_hash = kinds.get("both", 0) + kinds.get("hash_only", 0)
     assert n_hash >= n_docs
+
+
+def test_media_resize_geometry_and_stride(spark):
+    from ccirecommenderdatapipeline_spark.operators.multimodal import (
+        RESIZE_TARGET_W,
+        media_table,
+        resize_media,
+    )
+    import hashlib
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = media_table(docs)
+    rows = {r["media_id"]: r for r in resize_media(media).collect()}
+    src = {
+        r["media_id"]: (bytes(r["payload"]), r["meta"]["width"])
+        for r in media.filter("kind = 'image'").collect()
+    }
+    assert set(rows) == set(src)
+    for mid, (raw, width) in src.items():
+        r = rows[mid]
+        stride = max(1, width // RESIZE_TARGET_W)
+        resized = raw[::stride]
+        assert r["stride"] == stride
+        assert r["new_width"] == (width + stride - 1) // stride
+        assert r["resized_len"] == len(resized)
+        assert r["resized_hash"] == hashlib.md5(resized).hexdigest()
