@@ -71,8 +71,8 @@ _PRIORITY = [
     "anomaly_mad", "vwap_monthly",
 ]
 
-# ROUND-5 ROTATION: after r4's driver run, exactly these 29 registered
-# names (25 oracle-backed + the 4 genuinely rows-only ml_* stages) will
+# ROUND-5 ROTATION: after r4's driver run, exactly these registered
+# names (the 4 genuinely rows-only ml_* stages; the rest oracle-backed) will
 # still lack a driver verdict — all local-gate/pytest green. Set round 5's
 # _PRIORITY to them first, then backfill with plan-changed representatives:
 #   dedup_containment, embedding_quantize, cross_modal_dedup,
@@ -86,7 +86,7 @@ _PRIORITY = [
 #   distinctive_terms, cusum_drift, inventory_clamped,
 #   training_order_shuffle, mixture_resample, bigram_perplexity,
 #   semantic_dedup, ann_recall_eval, bpe_merge_pairs, key_skew_profile,
-#   media_resize
+#   media_resize, training_pipeline
 
 
 def _reorder() -> None:

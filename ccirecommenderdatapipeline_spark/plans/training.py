@@ -44,6 +44,8 @@ def two_phase_rank(
     part_cols: tuple[str, ...] = (),
     id_col: str = "doc_id",
     out: str = "rk",
+    sum_col: str | None = None,
+    sum_out: str = "rsum",
 ) -> DataFrame:
     """1-based dense position of each row within ``part_cols`` ordered by
     ``(key_col, id_col)`` — WITHOUT a single-task global sort.
@@ -62,6 +64,10 @@ def two_phase_rank(
        offsets table;
     4. broadcast offsets back, rank = offset + within-bucket row_number.
 
+    With ``sum_col``, additionally emits ``sum_out``: the INCLUSIVE running
+    sum of ``sum_col`` in the same global order, via the identical bucket
+    decomposition (within-bucket running sums + cumulative bucket totals).
+
     Integer arithmetic only — bit-identical to the one-window oracle form.
     """
     df = df.withColumn(
@@ -69,22 +75,39 @@ def two_phase_rank(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     w_in = Window.partitionBy(*part_cols, "_bucket").orderBy(key_col, id_col)
     within = df.withColumn("_rn", F.row_number().over(w_in).cast("long"))
-    counts = df.groupBy(*part_cols, "_bucket").agg(F.count("*").alias("_bn"))
+    aggs = [F.count("*").alias("_bn")]
+    if sum_col is not None:
+        within = within.withColumn(
+            "_rs",
+            F.sum(sum_col)
+            .over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        aggs.append(F.sum(sum_col).alias("_bs"))
+    counts = df.groupBy(*part_cols, "_bucket").agg(*aggs)
     w_off = (
         Window.partitionBy(*part_cols)
         .orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
+    off_cols = [
         *part_cols,
         "_bucket",
         F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_boff"),
+    ]
+    if sum_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias("_bsoff")
+        )
+    offsets = counts.select(*off_cols)
+    joined = within.join(F.broadcast(offsets), [*part_cols, "_bucket"]).withColumn(
+        out, (F.col("_boff") + F.col("_rn")).cast("long")
     )
-    return (
-        within.join(F.broadcast(offsets), [*part_cols, "_bucket"])
-        .withColumn(out, (F.col("_boff") + F.col("_rn")).cast("long"))
-        .drop("_bucket", "_rn", "_boff")
-    )
+    if sum_col is not None:
+        joined = joined.withColumn(
+            sum_out, (F.col("_bsoff") + F.col("_rs")).cast("long")
+        ).drop("_rs", "_bsoff")
+    return joined.drop("_bucket", "_rn", "_boff")
 
 
 # --- 1. deterministic global training order ---------------------------------
@@ -474,4 +497,104 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= BPE_TOP)
+    )
+
+
+# --- 6. end-to-end training-file pipeline ------------------------------------
+
+PIPE_MIN_CHARS = 100    # light quality gate (full gates: quality_filtered_corpus)
+PIPE_LANG = "en"
+PIPE_CTX = 2048         # context-window token budget for binning
+
+
+@query(
+    "training_pipeline",
+    oracle=f"""
+WITH crawl AS (
+    SELECT doc_id, source, lang, n_chars, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, 'recrawl', lang, n_chars, text FROM documents
+), kept AS (
+    SELECT doc_id, source, text FROM crawl
+    WHERE lang = '{PIPE_LANG}' AND n_chars >= {PIPE_MIN_CHARS}
+), canon AS (
+    SELECT doc_id, source, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+            AS rn
+        FROM kept) s
+    WHERE rn = 1
+), sized AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               t -> t <> '')) AS BIGINT) AS n_tokens,
+           md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM canon
+), ord AS (
+    SELECT doc_id, source, n_tokens, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+               AS pos,
+           CAST(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS BIGINT) AS start_tok
+    FROM sized
+)
+SELECT doc_id, source, n_tokens, pos, start_tok,
+       CAST(start_tok // {PIPE_CTX} AS BIGINT) AS first_bin,
+       CAST((start_tok + n_tokens - 1) // {PIPE_CTX} AS BIGINT) AS last_bin
+FROM ord WHERE n_tokens >= 1
+""",
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end train-file prep job, chaining this module's stages the
+    way a real run would: crawl + recrawl union → language/length quality
+    gate → exact dedup (md5 canon, lowest doc_id wins) → seeded global
+    shuffle order → token layout (each doc's start offset and context-window
+    bins IN SHUFFLE ORDER — the byte layout of the final training file).
+    Every wide step is scale-safe: the gate and tokenization are map-side,
+    dedup is a hash-keyed keep-first, and BOTH the global position and the
+    running token offset come from one two-phase bucketed pass
+    (two_phase_rank with sum_col) — no single-task sort anywhere. Cites the
+    reference's daily batch assembly (daily_function.py:127-133) for the
+    keep-first merge semantics."""
+    d = _docs(spark, sf_dir)
+    crawl = d.select("doc_id", "source", "lang", "n_chars", "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.lit("recrawl").alias("source"),
+            "lang",
+            "n_chars",
+            "text",
+        )
+    )
+    kept = crawl.filter(
+        (F.col("lang") == PIPE_LANG) & (F.col("n_chars") >= PIPE_MIN_CHARS)
+    )
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        kept.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sized = canon.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    laid = two_phase_rank(
+        sized, "shuffle_key", out="pos", sum_col="n_tokens", sum_out="_cum"
+    ).withColumn("start_tok", (F.col("_cum") - F.col("n_tokens")).cast("long"))
+    return laid.filter(F.col("n_tokens") >= 1).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "pos",
+        "start_tok",
+        F.expr(f"start_tok div {PIPE_CTX}").cast("long").alias("first_bin"),
+        F.expr(f"(start_tok + n_tokens - 1) div {PIPE_CTX}")
+        .cast("long")
+        .alias("last_bin"),
     )

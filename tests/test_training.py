@@ -155,3 +155,53 @@ def test_key_skew_profile_consistency(spark):
     best = min(k for k, v in c.items() if v == row["max_cnt"])
     assert (row["top_key"], row["top_cnt"]) == (best, c[best])
     assert row["skew_ratio"] == row["max_cnt"] * row["n_keys"] / row["n_rows"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=keyed_rows())
+def test_two_phase_running_sum_matches_naive_window(spark, rows):
+    df = (
+        spark.createDataFrame(rows, "doc_id LONG, source STRING")
+        .withColumn("k", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("n", (F.col("doc_id") % 37).cast("long"))
+    )
+    got = {
+        r["doc_id"]: (r["rk"], r["rs"])
+        for r in two_phase_rank(
+            df, "k", part_cols=("source",), sum_col="n", sum_out="rs"
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["doc_id"]: (r["rk"], r["rs"])
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("rs", F.sum("n").over(w).cast("long"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_training_pipeline_layout_invariants(spark):
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        PIPE_CTX,
+        q_training_pipeline,
+    )
+
+    rows = sorted(
+        q_training_pipeline(spark, SF_MED).collect(), key=lambda r: r["pos"]
+    )
+    # dense positions, contiguous token layout, bins consistent
+    assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+    cum = 0
+    for r in rows:
+        assert r["start_tok"] == cum
+        cum += r["n_tokens"]
+        assert r["first_bin"] == r["start_tok"] // PIPE_CTX
+        assert r["last_bin"] == (r["start_tok"] + r["n_tokens"] - 1) // PIPE_CTX
+    # dedup kept originals over recrawl twins: no doc appears in both forms
+    ids = {r["doc_id"] for r in rows}
+    assert not {i for i in ids if i >= 100000 and i - 100000 in ids}
