@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.multimodal import (
+    RESIZE_TARGET_W,
     extract_features,
     media_table,
     resize_media,
@@ -256,7 +257,7 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_resize",
-    oracle="""
+    oracle=f"""
 WITH img AS (
     SELECT doc_id AS media_id, text,
            CAST(16 + n_chars % 64 AS INTEGER) AS width,
@@ -265,7 +266,7 @@ WITH img AS (
     FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
 ), strided AS (
     SELECT media_id, width, height, n, text,
-           CAST(greatest(1, width // 16) AS INTEGER) AS stride
+           CAST(greatest(1, width // {RESIZE_TARGET_W}) AS INTEGER) AS stride
     FROM img
 ), resized AS (
     SELECT media_id, width, height, stride,

@@ -25,12 +25,14 @@ from ..operators.text import tokens
 from ..operators.vectors import assign_to_centroids, cosine, normalized_vectors
 from ..sources.tables import load_table
 from .quality import MIX_BUDGET
+from .text import _TOKS as TOKS_SQL
 from .registry import query
 from .vectors import DEDUP_COS, N_CENTROIDS, VECS_CTE, _dot_sql
 
 SHUFFLE_SEED = "s42:"   # seed prefix baked into the shuffle key
 MIX_SEED = "mix:"       # seed prefix for remainder-doc selection
-RANK_BUCKETS = 256      # hex-prefix buckets for the two-phase global rank
+RANK_HEX_CHARS = 2      # md5-prefix chars -> 16**2 = 256 two-phase rank buckets
+RANK_BUCKETS = 16 ** RANK_HEX_CHARS
 LOGP_DP = 6             # per-bigram ln() rounding (see module docstring)
 
 
@@ -71,7 +73,8 @@ def two_phase_rank(
     Integer arithmetic only — bit-identical to the one-window oracle form.
     """
     df = df.withColumn(
-        "_bucket", F.conv(F.substring(F.col(key_col), 1, 2), 16, 10).cast("long")
+        "_bucket",
+        F.conv(F.substring(F.col(key_col), 1, RANK_HEX_CHARS), 16, 10).cast("long"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     w_in = Window.partitionBy(*part_cols, "_bucket").orderBy(key_col, id_col)
     within = df.withColumn("_rn", F.row_number().over(w_in).cast("long"))
@@ -236,12 +239,12 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 3. bigram-LM perplexity proxy -------------------------------------------
 
-_PPL_TOK_CTE = """
+# single source of truth for the oracle-side tokenizer: plans.text._TOKS is
+# the SQL twin of operators.text.tokens — every oracle below builds on it so
+# a tokenizer change lands in exactly one place per engine
+_PPL_TOK_CTE = f"""
 tok AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(
-               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
-               t -> t <> '') AS toks
+    SELECT doc_id, {TOKS_SQL} AS toks
     FROM documents
 )
 """
@@ -436,13 +439,7 @@ BPE_TOP = 10
 @query(
     "bpe_merge_pairs",
     oracle=f"""
-WITH tok AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(
-               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
-               t -> t <> '') AS toks
-    FROM documents
-), words AS (
+WITH {_PPL_TOK_CTE}, words AS (
     SELECT t.w AS word, CAST(COUNT(*) AS BIGINT) AS wc
     FROM (SELECT UNNEST(toks) AS w FROM tok) t
     GROUP BY t.w
@@ -525,9 +522,7 @@ WITH crawl AS (
     WHERE rn = 1
 ), sized AS (
     SELECT doc_id, source,
-           CAST(len(list_filter(string_split_regex(
-               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
-               t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
            md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
     FROM canon
 ), ord AS (

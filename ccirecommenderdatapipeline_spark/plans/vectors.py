@@ -613,10 +613,14 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .registry import ORACLES as _ORACLES  # noqa: E402  (self-composition)
 
 
+RECALL_K = 5  # knn_ivf emits top-5; compare both sides at the same depth
+
+
 @query(
     "ann_recall_eval",
     oracle=f"""
-WITH exact AS ({{bf}}),
+WITH exact0 AS ({{bf}}),
+exact AS (SELECT query_id, neighbor_id FROM exact0 WHERE rank <= {RECALL_K}),
 approx AS ({{ivf}}),
 hits AS (
     SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits
@@ -632,32 +636,35 @@ FROM ks JOIN hits USING (query_id)
 """,
 )
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the IVF index against the exact brute-force baseline,
-    per query vector — the eval loop that decides whether N_PROBES is high
-    enough before an index ships. Both sides reuse the registered plans
-    verbatim (and the oracle composes the two registered oracle texts as
-    CTEs), so this measures exactly what users run. The join is on
-    (query_id, neighbor_id) — at scale both sides are already small (k rows
-    per query), so the eval cost is dominated by the two kNN plans
-    themselves. recall = hits/k is an exact binary-rational division."""
-    bf = q_knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    """Recall@{RECALL_K} of the IVF index against the exact baseline
+    truncated to the SAME depth (knn_ivf returns top-{RECALL_K}; comparing
+    depths must match or recall is structurally capped), per query vector —
+    the eval loop that decides whether N_PROBES is high enough before an
+    index ships. Both sides reuse the registered plans verbatim (the oracle
+    composes the two registered oracle texts as CTEs), so this measures
+    exactly what users run. k is counted on the exact side BEFORE the join
+    (mirror of the oracle's ks CTE) so an approx-side duplicate could never
+    inflate it. recall = hits/k is an exact binary-rational division."""
+    bf = (
+        q_knn_brute_force(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    ks = bf.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
     iv = q_knn_ivf(spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("iv_neighbor")
+        F.col("query_id").alias("iv_query"), F.col("neighbor_id").alias("iv_neighbor")
     )
     hits = (
         bf.join(
             iv,
-            (bf["query_id"] == iv["query_id"])
+            (bf["query_id"] == iv["iv_query"])
             & (bf["neighbor_id"] == iv["iv_neighbor"]),
             "left",
         )
         .groupBy(bf["query_id"].alias("query_id"))
-        .agg(
-            F.count("*").cast("long").alias("k"),
-            F.count("iv_neighbor").cast("long").alias("hits"),
-        )
+        .agg(F.count("iv_neighbor").cast("long").alias("hits"))
     )
-    return hits.select(
+    return ks.join(hits, "query_id").select(
         "query_id",
         "k",
         "hits",

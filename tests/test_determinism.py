@@ -58,15 +58,22 @@ def test_result_is_partitioning_invariant(spark, name):
         for k in ("spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes")
     }
     try:
+        # drop cached plans BEFORE each run: several queries persist() shared
+        # subtrees, and CacheManager plan-matching would otherwise serve run B
+        # from partitions materialized under run A's settings, making the
+        # perturbation vacuous below any persist()
+        spark.catalog.clearCache()
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
         a = _multiset(QUERIES[name](spark, SF_SMALL))
         # 7 shuffle partitions + 64 KiB scan splits: different task count,
         # different scan order, different merge order everywhere
+        spark.catalog.clearCache()
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
         b = _multiset(QUERIES[name](spark, SF_SMALL))
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+        spark.catalog.clearCache()
     assert a == b, f"{name}: result multiset depends on physical partitioning"
