@@ -192,3 +192,43 @@ def test_join_strategy_hints_are_honored(spark):
     assert "BroadcastHashJoin" in plan("broadcast")
     assert "SortMergeJoin" in plan("merge")
     assert "ShuffledHashJoin" in plan("shuffle_hash")
+
+
+def test_parquet_aggregate_pushdown_metadata_only_scan(spark):
+    """COUNT/MIN/MAX over a parquet scan can be answered from footer
+    statistics without reading data pages — the 100 TB 'how big is this
+    table' query. Pin that Spark's aggregate pushdown actually engages
+    (PushedAggregation in the v2 scan) and returns the same numbers as the
+    ordinary scan path."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    path = f"{SF_SMALL}/lineitem.parquet"
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+    )
+    want = agg(spark.read.parquet(path)).collect()[0]
+    saved = {
+        k: spark.conf.get(k)  # effective default, restorable as-is
+        for k in ("spark.sql.parquet.aggregatePushdown", "spark.sql.sources.useV1SourceList")
+    }
+    try:
+        # pushdown lives in the v2 BatchScan only — route parquet off the
+        # default v1 path for this probe
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        pushed_df = agg(spark.read.parquet(path))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pushed_df.explain("formatted")
+        txt = buf.getvalue()
+        got = pushed_df.collect()[0]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "PushedAggregation" in txt and "COUNT(*)" in txt, txt[:2000]
+    assert tuple(got) == tuple(want)
