@@ -232,3 +232,23 @@ def test_parquet_aggregate_pushdown_metadata_only_scan(spark):
             spark.conf.set(k, v)
     assert "PushedAggregation" in txt and "COUNT(*)" in txt, txt[:2000]
     assert tuple(got) == tuple(want)
+
+
+def test_two_phase_rank_has_no_unbucketed_window_over_data(spark):
+    """training_order_shuffle / training_pipeline: every row_number/sum
+    window over the corpus must be keyed by _bucket; an unpartitioned
+    window may exist only for the 256-row bucket-offsets table (below a
+    BroadcastExchange)."""
+    for name in ("training_order_shuffle", "training_pipeline"):
+        df = plans.QUERIES[name](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the corpus-sized rank/sum window rides the 256-way bucket key
+        bucket_windows = [
+            ln for ln in plan.splitlines()
+            if "Window [" in ln and "_bucket" in ln
+        ]
+        assert bucket_windows, (name, "no bucket-keyed window found")
+        # at most ONE single-partition exchange: the 256-row offsets table
+        # (training_pipeline's dedup window is md5-keyed, not global)
+        assert plan.count("Exchange SinglePartition") <= 1, name
+        assert "BroadcastHashJoin" in plan, name
