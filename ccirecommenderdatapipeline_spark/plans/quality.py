@@ -454,3 +454,83 @@ def q_quality_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(canon.select(F.col("keep_id").alias("doc_id")), "doc_id", "semi")
         .select("doc_id", "lang", "source", "n_words")
     )
+
+
+# --- Inlined-model batch inference ------------------------------------------
+
+# logistic quality-classifier weights, frozen as literals in BOTH engines
+# (the deploy artifact of ml_logreg_accuracy's training stage): features are
+# deterministic int/int ratios, z is one fixed left-to-right fold, so the
+# logit is bit-identical cross-engine; only the sigmoid touches exp(), and
+# its input is pre-rounded so a <=1-ulp libm difference is confined to the
+# 4-dp rounding of the score (never the logit or the decision).
+LOGREG_W = {
+    "bias": -2.0,
+    "tokens_per_100": 0.8,
+    "alpha_ratio": 2.5,
+    "stopword_ratio": 4.0,
+    "avg_token_len": -0.3,
+}
+
+
+@query(
+    "quality_logreg_score",
+    oracle="WITH " + TOK_CTE + f"""
+, feats AS (
+    SELECT doc_id,
+           len(toks) / 100.0 AS f_tok,
+           len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / NULLIF(len(text), 0)
+               AS f_alpha,
+           len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and')))
+               / NULLIF(len(toks), 0) AS f_stop,
+           list_sum(list_transform(toks, t -> len(t))) / NULLIF(len(toks), 0)
+               AS f_len
+    FROM tok
+), scored AS (
+    SELECT doc_id,
+           ROUND({LOGREG_W['bias']} + {LOGREG_W['tokens_per_100']} * f_tok
+                 + {LOGREG_W['alpha_ratio']} * f_alpha
+                 + {LOGREG_W['stopword_ratio']} * f_stop
+                 + {LOGREG_W['avg_token_len']} * f_len, 6) AS logit
+    FROM feats
+)
+SELECT doc_id, logit,
+       ROUND(1.0 / (1.0 + exp(-logit)), 4) AS score,
+       CAST(logit > 0 AS BOOLEAN) AS predicted_keep
+FROM scored
+""",
+)
+def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference as a query: a frozen logistic quality
+    classifier scored over the whole corpus inside codegen — the deployment
+    half of the MLlib training stage (ml_logreg_accuracy), and the shape
+    every learned filter (quality, toxicity, language) takes in a 100 TB
+    pipeline: weights inlined as literals, features map-side, zero Python.
+    The decision bit comes from the exact logit, not the sigmoid, so the
+    keep/drop partition is bit-stable cross-engine."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    f_tok = F.size(toks) / F.lit(100.0)
+    f_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.nullif(
+        F.length("text"), F.lit(0)
+    )
+    f_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ) / F.nullif(F.size(toks), F.lit(0))
+    f_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ) / F.nullif(F.size(toks), F.lit(0))
+    logit = F.round(
+        F.lit(LOGREG_W["bias"])
+        + F.lit(LOGREG_W["tokens_per_100"]) * f_tok
+        + F.lit(LOGREG_W["alpha_ratio"]) * f_alpha
+        + F.lit(LOGREG_W["stopword_ratio"]) * f_stop
+        + F.lit(LOGREG_W["avg_token_len"]) * f_len,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        logit.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4).alias("score"),
+        (logit > 0).alias("predicted_keep"),
+    )

@@ -37,3 +37,36 @@ def test_pii_scrub_redacts_everything_seeded(spark):
     assert (seeded[["n_emails", "n_phones", "n_ids"]].sum(axis=1) == 1).all()
     untouched = out[out["doc_id"] % 4 == 3]
     assert not untouched["redacted"].any()
+
+
+def test_quality_logreg_score_replay(spark):
+    """Pure-Python replay of the frozen classifier on sf0.001: the decision
+    bit must come from the exact logit (never the rounded sigmoid)."""
+    import math
+    import re
+
+    from ccirecommenderdatapipeline_spark.plans.quality import (
+        LOGREG_W,
+        q_quality_logreg_score,
+    )
+
+    got = {
+        r["doc_id"]: (r["logit"], r["score"], r["predicted_keep"])
+        for r in q_quality_logreg_score(spark, "/root/testdata/sf0.001").collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    for r in docs:
+        toks = [t for t in re.sub("[^a-z]+", " ", r["text"].lower()).split(" ") if t]
+        alpha = len(re.sub("[^a-zA-Z]", "", r["text"])) / len(r["text"])
+        stop = len([t for t in toks if t in ("the", "a", "of", "and")]) / len(toks)
+        avg_len = sum(len(t) for t in toks) / len(toks)
+        z = round(
+            LOGREG_W["bias"]
+            + LOGREG_W["tokens_per_100"] * (len(toks) / 100.0)
+            + LOGREG_W["alpha_ratio"] * alpha
+            + LOGREG_W["stopword_ratio"] * stop
+            + LOGREG_W["avg_token_len"] * avg_len,
+            6,
+        )
+        want = (z, round(1.0 / (1.0 + math.exp(-z)), 4), z > 0)
+        assert got[r["doc_id"]] == want, r["doc_id"]
