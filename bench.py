@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "knn_brute_force",
+    "knn_ivf",                   # the ANN scale path next to its baseline
     "session_windows",
     "quality_filtered_corpus",   # quality gates + dedup composition (r2)
     "interval_join_attribution", # event-time interval join (r2)
