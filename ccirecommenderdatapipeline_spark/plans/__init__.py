@@ -86,7 +86,8 @@ _PRIORITY = [
 #   distinctive_terms, cusum_drift, inventory_clamped,
 #   training_order_shuffle, mixture_resample, bigram_perplexity,
 #   semantic_dedup, ann_recall_eval, bpe_merge_pairs, key_skew_profile,
-#   media_resize, training_pipeline, quality_logreg_score
+#   media_resize, training_pipeline, quality_logreg_score,
+#   corpus_datasheet
 
 
 def _reorder() -> None:

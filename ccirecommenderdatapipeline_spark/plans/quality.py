@@ -534,3 +534,41 @@ def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4).alias("score"),
         (logit > 0).alias("predicted_keep"),
     )
+
+
+@query(
+    "corpus_datasheet",
+    oracle="WITH " + TOK_CTE + """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT)                 AS total_tokens,
+       SUM(len(toks)) / COUNT(*)                      AS mean_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT)           AS n_langs,
+       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / COUNT(*) AS en_frac,
+       CAST(MIN(n_chars) AS BIGINT)                   AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT)                   AS max_chars
+FROM tok
+GROUP BY source
+""",
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet in ONE scan — the governance summary
+    (docs, token volume, language spread, length envelope) published next
+    to a training set. Every measure is a map-combinable agg over the
+    token-counted scan; the shuffle moves one row per source. Ratios are
+    int/int exact divisions, bit-stable cross-engine."""
+    d = _docs(spark, sf_dir)
+    n_toks = F.size(tokens(F.col("text")))
+    return d.select("source", "lang", "n_chars", n_toks.alias("nt")).groupBy(
+        "source"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        (F.sum("nt") / F.count("*")).alias("mean_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count("*")
+        ).alias("en_frac"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
