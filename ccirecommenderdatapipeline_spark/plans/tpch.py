@@ -492,8 +492,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q19",
     oracle="""
-SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
-           AS DECIMAL(18,4))), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT)   AS n_items
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -530,7 +530,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
