@@ -134,7 +134,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment of every vector to its nearest centroid, queries probe their
     2 nearest centroids, exact cosine re-rank within candidates only. The
     candidate join shuffles on centroid id — the inverted-file partition —
-    so scored pairs shrink from |Q|x|T| to |Q|x(T/C * probes)."""
+    so scored pairs shrink from |Q|x|T| to |Q|x(T/C * probes). The exact
+    re-rank is a shuffle-hash join on neighbor_id: the candidate relation
+    grows with the corpus, so it is never broadcast (only the |Q|-row query
+    vectors and the C-row codebook are)."""
     n = _vectors(spark, sf_dir)
     cent = n.filter(F.col("vec_id") < N_CENTROIDS)
     assigned = assign_to_centroids(n, cent)
@@ -155,15 +158,20 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBES)
         .select("query_id", "cid")
     )
-    # broadcast the tiny probe list into the assignment table, then broadcast
-    # the (still small) candidate set carrying query vectors into the big
-    # vector table — the big side is streamed, never shuffled
+    # broadcast the tiny probe list into the assignment table; the candidate
+    # set (|Q| x probes x corpus/C rows, each carrying a full query vector)
+    # is NOT broadcastable at scale — it grows with the corpus — so the
+    # re-rank join shuffles BOTH sides on neighbor_id (shuffle-hash hint
+    # pins the strategy so it cannot silently revert to broadcast). Only
+    # the query-vector attach stays broadcast: |Q| rows, the standard
+    # query-batch-fits-in-memory IVF assumption. The per-query top-k
+    # pruning below is independent of the join strategy.
     cand = (
         F.broadcast(probes).join(assigned, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    qside = n.select(
+    qside = q.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     tside = n.select(
@@ -173,7 +181,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("tnrm"),
     )
     cand_q = cand.join(F.broadcast(qside), "query_id")
-    pairs = tside.join(F.broadcast(cand_q), "neighbor_id").select(
+    pairs = tside.join(cand_q.hint("shuffle_hash"), "neighbor_id").select(
         "query_id", "neighbor_id", "neighbor_label",
         cosine(F.col("qv"), F.col("qnrm"), F.col("tv"), F.col("tnrm")).alias("cosine"),
     )
