@@ -27,7 +27,7 @@ from ..sources.tables import load_table
 from .quality import MIX_BUDGET
 from .text import _TOKS as TOKS_SQL
 from .registry import query
-from .vectors import DEDUP_COS, N_CENTROIDS, VECS_CTE, _dot_sql
+from .vectors import DEDUP_COS, VECS_CTE, _dot_sql
 
 SHUFFLE_SEED = "s42:"   # seed prefix baked into the shuffle key
 MIX_SEED = "mix:"       # seed prefix for remainder-doc selection
@@ -363,8 +363,11 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     )
     + f"""
-, cents AS (
-    SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
+, k AS (
+    SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS kk FROM n
+), cents AS (
+    SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+    WHERE vec_id < (SELECT kk FROM k)
 ), assign AS (
     SELECT vec_id, cid FROM (
         SELECT n.vec_id, c.cid,
@@ -389,10 +392,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocking key is learned (cluster id), not a metadata label like
     embedding_dedup_cosine's. Duplicate injection mirrors the recrawl
     fixture. Scale shape: assignment is a broadcast map-only stage
-    (centroids are tiny); pair-gen is quadratic only within a cluster — at
-    100 TB the codebook grows with the corpus (k ~ sqrt(N)) so block sizes
-    stay bounded, the same contract as the LSH band tables. Cosines are
+    (centroids are tiny); pair-gen is quadratic only within a cluster, and
+    the codebook size is WIRED to the corpus — k = ceil(sqrt(N)) computed
+    as a scalar aggregate on both engines (no fixture constant, no driver
+    collect) — so expected block size is ~sqrt(N) and within-block pair-gen
+    stays ~N total, the same contract as the LSH band tables. Cosines are
     sequential-fold doubles, bit-identical to the oracle."""
+    return _semantic_dedup_plan(spark, sf_dir, k=None)
+
+
+def _semantic_dedup_plan(spark: SparkSession, sf_dir: str, k: int | None) -> DataFrame:
+    """SemDeDup plan builder. ``k=None`` derives the codebook size from the
+    corpus (ceil(sqrt(N)) via a broadcast scalar join — stays declarative);
+    an explicit ``k`` pins a fixed codebook (used by the recall-pinning
+    test to compare against the legacy 16-centroid form)."""
     e = load_table(spark, sf_dir, "embeddings")
     base = e.unionByName(
         e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
@@ -401,7 +414,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair sides — persist so the plan reuses ONE scan (audited: 12 parquet
     # scans without this)
     nrm = normalized_vectors(base).persist(StorageLevel.MEMORY_AND_DISK)
-    cents = nrm.filter(F.col("vec_id") < N_CENTROIDS)
+    if k is None:
+        kdf = nrm.agg(F.ceil(F.sqrt(F.count("*"))).cast("long").alias("_k"))
+        cents = (
+            nrm.crossJoin(F.broadcast(kdf))
+            .filter(F.col("vec_id") < F.col("_k"))
+            .drop("_k")
+        )
+    else:
+        cents = nrm.filter(F.col("vec_id") < k)
     assigned = assign_to_centroids(nrm, cents)
     m = assigned.join(nrm, "vec_id").select("cid", "vec_id", "v", "nrm")
     a = m.select(

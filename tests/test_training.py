@@ -126,6 +126,28 @@ def test_semantic_dedup_recovers_injected_twins(spark):
     assert missing == []
 
 
+def test_semantic_dedup_scaled_codebook_recall_vs_fixed_k(spark):
+    """The corpus-scaled codebook (k = ceil(sqrt(N))) must keep the pair
+    recall of the legacy fixed-16-centroid form: every near-duplicate pair
+    the coarse blocking found should still co-locate under the finer one
+    (recrawl twins sit at cosine ~1, far inside any cluster boundary)."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        _semantic_dedup_plan,
+    )
+
+    scaled = {
+        (r["vec_a"], r["vec_b"])
+        for r in _semantic_dedup_plan(spark, SF_MED, k=None).collect()
+    }
+    fixed = {
+        (r["vec_a"], r["vec_b"])
+        for r in _semantic_dedup_plan(spark, SF_MED, k=16).collect()
+    }
+    assert fixed, "fixed-k baseline found no pairs — fixture broken"
+    recall = len(scaled & fixed) / len(fixed)
+    assert recall >= 0.95, f"scaled-k recall {recall:.3f} vs fixed-k"
+
+
 def test_bpe_merge_pairs_shape(spark):
     from ccirecommenderdatapipeline_spark.plans.training import (
         BPE_TOP,
