@@ -77,6 +77,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(run_once(spark, name, sf_dir), 3)
+        # queries that persist() intermediates (two_phase_rank consumers,
+        # semantic_dedup) would otherwise accumulate cached partitions
+        # across the whole run
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",

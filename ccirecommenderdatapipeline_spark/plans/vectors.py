@@ -622,14 +622,26 @@ from .registry import ORACLES as _ORACLES  # noqa: E402  (self-composition)
 
 
 RECALL_K = 5  # knn_ivf emits top-5; compare both sides at the same depth
+# Hash-mod query sampling: evaluate every EVAL_SAMPLE_MOD-th query vector.
+# At 100 TB the exact baseline inside this eval is quadratic in sampled
+# queries x corpus, so the eval MUST run on a sample — this knob is the
+# contract (set to 1 for the exhaustive eval in tests). Queries are
+# vec_id % QUERY_MOD == 0, so the sample predicate composes as
+# query_id % (QUERY_MOD * EVAL_SAMPLE_MOD) == 0 — deterministic,
+# partition-prunable, and pushed below both knn subplans' windows.
+EVAL_SAMPLE_MOD = 2
 
 
 @query(
     "ann_recall_eval",
     oracle=f"""
-WITH exact0 AS ({{bf}}),
-exact AS (SELECT query_id, neighbor_id FROM exact0 WHERE rank <= {RECALL_K}),
-approx AS ({{ivf}}),
+WITH exact0 AS (__BF__),
+exact AS (SELECT query_id, neighbor_id FROM exact0
+          WHERE rank <= {RECALL_K}
+            AND query_id % {QUERY_MOD * EVAL_SAMPLE_MOD} = 0),
+approx0 AS (__IVF__),
+approx AS (SELECT query_id, neighbor_id FROM approx0
+           WHERE query_id % {QUERY_MOD * EVAL_SAMPLE_MOD} = 0),
 hits AS (
     SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits
     FROM exact e LEFT JOIN approx a
@@ -652,15 +664,25 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes the two registered oracle texts as CTEs), so this measures
     exactly what users run. k is counted on the exact side BEFORE the join
     (mirror of the oracle's ks CTE) so an approx-side duplicate could never
-    inflate it. recall = hits/k is an exact binary-rational division."""
+    inflate it. recall = hits/k is an exact binary-rational division.
+    Query sampling (EVAL_SAMPLE_MOD) bounds the quadratic exact baseline:
+    the sample filter is a predicate on the window partition key, so
+    Catalyst pushes it below both subplans' windows and the pruned queries
+    are never scored at all."""
+    sample = F.col("query_id") % (QUERY_MOD * EVAL_SAMPLE_MOD) == 0
     bf = (
         q_knn_brute_force(spark, sf_dir)
-        .filter(F.col("rank") <= RECALL_K)
+        .filter((F.col("rank") <= RECALL_K) & sample)
         .select("query_id", "neighbor_id")
     )
     ks = bf.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
-    iv = q_knn_ivf(spark, sf_dir).select(
-        F.col("query_id").alias("iv_query"), F.col("neighbor_id").alias("iv_neighbor")
+    iv = (
+        q_knn_ivf(spark, sf_dir)
+        .filter(sample)
+        .select(
+            F.col("query_id").alias("iv_query"),
+            F.col("neighbor_id").alias("iv_neighbor"),
+        )
     )
     hits = (
         bf.join(
@@ -680,7 +702,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# splice the registered oracle texts into the composed eval oracle
-_ORACLES["ann_recall_eval"] = _ORACLES["ann_recall_eval"].format(
-    bf=_ORACLES["knn_brute_force"], ivf=_ORACLES["knn_ivf"]
+# splice the registered oracle texts into the composed eval oracle —
+# token .replace(), not str.format, so a literal brace in either upstream
+# oracle (DuckDB struct/MAP literals) can never break the package import
+_ORACLES["ann_recall_eval"] = (
+    _ORACLES["ann_recall_eval"]
+    .replace("__BF__", _ORACLES["knn_brute_force"])
+    .replace("__IVF__", _ORACLES["knn_ivf"])
 )

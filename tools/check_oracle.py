@@ -84,6 +84,9 @@ def main() -> int:
             print(f"[ok] {name}: {len(srows)} rows")
         else:
             failures += 1
+        # drop persisted intermediates so a 213-query sweep doesn't
+        # accumulate cached partitions (ADVICE r4)
+        sdf.sparkSession.catalog.clearCache()
     spark.stop()
     return 1 if failures else 0
 
