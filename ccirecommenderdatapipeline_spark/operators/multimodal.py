@@ -185,7 +185,13 @@ def resize_media(media: DataFrame) -> DataFrame:
                 out["stride"].append(stride)
                 out["new_width"].append((width + stride - 1) // stride)
                 out["resized_len"].append(len(resized))
-                out["resized_hash"].append(hashlib.md5(resized).hexdigest())
+                # hash the UPPERCASE hex of the bytes, not the raw bytes:
+                # the DuckDB oracle can only md5 VARCHAR, and hex makes the
+                # comparison byte-faithful for ANY payload (the previous
+                # raw-text oracle walk was only correct for ASCII)
+                out["resized_hash"].append(
+                    hashlib.md5(resized.hex().upper().encode()).hexdigest()
+                )
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)

@@ -265,7 +265,8 @@ WITH img AS (
            CAST(octet_length(encode(text)) AS INTEGER) AS n
     FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
 ), strided AS (
-    SELECT media_id, width, height, n, text,
+    SELECT media_id, width, height, n,
+           hex(encode(text)) AS hx,
            CAST(greatest(1, width // {RESIZE_TARGET_W}) AS INTEGER) AS stride
     FROM img
 ), resized AS (
@@ -273,13 +274,13 @@ WITH img AS (
            CAST((width + stride - 1) // stride AS INTEGER) AS new_width,
            array_to_string(
                list_transform(range(1, n + 1, stride),
-                              i -> substr(text, CAST(i AS INTEGER), 1)), '')
-               AS rtext
+                              i -> substr(hx, CAST(2 * i - 1 AS INTEGER), 2)), '')
+               AS rhex
     FROM strided
 )
 SELECT media_id, width, height, stride, new_width,
-       CAST(length(rtext) AS INTEGER) AS resized_len,
-       md5(rtext)                     AS resized_hash
+       CAST(length(rhex) // 2 AS INTEGER) AS resized_len,
+       md5(rhex)                          AS resized_hash
 FROM resized
 """,
 )
@@ -287,7 +288,8 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage of the media pipeline (the brief's decode → resize →
     feature-extract chain): every image payload downsampled by the fake
     codec's byte stride inside an Arrow ``mapInPandas`` batch. The oracle
-    reproduces each resized payload with a stride substr walk over the
-    (ASCII) text, so the md5 of the resized blob is checked exactly. Blobs
+    reproduces each resized payload with a stride walk over the HEX of the
+    encoded bytes (2 hex chars per byte), so the check is byte-faithful for
+    any payload, not just ASCII; both engines hash the uppercase hex. Blobs
     stay out of every exchange — the stage emits geometry + hash only."""
     return resize_media(_media(spark, sf_dir).repartition(8, "media_id"))
