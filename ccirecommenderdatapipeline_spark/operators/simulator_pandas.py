@@ -46,11 +46,35 @@ AGG_SCHEMA = (
     "maturity_date_count_per_buy_date_count DOUBLE"
 )
 
+# years-mode output: search_years keys the aggregates alongside symbol
+AGG_SCHEMA_YEARS = AGG_SCHEMA.replace(
+    "symbol STRING, ", "symbol STRING, search_years STRING, ", 1
+)
 
-def simulate_aggregate_pandas(cci: DataFrame, grid: dict | None = None) -> DataFrame:
+
+def simulate_aggregate_pandas(
+    cci: DataFrame, grid: dict | None = None, years: list | None = None
+) -> DataFrame:
     """cci -> per (symbol x full combo) strategy aggregates, one Arrow
-    round-trip per symbol."""
+    round-trip per symbol.
+
+    ``years`` (the reference's search-history depths) adds the
+    (symbol, search_years) grain with ZERO extra window passes: the whole
+    symbol history is already inside the Arrow batch, so each depth's slice
+    boundary (first date >= max(date) - y years, matching Plan A's
+    broadcast boundary table and pd.DateOffset == add_months month-clamp
+    semantics) is computed locally, and a depth's aggregates are masked
+    sums over the per-buy outcome grid that is computed ONCE for the full
+    history — the same buys-only-filter equivalence argument as
+    operators/simulator.py's single-pass depth plan (pinned by
+    tests/test_search_years.py)."""
     grid = grid or DEFAULT_GRID
+    depths = (
+        None
+        if years is None
+        else [(str(y), None if y == "all" else int(y)) for y in years]
+    )
+    schema = AGG_SCHEMA if depths is None else AGG_SCHEMA_YEARS
     holding = [int(x) for x in grid["holding_days"]]
     returns = [int(r) for r in grid["target_return"]]
     buy_thr = [float(b) for b in grid["buy_threshold"]]
@@ -98,6 +122,29 @@ def simulate_aggregate_pandas(cci: DataFrame, grid: dict | None = None) -> DataF
         symbol = pdf["symbol"].iloc[0]
         prev = np.concatenate(([np.nan], open_cci[:-1]))
 
+        # Per-depth slice boundary: first in-slice day (epoch days). A buy
+        # survives depth y iff buy day > first-slice day (strictly after:
+        # the slice's first row restarts the lag, so it can never buy) —
+        # identical to Plan A's broadcast bounds filter. None = keep all.
+        if depths is None:
+            depth_bounds: list[tuple] = [(None, None)]
+        else:
+            max_ts = pd.Timestamp(np.datetime64(int(date_days[-1]), "D"))
+            depth_bounds = []
+            for label, ny in depths:
+                if ny is None:
+                    depth_bounds.append((label, None))
+                else:
+                    bday = int(
+                        (max_ts - pd.DateOffset(months=12 * ny))
+                        .to_datetime64()
+                        .astype("datetime64[D]")
+                        .astype("int64")
+                    )
+                    depth_bounds.append(
+                        (label, int(date_days[date_days >= bday].min()))
+                    )
+
         frames: list[pd.DataFrame] = []
         for b in buy_thr:
             with np.errstate(invalid="ignore"):
@@ -133,54 +180,71 @@ def simulate_aggregate_pandas(cci: DataFrame, grid: dict | None = None) -> DataF
             )
             rev_per_day = np.round((sell_price - bp) / days, 8)
 
-            tb = round(float(bp.sum()), 4)                   # same for every combo
-            ts = np.round(sell_price.sum(axis=3), 2).reshape(-1)
-            cw = (sell_price > bp).sum(axis=3).reshape(-1)
-            cl = (sell_price < bp).sum(axis=3).reshape(-1)
-            srpd = np.round(rev_per_day.sum(axis=3), 8).reshape(-1)
-            sdh = days.sum(axis=3).reshape(-1)
+            bdays = date_days[buy_idx]
+            for label, fsd in depth_bounds:
+                sel = np.ones(k, dtype=bool) if fsd is None else (bdays > fsd)
+                k_d = int(sel.sum())
+                if k_d == 0:
+                    continue  # Plan A emits no group for zero-buy depths
+                bp_d = bp[sel]
+                sp = sell_price[..., sel]
+                ap = abs_pos[..., sel]
+                m_t, m_s = is_t[..., sel], is_s[..., sel]
+                m_m = is_m[..., sel]
 
-            # distinct sell-date counts per (combo, outcome): one np.unique
-            # per outcome over (combo_idx * n + date_position) codes
-            def distinct_counts(mask: np.ndarray) -> np.ndarray:
-                codes = (combo_idx.reshape(H, R, S, 1) * n + abs_pos)[mask]
-                return np.bincount(np.unique(codes) // n, minlength=n_combos)
+                tb = round(float(bp_d.sum()), 4)             # same for every combo
+                ts = np.round(sp.sum(axis=3), 2).reshape(-1)
+                cw = (sp > bp_d).sum(axis=3).reshape(-1)
+                cl = (sp < bp_d).sum(axis=3).reshape(-1)
+                srpd = np.round(
+                    rev_per_day[..., sel].sum(axis=3), 8
+                ).reshape(-1)
+                sdh = days[..., sel].sum(axis=3).reshape(-1)
 
-            c_t = distinct_counts(is_t)
-            c_s = distinct_counts(is_s)
-            c_m = distinct_counts(is_m)
+                # distinct sell-date counts per (combo, outcome): one
+                # np.unique per outcome over (combo * n + date_pos) codes
+                def distinct_counts(mask: np.ndarray) -> np.ndarray:
+                    codes = (combo_idx.reshape(H, R, S, 1) * n + ap)[mask]
+                    return np.bincount(np.unique(codes) // n, minlength=n_combos)
 
-            frames.append(pd.DataFrame({
-                "symbol": symbol,
-                "condition_holding_days": cond_x,
-                "condition_target_return": cond_r,
-                "condition_buy_cci_threshold": b,
-                "condition_stop_loss_cci_threshold": cond_s,
-                "count_buy_date": k,
-                "count_reach_target_date": c_t,
-                "count_stop_loss_date": c_s,
-                "count_maturity_date": c_m,
-                "count_win": cw,
-                "count_lose": cl,
-                "sum_revenue_per_days_held": srpd,
-                "sum_days_held": sdh,
-                "count_trades": k,
-                "total_buy_price": tb,
-                "total_sell_price": ts,
-                "avg_revenue_per_days_held": srpd / k,
-                "avg_days_held": sdh / k,
-                "win_rate": 100.0 * cw / k,
-                "lose_rate": 100.0 * cl / k,
-                "total_revenue": ts - tb,
-                "revenue_rate": (ts - tb) / tb * 100.0,
-                "reach_target_date_count_per_buy_date_count": 100.0 * c_t / k,
-                "stop_loss_date_count_per_buy_date_count": 100.0 * c_s / k,
-                "maturity_date_count_per_buy_date_count": 100.0 * c_m / k,
-            }))
-        cols = [f.strip().split(" ")[0] for f in AGG_SCHEMA.split(",")]
+                c_t = distinct_counts(m_t)
+                c_s = distinct_counts(m_s)
+                c_m = distinct_counts(m_m)
+
+                out_cols = {
+                    "symbol": symbol,
+                    "condition_holding_days": cond_x,
+                    "condition_target_return": cond_r,
+                    "condition_buy_cci_threshold": b,
+                    "condition_stop_loss_cci_threshold": cond_s,
+                    "count_buy_date": k_d,
+                    "count_reach_target_date": c_t,
+                    "count_stop_loss_date": c_s,
+                    "count_maturity_date": c_m,
+                    "count_win": cw,
+                    "count_lose": cl,
+                    "sum_revenue_per_days_held": srpd,
+                    "sum_days_held": sdh,
+                    "count_trades": k_d,
+                    "total_buy_price": tb,
+                    "total_sell_price": ts,
+                    "avg_revenue_per_days_held": srpd / k_d,
+                    "avg_days_held": sdh / k_d,
+                    "win_rate": 100.0 * cw / k_d,
+                    "lose_rate": 100.0 * cl / k_d,
+                    "total_revenue": ts - tb,
+                    "revenue_rate": (ts - tb) / tb * 100.0,
+                    "reach_target_date_count_per_buy_date_count": 100.0 * c_t / k_d,
+                    "stop_loss_date_count_per_buy_date_count": 100.0 * c_s / k_d,
+                    "maturity_date_count_per_buy_date_count": 100.0 * c_m / k_d,
+                }
+                if label is not None:
+                    out_cols["search_years"] = label
+                frames.append(pd.DataFrame(out_cols))
+        cols = [f.strip().split(" ")[0] for f in schema.split(",")]
         if not frames:
             return pd.DataFrame({c: [] for c in cols})
         return pd.concat(frames, ignore_index=True)[cols]
 
     src = cci.select("symbol", "date", "open_pr", "close_pr", "open_cci", "close_cci")
-    return src.groupBy("symbol").applyInPandas(per_symbol, AGG_SCHEMA)
+    return src.groupBy("symbol").applyInPandas(per_symbol, schema)

@@ -254,15 +254,22 @@ def agged_years_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_* queries (persisted lazily, same plan-matched caching rationale as
     ``agged_view``). Output grain: (symbol, search_years, grid combo).
 
-    Uses the single-pass depth plan (``simulate_trades(years=...)``): one
-    window pass over the full history, depths derived by a broadcast
-    boundary filter on buy rows — not one replay of the heavy collect_list
-    pipeline per depth (see operators/simulator.py for the equivalence
-    argument; the DuckDB oracle keeps the per-depth replay form, so the
-    driver gate re-proves it on every run)."""
-    return aggregate_strategies(
-        simulate_trades(cci_view(spark, sf_dir), AGG_GRID, years=BEST_YEARS),
-        extra_keys=("search_years",),
+    PLAN CHOICE (round 5): runs the fused Arrow Plan B
+    (``simulate_aggregate_pandas(years=...)``) — at 25x data Plan A's
+    windowed sim + ObjectHashAggregate was the pipeline's heaviest stage
+    (181 s vs the fused full-grid's 87 s covering 16x more combos), so the
+    depth grain now rides the same fused kernel: the per-buy outcome grid
+    is computed once per symbol and each depth is a masked re-sum inside
+    the same Arrow batch. Equivalence to Plan A's single-pass depth plan is
+    pinned exactly (tests/test_search_years.py::
+    test_fused_years_matches_plan_a); the DuckDB oracle keeps the per-depth
+    replay form, so the driver gate re-proves the semantics on every run.
+    Plan A (``simulate_trades(years=...)`` -> ``aggregate_strategies``)
+    remains the Catalyst path, exercised by best_return_depth3."""
+    from ..operators.simulator_pandas import simulate_aggregate_pandas
+
+    return simulate_aggregate_pandas(
+        cci_view(spark, sf_dir), AGG_GRID, years=BEST_YEARS
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 

@@ -103,3 +103,32 @@ def test_fast_depth_plan_matches_replay(spark, cci):
     ).select(*fast.columns)
     assert fast.exceptAll(replay).count() == 0
     assert replay.exceptAll(fast).count() == 0
+
+
+def test_fused_years_matches_plan_a(spark, cci):
+    # The fused Arrow kernel's depth grain (masked re-sums over the per-buy
+    # outcome grid inside one batch) must equal Plan A's
+    # simulate -> aggregate at (symbol, search_years, combo) grain exactly.
+    from ccirecommenderdatapipeline_spark.operators.simulator_pandas import (
+        simulate_aggregate_pandas,
+    )
+
+    years = ["1", "2", "all"]
+    plan_a = aggregate_strategies(
+        simulate_trades(cci, GRID, years=years), extra_keys=("search_years",)
+    )
+    fused = simulate_aggregate_pandas(cci, GRID, years=years).select(
+        *plan_a.columns
+    )
+    # float columns: compare rounded to 6dp (both sides are rounded
+    # aggregates of identical per-trade values; addition order may differ)
+    def norm(df):
+        cols = [
+            F.round(c, 6).alias(c) if t.startswith("double") else F.col(c)
+            for c, t in df.dtypes
+        ]
+        return df.select(*cols)
+
+    a, b = norm(plan_a), norm(fused)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
