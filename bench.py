@@ -51,6 +51,10 @@ HEADLINE = [
     "training_order_shuffle",    # two-phase seeded global order (r4)
     "bigram_perplexity",         # corpus LM scoring chain (r4)
     "semantic_dedup",            # SemDeDup centroid-blocked pairs (r4)
+    "cogroup_asof",              # COGROUP searchsorted as-of join (r5)
+    "dedup_containment",         # asymmetric-containment near-dup (r5)
+    "training_pipeline",         # end-to-end train-file prep chain (r5)
+    "ann_recall_eval",           # sampled IVF recall eval harness (r5)
 ]
 
 

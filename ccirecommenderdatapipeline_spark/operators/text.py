@@ -162,6 +162,21 @@ def simhash16(toks: Column) -> Column:
     return F.concat(*bits)
 
 
+def simhash16_int(toks: Column) -> Column:
+    """Integer form of :func:`simhash16` (same majority votes, MSB-first
+    bit weights): the numeric fingerprint feeds banded Hamming-distance
+    dedup, where verification needs integral bit arithmetic
+    (bit_count(xor)) rather than string comparison."""
+    hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 4))
+    n = F.size(toks)
+    total = F.lit(0)
+    for k in range(16):
+        c, b = k // 4 + 1, 3 - (k % 4)
+        ones = F.size(F.filter(hashes, lambda h: _bit_pred(_hex_digit(h, c), b)))
+        total = total + F.when(ones * 2 > n, F.lit(1 << (15 - k))).otherwise(F.lit(0))
+    return total.cast("int")
+
+
 def bottomk_fingerprint(text: Column, gram: int = 8, k: int = 4) -> Column:
     """Bottom-k sketch of the rolling character-k-gram hash set: the k
     lexicographically smallest md5s of all ``gram``-length substrings,

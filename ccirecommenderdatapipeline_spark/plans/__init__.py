@@ -65,6 +65,7 @@ _PRIORITY = [
     # (c) plan changed this round
     "knn_ivf", "best_return",
     # (d) round-5 additions backfill the remaining window slots
+    "dedup_simhash_hamming", "kmeans_lloyd_step",
 ]
 
 def _reorder() -> None:

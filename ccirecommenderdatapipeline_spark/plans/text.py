@@ -25,6 +25,7 @@ from ..operators.text import (
     minhash_signature,
     signature_match_frac,
     simhash16,
+    simhash16_int,
     tokens,
     with_recrawl,
     word_ngrams,
@@ -431,6 +432,119 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- 6b. SimHash banded Hamming-distance near-dup ----------------------------
+
+def _simhash_int_sql() -> str:
+    """Integer simhash: sum of MSB-first bit weights over the same majority
+    votes as ``_simhash_sql``."""
+    terms = []
+    for k in range(16):
+        c, b = k // 4 + 1, 3 - (k % 4)
+        d = f"(instr('0123456789abcdef', substr(h, {c}, 1)) - 1)"
+        pred = {
+            3: f"{d} >= 8",
+            2: f"{d} % 8 >= 4",
+            1: f"{d} % 4 >= 2",
+            0: f"{d} % 2 = 1",
+        }[b]
+        ones = f"len(list_filter(hashes, h -> {pred}))"
+        terms.append(
+            f"CASE WHEN 2 * {ones} > len(hashes) THEN {1 << (15 - k)} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+SIMHASH_MAX_HAMMING = 2   # near-dup = fingerprints within 2 flipped bits
+SIMHASH_BUCKET_CAP = 400  # hub-band guard: skip degenerate band buckets
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle="WITH " + DOCS2_CTE + TOK2_CTE + f"""
+, hashed AS (
+    SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 4)) AS hashes
+    FROM tok2
+), fp AS (
+    SELECT doc_id, {_simhash_int_sql()} AS fp FROM hashed
+), bands AS (
+    SELECT doc_id, fp, b.band,
+           CASE b.band WHEN 0 THEN fp // 1024
+                       WHEN 1 THEN (fp // 32) % 32
+                       ELSE fp % 32 END AS bval
+    FROM fp, (SELECT UNNEST([0, 1, 2]) AS band) b
+), kept AS (
+    SELECT * FROM bands
+    QUALIFY COUNT(*) OVER (PARTITION BY band, bval) <= {SIMHASH_BUCKET_CAP}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.fp AS fa, b.fp AS fb
+    FROM kept a JOIN kept b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {SIMHASH_MAX_HAMMING}
+""",
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a Hamming-distance tolerance (the form the
+    brief names next to MinHash): ``simhash_groups`` only finds EXACT
+    fingerprint collisions; real near-dups flip a bit or two. Banded
+    Hamming LSH: the 16-bit fingerprint splits into 3 bands (6+5+5 bits) —
+    by pigeonhole any pair within Hamming {SIMHASH_MAX_HAMMING} shares at
+    least one full band, so candidate generation is an equi-join per
+    (band, band-value) bucket, never all-pairs. Degenerate hub buckets
+    (> {SIMHASH_BUCKET_CAP} docs) are dropped on both engines — the same
+    stop-fingerprint recall trade-off as the DF-capped shingle index.
+    Verification is map-side integer math: bit_count(fp_a XOR fp_b).
+    At 100 TB the fingerprint widens to 64 bits and the bands to 4x16 —
+    the shape (band-bucket equi-join + bit-count verify) is unchanged;
+    bucket population is hash-uniform so the cap only trims adversarial
+    hubs."""
+    docs2 = with_recrawl(_docs(spark, sf_dir))
+    fp = docs2.select("doc_id", simhash16_int(tokens(F.col("text"))).alias("fp"))
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"), F.shiftright("fp", 10).alias("bval")
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.shiftright("fp", 5) % 32).alias("bval"),
+                ),
+                F.struct(F.lit(2).alias("band"), (F.col("fp") % 32).alias("bval")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "fp", "b.band", "b.bval")
+    wcap = Window.partitionBy("band", "bval")
+    kept = (
+        bands.withColumn("__n", F.count("*").over(wcap))
+        .filter(F.col("__n") <= SIMHASH_BUCKET_CAP)
+        .drop("__n")
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"), "band", "bval"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"), "band", "bval"
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -188,6 +188,56 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(pairs, 5)
 
 
+K_LLOYD = 8  # seed centroids for the Lloyd-step query: vec_id < 8
+
+
+@query(
+    "kmeans_lloyd_step",
+    oracle="WITH " + VECS_CTE + f"""
+, cents AS (
+    SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {K_LLOYD}
+), assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY {_dot_sql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC,
+                            c.cid) AS rn
+        FROM n CROSS JOIN cents c) s
+    WHERE rn = 1
+), m AS (
+    SELECT a.cid, n.v FROM assign a JOIN n USING (vec_id)
+), ex AS (
+    SELECT cid, CAST(t.i - 1 AS INTEGER) AS pos,
+           v[CAST(t.i AS INTEGER)] AS coord
+    FROM m, UNNEST(range(1, len(v) + 1)) t(i)
+)
+SELECT cid, pos, ROUND(AVG(coord), 6) AS coord,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned
+FROM ex GROUP BY cid, pos
+""",
+)
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of spherical k-means over the embedding corpus —
+    the codebook-training step behind the IVF index and SemDeDup blocking:
+    assign every vector to its nearest seed centroid (cosine, the same
+    broadcast map-only assignment the index queries use), then recompute
+    each centroid as the per-dimension mean of its members. The mean is a
+    posexplode to (cid, dim) grain + a map-combinable avg — at 100 TB the
+    wide step shuffles K x D tiny partial-agg rows per task, never vectors;
+    iterating = re-seeding cents from this output (driver loop, one job per
+    iteration — exactly how MLlib's KMeans steps, but oracle-checkable)."""
+    n = _vectors(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < K_LLOYD)
+    assigned = assign_to_centroids(n, cents)
+    m = assigned.join(n, "vec_id").select("cid", "v")
+    ex = m.select("cid", F.posexplode("v").alias("pos", "coord"))
+    return ex.groupBy("cid", "pos").agg(
+        F.round(F.avg("coord"), 6).alias("coord"),
+        F.count("*").cast("long").alias("n_assigned"),
+    )
+
+
 @query(
     "embedding_dedup_cosine",
     oracle=f"""

@@ -48,3 +48,19 @@ def test_lang_id_deterministic_tiebreak(spark):
     best = scores.max(axis=1)
     und = lid["predicted_lang"] == "und"
     assert (best[und] == 0).all()
+
+
+def test_simhash_hamming_pairs(spark):
+    from ccirecommenderdatapipeline_spark.plans.text import SIMHASH_MAX_HAMMING
+
+    pairs = _run(spark, "dedup_simhash_hamming")
+    # verification bound holds and pairs are canonical + unique
+    assert (pairs["hamming"] >= 0).all()
+    assert (pairs["hamming"] <= SIMHASH_MAX_HAMMING).all()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+    # recrawl twins share an identical fingerprint -> hamming 0; every twin
+    # pair that survives the hub-bucket cap must be reported
+    twins = pairs[pairs["doc_b"] == pairs["doc_a"] + 100_000]
+    assert len(twins) > 0
+    assert (twins["hamming"] == 0).all()

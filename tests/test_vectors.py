@@ -86,3 +86,22 @@ def test_embedding_quantize_error_bound(spark):
     for r in rows:
         assert 0.0 <= r["err_max"] <= bound, (r, bound)
         assert 0 <= r["q_sum"] <= 255 * 64
+
+
+def test_kmeans_lloyd_step_invariants(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from ccirecommenderdatapipeline_spark.plans.vectors import K_LLOYD
+    from tests.conftest import SF_SMALL
+
+    out = plans.QUERIES["kmeans_lloyd_step"](spark, SF_SMALL).toPandas()
+    n_vecs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    # every emitted cid is a seed; every dimension of a cid has the same
+    # member count; counts over any single dimension partition the corpus
+    assert set(out["cid"]) <= set(range(K_LLOYD))
+    per_cid = out.groupby("cid")["n_assigned"].nunique()
+    assert (per_cid == 1).all()
+    dims = out.groupby("cid")["pos"].count()
+    assert dims.nunique() == 1  # same dimensionality everywhere
+    one_pos = out[out["pos"] == 0]
+    assert one_pos["n_assigned"].sum() == n_vecs
+    assert out["coord"].notna().all()
