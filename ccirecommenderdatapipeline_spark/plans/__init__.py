@@ -62,10 +62,12 @@ _PRIORITY = [
     "ann_recall_eval", "bpe_merge_pairs", "key_skew_profile",
     "media_resize", "training_pipeline", "quality_logreg_score",
     "corpus_datasheet",
-    # (c) plan changed this round
-    "knn_ivf", "best_return",
-    # (d) round-5 additions backfill the remaining window slots
+    # (c) plan changed this round (best_win / best_return_per_days_held
+    # share best_return's new fused-depth subtree)
+    "knn_ivf", "best_return", "best_win", "best_return_per_days_held",
+    # (d) round-5 additions + flagship-core re-pins fill the window to 50
     "dedup_simhash_hamming", "kmeans_lloyd_step",
+    "prices", "cci", "buy_signals",
 ]
 
 def _reorder() -> None:
