@@ -65,9 +65,10 @@ _PRIORITY = [
     # (c) plan changed this round (best_win / best_return_per_days_held
     # share best_return's new fused-depth subtree)
     "knn_ivf", "best_return", "best_win", "best_return_per_days_held",
-    # (d) round-5 additions + flagship-core re-pins fill the window to 50
+    # (d) round-5 additions + a flagship-core re-pin fill the window to 50
     "dedup_simhash_hamming", "kmeans_lloyd_step",
-    "prices", "cci", "buy_signals",
+    "hll_distinct", "compaction_plan",
+    "prices",
 ]
 
 def _reorder() -> None:

@@ -598,3 +598,119 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "term", "c_st", "c_g", "lift")
     )
+
+
+# --- HyperLogLog vocabulary cardinality --------------------------------------
+
+HLL_M = 256  # 2^8 registers: bucket = first two md5 hex digits
+
+
+@query(
+    "hll_distinct",
+    oracle=f"""
+WITH {TOK_CTE},
+ex AS (
+    SELECT UNNEST(CASE WHEN len(toks) >= 3
+        THEN list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE CAST([] AS VARCHAR[]) END) AS t
+    FROM tok),
+hx AS (SELECT md5(t) AS h FROM ex),
+parts AS (
+    SELECT (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+           substr(h, 3, 12) AS rest
+    FROM hx
+), lzd AS (
+    SELECT bucket, rest,
+           length(regexp_extract(rest, '^0*')) AS lz,
+           (instr('0123456789abcdef',
+                  substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1)) - 1)
+               AS dval
+    FROM parts
+), rho AS (
+    SELECT bucket,
+           CASE WHEN lz = 12 THEN 49
+                ELSE 4 * lz
+                   + CASE WHEN dval >= 8 THEN 0
+                          WHEN dval >= 4 THEN 1
+                          WHEN dval >= 2 THEN 2
+                          ELSE 3 END
+                   + 1 END AS rho
+    FROM lzd
+), regs AS (SELECT bucket, MAX(rho) AS r FROM rho GROUP BY bucket),
+s AS (SELECT COUNT(*) AS nb, SUM(power(2.0, -r)) AS zp FROM regs),
+exact AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_exact FROM ex),
+est AS (
+    SELECT n_exact,
+           CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                THEN {HLL_M}.0 * ln({HLL_M}.0 / v) ELSE raw END AS e
+    FROM (SELECT n_exact,
+                 (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                     / (zp + ({HLL_M} - nb)) AS raw,
+                 {HLL_M} - nb AS v
+          FROM s, exact)
+)
+SELECT CAST({HLL_M} AS INTEGER) AS m, n_exact,
+       ROUND(e, 2) AS n_hll,
+       ROUND(abs(e - n_exact) / n_exact, 4) AS rel_err
+FROM est
+""",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog vocabulary cardinality, built from scratch so BOTH
+    engines compute bit-identical registers (Spark's approx_count_distinct
+    and DuckDB's approx sketches differ, so the built-ins can't be
+    oracle-gated): bucket = first 2 md5 hex digits (m = 256 registers),
+    rho = 1 + leading zero bits of the next 48 hash bits, registers are a
+    map-combinable MAX per bucket, and the estimator (alpha_m * m^2 / sum
+    2^-r, linear-counting small-range correction) runs on the 256-row
+    register table. The exact COUNT(DISTINCT) rides along to report the
+    realized relative error. At 100 TB this is THE shape for cardinality
+    telemetry: one map pass + a 256-row agg, versus the full shuffle an
+    exact distinct needs — and the register table unions across corpora
+    (max per bucket), so per-source sketches merge for free."""
+    # sketch the distinct word TRIGRAMS (the fixture's unigram vocabulary
+    # is ~31 terms — far below the sketch's resolution; trigrams are the
+    # realistic contamination-/shingle-sized value population)
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("t")
+    )
+    h = F.md5("t")
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10)).cast("int")
+    rest = F.substring(h, 3, 12)
+    lz = F.length(F.regexp_extract(rest, "^0*", 0))
+    dval = F.conv(F.substr(rest, lz + 1, F.lit(1)), 16, 10).cast("int")
+    extra = (
+        F.when(dval >= 8, 0)
+        .when(dval >= 4, 1)
+        .when(dval >= 2, 2)
+        .otherwise(3)
+    )
+    rho = F.when(lz == 12, F.lit(49)).otherwise(4 * lz + extra + 1)
+    regs = (
+        tok.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    s = regs.agg(
+        F.count("*").alias("nb"), F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("zp")
+    )
+    exact = tok.agg(F.countDistinct("t").cast("long").alias("n_exact"))
+    m = float(HLL_M)
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / (
+        F.col("zp") + (F.lit(HLL_M) - F.col("nb"))
+    )
+    v = F.lit(HLL_M) - F.col("nb")
+    e = F.when((raw <= 2.5 * m) & (v > 0), m * F.log(m / v)).otherwise(raw)
+    return (
+        s.crossJoin(exact)
+        .select(
+            F.lit(HLL_M).cast("int").alias("m"),
+            "n_exact",
+            F.round(e, 2).alias("n_hll"),
+            F.round(F.abs(e - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )

@@ -1130,3 +1130,71 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_ratio"
         ),
     )
+
+
+# --- Compaction planning: small-file bin packing -----------------------------
+
+COMPACT_TARGET = 65_536  # target compacted "file" size (fixture bytes)
+
+
+@query(
+    "compaction_plan",
+    oracle=f"""
+WITH files AS (
+    SELECT source, doc_id AS file_id,
+           CAST(n_chars AS BIGINT) AS bytes
+    FROM documents
+), ordered AS (
+    SELECT source, file_id, bytes,
+           SUM(bytes) OVER (
+               PARTITION BY source
+               ORDER BY bytes DESC, file_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM files
+), binned AS (
+    SELECT source, file_id, bytes,
+           CAST((cum - 1) // {COMPACT_TARGET} AS BIGINT) AS bin
+    FROM ordered
+)
+SELECT source, bin,
+       CAST(COUNT(*) AS BIGINT)  AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+       MIN(file_id) AS first_file,
+       MAX(file_id) AS last_file
+FROM binned
+GROUP BY source, bin
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance pass that
+    turns a skewed landing zone (millions of tiny files after streaming
+    ingest) into target-sized rewrite groups. Files (doc_id/n_chars stand
+    in for path/bytes) are binned per source partition by a sorted
+    running-sum: order by size descending (first-fit-decreasing's sort),
+    cumulative-sum bytes, bin = (cum-1) / target — every bin lands within
+    one small file of the target, deterministically, with NO sequential
+    greedy loop. Scale shape: the only wide op is the per-source window
+    sort, and file-listing tables are ~10^6 rows per partition even at
+    100 TB (metadata, not data); the plan output drives the actual rewrite
+    job's groupBy(bin). The running sum keys by (source) exactly like the
+    two-phase rank in plans/training.py would if a single partition's
+    listing ever outgrew one task."""
+    files = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("bytes"), F.asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = files.withColumn(
+        "bin", ((F.sum("bytes").over(w) - 1) / COMPACT_TARGET).cast("long")
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )

@@ -70,3 +70,17 @@ def test_quality_logreg_score_replay(spark):
         )
         want = (z, round(1.0 / (1.0 + math.exp(-z)), 4), z > 0)
         assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_hll_distinct_error_bound(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from tests.conftest import SF_MED
+
+    row = plans.QUERIES["hll_distinct"](spark, SF_MED).collect()[0]
+    # m=256 gives ~1.04/sqrt(m) = 6.5% expected std error; allow 3 sigma
+    assert row["m"] == 256
+    assert row["n_exact"] > 1000  # trigram population is sketch-sized
+    assert row["rel_err"] == round(
+        abs(row["n_hll"] - row["n_exact"]) / row["n_exact"], 4
+    )
+    assert row["rel_err"] < 0.20

@@ -326,3 +326,22 @@ def test_inventory_clamp_never_negative_and_bounded(spark):
             bal = max(0, bal + d)
         assert bal == r["final_balance"]
         assert len(g) == r["n_moves"]
+
+
+def test_compaction_plan_bins_near_target(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from ccirecommenderdatapipeline_spark.plans.warehouse import COMPACT_TARGET
+    from tests.conftest import SF_MED
+
+    out = plans.QUERIES["compaction_plan"](spark, SF_MED).toPandas()
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    # bins partition the listing: totals reconcile exactly
+    assert out["n_files"].sum() == docs.count()
+    total = docs.selectExpr("CAST(sum(n_chars) AS BIGINT) b").collect()[0]["b"]
+    assert out["bin_bytes"].sum() == total
+    # every bin except a source's last is within one file of the target
+    # (sorted running-sum binning property)
+    for src, grp in out.groupby("source"):
+        g = grp.sort_values("bin")
+        assert list(g["bin"]) == list(range(len(g)))
+        assert (g["bin_bytes"].iloc[:-1] >= COMPACT_TARGET * 0.5).all()
