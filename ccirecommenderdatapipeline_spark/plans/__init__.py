@@ -65,11 +65,16 @@ _PRIORITY = [
     # (c) plan changed this round (best_win / best_return_per_days_held
     # share best_return's new fused-depth subtree)
     "knn_ivf", "best_return", "best_win", "best_return_per_days_held",
-    # (d) round-5 additions + a flagship-core re-pin fill the window to 50
+    # (d) round-5 additions fill the window to 50
     "dedup_simhash_hamming", "kmeans_lloyd_step",
     "hll_distinct", "compaction_plan",
-    "prices",
+    "interval_merge",
 ]
+
+# ROUND-6 ROTATION: r5 additions registered past the 50-row window (all
+# local-gate + pytest green) that will still lack a driver verdict after
+# r5's run: pareto_strategies. Every other registered name has a green row
+# in CORRECTNESS_r{1..5}.json after this round's window executes.
 
 def _reorder() -> None:
     ordered = [n for n in _PRIORITY if n in QUERIES] + [

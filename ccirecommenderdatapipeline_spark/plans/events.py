@@ -466,3 +466,81 @@ def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn_first") == 1, dec_amount)).cast("double").alias("first_touch_rev"),
         F.sum(F.when(F.col("rn_last") == 1, dec_amount)).cast("double").alias("last_touch_rev"),
     )
+
+
+# --- Overlapping-interval merge (gaps and islands) ---------------------------
+
+@query(
+    "interval_merge",
+    oracle="""
+WITH iv AS (
+    SELECT user_id, ts AS s,
+           ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
+    FROM events
+), flagged AS (
+    SELECT user_id, s, e,
+           CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+), islands AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       MIN(s) AS island_start, MAX(e) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, island
+""",
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge each user's overlapping activity intervals
+    (event start, start + value minutes) into maximal islands — the segment
+    union behind sessionized billing, on-call coverage, and span dedup.
+    Single-pass window form (no self-join): an interval opens a new island
+    iff its start exceeds the running MAX(end) of every EARLIER interval
+    (rows-preceding frame excludes the current row), then the island id is
+    the running sum of those flags and the merge is a plain groupBy. Scale
+    shape: one user-keyed sort-window pass + a hash agg — the quadratic
+    interval self-join never materializes, and per-task state is two
+    scalars (running max / running sum). Fractional-minute arithmetic goes through an explicit floor() to
+    integer seconds — DuckDB ROUNDS on double->BIGINT casts while Spark
+    truncates, so the floor is load-bearing for cross-engine equality."""
+    iv = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add(
+            "SECOND", F.floor(F.col("value") * 60).cast("long"), F.col("ts")
+        ).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("e").over(wprev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(wrun).cast("long")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count("*").cast("long").alias("n_events"),
+    )

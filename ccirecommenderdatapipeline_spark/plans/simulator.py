@@ -13,7 +13,7 @@ that scale is exercised Spark-only in bench.py's full_grid_strategy_agg).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.simulator import (
@@ -374,3 +374,54 @@ def q_best_return_full_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
         "count_buy_date", "win_rate", "revenue_rate", "total_revenue",
     )
+
+
+# --- Pareto frontier over the strategy grid ----------------------------------
+
+_PARETO_COLS = (
+    "condition_holding_days", "condition_target_return",
+    "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
+)
+
+
+@query(
+    "pareto_strategies",
+    oracle="WITH " + _sim_cte(AGG_GRID) + AGG_SQL + """
+SELECT symbol, condition_holding_days, condition_target_return,
+       condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+       win_rate, revenue_rate
+FROM rates a
+WHERE NOT EXISTS (
+    SELECT 1 FROM rates b
+    WHERE b.symbol = a.symbol
+      AND b.win_rate >= a.win_rate AND b.revenue_rate >= a.revenue_rate
+      AND (b.win_rate > a.win_rate OR b.revenue_rate > a.revenue_rate)
+)
+""",
+)
+def q_pareto_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy selection as a Pareto frontier instead of a single argmax:
+    per symbol, every grid combo not dominated on BOTH win_rate and
+    revenue_rate (best_by picks one metric's winner; a portfolio chooses
+    along the frontier). Dominance is a per-symbol anti-join: equi-key on
+    symbol, the >=/> residual evaluated on the joined row — |grid|^2
+    comparisons per symbol with |grid| a plan constant (81), so the work is
+    linear in symbols and shuffles once on the symbol key, riding the same
+    persisted sim->aggregate subtree as the other eight selection queries.
+    Rates are exact IEEE divisions of integer aggregates, so cross-engine
+    comparisons are bit-stable."""
+    a = agged_view(spark, sf_dir).select(
+        "symbol", *_PARETO_COLS, "win_rate", "revenue_rate"
+    )
+    b = a.select(
+        F.col("symbol").alias("b_symbol"),
+        F.col("win_rate").alias("b_wr"),
+        F.col("revenue_rate").alias("b_rr"),
+    )
+    dom = (
+        (a["symbol"] == b["b_symbol"])
+        & (b["b_wr"] >= a["win_rate"])
+        & (b["b_rr"] >= a["revenue_rate"])
+        & ((b["b_wr"] > a["win_rate"]) | (b["b_rr"] > a["revenue_rate"]))
+    )
+    return a.join(b, dom, "left_anti")
