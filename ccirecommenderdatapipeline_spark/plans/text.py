@@ -534,8 +534,11 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = kept.select(
         F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"), "band", "bval"
     )
+    # shuffle-hash pinned: both sides are the corpus-sized fingerprint
+    # table — the (band, bval) equi-join IS the LSH bucket shuffle, and
+    # neither side is broadcastable at scale
     cand = (
-        a.join(b, ["band", "bval"])
+        a.join(b.hint("shuffle_hash"), ["band", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "fa", "fb")
         .distinct()

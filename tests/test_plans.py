@@ -252,3 +252,34 @@ def test_two_phase_rank_has_no_unbucketed_window_over_data(spark):
         # (training_pipeline's dedup window is md5-keyed, not global)
         assert plan.count("Exchange SinglePartition") <= 1, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_interval_merge_islands_disjoint(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from tests.conftest import SF_SMALL
+
+    out = plans.QUERIES["interval_merge"](spark, SF_SMALL).toPandas()
+    assert (out["island_start"] <= out["island_end"]).all()
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("island").reset_index(drop=True)
+        # islands are numbered 1..k and strictly separated (no overlap,
+        # no touching start <= prev end — else they'd have merged)
+        assert list(g["island"]) == list(range(1, len(g) + 1))
+        assert (
+            g["island_start"].iloc[1:].values > g["island_end"].iloc[:-1].values
+        ).all()
+
+
+def test_pareto_frontier_is_nondominated(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from tests.conftest import SF_SMALL
+
+    out = plans.QUERIES["pareto_strategies"](spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    for _, g in out.groupby("symbol"):
+        wr, rr = g["win_rate"].values, g["revenue_rate"].values
+        for i in range(len(g)):
+            dominated = (
+                (wr >= wr[i]) & (rr >= rr[i]) & ((wr > wr[i]) | (rr > rr[i]))
+            )
+            assert not dominated.any()
