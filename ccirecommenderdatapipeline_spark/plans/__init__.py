@@ -73,8 +73,9 @@ _PRIORITY = [
 
 # ROUND-6 ROTATION: r5 additions registered past the 50-row window (all
 # local-gate + pytest green) that will still lack a driver verdict after
-# r5's run: pareto_strategies. Every other registered name has a green row
-# in CORRECTNESS_r{1..5}.json after this round's window executes.
+# r5's run: pareto_strategies, bloom_membership. Every other registered
+# name has a green row in CORRECTNESS_r{1..5}.json after this round's
+# window executes.
 
 def _reorder() -> None:
     ordered = [n for n in _PRIORITY if n in QUERIES] + [

@@ -714,3 +714,116 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Bloom-filter membership: build + probe with measured FP rate ------------
+
+BLOOM_K = 3  # salted hash functions; m = 65536 bits (4 md5 hex digits)
+
+_HEXD = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _pos16_sql(val: str, salt: int) -> str:
+    """16-bit bloom position: first 4 hex digits of md5('s<salt>:' || v)."""
+    h = f"md5('s{salt}:' || {val})"
+    return (
+        "("
+        + " + ".join(
+            _HEXD.format(h=h, i=i + 1) + f" * {16 ** (3 - i)}" for i in range(4)
+        )
+        + ")"
+    )
+
+
+@query(
+    "bloom_membership",
+    oracle=f"""
+WITH {TOK_CTE},
+tri AS (
+    SELECT doc_id,
+           UNNEST(list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE CAST([] AS VARCHAR[]) END)) AS t
+    FROM tok
+), corpus_t AS (
+    SELECT DISTINCT t FROM tri WHERE doc_id % 2 = 0
+), bits AS (
+    SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(f"SELECT {_pos16_sql('t', s)} AS pos FROM corpus_t" for s in range(3))}
+    )
+), probes AS (
+    SELECT p.t, CASE WHEN c.t IS NOT NULL THEN 1 ELSE 0 END AS member
+    FROM (SELECT DISTINCT t FROM tri) p LEFT JOIN corpus_t c ON c.t = p.t
+), probe_pos AS (
+    {" UNION ALL ".join(f"SELECT t, member, {_pos16_sql('t', s)} AS pos FROM probes" for s in range(3))}
+), hits AS (
+    SELECT pp.t, pp.member,
+           CAST(COUNT(b.pos) AS BIGINT) AS n_hit
+    FROM probe_pos pp LEFT JOIN bits b ON b.pos = pp.pos
+    GROUP BY pp.t, pp.member
+)
+SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_probes,
+       CAST(SUM(member) AS BIGINT)                                AS n_members,
+       CAST(SUM(CASE WHEN n_hit = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS n_positive,
+       CAST(SUM(CASE WHEN n_hit = {BLOOM_K} AND member = 0
+                THEN 1 ELSE 0 END) AS BIGINT)                      AS n_false_pos,
+       ROUND(CAST(SUM(CASE WHEN n_hit = {BLOOM_K} AND member = 0
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(COUNT(*) - SUM(member), 0), 6)               AS fp_rate
+FROM hits
+""",
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as data: build a 65,536-bit / {BLOOM_K}-hash filter over
+    the even-doc trigram set, probe it with EVERY distinct trigram, and
+    measure the realized false-positive rate against exact membership —
+    the primitive behind runtime join pruning (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter) and cross-corpus contamination
+    pre-screens, made oracle-checkable by building the filter from salted
+    md5 prefixes instead of engine-private hashes (the first 4 hex digits
+    ARE the 16-bit position — no modulo). Scale shape: the bit table is
+    DISTINCT positions (bounded by m = 65,536 rows however big the corpus),
+    so the probe join broadcasts a bitmap-sized relation; build and probe
+    are each one hash agg. No bloom positive can be a false negative by
+    construction — the test pins positives ⊇ members."""
+    tri = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(tokens(F.col("text")), 3))).alias("t"),
+    )
+    corpus_t = tri.filter(F.col("doc_id") % 2 == 0).select("t").distinct()
+
+    def pos16(salt: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"s{salt}:"), F.col("t")))
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+    positions = F.array(*[pos16(s) for s in range(BLOOM_K)])
+    bits = corpus_t.select(F.explode(positions).alias("pos")).distinct()
+    probes = (
+        tri.select("t")
+        .distinct()
+        .join(corpus_t.withColumn("member", F.lit(1)), "t", "left")
+        .select("t", F.coalesce("member", F.lit(0)).alias("member"))
+    )
+    probe_pos = probes.select("t", "member", F.explode(positions).alias("pos"))
+    hits = (
+        probe_pos.join(F.broadcast(bits.withColumn("__b", F.lit(1))), "pos", "left")
+        .groupBy("t", "member")
+        .agg(F.count("__b").cast("long").alias("n_hit"))
+    )
+    positive = (F.col("n_hit") == BLOOM_K).cast("int")
+    fp = (positive == 1).cast("int") * (1 - F.col("member"))
+    return hits.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("member").cast("long").alias("n_members"),
+        F.sum(positive).cast("long").alias("n_positive"),
+        F.sum(fp).cast("long").alias("n_false_pos"),
+        F.round(
+            F.sum(fp).cast("double")
+            / F.nullif(
+                (F.count("*") - F.sum("member")).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -84,3 +84,15 @@ def test_hll_distinct_error_bound(spark):
         abs(row["n_hll"] - row["n_exact"]) / row["n_exact"], 4
     )
     assert row["rel_err"] < 0.20
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from tests.conftest import SF_MED
+
+    row = plans.QUERIES["bloom_membership"](spark, SF_MED).collect()[0]
+    # a bloom filter can never produce a false negative: every true member
+    # must probe positive, so positives >= members and fp = pos - members
+    assert row["n_positive"] >= row["n_members"]
+    assert row["n_false_pos"] == row["n_positive"] - row["n_members"]
+    assert 0.0 <= row["fp_rate"] < 0.5  # m/n ~ 6.6, k=3 -> ~5% expected
