@@ -827,3 +827,106 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+@query(
+    "hll_merge_sources",
+    oracle=f"""
+WITH {TOK_CTE},
+ex AS (
+    SELECT source,
+           UNNEST(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS t
+    FROM tok),
+hx AS (SELECT source, md5(t) AS h FROM ex),
+parts AS (
+    SELECT source,
+           (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+           substr(h, 3, 12) AS rest
+    FROM hx
+), lzd AS (
+    SELECT source, bucket,
+           length(regexp_extract(rest, '^0*')) AS lz,
+           (instr('0123456789abcdef',
+                  substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1)) - 1)
+               AS dval
+    FROM parts
+), rho AS (
+    SELECT source, bucket,
+           CASE WHEN lz = 12 THEN 49
+                ELSE 4 * lz
+                   + CASE WHEN dval >= 8 THEN 0
+                          WHEN dval >= 4 THEN 1
+                          WHEN dval >= 2 THEN 2
+                          ELSE 3 END
+                   + 1 END AS rho
+    FROM lzd
+), src_regs AS (
+    SELECT source, bucket, MAX(rho) AS r FROM rho GROUP BY source, bucket
+), all_regs AS (
+    SELECT source, bucket, r FROM src_regs
+    UNION ALL
+    SELECT '__merged__' AS source, bucket, MAX(r) AS r
+    FROM src_regs GROUP BY bucket
+), s AS (
+    SELECT source, COUNT(*) AS nb, SUM(power(2.0, -r)) AS zp
+    FROM all_regs GROUP BY source
+)
+SELECT source,
+       ROUND(CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / v) ELSE raw END, 2) AS n_hll
+FROM (SELECT source,
+             (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                 / (zp + ({HLL_M} - nb)) AS raw,
+             {HLL_M} - nb AS v
+      FROM s)
+""",
+)
+def q_hll_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability — the property that makes sketches a 100 TB tool:
+    per-source HLL register tables (max rho per (source, bucket)) UNION a
+    '__merged__' row built by MAX-merging those per-source registers. The
+    merged registers are PROVABLY identical to sketching the union corpus
+    directly (max is associative/commutative/idempotent), so per-corpus
+    sketches computed by independent jobs — or stored as 256-row tables in
+    a metadata catalog — combine into exact global estimates without
+    touching the data again; the invariant is pinned against
+    ``hll_distinct``'s global estimate by test. Scale shape: one map pass,
+    a (source, bucket) hash agg, and a 256-rows-per-source re-agg."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("t")
+    )
+    h = F.md5("t")
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rest = F.substring(h, 3, 12)
+    lz = F.length(F.regexp_extract(rest, "^0*", 0))
+    dval = F.conv(F.substr(rest, lz + 1, F.lit(1)), 16, 10).cast("int")
+    extra = (
+        F.when(dval >= 8, 0).when(dval >= 4, 1).when(dval >= 2, 2).otherwise(3)
+    )
+    rho = F.when(lz == 12, F.lit(49)).otherwise(4 * lz + extra + 1)
+    src_regs = (
+        tok.select("source", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = (
+        src_regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("__merged__").alias("source"), "bucket", "r")
+    )
+    all_regs = src_regs.unionByName(merged)
+    s = all_regs.groupBy("source").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("zp"),
+    )
+    m = float(HLL_M)
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / (
+        F.col("zp") + (F.lit(HLL_M) - F.col("nb"))
+    )
+    v = F.lit(HLL_M) - F.col("nb")
+    e = F.when((raw <= 2.5 * m) & (v > 0), m * F.log(m / v)).otherwise(raw)
+    return s.select("source", F.round(e, 2).alias("n_hll"))

@@ -96,3 +96,16 @@ def test_bloom_membership_no_false_negatives(spark):
     assert row["n_positive"] >= row["n_members"]
     assert row["n_false_pos"] == row["n_positive"] - row["n_members"]
     assert 0.0 <= row["fp_rate"] < 0.5  # m/n ~ 6.6, k=3 -> ~5% expected
+
+
+def test_hll_merge_equals_global_sketch(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from tests.conftest import SF_MED
+
+    rows = plans.QUERIES["hll_merge_sources"](spark, SF_MED).collect()
+    merged = [r["n_hll"] for r in rows if r["source"] == "__merged__"]
+    assert len(merged) == 1
+    glob = plans.QUERIES["hll_distinct"](spark, SF_MED).collect()[0]["n_hll"]
+    # max-merge of per-source registers must reproduce the global sketch
+    # EXACTLY (register-level identity, not just approximate agreement)
+    assert merged[0] == glob
