@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.literals import literal_table
 from ..operators.text import tokens
 from ..sources.prices import PRICES_ORACLE_CTE, prices_view
 from ..sources.tables import load_table
@@ -1197,4 +1198,121 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").cast("long").alias("bin_bytes"),
         F.min("file_id").alias("first_file"),
         F.max("file_id").alias("last_file"),
+    )
+
+
+# --- Z-order pruning gain: layout quality as a measurement -------------------
+
+_PROBES = [(16 * i, 16 * i + 15) for i in range(16)]  # diagonal 16x16 squares
+_PROBE_VALUES = ", ".join(
+    f"({i}, {lo}, {hi}, {lo}, {hi})" for i, (lo, hi) in enumerate(_PROBES)
+)
+
+
+@query(
+    "zorder_pruning_gain",
+    oracle=f"""
+WITH dims AS (
+    SELECT o_orderkey,
+           o_custkey % 256 AS xd,
+           date_diff('day', DATE '1970-01-01', o_orderdate) % 256 AS yd
+    FROM orders
+), mx AS (SELECT MAX(o_orderkey) AS mk FROM dims),
+z AS (
+    SELECT o_orderkey, xd, yd, {_z_sql('xd', 'yd')} AS zval FROM dims
+), buckets AS (
+    SELECT 'natural' AS layout,
+           CAST(o_orderkey // ((mk + 256) // 256) AS BIGINT) AS bucket,
+           xd, yd
+    FROM z, mx
+    UNION ALL
+    SELECT 'zorder' AS layout, CAST(zval >> 8 AS BIGINT) AS bucket, xd, yd
+    FROM z
+), stats AS (
+    SELECT layout, bucket,
+           MIN(xd) AS min_x, MAX(xd) AS max_x,
+           MIN(yd) AS min_y, MAX(yd) AS max_y
+    FROM buckets GROUP BY layout, bucket
+), probes AS (
+    SELECT * FROM (VALUES {_PROBE_VALUES})
+    p(probe, lo_x, hi_x, lo_y, hi_y)
+)
+SELECT s.layout, p.probe,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN s.max_x < p.lo_x OR s.min_x > p.hi_x
+                       OR s.max_y < p.lo_y OR s.min_y > p.hi_y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+FROM stats s CROSS JOIN probes p
+GROUP BY s.layout, p.probe
+""",
+)
+def q_zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement that justifies ``zorder_layout``: per-bucket (x, y)
+    min/max footers under the NATURAL (orderkey-range) layout versus the
+    Z-ORDER layout, probed with 16 two-sided range predicates — n_skipped
+    counts buckets a scan could prune from footer stats alone. Natural
+    bucketing is orderkey // ceil(range/256) off a broadcast scalar MAX (no
+    global row_number — the same no-single-task-sort discipline as the
+    two-phase rank); the z side reuses the Morton interleave. At 100 TB
+    this runs against the parquet footer catalog, not the data — but the
+    shape here (per-bucket minmax agg + a broadcast probe grid) is
+    identical. Expected result, pinned by test: z-order skips strictly more
+    buckets than natural layout for the diagonal probe set, since natural
+    buckets have full-range y extents."""
+    o = load_table(spark, sf_dir, "orders")
+    xd = (F.col("o_custkey") % 256).alias("xd")
+    yd = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 256).cast(
+        "long"
+    ).alias("yd")
+    dims = o.select("o_orderkey", xd, yd)
+    zval = None
+    for i in range(_ZBITS):
+        xbit = F.shiftleft(
+            F.shiftright(F.col("xd"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        ybit = F.shiftleft(
+            F.shiftright(F.col("yd"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        zval = xbit + ybit if zval is None else zval + xbit + ybit
+    z = dims.withColumn("zval", zval)
+    mx = z.agg(F.max("o_orderkey").alias("mk"))
+    natural = (
+        z.crossJoin(F.broadcast(mx))
+        .select(
+            F.lit("natural").alias("layout"),
+            (
+                F.col("o_orderkey") / ((F.col("mk") + 256) / 256).cast("long")
+            ).cast("long").alias("bucket"),
+            "xd", "yd",
+        )
+    )
+    zord = z.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright("zval", 8).cast("long").alias("bucket"),
+        "xd", "yd",
+    )
+    stats = (
+        natural.unionByName(zord)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("xd").alias("min_x"), F.max("xd").alias("max_x"),
+            F.min("yd").alias("min_y"), F.max("yd").alias("max_y"),
+        )
+    )
+    probes = literal_table(
+        spark,
+        [(i, lo, hi, lo, hi) for i, (lo, hi) in enumerate(_PROBES)],
+        "probe INT, lo_x INT, hi_x INT, lo_y INT, hi_y INT",
+    )
+    skipped = (
+        (F.col("max_x") < F.col("lo_x")) | (F.col("min_x") > F.col("hi_x"))
+        | (F.col("max_y") < F.col("lo_y")) | (F.col("min_y") > F.col("hi_y"))
+    ).cast("int")
+    return (
+        stats.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(skipped).cast("long").alias("n_skipped"),
+        )
     )

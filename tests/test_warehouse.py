@@ -345,3 +345,17 @@ def test_compaction_plan_bins_near_target(spark):
         g = grp.sort_values("bin")
         assert list(g["bin"]) == list(range(len(g)))
         assert (g["bin_bytes"].iloc[:-1] >= COMPACT_TARGET * 0.5).all()
+
+
+def test_zorder_skips_more_than_natural(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from tests.conftest import SF_MED
+
+    out = plans.QUERIES["zorder_pruning_gain"](spark, SF_MED).toPandas()
+    agg = out.groupby("layout")[["n_buckets", "n_skipped"]].sum()
+    nat = agg.loc["natural"]
+    zo = agg.loc["zorder"]
+    # the whole point of the layout: footer-stat pruning works under
+    # z-order and not under ingestion order
+    assert zo["n_skipped"] / zo["n_buckets"] > nat["n_skipped"] / nat["n_buckets"]
+    assert zo["n_skipped"] / zo["n_buckets"] > 0.5
