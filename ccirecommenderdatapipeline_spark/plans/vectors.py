@@ -760,3 +760,75 @@ _ORACLES["ann_recall_eval"] = (
     .replace("__BF__", _ORACLES["knn_brute_force"])
     .replace("__IVF__", _ORACLES["knn_ivf"])
 )
+
+
+# --- Contrastive triplet mining from the ANN index ---------------------------
+
+@query(
+    "contrastive_triplets",
+    oracle="""
+WITH approx AS (__IVF2__),
+ql AS (
+    SELECT a.query_id, a.neighbor_id, a.neighbor_label, a.cosine,
+           e.label AS query_label
+    FROM approx a JOIN embeddings e ON e.vec_id = a.query_id
+), ranked AS (
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id, (neighbor_label = query_label)
+               ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM ql
+), pos AS (
+    SELECT query_id, query_label, neighbor_id AS pos_id, cosine AS pos_cos
+    FROM ranked WHERE rn = 1 AND neighbor_label = query_label
+), neg AS (
+    SELECT query_id, neighbor_id AS neg_id, cosine AS neg_cos
+    FROM ranked WHERE rn = 1 AND neighbor_label <> query_label
+)
+SELECT p.query_id, p.query_label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       p.pos_cos - n.neg_cos AS margin
+FROM pos p JOIN neg n USING (query_id)
+""",
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query the
+    ANN index serves, the best SAME-label retrieval becomes the positive
+    and the best DIFFERENT-label retrieval the hard negative (plus the
+    pos-neg margin the loss will see). Mined from ``knn_ivf``'s top-k — the
+    production shape: negatives come from what the index actually
+    retrieves, so the mining cost is the index probe, never an all-pairs
+    scan; queries whose retrieval set lacks either side emit nothing
+    (train-data hygiene, not imputation). The per-query best-of-each-side
+    is one row_number window partitioned by (query, same-label?)."""
+    iv = q_knn_ivf(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    ql = iv.join(F.broadcast(e), "query_id")
+    same = (F.col("neighbor_label") == F.col("query_label")).alias("same")
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = (
+        ql.select("query_id", "query_label", "neighbor_id", "neighbor_label",
+                  "cosine", same)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    pos = ranked.filter(F.col("same")).select(
+        "query_id", "query_label",
+        F.col("neighbor_id").alias("pos_id"), F.col("cosine").alias("pos_cos"),
+    )
+    neg = ranked.filter(~F.col("same")).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"), F.col("cosine").alias("neg_cos"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id", "query_label", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
+
+
+_ORACLES["contrastive_triplets"] = _ORACLES["contrastive_triplets"].replace(
+    "__IVF2__", _ORACLES["knn_ivf"]
+)

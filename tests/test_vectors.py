@@ -105,3 +105,22 @@ def test_kmeans_lloyd_step_invariants(spark):
     one_pos = out[out["pos"] == 0]
     assert one_pos["n_assigned"].sum() == n_vecs
     assert out["coord"].notna().all()
+
+
+def test_contrastive_triplets_mined_from_index(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from tests.conftest import SF_MED
+
+    rows = plans.QUERIES["contrastive_triplets"](spark, SF_MED).collect()
+    assert len(rows) >= 1
+    iv = {
+        (r["query_id"], r["neighbor_id"]): r
+        for r in plans.QUERIES["knn_ivf"](spark, SF_MED).collect()
+    }
+    for r in rows:
+        # both sides must come from the index's retrieval set, margin exact
+        assert (r["query_id"], r["pos_id"]) in iv
+        assert (r["query_id"], r["neg_id"]) in iv
+        assert r["margin"] == r["pos_cos"] - r["neg_cos"]
+        assert iv[(r["query_id"], r["pos_id"])]["neighbor_label"] == r["query_label"]
+        assert iv[(r["query_id"], r["neg_id"])]["neighbor_label"] != r["query_label"]
