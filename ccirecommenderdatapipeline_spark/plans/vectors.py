@@ -832,3 +832,83 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["contrastive_triplets"] = _ORACLES["contrastive_triplets"].replace(
     "__IVF2__", _ORACLES["knn_ivf"]
 )
+
+
+# --- Covariance matrix of the embedding corpus (PCA step 1) ------------------
+
+@query(
+    "embedding_covariance",
+    oracle="""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vecs),
+di AS (
+    SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i, v[CAST(t.i AS INTEGER)] AS vi
+    FROM vecs, UNNEST(range(1, len(v) + 1)) t(i)
+), means AS (
+    SELECT i, SUM(CAST(ROUND(vi, 10) AS DECIMAL(28,10))) AS s_i
+    FROM di GROUP BY i
+), pairs AS (
+    SELECT a.i, b.i AS j,
+           SUM(CAST(ROUND(a.vi * b.vi, 10) AS DECIMAL(28,10))) AS s_ij
+    FROM di a JOIN di b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+)
+SELECT p.i, p.j,
+       ROUND(CAST(p.s_ij AS DOUBLE) / n
+             - (CAST(mi.s_i AS DOUBLE) / n) * (CAST(mj.s_i AS DOUBLE) / n),
+             8) AS cov
+FROM pairs p
+JOIN means mi ON mi.i = p.i
+JOIN means mj ON mj.i = p.j
+CROSS JOIN nn
+""",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular covariance matrix of the embedding corpus — the
+    input to PCA whitening / low-rank projection before index build. The
+    cross-moment explode (vec x dim x dim) is map-side and the shuffle
+    carries only D(D+1)/2 partial-sum rows per task (map-side combine
+    collapses the N factor before the exchange); per-product ROUND + a
+    DECIMAL(28,10) sum makes the moments associativity-exact, so the
+    cross-engine hash cannot be broken by reduction order — the same
+    decimal-exact-moment pattern as stats_correlation. Means come from the
+    single-dimension explode; the final covariance is IEEE-identical
+    arithmetic on exact sums."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nn = vecs.agg(F.count("*").cast("long").alias("n"))
+    di = vecs.select("vec_id", F.posexplode("v").alias("i", "vi"))
+    means = di.groupBy("i").agg(
+        F.sum(F.round(F.col("vi"), 10).cast("decimal(28,10)")).alias("s_i")
+    )
+    # cross-moments via TWO chained generators on the same row — no
+    # self-join, no shuffle below the partial aggregate
+    ai = vecs.select(F.posexplode("v").alias("i", "vi"), "v")
+    pairs = (
+        ai.select("i", "vi", F.posexplode("v").alias("j", "vj"))
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.round(F.col("vi") * F.col("vj"), 10).cast("decimal(28,10)")
+            ).alias("s_ij")
+        )
+    )
+    mi = means.select(F.col("i").alias("mi_i"), F.col("s_i").alias("s_mi"))
+    mj = means.select(F.col("i").alias("mj_j"), F.col("s_i").alias("s_mj"))
+    return (
+        pairs.join(F.broadcast(mi), pairs["i"] == mi["mi_i"])
+        .join(F.broadcast(mj), pairs["j"] == mj["mj_j"])
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i", "j",
+            F.round(
+                F.col("s_ij").cast("double") / F.col("n")
+                - (F.col("s_mi").cast("double") / F.col("n"))
+                * (F.col("s_mj").cast("double") / F.col("n")),
+                8,
+            ).alias("cov"),
+        )
+    )

@@ -124,3 +124,21 @@ def test_contrastive_triplets_mined_from_index(spark):
         assert r["margin"] == r["pos_cos"] - r["neg_cos"]
         assert iv[(r["query_id"], r["pos_id"])]["neighbor_label"] == r["query_label"]
         assert iv[(r["query_id"], r["neg_id"])]["neighbor_label"] != r["query_label"]
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+    from ccirecommenderdatapipeline_spark import plans
+    from tests.conftest import SF_SMALL
+
+    out = plans.QUERIES["embedding_covariance"](spark, SF_SMALL).collect()
+    vecs = np.array(
+        [r["embedding"] for r in
+         spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()],
+        dtype=float,
+    )
+    n, d = vecs.shape
+    cov = (vecs.T @ vecs) / n - np.outer(vecs.mean(0), vecs.mean(0))
+    assert len(out) == d * (d + 1) // 2
+    for r in out:
+        assert abs(r["cov"] - cov[r["i"], r["j"]]) < 1e-6
