@@ -283,3 +283,58 @@ def test_pareto_frontier_is_nondominated(spark):
                 (wr >= wr[i]) & (rr >= rr[i]) & ((wr > wr[i]) | (rr > rr[i]))
             )
             assert not dominated.any()
+
+
+def _merge_reference(intervals):
+    """Python reference: sort by (start, end), sweep-merge overlaps."""
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += 1
+        else:
+            out.append([s, e, 1])
+    return [(s, e, n) for s, e, n in out]
+
+
+def test_interval_merge_property(spark):
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F, Window
+    from ccirecommenderdatapipeline_spark.plans.events import q_interval_merge  # noqa: F401
+
+    interval = st.tuples(
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=0, max_value=100),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(ivs=st.lists(interval, min_size=1, max_size=40))
+    def run(ivs):
+        rows = [(1, s, s + d) for s, d in ivs]
+        df = spark.createDataFrame(rows, "user_id int, s long, e long")
+        wprev = (
+            Window.partitionBy("user_id")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wrun = (
+            Window.partitionBy("user_id")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        prev_end = F.max("e").over(wprev)
+        got = (
+            df.withColumn(
+                "ni", F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
+            )
+            .withColumn("island", F.sum("ni").over(wrun))
+            .groupBy("island")
+            .agg(F.min("s").alias("s"), F.max("e").alias("e"), F.count("*").alias("n"))
+            .select("s", "e", "n")
+            .collect()
+        )
+        got = sorted((r["s"], r["e"], r["n"]) for r in got)
+        want = _merge_reference([(s, s + d) for s, d in ivs])
+        assert got == want
+
+    run()
