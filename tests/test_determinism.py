@@ -33,6 +33,14 @@ NAMES = [
     "dedup_minhash_lsh",
     "strategy_agg",
     "train_test_split",
+    # round-5 additions: float-estimator sums (hll), decimal cross-moments
+    # (covariance), rounded group means (lloyd), window islands, banded
+    # integer LSH
+    "hll_distinct",
+    "embedding_covariance",
+    "kmeans_lloyd_step",
+    "interval_merge",
+    "dedup_simhash_hamming",
 ]
 
 
