@@ -546,3 +546,81 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("peak_cusum"), "n",
         )
     )
+
+
+# --- Holt linear (level + trend) forecast ------------------------------------
+
+HOLT_H = 5  # forecast horizon in trading days
+
+
+@query(
+    "holt_linear_forecast",
+    oracle="WITH " + PRICES_ORACLE_CTE + f"""
+, ordered AS (
+    SELECT symbol, list(close_pr ORDER BY date) AS xs,
+           MAX(date) AS last_date, CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM prices GROUP BY symbol
+), folded AS (
+    -- state = [y, level, trend] as a LIST, not a STRUCT: DuckDB's
+    -- list_reduce mutates a struct accumulator field-by-field, so a later
+    -- field expression referencing a.l would see the NEW level (verified;
+    -- list construction builds a fresh value and is safe)
+    SELECT symbol, last_date, n_days,
+           list_reduce(
+               list_prepend(
+                   [CAST(0 AS DOUBLE), xs[1], xs[2] - xs[1]],
+                   list_transform(xs[3:],
+                       x -> [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+               (a, x) -> [x[1],
+                   0.5 * x[1] + 0.5 * (a[2] + a[3]),
+                   0.25 * ((0.5 * x[1] + 0.5 * (a[2] + a[3])) - a[2])
+                      + 0.75 * a[3]]) AS st
+    FROM ordered WHERE n_days >= 2
+)
+SELECT symbol, last_date, n_days,
+       ROUND(st[2], 6) AS level,
+       ROUND(st[3], 6) AS trend,
+       ROUND(st[2] + {HOLT_H} * st[3], 6) AS forecast_h5
+FROM folded
+""",
+)
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per symbol, with
+    the {HOLT_H}-day-ahead linear forecast — the next step up from
+    ``ewma_latest``'s single-state fold: the recurrence carries a 2-field
+    2-field accumulator through the same date-ordered sequential fold
+    (Spark ``aggregate`` HOF with a struct; DuckDB ``list_reduce`` with a
+    [y, level, trend] LIST — DuckDB's fold mutates struct accumulators
+    field-by-field, so a struct state silently reads half-updated values;
+    lists build fresh). alpha = 1/2 and beta = 1/4 are dyadic, so every
+    smoothing weight is a power of two and the recursion stays bit-exact
+    cross-engine (the ewma_latest discipline). Scale: one shuffle on
+    symbol; fold state is O(1); history arrays bounded by one symbol's
+    days."""
+    pr = prices_view(spark, sf_dir)
+    ordered = pr.groupBy("symbol").agg(
+        F.array_sort(F.collect_list(F.struct("date", "close_pr"))).alias("rows"),
+        F.max("date").alias("last_date"),
+        F.count("*").alias("n_days"),
+    ).filter(F.col("n_days") >= 2)
+    xs = F.transform("rows", lambda r: r["close_pr"])
+    init = F.struct(
+        F.element_at(xs, 1).alias("l"),
+        (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+    )
+    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
+
+    def step(a, y):
+        new_l = 0.5 * y + 0.5 * (a["l"] + a["b"])
+        return F.struct(
+            new_l.alias("l"),
+            (0.25 * (new_l - a["l"]) + 0.75 * a["b"]).alias("b"),
+        )
+
+    st = F.aggregate(rest, init, step)
+    return ordered.select(
+        "symbol", "last_date", F.col("n_days").cast("long").alias("n_days"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + HOLT_H * st["b"], 6).alias("forecast_h5"),
+    )

@@ -91,3 +91,30 @@ def test_registry_consistency():
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 5
+
+
+def test_holt_forecast_matches_python_reference(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from ccirecommenderdatapipeline_spark.plans.cci import HOLT_H
+    from tests.conftest import SF_SMALL
+
+    out = {r["symbol"]: r for r in
+           plans.QUERIES["holt_linear_forecast"](spark, SF_SMALL).collect()}
+    pr = plans.QUERIES["prices"](spark, SF_SMALL).collect()
+    series = {}
+    for r in pr:
+        series.setdefault(r["symbol"], []).append((r["date"], r["close_pr"]))
+    for sym, rows in series.items():
+        xs = [v for _, v in sorted(rows)]
+        if len(xs) < 2:
+            assert sym not in out
+            continue
+        l, b = xs[0], xs[1] - xs[0]
+        for y in xs[2:]:
+            nl = 0.5 * y + 0.5 * (l + b)
+            b = 0.25 * (nl - l) + 0.75 * b
+            l = nl
+        r = out[sym]
+        assert r["level"] == round(l, 6)
+        assert r["trend"] == round(b, 6)
+        assert r["forecast_h5"] == round(l + HOLT_H * b, 6)
