@@ -912,3 +912,78 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# --- Power iteration over the covariance (PCA step 2) ------------------------
+
+@query(
+    "pca_power_iteration",
+    oracle="""
+WITH cov0 AS (__COV__),
+full_c AS (
+    SELECT i, j, cov FROM cov0
+    UNION ALL
+    SELECT j AS i, i AS j, cov FROM cov0 WHERE i < j
+), w AS (
+    SELECT i, SUM(cov) AS wi FROM full_c GROUP BY i
+), nrm AS (SELECT sqrt(SUM(wi * wi)) AS nv FROM w),
+v1 AS (SELECT i, ROUND(wi / nv, 10) AS v1i FROM w, nrm),
+v2 AS (
+    SELECT c.i, ROUND(SUM(c.cov * v.v1i), 10) AS v2i
+    FROM full_c c JOIN v1 v ON v.i = c.j
+    GROUP BY c.i
+), ray AS (
+    SELECT ROUND(SUM(v1.v1i * v2.v2i), 6) AS rayleigh
+    FROM v1 JOIN v2 ON v1.i = v2.i
+)
+SELECT v1.i, ROUND(v1.v1i, 6) AS v1_coord, ROUND(v2.v2i, 6) AS v2_coord,
+       ray.rayleigh
+FROM v1 JOIN v2 ON v1.i = v2.i CROSS JOIN ray
+""",
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step over the embedding covariance (composes
+    ``embedding_covariance`` — same reuse pattern as ann_recall_eval over
+    the knn plans): v1 = normalize(C·1), v2 = C·v1, plus the Rayleigh
+    quotient v1ᵀv2 — the dominant-eigenvector/eigenvalue estimate that
+    drives PCA whitening decisions. Matvecs are equi-joins on the dimension
+    index over the D²-row mirrored matrix (D a model constant, NOT corpus
+    -sized: this whole query runs on the D(D+1)/2 aggregate, so iterating
+    k steps costs k tiny jobs however big the corpus). Intermediates are
+    rounded to 10dp on both engines so the cross-engine values stay
+    hash-identical through the division and second matvec."""
+    cov = q_embedding_covariance(spark, sf_dir)
+    mirrored = cov.filter(F.col("i") < F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+    )
+    full_c = cov.unionByName(mirrored)
+    w = full_c.groupBy("i").agg(F.sum("cov").alias("wi"))
+    nrm = w.agg(F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("nv"))
+    v1 = w.crossJoin(F.broadcast(nrm)).select(
+        "i", F.round(F.col("wi") / F.col("nv"), 10).alias("v1i")
+    )
+    v1j = v1.select(F.col("i").alias("j"), "v1i")
+    v2 = (
+        full_c.join(F.broadcast(v1j), "j")
+        .groupBy("i")
+        .agg(F.round(F.sum(F.col("cov") * F.col("v1i")), 10).alias("v2i"))
+    )
+    ray = (
+        v1.join(v2, "i")
+        .agg(F.round(F.sum(F.col("v1i") * F.col("v2i")), 6).alias("rayleigh"))
+    )
+    return (
+        v1.join(v2, "i")
+        .crossJoin(F.broadcast(ray))
+        .select(
+            "i",
+            F.round("v1i", 6).alias("v1_coord"),
+            F.round("v2i", 6).alias("v2_coord"),
+            "rayleigh",
+        )
+    )
+
+
+_ORACLES["pca_power_iteration"] = _ORACLES["pca_power_iteration"].replace(
+    "__COV__", _ORACLES["embedding_covariance"]
+)

@@ -142,3 +142,19 @@ def test_embedding_covariance_matches_numpy(spark):
     assert len(out) == d * (d + 1) // 2
     for r in out:
         assert abs(r["cov"] - cov[r["i"], r["j"]]) < 1e-6
+
+
+def test_power_iteration_rayleigh_positive_unit_v1(spark):
+    import math
+    from ccirecommenderdatapipeline_spark import plans
+    from tests.conftest import SF_SMALL
+
+    rows = plans.QUERIES["pca_power_iteration"](spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    # v1 is unit-norm; the Rayleigh quotient of a covariance is >= 0 and
+    # identical on every row
+    nrm = math.sqrt(sum(r["v1_coord"] ** 2 for r in rows))
+    assert abs(nrm - 1.0) < 1e-4
+    rays = {r["rayleigh"] for r in rows}
+    assert len(rays) == 1
+    assert rays.pop() >= 0.0
