@@ -624,3 +624,48 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st["b"], 6).alias("trend"),
         F.round(st["l"] + HOLT_H * st["b"], 6).alias("forecast_h5"),
     )
+
+
+# --- Rolling exact median ----------------------------------------------------
+
+MED_W = 21  # trailing window length (odd: the median is an order statistic)
+
+
+@query(
+    "rolling_median",
+    oracle="WITH " + PRICES_ORACLE_CTE + f"""
+, win AS (
+    SELECT symbol, date, close_pr,
+           list(close_pr) OVER (
+               PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN {MED_W - 1} PRECEDING AND CURRENT ROW) AS xs
+    FROM prices
+)
+SELECT symbol, date, close_pr,
+       CASE WHEN len(xs) >= {MED_W}
+            THEN list_sort(xs)[{(MED_W + 1) // 2}] END AS med21
+FROM win
+""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing {MED_W}-day rolling median of the close — the robust
+    counterpart of the SMA (W1), same partial-window->NULL convention. The
+    window is odd-length so the median is a pure ORDER STATISTIC (sorted
+    middle element): no interpolation, no averaging — the value is one of
+    the inputs, so cross-engine equality is exact by construction, not by
+    rounding. Implementation is collect_list over the row frame +
+    array_sort + element_at — the frame bounds the per-row state at
+    {MED_W} values, and the one shuffle is the symbol window sort every
+    other indicator already rides."""
+    pr = prices_view(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("date")
+        .rowsBetween(-(MED_W - 1), Window.currentRow)
+    )
+    xs = F.collect_list("close_pr").over(w)
+    med = F.when(
+        F.size(xs) >= MED_W,
+        F.element_at(F.array_sort(xs), (MED_W + 1) // 2),
+    )
+    return pr.select("symbol", "date", "close_pr", med.alias("med21"))

@@ -118,3 +118,24 @@ def test_holt_forecast_matches_python_reference(spark):
         assert r["level"] == round(l, 6)
         assert r["trend"] == round(b, 6)
         assert r["forecast_h5"] == round(l + HOLT_H * b, 6)
+
+
+def test_rolling_median_is_order_statistic(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from ccirecommenderdatapipeline_spark.plans.cci import MED_W
+    from tests.conftest import SF_SMALL
+    import statistics
+
+    rows = plans.QUERIES["rolling_median"](spark, SF_SMALL).collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["symbol"], r["date"])):
+        series.setdefault(r["symbol"], []).append(r)
+    for sym, rs in series.items():
+        closes = [r["close_pr"] for r in rs]
+        for idx, r in enumerate(rs):
+            if idx + 1 < MED_W:
+                assert r["med21"] is None
+            else:
+                window = closes[idx - MED_W + 1: idx + 1]
+                assert r["med21"] == statistics.median(window)
+                assert r["med21"] in window  # order statistic, not interpolated
