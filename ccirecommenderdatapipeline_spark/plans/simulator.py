@@ -41,14 +41,25 @@ AGG_GRID = {
 
 def agged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared sim->aggregate subtree on the oracle grid, persisted
-    lazily. Eight registered queries (best_* x3, reco x3, buy_candidates,
-    order_sizing) are all selections over this one ~|symbols| x 81-combo
-    aggregate; plan-matched caching means the expensive simulate+aggregate
-    pipeline runs once per session instead of once per query branch. The
-    aggregate itself is tiny (|symbols| x |grid| rows), so the cache cost is
-    negligible at any scale."""
-    return aggregate_strategies(
-        simulate_trades(cci_view(spark, sf_dir), AGG_GRID)
+    lazily. The selection queries over it (reco x3, buy_candidates,
+    order_sizing, pareto_strategies) all read this one ~|symbols| x
+    81-combo aggregate; plan-matched caching means the expensive pipeline
+    runs once per session instead of once per query branch. The aggregate
+    itself is tiny (|symbols| x |grid| rows), so the cache cost is
+    negligible at any scale.
+
+    PLAN CHOICE (round 5, same as ``agged_years_view``): the fused Arrow
+    kernel produces the aggregate directly — consumers only ever read the
+    aggregate, so the heavy Plan A trade materialization is wasted work
+    here. Plan A (windowed sim + two-phase agg) remains the
+    Catalyst-pinned path via ``strategy_agg``, ``trades_sim`` and
+    ``best_return_depth3``; every consumer's DuckDB oracle still replays
+    Plan A, so the equivalence is re-proven by the driver gate on every
+    run."""
+    from ..operators.simulator_pandas import simulate_aggregate_pandas
+
+    return simulate_aggregate_pandas(
+        cci_view(spark, sf_dir), AGG_GRID
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
