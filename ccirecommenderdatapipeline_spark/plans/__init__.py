@@ -75,7 +75,8 @@ _PRIORITY = [
 # local-gate + pytest green) that will still lack a driver verdict after
 # r5's run: pareto_strategies, bloom_membership, hll_merge_sources,
 # zorder_pruning_gain, contrastive_triplets, embedding_covariance,
-# holt_linear_forecast, pca_power_iteration, rolling_median. Also re-pin
+# holt_linear_forecast, pca_power_iteration, rolling_median,
+# stream_outer_join. Also re-pin
 # the agged_view consumers whose PLAN switched to the fused kernel late in
 # r5 (oracle-green locally): recommendations, reco_win,
 # reco_revenue_per_days_held, buy_candidates, order_sizing.

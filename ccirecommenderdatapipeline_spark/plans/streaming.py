@@ -373,3 +373,32 @@ def q_stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_session_agg
 
     return stream_session_agg(spark, sf_dir)
+
+
+OUTER_ATTRIB_ORACLE = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       c.event_id AS click_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {ATTRIB_GAP_HOURS} HOUR
+"""
+
+
+@query("stream_outer_join", oracle=OUTER_ATTRIB_ORACLE)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (T-family): unmatched
+    purchases are emitted null-extended ONLY when the global watermark
+    proves no matching click can arrive — the state-expiry semantic the
+    inner ``stream_stream_join`` never exercises, and the reason outer
+    stream joins REQUIRE watermarks at all. A sentinel batch pushes the
+    watermark past every real event so availableNow equals the batch LEFT
+    JOIN row-for-row (the driver hashes the streamed result against the
+    batch oracle)."""
+    from ..streaming.jobs import stream_outer_attribution
+
+    return stream_outer_attribution(spark, sf_dir)

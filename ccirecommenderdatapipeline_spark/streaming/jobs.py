@@ -642,3 +642,141 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(plan, "append")
     return out.filter(F.col("user_id") >= 0)
+
+
+def stage_events_with_attrib_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Events staged as FOUR TIME-RANGE files (repartitionByRange on ts —
+    the arrival order a real stream has) plus two sentinel tiers, with
+    file mtimes pinned so the file source delivers batches in event-time
+    order. Time-ordered delivery is what makes the LEFT OUTER join
+    correct under a progressing watermark: any click matching a purchase
+    has c_ts <= p_ts, so it arrives in the same or an earlier batch, and
+    click state is retained until the watermark passes c_ts + gap — no
+    in-condition counterpart is ever dropped as late. The sentinels (real
+    event types under user_id = -1, since Catalyst pushes the type filters
+    below the watermark operators and a foreign type would never advance
+    them) push the watermark past every real purchase so the tail's
+    unmatched rows are evicted and emitted before the query ends.
+    Idempotent per sf_dir."""
+    from ..sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(STAGE_ROOT, f"{tag}_events_attrib_v6")
+    marker = os.path.join(out, "_staged_ok")
+    if not os.path.exists(marker):
+        import glob as _glob
+        import time as _time
+
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(out)
+        max_ts = ev.agg(F.max("ts").alias("m")).head()["m"]
+
+        def _files():
+            return set(_glob.glob(os.path.join(out, "part-*.parquet")))
+
+        data_files = _files()
+        off_s = (2 * (ATTRIB_GAP_HOURS + 1) + 1) * 3600
+
+        def _sentinel(eid: int, etype: str, mult: int):
+            return ev.limit(1).select(
+                F.lit(eid).cast("long").alias("event_id"),
+                (F.lit(max_ts) + F.expr(f"INTERVAL {mult * off_s} SECONDS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+
+        for k in range(1, 5):
+            _sentinel(-k, "purchase" if k % 2 else "click", 1).coalesce(
+                1
+            ).write.mode("append").parquet(out)
+        s1_files = _files() - data_files
+        _sentinel(-9, "purchase", 2).unionByName(
+            _sentinel(-10, "click", 2)
+        ).coalesce(1).write.mode("append").parquet(out)
+        s2_files = _files() - data_files - s1_files
+        # mtime = delivery order: data files by their min event time, then
+        # sentinel-1, then sentinel-2 — all in the past (the source's
+        # initial listing skips future-dated files)
+        t0 = _time.time()
+        ranked = sorted(
+            data_files,
+            key=lambda f: spark.read.parquet(f).agg(F.min("ts")).head()[0],
+        )
+        for k, f in enumerate(ranked):
+            os.utime(f, (t0 - 400 + 30 * k, t0 - 400 + 30 * k))
+        for f in s1_files:
+            os.utime(f, (t0 - 90, t0 - 90))
+        for f in s2_files:
+            os.utime(f, (t0 - 30, t0 - 30))
+        open(marker, "w").close()
+    return out
+
+
+def outer_attribution_join_plan(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """LEFT OUTER form of the interval join: every purchase row survives;
+    unmatched purchases carry NULL click columns. Identical plan code for
+    the batch oracle-equivalent and the stream-stream form."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"interval {ATTRIB_GAP_HOURS} hours")),
+            "left_outer",
+        )
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+            "click_id",
+            F.unix_micros("c_ts").alias("click_us"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        )
+    )
+
+
+def stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream LEFT OUTER join — the state-EXPIRY emission
+    semantic the inner form never exercises: an unmatched purchase is held
+    in join state and emitted null-extended only when the global watermark
+    proves no matching click can still arrive. The sentinel batch pushes
+    the watermark past every real purchase (watermarks are applied BEFORE
+    the event-type filters so the sentinel advances them, then vanishes
+    from both join sides), and Spark's no-data micro-batches run the final
+    eviction — so availableNow yields exactly the batch LEFT JOIN."""
+    staged = stage_events_with_attrib_sentinel(spark, sf_dir)
+    # one file per micro-batch: the watermark progresses through the
+    # time-ordered data files and then the sentinel tiers — see the
+    # staging docstring for why this choreography is load-bearing
+    purchases = (
+        events_stream(spark, staged, maxFilesPerTrigger=1)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+    )
+    clicks = (
+        events_stream(spark, staged, maxFilesPerTrigger=1)
+        .withWatermark("ts", f"{ATTRIB_GAP_HOURS + 1} hours")
+        .filter(F.col("event_type") == "click")
+    )
+    # The sentinel filter MUST run on the BATCH result, not inside the
+    # streaming plan: user_id is the equi-join key, so a streaming-side
+    # filter(user_id != -1) is inferred onto BOTH join inputs and pushed
+    # below the watermark operators — silently dropping the sentinels at
+    # the scan, so the watermark never advances and the tail's unmatched
+    # rows are never evicted (checkpoint-verified failure mode).
+    plan = outer_attribution_join_plan(purchases, clicks)
+    return run_to_memory(plan, "append").filter(F.col("user_id") != -1)

@@ -174,3 +174,24 @@ def test_stream_session_append_equals_batch_builtin(spark):
             b["w_end_us"], b["n_events"], b["sum_value"]
         )
     assert all(uid >= 0 for uid, _ in stream)
+
+
+def test_stream_outer_join_equals_batch_left_join(spark):
+    from ccirecommenderdatapipeline_spark import plans
+    from ccirecommenderdatapipeline_spark.streaming.jobs import (
+        outer_attribution_join_plan,
+    )
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    got = plans.QUERIES["stream_outer_join"](spark, SF_SMALL)
+    ev = load_table(spark, SF_SMALL, "events")
+    want = outer_attribution_join_plan(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the semantic the inner join never exercises: null-extended rows exist
+    assert got.filter(F.col("click_id").isNull()).count() > 0
