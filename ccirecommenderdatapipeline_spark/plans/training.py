@@ -18,7 +18,7 @@ ordered sequential fold so a ≤1-ulp libm difference cannot reach the hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.text import tokens
@@ -48,6 +48,7 @@ def two_phase_rank(
     out: str = "rk",
     sum_col: str | None = None,
     sum_out: str = "rsum",
+    bucket: Column | None = None,
 ) -> DataFrame:
     """1-based dense position of each row within ``part_cols`` ordered by
     ``(key_col, id_col)`` — WITHOUT a single-task global sort.
@@ -70,12 +71,27 @@ def two_phase_rank(
     sum of ``sum_col`` in the same global order, via the identical bucket
     decomposition (within-bucket running sums + cumulative bucket totals).
 
+    ``bucket`` overrides the default md5-prefix bucketing with any integer
+    expression MONOTONE in ``key_col`` (rows sharing a key value must share
+    a bucket) — e.g. ``floor(value)`` for a numeric key whose range is
+    known; the tie-break column then resolves entirely within one bucket.
+
     Integer arithmetic only — bit-identical to the one-window oracle form.
+
+    Cache contract: the bucketed input is persisted because THREE subtrees
+    consume it (within-bucket window, per-bucket counts, final join). The
+    harness is expected to ``spark.catalog.clearCache()`` between queries
+    (tools/check_oracle.py does; bench.py deliberately keeps caches warm
+    for plan-matched reuse within a session) — pinned by
+    tests/test_plans.py::test_clear_cache_releases_plan_persists.
     """
-    df = df.withColumn(
-        "_bucket",
-        F.conv(F.substring(F.col(key_col), 1, RANK_HEX_CHARS), 16, 10).cast("long"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if bucket is None:
+        bucket = F.conv(
+            F.substring(F.col(key_col), 1, RANK_HEX_CHARS), 16, 10
+        ).cast("long")
+    df = df.withColumn("_bucket", bucket.cast("long")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     w_in = Window.partitionBy(*part_cols, "_bucket").orderBy(key_col, id_col)
     within = df.withColumn("_rn", F.row_number().over(w_in).cast("long"))
     aggs = [F.count("*").alias("_bn")]
