@@ -30,59 +30,45 @@ from . import warehouse  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only. Round-5 priority window:
-# (a) tpch_q19 — r4's single red row (Spark decimal(27,2) vs DuckDB
-#     decimal(38,2) typed-hash mismatch; both engines cast the revenue
-#     aggregate to DOUBLE this round);
-# (b) the 36 oracle-backed + 4 rows-only ml_* queries that have never
-#     received a driver verdict (exactly r4's ROUND-5 ROTATION list; all
-#     local-gate/pytest green);
-# (c) queries whose PLAN changed this round: knn_ivf (candidate shuffle
-#     join replaces the broadcast), best_return (fused-grid derivation);
-#     semantic_dedup / ann_recall_eval are already in (b) and gained
-#     corpus-scaled codebook / sampling knobs this round.
-# Remaining slots backfill with round-5 additions. Every name displaced
-# past 50 already has a green row in CORRECTNESS_r{1..4}.json and stays
-# covered by tools/check_oracle.py + pytest.
+# the FIRST 50 registered queries only. Round-7 priority window:
+# (a) the 15 names with no driver verdict under their current plans —
+#     10 late-round-5 additions registered past the window plus the 5
+#     fused agged_view consumers whose plans switched late in round 5
+#     (all local-gate + pytest green since then);
+# (b) queries whose PLAN changed THIS round: feature_binning (global
+#     NTILE -> two-phase bucketed rank), knn_ivf (corpus-scaled ceil(
+#     sqrt(N)) codebook; ann_recall_eval / contrastive_triplets compose
+#     its plan+oracle), and the fused-kernel consumers affected by the
+#     sequential-summation hardening (best_return / best_win /
+#     best_return_per_days_held / best_return_full_grid; the reco and
+#     agged_view families are already in (a));
+# (c) backfill to 50 with the names whose newest driver verdict is
+#     round 1 — the oldest rows — so they get re-verified under today's
+#     code. Every displaced name keeps a green row in CORRECTNESS_r{1..6}
+#     and stays covered by tools/check_oracle.py + pytest.
 _PRIORITY = [
-    # (a) the red row, fixed this round
-    "tpch_q19",
-    # (b) never driver-verified (r4 rotation list)
-    "dedup_containment", "embedding_quantize", "cross_modal_dedup",
-    "schema_evolution_read", "ml_tfidf", "ml_minhash_lsh",
-    "ml_kmeans_clusters", "ml_logreg_accuracy", "null_safe_join",
-    "explode_outer_battery", "null_ordering_battery", "param_sql_revenue",
-    "stream_session_agg", "scd2_point_in_time", "event_transitions",
-    "attribution_models", "feature_binning", "bigram_lm",
-    "constraint_checks", "stats_correlation", "rolling_correlation",
-    "histogram_equiwidth", "cogroup_asof", "seasonality_dow",
-    "entity_resolution_qgram", "winsorize_clip", "distinctive_terms",
-    "cusum_drift", "inventory_clamped", "training_order_shuffle",
-    "mixture_resample", "bigram_perplexity", "semantic_dedup",
-    "ann_recall_eval", "bpe_merge_pairs", "key_skew_profile",
-    "media_resize", "training_pipeline", "quality_logreg_score",
-    "corpus_datasheet",
-    # (c) plan changed this round (best_win / best_return_per_days_held
-    # share best_return's new fused-depth subtree)
-    "knn_ivf", "best_return", "best_win", "best_return_per_days_held",
-    # (d) round-5 additions fill the window to 50
-    "dedup_simhash_hamming", "kmeans_lloyd_step",
-    "hll_distinct", "compaction_plan",
-    "interval_merge",
+    # (a) never driver-verified under current plan (round-6 rotation list,
+    # two rounds overdue)
+    "pareto_strategies", "bloom_membership", "hll_merge_sources",
+    "zorder_pruning_gain", "contrastive_triplets", "embedding_covariance",
+    "holt_linear_forecast", "pca_power_iteration", "rolling_median",
+    "stream_outer_join",
+    "recommendations", "reco_win", "reco_revenue_per_days_held",
+    "buy_candidates", "order_sizing",
+    # (b) plan changed this round
+    "feature_binning", "knn_ivf", "ann_recall_eval",
+    "best_return", "best_win", "best_return_per_days_held",
+    "best_return_full_grid",
+    # (c) round-1-verdict backfill (oldest rows, unchanged plans)
+    "prices", "cci", "buy_signals", "signal_counts", "latest_cci",
+    "proj_rename", "filter_conjunctive", "when_otherwise",
+    "coalesce_bfill", "cast_battery", "date_arith", "scalar_minmax",
+    "quantile_disc", "regex_json_extract", "json_get_k", "lookup_join",
+    "anti_join", "semi_join", "update_join", "cross_grid",
+    "upsert_keep_last", "star_join_revenue", "grouped_multi_agg",
+    "top1_per_group", "sort_limit", "union_dedup", "rollup_counts",
+    "window_lag_running",
 ]
-
-# ROUND-6 ROTATION: r5 additions registered past the 50-row window (all
-# local-gate + pytest green) that will still lack a driver verdict after
-# r5's run: pareto_strategies, bloom_membership, hll_merge_sources,
-# zorder_pruning_gain, contrastive_triplets, embedding_covariance,
-# holt_linear_forecast, pca_power_iteration, rolling_median,
-# stream_outer_join. Also re-pin
-# the agged_view consumers whose PLAN switched to the fused kernel late in
-# r5 (oracle-green locally): recommendations, reco_win,
-# reco_revenue_per_days_held, buy_candidates, order_sizing.
-# Every other registered
-# name has a green row in CORRECTNESS_r{1..5}.json after this round's
-# window executes.
 
 def _reorder() -> None:
     ordered = [n for n in _PRIORITY if n in QUERIES] + [
