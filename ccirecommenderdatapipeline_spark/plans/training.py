@@ -75,6 +75,11 @@ def two_phase_rank(
     expression MONOTONE in ``key_col`` (rows sharing a key value must share
     a bucket) — e.g. ``floor(value)`` for a numeric key whose range is
     known; the tie-break column then resolves entirely within one bucket.
+    A NULL bucket value is coalesced to a sentinel below every real bucket
+    (long min), consistent with Spark's default ASC NULLS FIRST key order —
+    a NULL key must map to a NULL/minimal bucket for the monotonicity
+    contract to hold, and rows are ranked, never silently dropped
+    (the inner equi-join on ``_bucket`` would not match NULL).
 
     Integer arithmetic only — bit-identical to the one-window oracle form.
 
@@ -89,7 +94,8 @@ def two_phase_rank(
         bucket = F.conv(
             F.substring(F.col(key_col), 1, RANK_HEX_CHARS), 16, 10
         ).cast("long")
-    df = df.withColumn("_bucket", bucket.cast("long")).persist(
+    bucket = F.coalesce(bucket.cast("long"), F.lit(-(1 << 63)).cast("long"))
+    df = df.withColumn("_bucket", bucket).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     w_in = Window.partitionBy(*part_cols, "_bucket").orderBy(key_col, id_col)

@@ -340,13 +340,44 @@ def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile discretization (QuantileDiscretizer's exact form): NTILE(10)
     over (value, key) — the key tie-break makes the SQL-standard ntile
     deterministic and engine-exact — then per-bin count/bounds/decimal-exact
-    sum. At 100 TB the global ntile becomes a rangepartition + per-range
-    offset pass (same two-phase trick as sequence packing); bin EDGES from
-    approx_percentile are the streaming-friendly variant."""
+    sum.
+
+    PLAN (round 7): NO global ntile window. A plain ``NTILE(10) OVER
+    (ORDER BY ...)`` serializes the whole table into one task — the
+    repo's last unbounded single-task sort. Instead the global 1-based
+    rank comes from ``two_phase_rank`` with ``bucket=floor(c_acctbal)``
+    (monotone in the sort key, ~11k buckets over TPC-H's acctbal range,
+    each ranked in parallel; offsets are a tiny broadcast), and the
+    SQL-standard ntile is pure arithmetic on (rank, total):
+    with q = N/10 and r = N%10, the first r bins take q+1 rows —
+    bin = ceil(rk/(q+1)) while rk <= r*(q+1), else r + ceil((rk-r*(q+1))/q).
+    The oracle stays the naive one-window NTILE, so the driver gate proves
+    the two-phase form equals it row for row. Bin EDGES from
+    approx_percentile remain the streaming-friendly variant."""
+    from .training import two_phase_rank
+
+    NBINS = 10
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    binned = c.select(
-        "c_custkey", "c_acctbal", F.ntile(10).over(w).cast("int").alias("bin")
+    ranked = two_phase_rank(
+        c.select("c_custkey", "c_acctbal"),
+        key_col="c_acctbal",
+        id_col="c_custkey",
+        out="rk",
+        bucket=F.floor("c_acctbal"),
+    )
+    tot = c.agg(F.count("*").cast("long").alias("_n"))
+    base = F.floor(F.col("_n") / NBINS).cast("long")          # q = N div 10
+    rem = (F.col("_n") % NBINS).cast("long")                  # r = N mod 10
+    big = rem * (base + 1)                # rows held by the r larger bins
+    # ceil(a/b) as floor((a-1)/b)+1 — exact in double for N << 2^53
+    bin_col = (
+        F.when(F.col("rk") <= big, F.floor((F.col("rk") - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((F.col("rk") - big - 1) / base) + 1)
+        .cast("int")
+        .alias("bin")
+    )
+    binned = ranked.crossJoin(F.broadcast(tot)).select(
+        "c_custkey", "c_acctbal", bin_col
     )
     return binned.groupBy("bin").agg(
         F.count("*").alias("n"),

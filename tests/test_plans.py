@@ -254,6 +254,35 @@ def test_two_phase_rank_has_no_unbucketed_window_over_data(spark):
         assert "BroadcastHashJoin" in plan, name
 
 
+def test_clear_cache_releases_plan_persists(spark):
+    """The two_phase_rank cache contract (plans/training.py): plans persist
+    their bucketed input because three subtrees consume it, and harnesses
+    release those persists with spark.catalog.clearCache() between queries
+    (tools/check_oracle.py does). Verify clearCache actually empties the
+    cache manager after a persisting plan has materialized."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    df = plans.QUERIES["training_order_shuffle"](spark, SF_SMALL)
+    assert df.count() > 0
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+
+def test_feature_binning_has_no_global_ntile(spark):
+    """feature_binning must NOT plan a global NTILE window (single-task
+    sort of the whole customer table — the r5/r6 `weak` mark): the ntile
+    is derived arithmetically from the two-phase bucketed rank, so every
+    corpus-sized window in the executed plan rides the _bucket key."""
+    df = plans.QUERIES["feature_binning"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "_bucket" in ln, ln
+
+
 def test_interval_merge_islands_disjoint(spark):
     from ccirecommenderdatapipeline_spark import plans
     from tests.conftest import SF_SMALL

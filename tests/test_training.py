@@ -51,6 +51,34 @@ def test_two_phase_rank_matches_naive_window(spark, rows):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(rows=keyed_rows())
+def test_two_phase_rank_bucket_expr_matches_naive_window(spark, rows):
+    # custom monotone bucket over a NULLABLE numeric key: floor(val/8)
+    # buckets must reproduce the naive-window ranks exactly, and NULL keys
+    # (whose bucket expression is NULL) must be coalesced to the sentinel
+    # bucket and ranked FIRST (Spark's ASC NULLS FIRST), not dropped.
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING").withColumn(
+        "val",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+            (F.col("doc_id") % 97).cast("double") - 48.5
+        ),
+    )
+    got = {
+        r["doc_id"]: r["rk"]
+        for r in two_phase_rank(
+            df, "val", part_cols=("source",),
+            bucket=F.floor(F.col("val") / 8),
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy("val", "doc_id")
+    want = {
+        r["doc_id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
 def test_training_order_is_a_permutation(spark):
     rows = q_training_order_shuffle(spark, SF_SMALL).collect()
     n = len(rows)

@@ -84,7 +84,7 @@ def main() -> int:
             print(f"[ok] {name}: {len(srows)} rows")
         else:
             failures += 1
-        # drop persisted intermediates so a 213-query sweep doesn't
+        # drop persisted intermediates so a full-registry sweep doesn't
         # accumulate cached partitions (ADVICE r4)
         sdf.sparkSession.catalog.clearCache()
     spark.stop()
