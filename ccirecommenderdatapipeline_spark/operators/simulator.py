@@ -342,10 +342,18 @@ def aggregate_strategies(trades: DataFrame, extra_keys: tuple[str, ...] = ()) ->
         F.count("*").alias("__n"),
         F.sum(win.cast("long")).alias("__n_win"),
         F.sum(lose.cast("long")).alias("__n_lose"),
-        F.sum(rev_per_day).alias("__sum_rpd"),
+        # money/ratio sums run on EXACT decimals at the summands' decimal
+        # scale (buy=open_pr is 4-dec exact, sell=close_pr 2-dec exact,
+        # rev_per_day rounded at 8 — sources/prices.py contract): decimal
+        # addition is associative, so the totals are ORDER-INDEPENDENT and
+        # bit-identical across the two-phase fold here, the fused Arrow
+        # kernel's scaled-int64 sums, and the oracle's decimal SUM —
+        # equality no longer depends on a post-sum ROUND absorbing
+        # double-summation order drift (round-7 hardening, ADVICE r5/r6).
+        F.sum(rev_per_day.cast("decimal(38,8)")).alias("__sum_rpd"),
         F.sum("days_held").alias("__sum_days"),
-        F.sum("buy_price").alias("__sum_buy"),
-        F.sum("sell_price").alias("__sum_sell"),
+        F.sum(F.col("buy_price").cast("decimal(28,4)")).alias("__sum_buy"),
+        F.sum(F.col("sell_price").cast("decimal(28,2)")).alias("__sum_sell"),
     )
 
     def n_outcome_dates(t: str) -> Column:
@@ -358,11 +366,11 @@ def aggregate_strategies(trades: DataFrame, extra_keys: tuple[str, ...] = ()) ->
         n_outcome_dates("maturity").alias("count_maturity_date"),
         F.sum("__n_win").alias("count_win"),
         F.sum("__n_lose").alias("count_lose"),
-        F.round(F.sum("__sum_rpd"), 8).alias("sum_revenue_per_days_held"),
+        F.sum("__sum_rpd").cast("double").alias("sum_revenue_per_days_held"),
         F.sum("__sum_days").cast("long").alias("sum_days_held"),
         F.sum("__n").alias("count_trades"),
-        F.round(F.sum("__sum_buy"), 4).alias("total_buy_price"),
-        F.round(F.sum("__sum_sell"), 2).alias("total_sell_price"),
+        F.sum("__sum_buy").cast("double").alias("total_buy_price"),
+        F.sum("__sum_sell").cast("double").alias("total_sell_price"),
     )
     return agged.withColumns({
         "avg_revenue_per_days_held": F.col("sum_revenue_per_days_held") / F.col("count_trades"),

@@ -192,12 +192,26 @@ def simulate_aggregate_pandas(
                 m_t, m_s = is_t[..., sel], is_s[..., sel]
                 m_m = is_m[..., sel]
 
-                tb = round(float(bp_d.sum()), 4)             # same for every combo
-                ts = np.round(sp.sum(axis=3), 2).reshape(-1)
+                # Money/ratio totals fold as SCALED int64 — buy prices are
+                # 4-dec exact, sell prices 2-dec exact, rev_per_day rounded
+                # at 8 (sources/prices.py contract), so the scaled values
+                # are exact integers (the np.round only strips the <<1 ulp
+                # double representation error) and integer addition is
+                # order-independent: bit-identical to Plan A's two-phase
+                # decimal sums and the oracle's decimal SUM, with no
+                # pairwise-vs-sequential drift for a post-sum ROUND to
+                # absorb (round-7 hardening, ADVICE r5/r6).
+                tb = float(np.round(bp_d * 1e4).astype(np.int64).sum()) / 1e4
+                ts = (
+                    np.round(sp * 1e2).astype(np.int64).sum(axis=3) / 1e2
+                ).reshape(-1)
                 cw = (sp > bp_d).sum(axis=3).reshape(-1)
                 cl = (sp < bp_d).sum(axis=3).reshape(-1)
-                srpd = np.round(
-                    rev_per_day[..., sel].sum(axis=3), 8
+                srpd = (
+                    np.round(rev_per_day[..., sel] * 1e8)
+                    .astype(np.int64)
+                    .sum(axis=3)
+                    / 1e8
                 ).reshape(-1)
                 sdh = days[..., sel].sum(axis=3).reshape(-1)
 

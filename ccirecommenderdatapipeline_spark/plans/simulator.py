@@ -188,11 +188,12 @@ def _agg_sql(keys: str = "symbol") -> str:
         CAST(COUNT(DISTINCT maturity_date)     AS BIGINT) AS count_maturity_date,
         CAST(SUM(CASE WHEN sell_price > buy_price THEN 1 ELSE 0 END) AS BIGINT) AS count_win,
         CAST(SUM(CASE WHEN sell_price < buy_price THEN 1 ELSE 0 END) AS BIGINT) AS count_lose,
-        ROUND(SUM(ROUND((sell_price - buy_price) / days_held, 8)), 8) AS sum_revenue_per_days_held,
+        CAST(SUM(CAST(ROUND((sell_price - buy_price) / days_held, 8)
+                 AS DECIMAL(38,8))) AS DOUBLE) AS sum_revenue_per_days_held,
         CAST(SUM(days_held) AS BIGINT) AS sum_days_held,
         CAST(COUNT(*) AS BIGINT)       AS count_trades,
-        ROUND(SUM(buy_price), 4)       AS total_buy_price,
-        ROUND(SUM(sell_price), 2)      AS total_sell_price
+        CAST(SUM(CAST(buy_price  AS DECIMAL(28,4))) AS DOUBLE) AS total_buy_price,
+        CAST(SUM(CAST(sell_price AS DECIMAL(28,2))) AS DOUBLE) AS total_sell_price
     FROM trades3
     GROUP BY {keys}, condition_holding_days, condition_target_return,
              condition_buy_cci_threshold, condition_stop_loss_cci_threshold

@@ -120,15 +120,9 @@ def test_fused_years_matches_plan_a(spark, cci):
     fused = simulate_aggregate_pandas(cci, GRID, years=years).select(
         *plan_a.columns
     )
-    # float columns: compare rounded to 6dp (both sides are rounded
-    # aggregates of identical per-trade values; addition order may differ)
-    def norm(df):
-        cols = [
-            F.round(c, 6).alias(c) if t.startswith("double") else F.col(c)
-            for c, t in df.dtypes
-        ]
-        return df.select(*cols)
-
-    a, b = norm(plan_a), norm(fused)
-    assert a.exceptAll(b).count() == 0
-    assert b.exceptAll(a).count() == 0
+    # FULL-PRECISION equality — no rounding concession: both sides fold
+    # money/ratio totals as exact decimals / scaled int64 (order-
+    # independent), so every derived double is bit-identical (round-7
+    # hardening of the r5 6dp concession).
+    assert plan_a.exceptAll(fused).count() == 0
+    assert fused.exceptAll(plan_a).count() == 0
