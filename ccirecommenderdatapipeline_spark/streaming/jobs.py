@@ -349,6 +349,34 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ATTRIB_GAP_HOURS = 6
 
+# Watermark-advancing sentinel rows ride a RESERVED user key far outside
+# any realistic id domain (NOT -1, which a source could legitimately emit:
+# tombstones, anonymized users). Staging asserts the real data never
+# contains it, so the post-stream sentinel strip can never drop a real row.
+SENTINEL_USER = -(1 << 62)
+
+
+def _assert_sentinel_free(ev: DataFrame) -> None:
+    """Staging-time guard for the reserved sentinel key: refuse to stage a
+    source that already uses SENTINEL_USER — silently stripping real rows
+    later would be the alternative (r6 ADVICE)."""
+    n = ev.filter(F.col("user_id") == SENTINEL_USER).count()
+    if n:
+        raise ValueError(
+            f"events source contains {n} rows with reserved sentinel "
+            f"user_id={SENTINEL_USER}; cannot stage watermark sentinels"
+        )
+
+
+def _file_min_ts_key(spark: SparkSession, path: str):
+    """Delivery-order sort key for a staged data file: its min event time.
+    An empty file (repartitionByRange can emit empty partitions) has
+    min(ts)=NULL — order it first instead of crashing the None<Timestamp
+    comparison (r6 ADVICE); an empty batch advances no watermark and joins
+    nothing, so its position is immaterial."""
+    m = spark.read.parquet(path).agg(F.min("ts")).head()[0]
+    return (m is not None, m)
+
 
 def attribution_join_plan(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     """Interval (event-time range) join: each purchase matched to the same
@@ -598,16 +626,17 @@ def stage_events_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.tables import load_table
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(STAGE_ROOT, f"{tag}_events_sess_v1")
+    out = os.path.join(STAGE_ROOT, f"{tag}_events_sess_v2")
     marker = os.path.join(out, "_staged_ok")
     if not os.path.exists(marker):
         ev = load_table(spark, sf_dir, "events")
+        _assert_sentinel_free(ev)
         ev.repartition(4).write.mode("overwrite").parquet(out)
         max_ts = ev.agg(F.max("ts").alias("m")).head()["m"]
         sentinel = ev.limit(1).select(
             F.lit(-1).cast("long").alias("event_id"),
             (F.lit(max_ts) + F.expr(f"INTERVAL {(GAP_US + HOUR_US) // 1_000_000} SECONDS")).alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(SENTINEL_USER).cast("long").alias("user_id"),
             F.lit("sentinel").alias("event_type"),
             F.lit(0.0).alias("value"),
             F.lit("{}").alias("props"),
@@ -641,7 +670,7 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = run_to_memory(plan, "append")
-    return out.filter(F.col("user_id") >= 0)
+    return out.filter(F.col("user_id") != SENTINEL_USER)
 
 
 def stage_events_with_attrib_sentinel(spark: SparkSession, sf_dir: str) -> str:
@@ -653,21 +682,22 @@ def stage_events_with_attrib_sentinel(spark: SparkSession, sf_dir: str) -> str:
     has c_ts <= p_ts, so it arrives in the same or an earlier batch, and
     click state is retained until the watermark passes c_ts + gap — no
     in-condition counterpart is ever dropped as late. The sentinels (real
-    event types under user_id = -1, since Catalyst pushes the type filters
-    below the watermark operators and a foreign type would never advance
-    them) push the watermark past every real purchase so the tail's
-    unmatched rows are evicted and emitted before the query ends.
-    Idempotent per sf_dir."""
+    event types under the reserved SENTINEL_USER key, since Catalyst
+    pushes the type filters below the watermark operators and a foreign
+    type would never advance them) push the watermark past every real
+    purchase so the tail's unmatched rows are evicted and emitted before
+    the query ends. Idempotent per sf_dir."""
     from ..sources.tables import load_table
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(STAGE_ROOT, f"{tag}_events_attrib_v6")
+    out = os.path.join(STAGE_ROOT, f"{tag}_events_attrib_v7")
     marker = os.path.join(out, "_staged_ok")
     if not os.path.exists(marker):
         import glob as _glob
         import time as _time
 
         ev = load_table(spark, sf_dir, "events")
+        _assert_sentinel_free(ev)
         ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
             "overwrite"
         ).parquet(out)
@@ -683,7 +713,7 @@ def stage_events_with_attrib_sentinel(spark: SparkSession, sf_dir: str) -> str:
             return ev.limit(1).select(
                 F.lit(eid).cast("long").alias("event_id"),
                 (F.lit(max_ts) + F.expr(f"INTERVAL {mult * off_s} SECONDS")).alias("ts"),
-                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(SENTINEL_USER).cast("long").alias("user_id"),
                 F.lit(etype).alias("event_type"),
                 F.lit(0.0).alias("value"),
                 F.lit("{}").alias("props"),
@@ -703,8 +733,7 @@ def stage_events_with_attrib_sentinel(spark: SparkSession, sf_dir: str) -> str:
         # initial listing skips future-dated files)
         t0 = _time.time()
         ranked = sorted(
-            data_files,
-            key=lambda f: spark.read.parquet(f).agg(F.min("ts")).head()[0],
+            data_files, key=lambda f: _file_min_ts_key(spark, f)
         )
         for k, f in enumerate(ranked):
             os.utime(f, (t0 - 400 + 30 * k, t0 - 400 + 30 * k))
@@ -774,9 +803,13 @@ def stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The sentinel filter MUST run on the BATCH result, not inside the
     # streaming plan: user_id is the equi-join key, so a streaming-side
-    # filter(user_id != -1) is inferred onto BOTH join inputs and pushed
-    # below the watermark operators — silently dropping the sentinels at
-    # the scan, so the watermark never advances and the tail's unmatched
-    # rows are never evicted (checkpoint-verified failure mode).
+    # filter(user_id != SENTINEL_USER) is inferred onto BOTH join inputs
+    # and pushed below the watermark operators — silently dropping the
+    # sentinels at the scan, so the watermark never advances and the
+    # tail's unmatched rows are never evicted (checkpoint-verified
+    # failure mode). SENTINEL_USER is reserved + staging-asserted, so
+    # this strip can never touch a legitimate (even negative) key.
     plan = outer_attribution_join_plan(purchases, clicks)
-    return run_to_memory(plan, "append").filter(F.col("user_id") != -1)
+    return run_to_memory(plan, "append").filter(
+        F.col("user_id") != SENTINEL_USER
+    )

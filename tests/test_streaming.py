@@ -176,6 +176,48 @@ def test_stream_session_append_equals_batch_builtin(spark):
     assert all(uid >= 0 for uid, _ in stream)
 
 
+def test_staging_rejects_reserved_sentinel_key(spark):
+    """The sentinel strip is safe only because SENTINEL_USER is reserved:
+    staging must refuse a source that already carries it (r6 ADVICE —
+    previously the sentinel was -1 and a legitimate -1 user would have
+    been silently dropped)."""
+    import pytest
+
+    from ccirecommenderdatapipeline_spark.streaming.jobs import (
+        SENTINEL_USER,
+        _assert_sentinel_free,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    _assert_sentinel_free(ev)  # real data is clean
+    # a LEGITIMATE negative id must NOT trip the guard (only the reserved key)
+    _assert_sentinel_free(
+        ev.limit(3).withColumn("user_id", F.lit(-1).cast("long"))
+    )
+    poisoned = ev.limit(1).withColumn(
+        "user_id", F.lit(SENTINEL_USER).cast("long")
+    )
+    with pytest.raises(ValueError, match="reserved sentinel"):
+        _assert_sentinel_free(ev.unionByName(poisoned))
+
+
+def test_file_min_ts_key_orders_empty_files_first(spark, tmp_path):
+    """repartitionByRange can emit an EMPTY partition; its staged file has
+    min(ts)=NULL and must sort (first), not crash the None<Timestamp
+    comparison inside the delivery-order ranking (r6 ADVICE)."""
+    from ccirecommenderdatapipeline_spark.streaming.jobs import _file_min_ts_key
+
+    ev = load_table(spark, SF_SMALL, "events").select("ts")
+    full = os.path.join(tmp_path, "full")
+    empty = os.path.join(tmp_path, "empty")
+    ev.limit(5).coalesce(1).write.parquet(full)
+    ev.limit(0).coalesce(1).write.parquet(empty)
+    f_full = glob.glob(os.path.join(full, "part-*.parquet"))[0]
+    f_empty = glob.glob(os.path.join(empty, "part-*.parquet"))[0]
+    ranked = sorted([f_full, f_empty], key=lambda f: _file_min_ts_key(spark, f))
+    assert ranked == [f_empty, f_full]
+
+
 def test_stream_outer_join_equals_batch_left_join(spark):
     from ccirecommenderdatapipeline_spark import plans
     from ccirecommenderdatapipeline_spark.streaming.jobs import (
