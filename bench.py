@@ -55,6 +55,12 @@ HEADLINE = [
     "dedup_containment",         # asymmetric-containment near-dup (r5)
     "training_pipeline",         # end-to-end train-file prep chain (r5)
     "ann_recall_eval",           # sampled IVF recall eval harness (r5)
+    "pareto_strategies",         # 2-D skyline over the strategy grid (r7)
+    "dedup_simhash_hamming",     # banded-pigeonhole SimHash near-dup (r7)
+    "embedding_covariance",      # (dim,dim) cross-moment shuffle (r7)
+    "interval_merge",            # overlapping-interval island merge (r7)
+    "pca_power_iteration",       # D-sized iterative matvec jobs (r7)
+    "feature_binning",           # two-phase bucketed exact NTILE (r7)
 ]
 
 
@@ -83,7 +89,7 @@ def main() -> None:
     # where the persisted cci/agged subtrees are plan-matched-shared across
     # the pipeline stages (that reuse is a designed property, not leakage).
     # Cache-accumulation hygiene for full-registry sweeps lives in
-    # tools/check_oracle.py, which clears between its 213 queries.
+    # tools/check_oracle.py, which clears between queries.
     for name in names:
         timings[name] = round(run_once(spark, name, sf_dir), 3)
     total = round(sum(timings.values()), 3)

@@ -342,18 +342,22 @@ def aggregate_strategies(trades: DataFrame, extra_keys: tuple[str, ...] = ()) ->
         F.count("*").alias("__n"),
         F.sum(win.cast("long")).alias("__n_win"),
         F.sum(lose.cast("long")).alias("__n_lose"),
-        # money/ratio sums run on EXACT decimals at the summands' decimal
-        # scale (buy=open_pr is 4-dec exact, sell=close_pr 2-dec exact,
-        # rev_per_day rounded at 8 — sources/prices.py contract): decimal
-        # addition is associative, so the totals are ORDER-INDEPENDENT and
+        # money/ratio sums fold EXACT scaled-int64 units (buy=open_pr is
+        # 4-dec exact, sell=close_pr 2-dec exact, rev_per_day rounded at 8
+        # — sources/prices.py contract; the per-row round only strips <<1
+        # ulp of double representation error). Integer addition is
+        # associative, so the totals are ORDER-INDEPENDENT and
         # bit-identical across the two-phase fold here, the fused Arrow
-        # kernel's scaled-int64 sums, and the oracle's decimal SUM —
-        # equality no longer depends on a post-sum ROUND absorbing
-        # double-summation order drift (round-7 hardening, ADVICE r5/r6).
-        F.sum(rev_per_day.cast("decimal(38,8)")).alias("__sum_rpd"),
+        # kernel's int64 sums, and the oracle's decimal SUM — equality no
+        # longer depends on a post-sum ROUND absorbing double-summation
+        # order drift (round-7 hardening, ADVICE r5/r6). Long sums keep
+        # both hash-agg phases in Tungsten codegen (a decimal(38,8)
+        # accumulator measured +2.2 s on strategy_agg at sf0.1); the
+        # int64 budget is ~9.2e18 vs ~1e17 worst-case unit totals.
+        F.sum(F.round(rev_per_day * 1e8, 0).cast("long")).alias("__sum_rpd"),
         F.sum("days_held").alias("__sum_days"),
-        F.sum(F.col("buy_price").cast("decimal(28,4)")).alias("__sum_buy"),
-        F.sum(F.col("sell_price").cast("decimal(28,2)")).alias("__sum_sell"),
+        F.sum(F.round(F.col("buy_price") * 1e4, 0).cast("long")).alias("__sum_buy"),
+        F.sum(F.round(F.col("sell_price") * 1e2, 0).cast("long")).alias("__sum_sell"),
     )
 
     def n_outcome_dates(t: str) -> Column:
@@ -366,11 +370,25 @@ def aggregate_strategies(trades: DataFrame, extra_keys: tuple[str, ...] = ()) ->
         n_outcome_dates("maturity").alias("count_maturity_date"),
         F.sum("__n_win").alias("count_win"),
         F.sum("__n_lose").alias("count_lose"),
-        F.sum("__sum_rpd").cast("double").alias("sum_revenue_per_days_held"),
+        # unscale through DECIMAL division, not a double divide: the unit
+        # total can exceed 2^53, where fl(S)/1e8 double-rounds; the decimal
+        # quotient is exact (scale >= the unit scale) and its double cast
+        # is correctly rounded — bit-equal to the oracle's decimal route.
+        # The dividend is cast to decimal(28,0), NOT (38,0): at p1=38 the
+        # quotient precision overflows 38 and Spark's precision-loss rule
+        # truncates the scale to 6 — silently rounding the 8-dec ratio
+        # sum. p1=28 keeps the full max(6, p2+1)-digit scale exactly.
+        (F.sum("__sum_rpd").cast("decimal(28,0)")
+         / F.lit(100_000_000).cast("decimal(9,0)"))
+        .cast("double").alias("sum_revenue_per_days_held"),
         F.sum("__sum_days").cast("long").alias("sum_days_held"),
         F.sum("__n").alias("count_trades"),
-        F.sum("__sum_buy").cast("double").alias("total_buy_price"),
-        F.sum("__sum_sell").cast("double").alias("total_sell_price"),
+        (F.sum("__sum_buy").cast("decimal(28,0)")
+         / F.lit(10_000).cast("decimal(5,0)"))
+        .cast("double").alias("total_buy_price"),
+        (F.sum("__sum_sell").cast("decimal(28,0)")
+         / F.lit(100).cast("decimal(3,0)"))
+        .cast("double").alias("total_sell_price"),
     )
     return agged.withColumns({
         "avg_revenue_per_days_held": F.col("sum_revenue_per_days_held") / F.col("count_trades"),

@@ -180,6 +180,14 @@ def simulate_aggregate_pandas(
             )
             rev_per_day = np.round((sell_price - bp) / days, 8)
 
+            # Scale the per-trade money/ratio grids to exact int64 ONCE per
+            # buy threshold (outside the depth loop): buy=4-dec, sell=2-dec,
+            # rev_per_day 8-dec — the np.round only strips <<1 ulp of double
+            # representation error, so these are the exact decimal integers.
+            bp_units = np.round(bp * 1e4).astype(np.int64)
+            sp_units = np.round(sell_price * 1e2).astype(np.int64)
+            rpd_units = np.round(rev_per_day * 1e8).astype(np.int64)
+
             bdays = date_days[buy_idx]
             for label, fsd in depth_bounds:
                 sel = np.ones(k, dtype=bool) if fsd is None else (bdays > fsd)
@@ -192,27 +200,17 @@ def simulate_aggregate_pandas(
                 m_t, m_s = is_t[..., sel], is_s[..., sel]
                 m_m = is_m[..., sel]
 
-                # Money/ratio totals fold as SCALED int64 — buy prices are
-                # 4-dec exact, sell prices 2-dec exact, rev_per_day rounded
-                # at 8 (sources/prices.py contract), so the scaled values
-                # are exact integers (the np.round only strips the <<1 ulp
-                # double representation error) and integer addition is
-                # order-independent: bit-identical to Plan A's two-phase
-                # decimal sums and the oracle's decimal SUM, with no
-                # pairwise-vs-sequential drift for a post-sum ROUND to
-                # absorb (round-7 hardening, ADVICE r5/r6).
-                tb = float(np.round(bp_d * 1e4).astype(np.int64).sum()) / 1e4
-                ts = (
-                    np.round(sp * 1e2).astype(np.int64).sum(axis=3) / 1e2
-                ).reshape(-1)
+                # Money/ratio totals fold the pre-scaled int64 grids —
+                # integer addition is order-independent, so the totals are
+                # bit-identical to Plan A's exact decimal sums and the
+                # oracle's decimal SUM, with no pairwise-vs-sequential
+                # drift for a post-sum ROUND to absorb (round-7 hardening,
+                # ADVICE r5/r6).
+                tb = float(bp_units[sel].sum()) / 1e4
+                ts = (sp_units[..., sel].sum(axis=3) / 1e2).reshape(-1)
                 cw = (sp > bp_d).sum(axis=3).reshape(-1)
                 cl = (sp < bp_d).sum(axis=3).reshape(-1)
-                srpd = (
-                    np.round(rev_per_day[..., sel] * 1e8)
-                    .astype(np.int64)
-                    .sum(axis=3)
-                    / 1e8
-                ).reshape(-1)
+                srpd = (rpd_units[..., sel].sum(axis=3) / 1e8).reshape(-1)
                 sdh = days[..., sel].sum(axis=3).reshape(-1)
 
                 # distinct sell-date counts per (combo, outcome): one

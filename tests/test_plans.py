@@ -27,9 +27,14 @@ def test_prices_scan_prunes_columns(spark):
     assert "l_partkey" not in txt
 
 
-def test_centroid_filter_is_pushed_down(spark):
+def test_knn_ivf_codebook_join_strategy(spark):
+    # round 7: the codebook cut is vec_id < ceil(sqrt(N)) — a broadcast
+    # scalar-agg join, so there is no literal centroid bound to push to the
+    # parquet scan anymore (the price of a corpus-scaled codebook). The
+    # plan must stay broadcast/shuffle-hash throughout: the scalar join
+    # and the probe/assignment joins broadcast, and nothing degenerates
+    # into a SortMergeJoin.
     txt = _explain(spark, "knn_ivf")
-    assert "LessThan(vec_id,16)" in txt  # reaches the parquet scan
     assert "PushedFilters" in txt
     assert "BroadcastHashJoin" in txt
     assert "SortMergeJoin" not in txt
