@@ -13,8 +13,12 @@ aggregation happen inside one Arrow batch per symbol, so the shuffle moves
 
 Semantics are identical to Plan A (same crossover strictness, precedence,
 maturity days_held constant, rounding points); tests/test_simulator.py
-asserts equality on the oracle grids. Distinct-date counts use np.unique —
-exact, like collect_set.
+asserts equality on the oracle grids, and since round 7 the money/ratio
+totals fold as exact scaled int64 (order-independent), so the equality is
+FULL-PRECISION — bit-identical to Plan A's unit sums and the oracle's
+decimal SUM, with no dependence on summation order
+(tests/test_search_years.py::test_fused_years_matches_plan_a).
+Distinct-date counts use np.unique — exact, like collect_set.
 
 At 100 TB: grouped-map state is one symbol's history (~6k rows) — bounded;
 skew is capped by max history length, and the Python stage scales with
