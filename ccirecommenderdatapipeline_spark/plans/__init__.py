@@ -66,8 +66,9 @@ _PRIORITY = [
     "quantile_disc", "regex_json_extract", "json_get_k", "lookup_join",
     "anti_join", "semi_join", "update_join", "cross_grid",
     "upsert_keep_last", "star_join_revenue", "grouped_multi_agg",
-    "top1_per_group", "sort_limit", "union_dedup", "rollup_counts",
-    "window_lag_running",
+    "top1_per_group", "sort_limit", "union_dedup",
+    # (d) new this round (never driver-verified)
+    "boilerplate_ngram_scrub", "token_budget_selection",
 ]
 
 def _reorder() -> None:

@@ -572,3 +572,103 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_ngram_scrub — corpus-frequency chunk removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 3        # words per non-overlapping chunk (the "line" analogue)
+BOILER_DOCS = 5    # chunk in >= this many distinct docs => boilerplate
+
+
+@query(
+    "boilerplate_ngram_scrub",
+    oracle=f"""
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+    SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+           array_to_string(
+               w[(t.i*{CHUNK_W}+1):(t.i*{CHUNK_W}+{CHUNK_W})], ' ') AS chunk
+    FROM words,
+         UNNEST(range(0, CAST(ceil(len(w)/{CHUNK_W}.0) AS BIGINT))) t(i)
+), bad AS (
+    SELECT chunk FROM chunks
+    GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= {BOILER_DOCS}
+), kept AS (
+    SELECT c.* FROM chunks c ANTI JOIN bad b ON c.chunk = b.chunk
+), reb AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+), tot AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+    FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_chunks,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       t.n_chunks - COALESCE(r.n_kept, 0) AS n_dropped,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN reb r USING (doc_id)
+""",
+)
+def q_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal by CORPUS frequency (Wenzek et al.
+    2020 drop repeated lines/headers seen across many pages): each doc is
+    cut into non-overlapping {CHUNK_W}-word chunks (the line analogue for
+    this corpus's unpunctuated text), a chunk appearing in >= BOILER_DOCS
+    distinct docs is boilerplate, and every doc is REWRITTEN from its
+    surviving chunks in original order. Differs from the dedup family:
+    repetition_ratios is within-doc, dedup_* drop whole docs — this is
+    the only operator that edits documents using corpus-wide statistics.
+
+    100-TB shape: chunking is a map-only array HOF (no UDF); the chunk
+    document-frequency agg is map-combinable; and the scrub joins the
+    BOILERPLATE SET, not the frequency table — a stop list that is small
+    by construction (high-DF chunks only), so it BROADCASTS at any corpus
+    size and hot boilerplate chunks can never skew a shuffle join. The
+    rebuild groups by doc_id — per-doc state bounded by doc length."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.withColumn("w", F.split("text", " "))
+    n_chunks = F.ceil(F.size("w") / CHUNK_W).cast("int")
+    chunks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("w"), i * CHUNK_W + 1, CHUNK_W), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    bad = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_DOCS)
+        .select("chunk")
+    )
+    kept = chunks.join(F.broadcast(bad), "chunk", "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    tot = chunks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    return tot.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

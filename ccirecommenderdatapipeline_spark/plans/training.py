@@ -636,3 +636,66 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_bin"),
     )
+
+
+# --- 7. greedy per-source selection under a token budget ---------------------
+
+SEL_SEED = "b7:"      # seed prefix for the selection order key
+TOKEN_BUDGET = 800    # tokens drawn per source
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len({{toks_sql}}) AS BIGINT) AS n_tokens,
+           md5('{SEL_SEED}' || CAST(doc_id AS VARCHAR)) AS sel_key
+    FROM documents
+), ranked AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+           CAST(SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY sel_key, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM toks
+    WINDOW w AS (PARTITION BY source ORDER BY sel_key, doc_id)
+)
+SELECT doc_id, source, n_tokens, rk, cum_tokens
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+""".replace("{toks_sql}", TOKS_SQL),
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy prefix selection under a PER-SOURCE token budget — the
+    "sample K tokens (not K docs) from each source" step of mixture
+    construction: docs are laid out in a seeded deterministic order per
+    source and taken while the running token sum stays within the budget
+    (so the draw is reproducible and token-exact, unlike a doc-count
+    quota over variable-length docs; mixture_resample's doc-count
+    temperature mix is the sibling).
+
+    100-TB shape: the order key is md5-uniform, so the rank AND the
+    inclusive running token sum both ride ``two_phase_rank``'s bucketed
+    two-phase decomposition — parallelism |source| x 256, no per-source
+    single-task window — and the budget cut is a map-side filter on the
+    running sum. The naive one-window oracle replays it exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit(SEL_SEED), F.col("doc_id").cast("string"))
+        ).alias("sel_key"),
+    )
+    ranked = two_phase_rank(
+        sized,
+        "sel_key",
+        part_cols=("source",),
+        out="rk",
+        sum_col="n_tokens",
+        sum_out="cum_tokens",
+    )
+    return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens", "rk", "cum_tokens"
+    )
