@@ -632,6 +632,12 @@ def q_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = d.withColumn("w", F.split("text", " "))
     n_chunks = F.ceil(F.size("w") / CHUNK_W).cast("int")
+    # THREE subtrees consume the chunk explode (stop-list agg, scrub
+    # anti-join, per-doc totals) — persist so the scan+explode runs once,
+    # not 3x (audited: 3 parquet scans without this; standard clearCache
+    # contract, see two_phase_rank's cache note)
+    from pyspark.storagelevel import StorageLevel
+
     chunks = words.select(
         "doc_id",
         F.posexplode(
@@ -642,7 +648,7 @@ def q_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("pos", "chunk"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bad = (
         chunks.groupBy("chunk")
         .agg(F.countDistinct("doc_id").alias("nd"))
