@@ -255,3 +255,56 @@ def test_training_pipeline_layout_invariants(spark):
     # dedup kept originals over recrawl twins: no doc appears in both forms
     ids = {r["doc_id"] for r in rows}
     assert not {i for i in ids if i >= 100000 and i - 100000 in ids}
+
+
+def test_token_budget_selection_is_prefix_exact(spark):
+    """Per source: ranks of the selected docs are a dense prefix 1..k (the
+    greedy draw can't skip a doc), every cumulative sum stays within the
+    budget and equals the replayed running sum of the selected sizes, and
+    adding the FIRST unselected doc would overflow the budget (maximality)."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        TOKEN_BUDGET,
+        q_token_budget_selection,
+    )
+
+    rows = q_token_budget_selection(spark, SF_SMALL).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1)), src
+        run = 0
+        for r in rs:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+        assert run <= TOKEN_BUDGET
+
+
+def test_boilerplate_scrub_roundtrip_and_bounds(spark):
+    """Docs with nothing dropped must rebuild to their ORIGINAL text
+    byte-for-byte (chunk split + ordered reassembly is lossless), kept +
+    dropped must account for every chunk, and the scrub must actually fire
+    on this corpus (some doc loses a chunk, none loses everything... unless
+    it legitimately does — then clean_text is '' and n_kept 0)."""
+    from ccirecommenderdatapipeline_spark.plans.quality import (
+        q_boilerplate_ngram_scrub,
+    )
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+
+    out = {r["doc_id"]: r for r in q_boilerplate_ngram_scrub(spark, SF_SMALL).collect()}
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    }
+    assert out.keys() == orig.keys()
+    n_edited = 0
+    for did, r in out.items():
+        assert r["n_kept"] + r["n_dropped"] == r["n_chunks"]
+        if r["n_dropped"] == 0:
+            assert r["clean_text"] == orig[did]
+        else:
+            n_edited += 1
+            assert len(r["clean_text"]) < len(orig[did])
+    assert n_edited > 0  # the corpus-frequency gate fires at this SF
