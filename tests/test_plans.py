@@ -288,6 +288,18 @@ def test_feature_binning_has_no_global_ntile(spark):
             assert "_bucket" in ln, ln
 
 
+def test_boilerplate_scrub_plan_shape(spark):
+    """boilerplate_ngram_scrub 100-TB contract: the stop list joins as a
+    BROADCAST (left_anti), never a shuffle join a hot boilerplate chunk
+    could skew, and the chunk explode is served from cache to all three
+    consuming subtrees instead of re-scanning parquet."""
+    df = plans.QUERIES["boilerplate_ngram_scrub"](spark, SF_SMALL)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in txt
+    assert "BroadcastHashJoin" in txt
+    assert txt.count("InMemoryTableScan") >= 3
+
+
 def test_interval_merge_islands_disjoint(spark):
     from ccirecommenderdatapipeline_spark import plans
     from tests.conftest import SF_SMALL
