@@ -498,13 +498,17 @@ def q_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution rather than explode(). The same chunking is restated
     arithmetically in the oracle (generate_series over ceil(n/W)).
 
-    Scale note: a UDTF is row-at-a-time Python — fine for connector-style
-    expansion logic that built-ins can't express, but the repo's hot-path
-    chunkers (doc_chunking) stay in Catalyst HOFs; this query pins the
-    SURFACE so a user porting UDTF code gets a verified path."""
+    Scale note: UDTF eval logic is per-row Python, so the plan pins the
+    ARROW-optimized UDTF path (``useArrow=True`` — ArrowEvalPythonUDTF,
+    columnar batch transfer instead of pickled row-at-a-time
+    BatchEvalPythonUDTF; tools/audit_plans.py flags the latter repo-wide).
+    Fine for connector-style expansion logic that built-ins can't
+    express, but the repo's hot-path chunkers (doc_chunking) stay in
+    Catalyst HOFs; this query pins the SURFACE so a user porting UDTF
+    code gets a verified path."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="piece_idx INT, piece STRING, piece_len INT")
+    @udtf(returnType="piece_idx INT, piece STRING, piece_len INT", useArrow=True)
     class Chunker:
         def eval(self, text: str, width: int):
             if not text:

@@ -1,0 +1,62 @@
+"""Mechanical scale-shape audit: build (don't execute) every registered
+query's physical plan and flag the two unambiguous scale-killers —
+``CartesianProduct`` (an unbroadcast cross join materializing |A|x|B|)
+and ``BatchEvalPython`` (row-at-a-time Python UDF eval; all sanctioned
+Python stages are Arrow-batched: ArrowEvalPython / FlatMapGroupsInPandas
+/ MapInPandas / FlatMapCoGroupsInPandas / ...InPandasWithState).
+
+``BroadcastNestedLoopJoin`` is NOT flagged: every occurrence in this repo
+is a broadcast of a literal/aggregate-sized grid (strategy combos, probe
+grids, scalar counts) — the pattern the simulator mandates — but it is
+COUNTED so a new corpus-sized one shows up in review.
+
+Usage: python tools/audit_plans.py [sf_dir]   (exit 1 on any flag)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ccirecommenderdatapipeline_spark import plans
+from ccirecommenderdatapipeline_spark.session import get_spark
+
+FLAGS = ("CartesianProduct", "BatchEvalPython")
+COUNTED = ("BroadcastNestedLoopJoin", "SortMergeJoin")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    flagged: list[tuple[str, str]] = []
+    counts = {k: 0 for k in COUNTED}
+    errors: list[str] = []
+    for name, fn in plans.QUERIES.items():
+        try:
+            txt = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # streaming-only plans can't batch-build
+            errors.append(f"{name}: {type(e).__name__}")
+            continue
+        for f in FLAGS:
+            if f in txt:
+                flagged.append((name, f))
+        for c in COUNTED:
+            counts[c] += 1 if c in txt else 0
+        spark.catalog.clearCache()
+    print(f"audited {len(plans.QUERIES) - len(errors)}/{len(plans.QUERIES)} plans")
+    for c, n in counts.items():
+        print(f"  {c}: {n} queries (informational)")
+    if errors:
+        print(f"  unbuildable as batch (streaming wrappers): {errors}")
+    if flagged:
+        for name, f in flagged:
+            print(f"[FLAG] {name}: {f}")
+        return 1
+    print("no CartesianProduct, no row-at-a-time Python eval — clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
