@@ -993,12 +993,14 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.round(F.sum(F.col("cov") * F.col("v1i")), 10).alias("v2i"))
     )
+    # v1/v2 are D-row vectors (D a model constant) — broadcast both sides
+    # of the recombine joins so no D-row table ever sort-merge-shuffles
     ray = (
-        v1.join(v2, "i")
+        v1.join(F.broadcast(v2), "i")
         .agg(F.round(F.sum(F.col("v1i") * F.col("v2i")), 6).alias("rayleigh"))
     )
     return (
-        v1.join(v2, "i")
+        v1.join(F.broadcast(v2), "i")
         .crossJoin(F.broadcast(ray))
         .select(
             "i",
