@@ -136,4 +136,25 @@ def test_plan_b_fused_pandas_equals_plan_a(spark):
         if a[c].dtype == object:
             assert (a[c] == b[c]).all(), c
         else:
-            assert np.abs(a[c].astype(float) - b[c].astype(float)).max() < 1e-6, c
+            # BIT-exact since round 7: both plans fold money/ratio totals
+            # as exact scaled-int64 / decimal units (order-independent),
+            # so every derived double is identical — no tolerance.
+            assert np.array_equal(
+                a[c].astype(float).values, b[c].astype(float).values
+            ), c
+
+
+def test_price_decimal_scale_contract(spark):
+    """The exact-sum machinery (Plan A long units, fused kernel int64,
+    oracle decimals) is sound ONLY if buy prices are exact 4-decimal and
+    sell prices exact 2-decimal values (sources/prices.py contract) — the
+    unit scaling must strip representation error <<1 ulp, never real
+    digits. Pin that the staged fixture actually satisfies it."""
+    from ccirecommenderdatapipeline_spark.sources.prices import prices_view
+    import numpy as np
+
+    p = prices_view(spark, SF_SMALL).select("open_pr", "close_pr").toPandas()
+    o = p["open_pr"].to_numpy(dtype=float)
+    c = p["close_pr"].to_numpy(dtype=float)
+    assert np.abs(o * 1e4 - np.round(o * 1e4)).max() < 1e-3
+    assert np.abs(c * 1e2 - np.round(c * 1e2)).max() < 1e-5
