@@ -1,5 +1,8 @@
-"""Mechanical scale-shape audit: build (don't execute) every registered
-query's physical plan and flag the two unambiguous scale-killers —
+"""Mechanical scale-shape audit: build every registered query's physical
+plan (batch plans are analyzed without executing; the few
+streaming-wrapped queries run their availableNow micro-batches inside
+their plan function and contribute the batch result's plan) and flag the
+two unambiguous scale-killers —
 ``CartesianProduct`` (an unbroadcast cross join materializing |A|x|B|)
 and ``BatchEvalPython`` (row-at-a-time Python UDF eval; all sanctioned
 Python stages are Arrow-batched: ArrowEvalPython / FlatMapGroupsInPandas
