@@ -578,6 +578,11 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate_ngram_scrub — corpus-frequency chunk removal (CCNet-style)
 # ---------------------------------------------------------------------------
 
+# POLICY constants, not scale parameters (contrast knn_ivf's codebook,
+# which must track the corpus): the chunk width is a text-granularity
+# choice and the document-frequency threshold is the curator's absolute
+# "seen on N pages = boilerplate" rule (CCNet uses absolute counts too) —
+# neither needs to grow with the corpus for the plan to stay sound.
 CHUNK_W = 3        # words per non-overlapping chunk (the "line" analogue)
 BOILER_DOCS = 5    # chunk in >= this many distinct docs => boilerplate
 

@@ -641,6 +641,9 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- 7. greedy per-source selection under a token budget ---------------------
 
 SEL_SEED = "b7:"      # seed prefix for the selection order key
+# POLICY constant, not a scale parameter: a token budget is the USER'S
+# absolute input ("draw 50B tokens per source"), so it does not track the
+# corpus; the plan stays two-phase-parallel at any corpus-to-budget ratio.
 TOKEN_BUDGET = 800    # tokens drawn per source
 
 
