@@ -66,9 +66,10 @@ _PRIORITY = [
     "quantile_disc", "regex_json_extract", "json_get_k", "lookup_join",
     "anti_join", "semi_join", "update_join", "cross_grid",
     "upsert_keep_last", "star_join_revenue", "grouped_multi_agg",
-    "top1_per_group", "sort_limit", "union_dedup",
+    "top1_per_group", "sort_limit",
     # (d) new this round (never driver-verified)
     "boilerplate_ngram_scrub", "token_budget_selection",
+    "weighted_sample_wr",
 ]
 
 # After this round's window executes, EVERY registered name has a driver

@@ -127,3 +127,90 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_sample_bernoulli.__doc__ = q_sample_bernoulli.__doc__.format(pct=SAMPLE_PCT)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_wr — Efraimidis-Spirakis weighted sampling w/o replacement
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 10     # docs drawn per source (policy constant — user's draw size)
+WSAMPLE_SEED = "w7:"
+# ln() is the one transcendental in the key; round it so a <=1-ulp libm
+# difference between Java Math.log and DuckDB's log cannot flip a rank
+# (same contract as training.LOGP_DP; margin ~1e-14 vs a 5e-10 boundary)
+WKEY_DP = 9
+
+
+@query(
+    "weighted_sample_wr",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+           ('0x' || substr(
+               md5('{WSAMPLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 13)
+               )::BIGINT AS h
+    FROM documents
+), keyed AS (
+    SELECT doc_id, source, weight,
+           ROUND(ln((h + 1) / CAST(POW(2, 53) AS DOUBLE)) / weight,
+                 {WKEY_DP}) AS sel_key
+    FROM w
+), ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY sel_key DESC, doc_id) AS BIGINT) AS draw
+    FROM keyed
+)
+SELECT doc_id, source, weight, sel_key, draw
+FROM ranked WHERE draw <= {WSAMPLE_K}
+""",
+)
+def q_weighted_sample_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    per source, draw WSAMPLE_K docs with inclusion probability
+    proportional to token weight, in ONE distributed pass — the A-ES
+    reservoir trick: give every row the key u^(1/w) for deterministic
+    md5-uniform u and take the top-K keys. Ranking by ln(u)/w is the
+    monotone-equivalent form (no pow), u = (h+1)/2^53 with h the first 13
+    md5 hex chars (52 bits) — an EXACT dyadic double in (0, 0.5], strictly
+    positive so ln is finite, identical in both engines.
+
+    This is the op a mixture builder uses when "sample by tokens, not by
+    docs" must hold per draw (contrast token_budget_selection's prefix
+    fill and mixture_resample's doc-count temperature targets).
+
+    100-TB shape: key computation is map-only; top-K per source is the
+    standard partial top-K window (WindowGroupLimit prunes to K rows per
+    source map-side BEFORE the shuffle), so the exchange moves
+    |sources| x K rows, not the corpus."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("weight"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(WSAMPLE_SEED), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    keyed = w.select(
+        "doc_id",
+        "source",
+        "weight",
+        F.round(
+            F.log((F.col("h") + 1) / F.lit(float(2 ** 53))) / F.col("weight"),
+            WKEY_DP,
+        ).alias("sel_key"),
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("sel_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("draw", F.row_number().over(win).cast("long"))
+        .filter(F.col("draw") <= WSAMPLE_K)
+        .select("doc_id", "source", "weight", "sel_key", "draw")
+    )

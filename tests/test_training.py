@@ -308,3 +308,27 @@ def test_boilerplate_scrub_roundtrip_and_bounds(spark):
             n_edited += 1
             assert len(r["clean_text"]) < len(orig[did])
     assert n_edited > 0  # the corpus-frequency gate fires at this SF
+
+
+def test_weighted_sample_wr_invariants(spark):
+    """A-ES weighted draw: exactly K docs per source, draws densely
+    numbered 1..K in non-increasing key order, keys strictly negative
+    (u in (0, 0.5] so ln(u) < 0), weights positive, and the plan prunes
+    with WindowGroupLimit so the shuffle moves top-K rows only."""
+    from ccirecommenderdatapipeline_spark.plans.sampling import (
+        WSAMPLE_K,
+        q_weighted_sample_wr,
+    )
+
+    df = q_weighted_sample_wr(spark, SF_SMALL)
+    assert "WindowGroupLimit" in df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+    by_src = {}
+    for r in rows:
+        assert r["weight"] > 0 and r["sel_key"] < 0
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["draw"])
+        assert [r["draw"] for r in rs] == list(range(1, WSAMPLE_K + 1)), src
+        keys = [r["sel_key"] for r in rs]
+        assert keys == sorted(keys, reverse=True), src
