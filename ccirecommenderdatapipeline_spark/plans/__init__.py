@@ -75,7 +75,7 @@ _PRIORITY = [
 # After this round's window executes, EVERY registered name has a driver
 # verdict under its current plan (the r5/r6 backlog of 15 verdict-less
 # queries is cleared by (a), the plan changes are re-verified by (b), and
-# the two r7 additions are in (d)). Round 8 therefore has no mandatory
+# the three r7 additions are in (d)). Round 8 therefore has no mandatory
 # rotation; pin whatever plans change next and keep rotating stale rows.
 
 def _reorder() -> None:
