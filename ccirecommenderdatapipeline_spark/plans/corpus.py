@@ -934,3 +934,95 @@ def q_hll_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.lit(HLL_M) - F.col("nb")
     e = F.when((raw <= 2.5 * m) & (v > 0), m * F.log(m / v)).otherwise(raw)
     return s.select("source", F.round(e, 2).alias("n_hll"))
+
+
+# --- Count-Min sketch term frequencies ---------------------------------------
+
+CMS_W = 64   # counters per hash row (collisions intended at ~900 bigrams)
+CMS_D = 4    # independent hash rows; estimate = min over rows
+CMS_TOP = 20
+
+
+@query(
+    "cms_term_freq",
+    oracle=f"""
+WITH {TOK_CTE},
+big AS (
+    SELECT UNNEST(CASE WHEN len(toks) >= 2
+        THEN list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])
+        ELSE CAST([] AS VARCHAR[]) END) AS t
+    FROM tok),
+dd AS (SELECT * FROM (VALUES (0), (1), (2), (3)) v(d)),
+cells AS (
+    SELECT b.t, dd.d,
+           ('0x' || substr(md5(dd.d || ':' || b.t), 1, 12))::BIGINT % {CMS_W} AS pos
+    FROM big b CROSS JOIN dd
+), sketch AS (
+    SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY d, pos
+), exact AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS c_exact FROM big GROUP BY t
+), top AS (
+    SELECT * FROM exact ORDER BY c_exact DESC, t LIMIT {CMS_TOP}
+), est AS (
+    SELECT tp.t, MIN(s.c) AS cms_est
+    FROM top tp CROSS JOIN dd
+    JOIN sketch s
+      ON s.d = dd.d
+     AND s.pos = ('0x' || substr(md5(dd.d || ':' || tp.t), 1, 12))::BIGINT % {CMS_W}
+    GROUP BY tp.t
+)
+SELECT tp.t AS term, tp.c_exact, e.cms_est,
+       e.cms_est - tp.c_exact AS overest
+FROM top tp JOIN est e ON e.t = tp.t
+""",
+)
+def q_cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) term-frequency
+    estimation — the third mergeable sketch next to ``hll_distinct``
+    (cardinality) and ``bloom_membership`` (membership): a D x W counter
+    grid where each of D independent md5-derived hash rows increments one
+    of W cells per occurrence, and a term's estimate is the MIN over its D
+    cells — never an underestimate, biased up only by collisions (the
+    fixture's ~900 bigrams over W=64 cells collide on purpose so the
+    overestimate column is non-trivial; the oracle proves both engines
+    agree cell-for-cell). Built from scratch like the HLL so both engines
+    compute bit-identical counters.
+
+    100-TB shape: the sketch build is a map-combinable count at (d, pos)
+    grain — D·W = {CMS_D}·{CMS_W} bounded rows regardless of corpus, the
+    telemetry shape for per-shard frequency monitoring; sketches from
+    different shards MERGE by cell-wise addition. The top-K exact side
+    (here to report realized error) is TakeOrderedAndProject; the
+    estimate probe broadcasts the bounded sketch."""
+    big = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    depths = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
+
+    def _pos(d: F.Column, t: F.Column) -> F.Column:
+        h = F.md5(F.concat(d.cast("string"), F.lit(":"), t))
+        return (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % CMS_W).alias("pos")
+
+    cells = big.select("t", depths).select(
+        "d", _pos(F.col("d"), F.col("t"))
+    )
+    sketch = cells.groupBy("d", "pos").agg(F.count("*").cast("long").alias("c"))
+    exact = big.groupBy("t").agg(F.count("*").cast("long").alias("c_exact"))
+    top = exact.orderBy(F.desc("c_exact"), F.asc("t")).limit(CMS_TOP)
+    probe = top.select("t", "c_exact", depths).select(
+        "t", "c_exact", "d", _pos(F.col("d"), F.col("t"))
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["d", "pos"])
+        .groupBy("t", "c_exact")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("t").alias("term"),
+        "c_exact",
+        "cms_est",
+        (F.col("cms_est") - F.col("c_exact")).alias("overest"),
+    )
