@@ -1026,3 +1026,86 @@ def q_cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("c_exact")).alias("overest"),
     )
+
+
+# --- Per-source KL divergence vs the corpus term distribution ----------------
+
+KL_LN_DP = 9     # per-term ln() rounding (libm 1-ulp guard, cf. training.LOGP_DP)
+KL_C_DP = 12     # per-term contribution rounding before the decimal-exact sum
+
+
+@query(
+    "corpus_drift_kl",
+    oracle=f"""
+WITH {TOK_CTE},
+terms AS (
+    SELECT source, UNNEST(toks) AS term FROM tok
+), st AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+    FROM terms GROUP BY 1, 2
+), src_tot AS (
+    SELECT source, CAST(SUM(c_st) AS BIGINT) AS src_n FROM st GROUP BY 1
+), g AS (
+    SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_g FROM st GROUP BY 1
+), tot AS (SELECT CAST(SUM(c_g) AS BIGINT) AS n FROM g),
+contrib AS (
+    SELECT s.source,
+           CAST(ROUND((s.c_st / st2.src_n)
+                 * ROUND(ln((s.c_st / st2.src_n) / (gt.c_g / t.n)), {KL_LN_DP}),
+                 {KL_C_DP}) AS DECIMAL(28,{KL_C_DP})) AS c
+    FROM st s
+    JOIN src_tot st2 USING (source)
+    JOIN g gt USING (term)
+    CROSS JOIN tot t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(CAST(SUM(c) AS DOUBLE), 8) AS kl_nats
+FROM contrib GROUP BY source
+""",
+)
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the source's term distribution from the
+    whole-corpus distribution — the drift score a curation pipeline
+    monitors per shard/crawl-slice (``cusum_drift`` is the numeric-stream
+    sibling; ``distinctive_terms``'s lift is the per-term view, this is
+    the per-source aggregate). KL(p_source || q_corpus) = sum_t p ln(p/q),
+    finite by construction since every source term has corpus support.
+
+    Determinism: p and q are exact int/int divisions on bit-identical
+    doubles; the one transcendental (ln) is rounded per term at
+    {KL_LN_DP}dp before use, the per-term contribution at {KL_C_DP}dp,
+    and the sum runs as DECIMAL — order-independent, so the cross-engine
+    hash is stable (same contract as the bigram-LM NLL).
+
+    100-TB shape: one (source, term) count agg (map-combinable), tiny
+    broadcast totals, then a per-source sum — the shuffle carries the
+    distinct (source, term) vocabulary, never the token stream."""
+    terms = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    st = (
+        terms.groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    src_tot = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("src_n"))
+    g = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_g"))
+    tot = g.agg(F.sum("c_g").cast("long").alias("n"))
+    p = F.col("c_st") / F.col("src_n")
+    q = F.col("c_g") / F.col("n")
+    contrib = (
+        st.join(F.broadcast(src_tot), "source")
+        .join(g, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(p * F.round(F.log(p / q), KL_LN_DP), KL_C_DP)
+            .cast(f"decimal(28,{KL_C_DP})")
+            .alias("c"),
+        )
+    )
+    return contrib.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.sum("c").cast("double"), 8).alias("kl_nats"),
+    )
