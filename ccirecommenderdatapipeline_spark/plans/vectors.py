@@ -1014,3 +1014,107 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["pca_power_iteration"] = _ORACLES["pca_power_iteration"].replace(
     "__COV__", _ORACLES["embedding_covariance"]
 )
+
+
+# --- Truncated-embedding (matryoshka) retrieval quality ----------------------
+
+TRUNC_D = 16     # leading dims kept in the truncated index
+TRUNC_K = 10     # retrieval depth compared
+
+
+@query(
+    "embedding_truncation_recall",
+    oracle="WITH " + VECS_CTE + f"""
+, t AS (
+    SELECT vec_id, v[1:{TRUNC_D}] AS tv,
+           sqrt({_dot_sql("v[1:" + str(TRUNC_D) + "]", "v[1:" + str(TRUNC_D) + "]")}) AS tnrm
+    FROM vecs
+), q AS (SELECT * FROM n WHERE vec_id % {QUERY_MOD} = 0)
+, qt AS (SELECT * FROM t WHERE vec_id % {QUERY_MOD} = 0)
+, full_rk AS (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_dot_sql("q.v", "x.v")} / (q.nrm * x.nrm) DESC,
+                        x.vec_id) AS rk
+    FROM q JOIN n x ON x.vec_id <> q.vec_id
+), trunc_rk AS (
+    SELECT qt.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qt.vec_id
+               ORDER BY {_dot_sql("qt.tv", "x.tv")} / (qt.tnrm * x.tnrm) DESC,
+                        x.vec_id) AS rk
+    FROM qt JOIN t x ON x.vec_id <> qt.vec_id
+), f AS (SELECT query_id, neighbor_id FROM full_rk WHERE rk <= {TRUNC_K})
+, tr AS (SELECT query_id, neighbor_id FROM trunc_rk WHERE rk <= {TRUNC_K})
+SELECT f.query_id,
+       CAST({TRUNC_K} AS BIGINT) AS k,
+       CAST(COUNT(tr.neighbor_id) AS BIGINT) AS hits,
+       COUNT(tr.neighbor_id) / CAST({TRUNC_K} AS DOUBLE) AS recall
+FROM f LEFT JOIN tr
+  ON tr.query_id = f.query_id AND tr.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+""",
+)
+def q_embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al. 2022): recall@
+    {TRUNC_K} of retrieval over the LEADING {TRUNC_D} dims against full-
+    dimension retrieval — the measurement that decides whether a cheaper
+    truncated index (4x less compute/memory per probe here) is good
+    enough to ship. Same eval discipline as ``ann_recall_eval``: both
+    sides ranked at identical depth, hits counted on the full side so a
+    truncated duplicate can never inflate recall, exact binary-rational
+    division. Truncated dot products slice the stored vector in place
+    (``slice``) — no second embedding table is materialized.
+
+    100-TB shape: both sides are the knn_brute_force plan shape
+    (broadcast queries, WindowGroupLimit partial top-k below the
+    exchange); quadratic in scored pairs by definition — this is an
+    EVAL over a sampled query set, not a serving path."""
+    n = _vectors(spark, sf_dir)
+    t = n.select(
+        "vec_id",
+        F.slice(F.col("v"), 1, TRUNC_D).alias("tv"),
+        F.sqrt(dot(F.slice(F.col("v"), 1, TRUNC_D), F.slice(F.col("v"), 1, TRUNC_D))).alias("tnrm"),
+    )
+    q = n.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+    )
+    qt = t.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tv").alias("qtv"), F.col("tnrm").alias("qtnrm"),
+    )
+    full_pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.lit("x").alias("neighbor_label"),
+            cosine(F.col("qv"), F.col("qnrm"), F.col("v"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    trunc_pairs = (
+        t.crossJoin(F.broadcast(qt))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.lit("x").alias("neighbor_label"),
+            cosine(F.col("qtv"), F.col("qtnrm"), F.col("tv"), F.col("tnrm")).alias("cosine"),
+        )
+    )
+    f = topk_per_query(full_pairs, TRUNC_K).select("query_id", "neighbor_id")
+    tr = topk_per_query(trunc_pairs, TRUNC_K).select(
+        F.col("query_id").alias("t_query"), F.col("neighbor_id").alias("t_neighbor")
+    )
+    return (
+        f.join(
+            tr,
+            (f["query_id"] == tr["t_query"]) & (f["neighbor_id"] == tr["t_neighbor"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(TRUNC_K).cast("long").alias("k"),
+            F.count("t_neighbor").cast("long").alias("hits"),
+            (F.count("t_neighbor") / F.lit(float(TRUNC_K))).alias("recall"),
+        )
+    )
