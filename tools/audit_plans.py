@@ -61,5 +61,42 @@ def main() -> int:
     return 0
 
 
+
+
+def fingerprint(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLAN_FINGERPRINTS.json") -> None:
+    """Write a per-query physical-plan fingerprint (counts of the load-
+    bearing node types) to ``out_path``. Diffing this file between rounds
+    catches SILENT plan regressions — a broadcast silently degrading to a
+    sort-merge join, a cache stop matching, an extra exchange — that
+    correctness gates cannot see.
+
+    Usage: python tools/audit_plans.py --fingerprint [sf_dir]
+    """
+    import json
+
+    spark = get_spark("plan-fingerprint")
+    nodes = (
+        "Exchange", "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "InMemoryTableScan", "Scan parquet",
+        "WindowGroupLimit", "HashAggregate", "ObjectHashAggregate",
+    )
+    fp: dict[str, dict[str, int]] = {}
+    for name, fn in plans.QUERIES.items():
+        try:
+            txt = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            fp[name] = {"__error__": 1}
+            continue
+        fp[name] = {n: txt.count(n) for n in nodes if txt.count(n)}
+        spark.catalog.clearCache()
+    with open(out_path, "w") as f:
+        json.dump(fp, f, indent=1, sort_keys=True)
+    print(f"wrote {len(fp)} fingerprints to {out_path}")
+
+
 if __name__ == "__main__":
+    if "--fingerprint" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--fingerprint"]
+        fingerprint(*args)
+        raise SystemExit(0)
     raise SystemExit(main())
