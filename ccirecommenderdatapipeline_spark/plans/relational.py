@@ -658,3 +658,43 @@ def q_window_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_value"),
         F.row_number().over(w).cast("long").alias("seq"),
     )
+
+
+@query(
+    "cube_grouping_battery",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension (SURVEY §2.5 note, the CUBE sibling of
+    ``rollup_counts``): all four grouping-set combinations in one pass,
+    with ``grouping_id()`` distinguishing a real NULL group value from a
+    subtotal marker — the bitmask Spark and the SQL-standard
+    GROUPING(a, b) agree on. Money sums go through the decimal-exact
+    route per the repo contract. One expand + hash agg: Spark's Expand
+    emits the 4 grouping-set rows per input row map-side and the
+    aggregate stays map-combinable — no extra shuffle vs a plain
+    group-by at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty", "sum_price"
+        )
+    )
