@@ -61,6 +61,13 @@ HEADLINE = [
     "interval_merge",            # overlapping-interval island merge (r7)
     "pca_power_iteration",       # D-sized iterative matvec jobs (r7)
     "feature_binning",           # two-phase bucketed exact NTILE (r7)
+    "boilerplate_ngram_scrub",   # corpus-frequency chunk scrub (r7)
+    "token_budget_selection",    # two-phase running-sum budget draw (r7)
+    "weighted_sample_wr",        # A-ES weighted draw w/o replacement (r7)
+    "cms_term_freq",             # Count-Min sketch frequencies (r7)
+    "corpus_drift_kl",           # per-source KL drift telemetry (r7)
+    "embedding_truncation_recall",  # matryoshka retrieval eval (r7)
+    "cube_grouping_battery",     # CUBE + grouping_id battery (r7)
 ]
 
 
