@@ -65,17 +65,17 @@ _PRIORITY = [
     "coalesce_bfill", "cast_battery", "date_arith", "scalar_minmax",
     "quantile_disc", "regex_json_extract", "json_get_k", "lookup_join",
     "anti_join", "semi_join", "update_join", "cross_grid",
-    "upsert_keep_last",
     # (d) new this round (never driver-verified)
     "boilerplate_ngram_scrub", "token_budget_selection",
     "weighted_sample_wr", "cms_term_freq", "corpus_drift_kl",
     "embedding_truncation_recall", "cube_grouping_battery",
+    "stream_cms_merge",
 ]
 
 # After this round's window executes, EVERY registered name has a driver
 # verdict under its current plan (the r5/r6 backlog of 15 verdict-less
 # queries is cleared by (a), the plan changes are re-verified by (b), and
-# the seven r7 additions are in (d)). Round 8 therefore has no mandatory
+# the eight r7 additions are in (d)). Round 8 therefore has no mandatory
 # rotation; pin whatever plans change next and keep rotating stale rows.
 
 def _reorder() -> None:

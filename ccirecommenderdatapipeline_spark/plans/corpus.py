@@ -943,6 +943,43 @@ CMS_D = 4    # independent hash rows; estimate = min over rows
 CMS_TOP = 20
 
 
+def cms_pos(d, t):
+    """Cell position of term ``t`` in hash row ``d`` — md5-derived, the
+    shared primitive of the batch sketch build, the top-K probe, and the
+    streaming cell merge (streaming/jobs.py:stream_cms_merge)."""
+    h = F.md5(F.concat(d.cast("string"), F.lit(":"), t))
+    return (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % CMS_W).alias("pos")
+
+
+def cms_cells(docs: DataFrame) -> DataFrame:
+    """(d, pos) row per (bigram occurrence x hash row) for a documents-
+    shaped DataFrame — works identically on a batch table or one
+    micro-batch (foreachBatch), which is what makes per-batch partial
+    sketches CELL-WISE ADDITIVE."""
+    big = docs.select(F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("t"))
+    depths = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
+    return big.select("t", depths).select("d", cms_pos(F.col("d"), F.col("t")))
+
+
+# the sketch-cell pipeline as oracle CTEs (shared by cms_term_freq and the
+# streaming merge oracle)
+CMS_SKETCH_CTES = f"""{TOK_CTE},
+big AS (
+    SELECT UNNEST(CASE WHEN len(toks) >= 2
+        THEN list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])
+        ELSE CAST([] AS VARCHAR[]) END) AS t
+    FROM tok),
+dd AS (SELECT * FROM (VALUES (0), (1), (2), (3)) v(d)),
+cells AS (
+    SELECT b.t, dd.d,
+           ('0x' || substr(md5(dd.d || ':' || b.t), 1, 12))::BIGINT % {CMS_W} AS pos
+    FROM big b CROSS JOIN dd
+), sketch AS (
+    SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY d, pos
+)"""
+
+
 @query(
     "cms_term_freq",
     oracle=f"""
@@ -1001,19 +1038,12 @@ def q_cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     depths = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
-
-    def _pos(d: F.Column, t: F.Column) -> F.Column:
-        h = F.md5(F.concat(d.cast("string"), F.lit(":"), t))
-        return (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % CMS_W).alias("pos")
-
-    cells = big.select("t", depths).select(
-        "d", _pos(F.col("d"), F.col("t"))
-    )
+    cells = big.select("t", depths).select("d", cms_pos(F.col("d"), F.col("t")))
     sketch = cells.groupBy("d", "pos").agg(F.count("*").cast("long").alias("c"))
     exact = big.groupBy("t").agg(F.count("*").cast("long").alias("c_exact"))
     top = exact.orderBy(F.desc("c_exact"), F.asc("t")).limit(CMS_TOP)
     probe = top.select("t", "c_exact", depths).select(
-        "t", "c_exact", "d", _pos(F.col("d"), F.col("t"))
+        "t", "c_exact", "d", cms_pos(F.col("d"), F.col("t"))
     )
     est = (
         probe.join(F.broadcast(sketch), ["d", "pos"])

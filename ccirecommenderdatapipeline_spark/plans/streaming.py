@@ -402,3 +402,19 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_outer_attribution
 
     return stream_outer_attribution(spark, sf_dir)
+
+
+from .corpus import CMS_SKETCH_CTES  # noqa: E402
+
+
+@query(
+    "stream_cms_merge",
+    oracle="WITH " + CMS_SKETCH_CTES + "\nSELECT d, pos, c FROM sketch",
+)
+def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch: per-micro-batch partial cell tables,
+    cell-wise additive merge; equals the batch sketch exactly (see
+    streaming/jobs.py:stream_cms_merge)."""
+    from ..streaming.jobs import stream_cms_merge
+
+    return stream_cms_merge(spark, sf_dir)

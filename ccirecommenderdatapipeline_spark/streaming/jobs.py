@@ -813,3 +813,70 @@ def stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(plan, "append").filter(
         F.col("user_id") != SENTINEL_USER
     )
+
+
+def stage_documents_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize documents as an n-file parquet directory for file-source
+    streaming. Idempotent per sf_dir."""
+    from ..sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(STAGE_ROOT, f"{tag}_documents_v1_{n_files}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "documents").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(out)
+    return out
+
+
+def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained OVER A STREAM: each micro-batch's
+    documents are hashed into a PARTIAL (d, pos, count) cell table inside
+    foreachBatch and appended to the sketch log; the merged sketch is the
+    cell-wise SUM across batches — the additivity that makes CMS (like
+    HLL's register max) the sketch family for streaming telemetry. With
+    availableNow over the staged files, the merged cells equal the batch
+    sketch over the whole corpus bit-for-bit (the oracle replays the
+    batch build), proving the merge is lossless however the corpus is
+    micro-batched.
+
+    100-TB shape: each batch's partial agg collapses to <= D x W cells
+    before any write; the log holds (#batches x D x W) bounded rows and
+    the final merge is a tiny agg — the stream never shuffles documents."""
+    from ..plans.corpus import cms_cells
+
+    staged = stage_documents_dir(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    run_id = uuid.uuid4().hex[:10]
+    target = os.path.join(STAGE_ROOT, f"cms_cells_{run_id}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_cells(batch_df)
+            .groupBy("d", "pos")
+            .agg(F.count("*").cast("long").alias("c"))
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(STAGE_ROOT, "ckpt", f"cms_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(target)
+        .groupBy("d", "pos")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
