@@ -28,6 +28,7 @@ from . import corpus  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import warehouse  # noqa: E402,F401
 from . import training  # noqa: E402,F401
+from . import recommender  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
 # the FIRST 50 registered queries only. Round-7 priority window:
@@ -64,12 +65,16 @@ _PRIORITY = [
     "proj_rename", "filter_conjunctive", "when_otherwise",
     "coalesce_bfill", "cast_battery", "date_arith", "scalar_minmax",
     "quantile_disc", "regex_json_extract", "json_get_k", "lookup_join",
-    "anti_join", "semi_join", "update_join", "cross_grid",
+    # (anti_join/semi_join/update_join/cross_grid displaced to keep the
+    # window at 50 as (d) grew — each keeps its r1 green row and local
+    # gate coverage; new code must out-rank old re-verification)
     # (d) new this round (never driver-verified)
     "boilerplate_ngram_scrub", "token_budget_selection",
     "weighted_sample_wr", "cms_term_freq", "corpus_drift_kl",
     "embedding_truncation_recall", "cube_grouping_battery",
     "stream_cms_merge",
+    "market_basket_pairs", "item_item_cosine",
+    "logreg_gd_step", "length_bucket_batching",
 ]
 
 # After this round's window executes, EVERY registered name has a driver

@@ -1139,3 +1139,85 @@ def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_terms"),
         F.round(F.sum("c").cast("double"), 8).alias("kl_nats"),
     )
+
+
+# --- Length-bucketed batching (padding-waste telemetry) ----------------------
+
+LBB_STEP = 16  # bucket granularity in tokens (pad-to-multiple-of-16)
+
+
+@query(
+    "length_bucket_batching",
+    oracle=f"""
+WITH {TOK_CTE},
+lens AS (
+    SELECT CAST(len(toks) AS BIGINT) AS n_tok FROM tok
+), b AS (
+    SELECT GREATEST(((n_tok + {LBB_STEP - 1}) // {LBB_STEP}) * {LBB_STEP},
+                    {LBB_STEP}) AS bucket_cap,
+           n_tok
+    FROM lens
+), g AS (
+    SELECT CAST(MAX(bucket_cap) AS BIGINT) AS gmax FROM b
+), agg AS (
+    SELECT bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok
+    FROM b GROUP BY 1
+)
+SELECT bucket_cap, n_docs, sum_tok, max_tok,
+       n_docs * bucket_cap - sum_tok AS pad_waste,
+       ROUND((n_docs * bucket_cap - sum_tok)
+             / CAST(n_docs * bucket_cap AS DOUBLE), 8) AS waste_pct,
+       n_docs * (g.gmax - bucket_cap) AS cells_saved
+FROM agg CROSS JOIN g
+""",
+)
+def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching telemetry: assign every document to a
+    pad-to-multiple-of-{LBB_STEP} token bucket and report, per bucket,
+    the padding waste of batching at the bucket boundary and the cells
+    saved vs padding the whole corpus to its global max — the standard
+    accounting an inference/training batcher runs before choosing bucket
+    boundaries (``sequence_packing`` is the greedy-fill sibling; this is
+    the static-shape / XLA-friendly policy).
+
+    Every measure is exact int64 arithmetic off one map-combinable
+    (bucket) aggregate; the single double division (waste fraction) is
+    one IEEE op on exact ints — bit-stable under any partitioning. The
+    global max re-enters as a broadcast scalar.
+
+    100-TB shape: one documents scan -> per-row tokenize + bucket id ->
+    hash agg on a bounded bucket key (seq-len range / {LBB_STEP} distinct
+    groups); nothing retains per-doc state."""
+    lens = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    b = lens.select(
+        F.greatest(
+            F.expr(f"((n_tok + {LBB_STEP - 1}) DIV {LBB_STEP}) * {LBB_STEP}"),
+            F.lit(LBB_STEP).cast("long"),
+        ).alias("bucket_cap"),
+        "n_tok",
+    )
+    g = b.agg(F.max("bucket_cap").cast("long").alias("gmax"))
+    agg = b.groupBy("bucket_cap").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+    )
+    padded = F.col("n_docs") * F.col("bucket_cap")
+    return agg.crossJoin(F.broadcast(g)).select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tok",
+        "max_tok",
+        (padded - F.col("sum_tok")).alias("pad_waste"),
+        F.round((padded - F.col("sum_tok")) / padded.cast("double"), 8).alias(
+            "waste_pct"
+        ),
+        (F.col("n_docs") * (F.col("gmax") - F.col("bucket_cap"))).alias(
+            "cells_saved"
+        ),
+    )

@@ -702,3 +702,153 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
         "doc_id", "source", "n_tokens", "rk", "cum_tokens"
     )
+
+
+# --- Full-batch logistic-regression gradient step ----------------------------
+
+GD_W = {"bias": 0.05, "f_acctbal": -0.4, "f_nation": 0.2}  # frozen w_t
+GD_LR = 0.5          # learning rate for the reported w_{t+1}
+GD_Z_DP = 9          # logit rounding before exp (libm-input pinning)
+GD_SIG_DP = 10       # sigmoid rounding after exp (1-ulp libm guard)
+GD_LN_DP = 9         # per-row ln() rounding inside the NLL
+GD_C_DP = 12         # per-row contribution rounding before the decimal sum
+
+
+@query(
+    "logreg_gd_step",
+    oracle=f"""
+WITH f AS (
+    SELECT c_acctbal / 10000.0 AS f_acctbal,
+           c_nationkey / 25.0 AS f_nation,
+           CAST(c_mktsegment = 'BUILDING' AS INT) AS y
+    FROM customer
+), z AS (
+    SELECT *, ROUND({GD_W['bias']} + {GD_W['f_acctbal']} * f_acctbal
+                    + {GD_W['f_nation']} * f_nation, {GD_Z_DP}) AS zz FROM f
+), s AS (
+    SELECT *, ROUND(1.0 / (1.0 + exp(-zz)), {GD_SIG_DP}) AS sig FROM z
+), e AS (
+    SELECT f_acctbal, f_nation, sig - y AS err,
+           CAST(ROUND(-(y * ROUND(ln(sig), {GD_LN_DP})
+                        + (1 - y) * ROUND(ln(1.0 - sig), {GD_LN_DP})),
+                      {GD_C_DP}) AS DECIMAL(28,{GD_C_DP})) AS nll_c
+    FROM s
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(nll_c) AS DOUBLE) / COUNT(*), 8) AS mean_nll
+    FROM e
+), g AS (
+    SELECT 'bias' AS feature,
+           SUM(CAST(ROUND(err, {GD_C_DP}) AS DECIMAL(28,{GD_C_DP}))) AS sc
+    FROM e
+    UNION ALL
+    SELECT 'f_acctbal',
+           SUM(CAST(ROUND(f_acctbal * err, {GD_C_DP})
+                    AS DECIMAL(28,{GD_C_DP}))) FROM e
+    UNION ALL
+    SELECT 'f_nation',
+           SUM(CAST(ROUND(f_nation * err, {GD_C_DP})
+                    AS DECIMAL(28,{GD_C_DP}))) FROM e
+), w AS (
+    SELECT feature, n,
+           ROUND(CAST(sc AS DOUBLE) / n, 8) AS grad,
+           CAST(CASE feature
+                WHEN 'bias' THEN {GD_W['bias']}
+                WHEN 'f_acctbal' THEN {GD_W['f_acctbal']}
+                ELSE {GD_W['f_nation']} END AS DOUBLE) AS w_old,
+           mean_nll
+    FROM g CROSS JOIN tot
+)
+SELECT feature, n, grad, w_old,
+       ROUND(w_old - {GD_LR} * grad, 8) AS w_new, mean_nll
+FROM w
+""",
+)
+def q_logreg_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-batch gradient-descent step for logistic regression — the
+    training-side sibling of ``quality_logreg_score`` (frozen-coefficient
+    inference): grad_j = (1/n) * sum_i x_ij (sigmoid(w.x_i) - y_i), plus
+    the mean negative log-likelihood at w_t. This is the allreduce shape
+    of distributed full-batch GD: each partition folds its rows into J
+    per-feature partial sums (map-combinable), one J-row reduce, and the
+    driver-sized result carries the updated weights w_{t+1} = w_t -
+    lr * grad.
+
+    Determinism contract (cf. ``corpus_drift_kl``): the logit is a fixed
+    left-to-right double expression rounded at {GD_Z_DP}dp BEFORE exp so
+    both engines hand libm the identical double; sigmoid is re-rounded at
+    {GD_SIG_DP}dp after (1-ulp guard); ln for the NLL at {GD_LN_DP}dp;
+    every per-row contribution at {GD_C_DP}dp then summed as
+    DECIMAL(28,{GD_C_DP}) — order-independent, so the gradient is
+    bit-stable under any partitioning.
+
+    100-TB shape: one customer scan; ``stack`` unpivots each row to its J
+    feature contributions inside the same stage (no second scan, no
+    shuffle of raw features); the shuffle carries J*P partial sums. The
+    NLL aggregate reuses the scan and broadcasts back as a scalar."""
+    w0 = {k: F.lit(v) for k, v in GD_W.items()}
+    f = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_acctbal") / F.lit(10000.0)).alias("f_acctbal"),
+        (F.col("c_nationkey") / F.lit(25.0)).alias("f_nation"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("y"),
+    )
+    z = f.withColumn(
+        "zz",
+        F.round(
+            w0["bias"]
+            + w0["f_acctbal"] * F.col("f_acctbal")
+            + w0["f_nation"] * F.col("f_nation"),
+            GD_Z_DP,
+        ),
+    )
+    s = z.withColumn(
+        "sig", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zz"))), GD_SIG_DP)
+    )
+    dec = f"decimal(28,{GD_C_DP})"
+    e = s.select(
+        "f_acctbal",
+        "f_nation",
+        (F.col("sig") - F.col("y")).alias("err"),
+        F.round(
+            -(
+                F.col("y") * F.round(F.log("sig"), GD_LN_DP)
+                + (F.lit(1) - F.col("y"))
+                * F.round(F.log(F.lit(1.0) - F.col("sig")), GD_LN_DP)
+            ),
+            GD_C_DP,
+        )
+        .cast(dec)
+        .alias("nll_c"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tot = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("nll_c").cast("double") / F.count("*"), 8).alias("mean_nll"),
+    )
+    unpiv = e.select(
+        F.expr(
+            "stack(3, 'bias', CAST(1.0 AS DOUBLE),"
+            " 'f_acctbal', f_acctbal, 'f_nation', f_nation) AS (feature, x)"
+        ),
+        "err",
+    )
+    g = unpiv.groupBy("feature").agg(
+        F.sum(F.round(F.col("x") * F.col("err"), GD_C_DP).cast(dec)).alias("sc")
+    )
+    w_old = F.element_at(
+        F.create_map(
+            *[c for k, v in GD_W.items() for c in (F.lit(k), F.lit(float(v)))]
+        ),
+        F.col("feature"),
+    )
+    grad = F.round(F.col("sc").cast("double") / F.col("n"), 8)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "n",
+            grad.alias("grad"),
+            w_old.alias("w_old"),
+            F.round(w_old - F.lit(GD_LR) * grad, 8).alias("w_new"),
+            "mean_nll",
+        )
+    )
