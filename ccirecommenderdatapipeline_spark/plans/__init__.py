@@ -63,11 +63,12 @@ _PRIORITY = [
     # (c) round-1-verdict backfill (oldest rows, unchanged plans)
     "prices", "cci", "buy_signals", "signal_counts", "latest_cci",
     "proj_rename", "filter_conjunctive", "when_otherwise",
-    "coalesce_bfill", "cast_battery", "date_arith", "scalar_minmax",
-    "quantile_disc", "regex_json_extract", "json_get_k", "lookup_join",
-    # (anti_join/semi_join/update_join/cross_grid displaced to keep the
-    # window at 50 as (d) grew — each keeps its r1 green row and local
-    # gate coverage; new code must out-rank old re-verification)
+    "coalesce_bfill",
+    # (anti_join/semi_join/update_join/cross_grid/quantile_disc/
+    # regex_json_extract/json_get_k/cast_battery/date_arith/scalar_minmax/
+    # lookup_join displaced to keep the window at 50 as (d) grew — each
+    # keeps its r1 green row and local gate coverage; new code must
+    # out-rank old re-verification)
     # (d) new this round (never driver-verified)
     "boilerplate_ngram_scrub", "token_budget_selection",
     "weighted_sample_wr", "cms_term_freq", "corpus_drift_kl",
@@ -75,6 +76,9 @@ _PRIORITY = [
     "stream_cms_merge",
     "market_basket_pairs", "item_item_cosine",
     "logreg_gd_step", "length_bucket_batching",
+    "brand_transition_matrix", "decayed_popularity", "reco_candidates",
+    "ab_test_zscore", "rendezvous_sharding", "triangle_count_oriented",
+    "logreg_calibration_bins",
 ]
 
 # After this round's window executes, EVERY registered name has a driver

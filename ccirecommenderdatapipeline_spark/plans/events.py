@@ -544,3 +544,90 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("island_end"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+# --- A/B experiment readout: two-proportion z-test ---------------------------
+
+AB_CONV_VALUE = 90.0   # conversion = any purchase with value above this
+
+
+@query(
+    "ab_test_zscore",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id, user_id % 2 AS variant,
+           MAX(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE}
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY 1, 2
+), v AS (
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conv) AS BIGINT) AS c
+    FROM u GROUP BY 1
+)
+SELECT a.n AS n_a, a.c AS conv_a,
+       ROUND(a.c / CAST(a.n AS DOUBLE), 8) AS rate_a,
+       b.n AS n_b, b.c AS conv_b,
+       ROUND(b.c / CAST(b.n AS DOUBLE), 8) AS rate_b,
+       ROUND((a.c / CAST(a.n AS DOUBLE) - b.c / CAST(b.n AS DOUBLE))
+             / sqrt(((a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                    * (1.0 - (a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                    * (1.0 / a.n + 1.0 / b.n)), 8) AS z_score
+FROM (SELECT * FROM v WHERE variant = 0) a
+CROSS JOIN (SELECT * FROM v WHERE variant = 1) b
+""",
+)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout for a deterministic experiment split
+    (variant = user_id % 2): per-variant exposure and conversion counts
+    (conversion = any purchase worth > {AB_CONV_VALUE}), conversion
+    rates, and the pooled z statistic — the experiment-analysis shape an
+    events warehouse serves daily.
+
+    Determinism: conversions are exact per-user MAX flags folded into
+    exact BIGINT counts; the z expression is a fixed tree of IEEE
+    divisions and one correctly-rounded sqrt over those ints, so both
+    engines produce the identical double before ROUND 8.
+
+    100-TB shape: one events scan -> per-user flag (map-combinable MAX)
+    sharded on user_id -> a 2-row variant aggregate; the final z is a
+    broadcast of two single-row sides. Nothing retains per-event state,
+    and the user-grain agg is the only shuffle."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("user_id"), (F.col("user_id") % 2).alias("variant")
+        )
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > AB_CONV_VALUE),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"), F.sum("conv").cast("long").alias("c")
+    )
+    a = v.where(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = v.where(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b")
+    pool = (ca + cb) / (F.col("n_a") + F.col("n_b")).cast("double")
+    z = (ca / na - cb / nb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "conv_a",
+        F.round(ca / na, 8).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(cb / nb, 8).alias("rate_b"),
+        F.round(z, 8).alias("z_score"),
+    )

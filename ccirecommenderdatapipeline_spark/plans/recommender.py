@@ -217,3 +217,300 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("rnk") <= TOP_NEIGHBORS)
+
+
+# --- Sequential patterns: consecutive-order brand transitions ----------------
+
+
+@query(
+    "brand_transition_matrix",
+    oracle="""
+WITH ob AS (
+    SELECT DISTINCT o.o_custkey AS ck, o.o_orderkey AS ok,
+                    o.o_orderdate AS dt, p.p_brand AS brand
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), ordseq AS (
+    SELECT ck, ok, DENSE_RANK() OVER (PARTITION BY ck ORDER BY dt, ok) AS rn
+    FROM (SELECT DISTINCT ck, ok, dt FROM ob)
+), tr AS (
+    SELECT a.brand AS brand_from, b.brand AS brand_to,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ob a
+    JOIN ordseq sa ON sa.ok = a.ok
+    JOIN ordseq sb ON sb.ck = sa.ck AND sb.rn = sa.rn + 1
+    JOIN ob b ON b.ok = sb.ok
+    GROUP BY 1, 2
+), ft AS (
+    SELECT brand_from, CAST(SUM(cnt) AS BIGINT) AS tot FROM tr GROUP BY 1
+)
+SELECT tr.brand_from, tr.brand_to, cnt,
+       ROUND(cnt / ft.tot, 8) AS prob
+FROM tr JOIN ft ON ft.brand_from = tr.brand_from
+""",
+)
+def q_brand_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over purchase sequences: for
+    each customer, orders are sequenced by (date, orderkey) and every
+    brand in order t feeds every brand in order t+1; P(to|from) is the
+    row-normalized count — the sequential-pattern sibling of
+    ``market_basket_pairs`` (within-basket) and ``item_item_cosine``
+    (across a customer's whole history): same incidence scan, but time
+    direction matters.
+
+    Plan: the order sequence index is a DENSE_RANK windowed BY CUSTOMER
+    (bounded partitions — a customer's order count), consecutive orders
+    pair via an equi-join on (ck, rn+1), and each pair explodes to at
+    most |V|^2 transitions. The final agg is map-combinable on a key
+    bounded by the brand vocabulary; row totals re-enter by broadcast.
+
+    Determinism: counts exact; one int/int double division, ROUND 8."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").alias("dt"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+        .persist()
+    )
+    w = Window.partitionBy("ck").orderBy("dt", "ok")
+    ordseq = (
+        ob.select("ck", "ok", "dt")
+        .distinct()
+        .select("ck", "ok", F.dense_rank().over(w).alias("rn"))
+    )
+    sa = ordseq.select(F.col("ck"), F.col("ok").alias("ok_a"), F.col("rn"))
+    sb = ordseq.select(
+        F.col("ck"), F.col("ok").alias("ok_b"), (F.col("rn") - 1).alias("rn")
+    )
+    consec = sa.join(sb, ["ck", "rn"])
+    a = ob.select(F.col("ok").alias("ok_a"), F.col("brand").alias("brand_from"))
+    b = ob.select(F.col("ok").alias("ok_b"), F.col("brand").alias("brand_to"))
+    tr = (
+        consec.join(a, "ok_a")
+        .join(b, "ok_b")
+        .groupBy("brand_from", "brand_to")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ft = tr.groupBy("brand_from").agg(F.sum("cnt").cast("long").alias("tot"))
+    return tr.join(F.broadcast(ft), "brand_from").select(
+        "brand_from",
+        "brand_to",
+        "cnt",
+        F.round(F.col("cnt") / F.col("tot"), 8).alias("prob"),
+    )
+
+
+# --- Time-decayed popularity (dyadic-exact decay) ----------------------------
+
+DECAY_DAYS = 90   # one half-life per 90 days of age
+DECAY_CAP = 20    # cap the exponent: ages beyond 20 half-lives all weigh 1
+
+
+@query(
+    "decayed_popularity",
+    oracle=f"""
+WITH ref AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS rd FROM orders
+), w AS (
+    SELECT p.p_brand AS brand,
+           (CAST(1 AS BIGINT) << ({DECAY_CAP} - LEAST(
+                date_diff('day', CAST(o.o_orderdate AS DATE), ref.rd)
+                    // {DECAY_DAYS}, {DECAY_CAP}))) AS wt
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    CROSS JOIN ref
+), agg AS (
+    SELECT brand, CAST(SUM(wt) AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(score) AS BIGINT) AS t FROM agg
+)
+SELECT brand, n_events, score,
+       ROUND(score / CAST(t AS DOUBLE), 8) AS share,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, brand) AS INT) AS rnk
+FROM agg CROSS JOIN tot
+""",
+)
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed brand popularity: each purchase event weighs
+    2^-(age_days // {DECAY_DAYS} half-lives), i.e. halves every
+    {DECAY_DAYS} days of age, capped at {DECAY_CAP} half-lives — the
+    recency prior a candidate generator blends with ``item_item_cosine``
+    scores (exact recency ranking, vs ``ewma_latest``'s per-symbol
+    smoothing).
+
+    Exactness: the decay is DYADIC — weights are integer powers of two
+    built by shiftleft, so the per-brand score is an exact int64 sum
+    (order-independent, no floating decay drift; max weight 2^{DECAY_CAP}
+    * corpus events stays far under int64). The only double op is the
+    final share division. The global ranking window runs over the
+    |V|-bounded aggregate, not the event stream.
+
+    100-TB shape: scan -> map-side weight -> hash agg on brand (bounded
+    key); the reference date is a broadcast scalar agg."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("rd"))
+    k = F.least(
+        F.floor(
+            F.datediff(F.col("rd"), F.col("o_orderdate").cast("date"))
+            / F.lit(DECAY_DAYS)
+        ),
+        F.lit(DECAY_CAP).cast("long"),
+    )
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(ref))
+        .withColumn("kk", k.cast("int"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {DECAY_CAP} - kk)").alias("wt"),
+        )
+    )
+    agg = w.groupBy("brand").agg(
+        F.sum("wt").cast("long").alias("score"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    tot = agg.agg(F.sum("score").cast("long").alias("t"))
+    rw = Window.orderBy(F.desc("score"), F.asc("brand"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n_events",
+            "score",
+            F.round(F.col("score") / F.col("t").cast("double"), 8).alias("share"),
+            F.row_number().over(rw).cast("int").alias("rnk"),
+        )
+    )
+
+
+# --- Candidate generation: unbought neighbor brands per customer -------------
+
+CAND_SAMPLE_MOD = 97   # audit slice: customers with ck % 97 == 0
+CAND_TOP = 5
+
+
+@query(
+    "reco_candidates",
+    oracle=f"""
+WITH cb AS (
+    SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), bc AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM cb GROUP BY 1
+), pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS both_cnt
+    FROM cb a JOIN cb b ON a.ck = b.ck AND a.brand <> b.brand
+    GROUP BY 1, 2
+), sim AS (
+    SELECT pairs.brand_a, pairs.brand_b,
+           ROUND(both_cnt / sqrt(CAST(ca.c AS DOUBLE) * cb2.c), 8) AS cosine
+    FROM pairs
+    JOIN bc ca ON ca.brand = pairs.brand_a
+    JOIN bc cb2 ON cb2.brand = pairs.brand_b
+), cand AS (
+    SELECT cb.ck, s.brand_b AS brand, MAX(s.cosine) AS score
+    FROM cb JOIN sim s ON s.brand_a = cb.brand
+    WHERE cb.ck % {CAND_SAMPLE_MOD} = 0
+      AND NOT EXISTS (SELECT 1 FROM cb b2
+                      WHERE b2.ck = cb.ck AND b2.brand = s.brand_b)
+    GROUP BY 1, 2
+)
+SELECT ck, brand, score, CAST(rnk AS INT) AS rnk FROM (
+    SELECT ck, brand, score,
+           ROW_NUMBER() OVER (PARTITION BY ck ORDER BY score DESC, brand) AS rnk
+    FROM cand
+) WHERE rnk <= {CAND_TOP}
+""",
+)
+def q_reco_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation — the recall stage of the recommender: for an
+    audit slice of customers (ck % {CAND_SAMPLE_MOD} == 0), the top-
+    {CAND_TOP} brands they have NOT bought, scored by the max
+    ``item_item_cosine`` similarity to any brand they HAVE bought
+    ("customers who bought what you bought also bought...").
+
+    Plan: one incidence scan feeds both the similarity model and the
+    per-customer bought sets; the |V|^2-bounded similarity table
+    BROADCASTS into the sampled customers' bought sets (modulo pushdown
+    prunes the probe side before the join); unbought filtering is a
+    LEFT ANTI join back to the same incidence; the per-customer window
+    ranks <= |V| candidate rows. max() over pre-rounded cosines is
+    order-independent, so scores are hash-stable.
+
+    100-TB shape: the model side stays vocabulary-bounded regardless of
+    corpus; the per-customer side shuffles once on ck. The sample slice
+    is the audit view a daily pipeline materializes — removing the
+    modulo serves every customer and only grows the ck shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    bc = cb.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+    b = cb.select("ck", F.col("brand").alias("brand_b"))
+    pairs = (
+        cb.select("ck", F.col("brand").alias("brand_a"))
+        .join(b, "ck")
+        .where(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("both_cnt"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    sim = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb2), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.round(
+                F.col("both_cnt")
+                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
+                8,
+            ).alias("cosine"),
+        )
+    )
+    sampled = cb.where(F.col("ck") % CAND_SAMPLE_MOD == 0)
+    scored = (
+        sampled.withColumnRenamed("brand", "brand_a")
+        .join(F.broadcast(sim), "brand_a")
+        .select("ck", F.col("brand_b").alias("brand"), "cosine")
+    )
+    unbought = scored.join(
+        sampled.withColumnRenamed("brand", "brand"),
+        ["ck", "brand"],
+        "left_anti",
+    )
+    cand = unbought.groupBy("ck", "brand").agg(F.max("cosine").alias("score"))
+    cw = Window.partitionBy("ck").orderBy(F.desc("score"), F.asc("brand"))
+    return (
+        cand.select(
+            "ck", "brand", "score", F.row_number().over(cw).cast("int").alias("rnk")
+        )
+        .where(F.col("rnk") <= CAND_TOP)
+    )

@@ -837,3 +837,70 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
         .cast("double").alias("total_price"),
     )
+
+
+# --- Rendezvous (highest-random-weight) sharding -----------------------------
+
+HRW_N = 8          # current shard count
+HRW_N_NEXT = 9     # candidate expanded shard count
+
+
+@query(
+    "rendezvous_sharding",
+    oracle=f"""
+WITH s AS (
+    SELECT UNNEST(range({HRW_N_NEXT})) AS sh
+), w AS (
+    SELECT d.doc_id, s.sh,
+           md5(s.sh || ':' || d.doc_id) AS wt
+    FROM documents d CROSS JOIN s
+), a AS (
+    SELECT doc_id,
+           arg_max(sh, wt) FILTER (WHERE sh < {HRW_N}) AS a8,
+           arg_max(sh, wt) AS a9
+    FROM w GROUP BY 1
+)
+SELECT CAST(a9 AS BIGINT) AS shard,
+       CAST(COUNT(*) FILTER (WHERE a8 = a9) AS BIGINT) AS n_stable,
+       CAST(COUNT(*) FILTER (WHERE a8 <> a9) AS BIGINT) AS n_moved_in,
+       CAST(COUNT(*) AS BIGINT) AS n_after
+FROM a GROUP BY 1
+""",
+)
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1996) — the consistent-placement policy a 100-TB table uses so that
+    growing {HRW_N} -> {HRW_N_NEXT} shards moves ONLY the keys whose new
+    argmax is the new shard (expected 1/{HRW_N_NEXT} of the corpus),
+    never a rehash-everything shuffle. Each doc's shard is the argmax of
+    md5(shard ':' doc_id) over candidate shards; the query reports, per
+    post-expansion shard, how many docs were already there (n_stable)
+    and how many moved in (n_moved_in) — movement lands exclusively on
+    the new shard, the invariant tests/test_recommender.py pins.
+
+    Determinism: md5 hex strings order identically in both engines;
+    argmax ties are impossible short of an md5 collision. Both the
+    {HRW_N}-shard and {HRW_N_NEXT}-shard assignments come from ONE
+    explode + one max(struct) agg per doc (map-combinable; the
+    {HRW_N_NEXT}x row blowup is bounded by the shard count, not data).
+
+    100-TB shape: map-only scoring + per-doc agg; the per-shard rollup
+    shuffles {HRW_N_NEXT} counter rows per partition."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(HRW_N_NEXT - 1))).alias("sh"),
+    ).select(
+        "doc_id",
+        "sh",
+        F.md5(F.concat_ws(":", F.col("sh"), F.col("doc_id"))).alias("wt"),
+    )
+    a = w.groupBy("doc_id").agg(
+        F.max(F.when(F.col("sh") < HRW_N, F.struct("wt", "sh")))["sh"].alias("a8"),
+        F.max(F.struct("wt", "sh"))["sh"].alias("a9"),
+    )
+    return a.groupBy(F.col("a9").cast("long").alias("shard")).agg(
+        F.count(F.when(F.col("a8") == F.col("a9"), 1)).cast("long").alias("n_stable"),
+        F.count(F.when(F.col("a8") != F.col("a9"), 1)).cast("long").alias("n_moved_in"),
+        F.count("*").cast("long").alias("n_after"),
+    )

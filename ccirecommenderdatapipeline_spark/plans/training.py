@@ -852,3 +852,94 @@ def q_logreg_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_nll",
         )
     )
+
+
+# --- Calibration bins for the frozen logreg scorer ---------------------------
+
+CAL_BINS = 20   # reliability-diagram resolution: 1/20-wide score bins
+
+
+@query(
+    "logreg_calibration_bins",
+    oracle=f"""
+WITH f AS (
+    SELECT c_acctbal / 10000.0 AS f_acctbal,
+           c_nationkey / 25.0 AS f_nation,
+           CAST(c_mktsegment = 'BUILDING' AS INT) AS y
+    FROM customer
+), z AS (
+    SELECT *, ROUND({GD_W['bias']} + {GD_W['f_acctbal']} * f_acctbal
+                    + {GD_W['f_nation']} * f_nation, {GD_Z_DP}) AS zz FROM f
+), s AS (
+    SELECT y, ROUND(1.0 / (1.0 + exp(-zz)), {GD_SIG_DP}) AS sig FROM z
+), b AS (
+    SELECT LEAST(CAST(FLOOR(sig * {CAL_BINS}) AS BIGINT), {CAL_BINS - 1}) AS bin,
+           y, CAST(sig AS DECIMAL(28,{GD_SIG_DP})) AS sig_d
+    FROM s
+), agg AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           SUM(sig_d) AS conf_sum
+    FROM b GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM agg)
+SELECT bin, n, n_pos,
+       ROUND(CAST(conf_sum AS DOUBLE) / n, 8) AS mean_conf,
+       ROUND(n_pos / CAST(n AS DOUBLE), 8) AS frac_pos,
+       ROUND(abs(n_pos / CAST(n AS DOUBLE) - CAST(conf_sum AS DOUBLE) / n)
+             * n / tot.nt, 8) AS ece_contrib
+FROM agg CROSS JOIN tot
+""",
+)
+def q_logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / calibration bins for the frozen logistic
+    scorer behind ``logreg_gd_step``: predicted probabilities are split
+    into {CAL_BINS} equal-width bins and each bin reports mean predicted
+    confidence vs observed positive rate, plus its contribution to the
+    Expected Calibration Error (sum of ece_contrib = ECE) — the model-QA
+    readout a scoring pipeline materializes next to batch inference
+    (``quality_logreg_score``).
+
+    Determinism: sigmoid follows the exact rounding schedule of
+    ``logreg_gd_step`` (z@{GD_Z_DP}dp pre-exp, sig@{GD_SIG_DP}dp after);
+    bin ids are FLOOR on identical doubles; per-bin confidence sums run
+    as DECIMAL(28,{GD_SIG_DP}) — order-independent.
+
+    100-TB shape: one scan, map-side score+bin, hash agg on a
+    {CAL_BINS}-bounded key; the corpus total re-enters broadcast."""
+    f = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_acctbal") / F.lit(10000.0)).alias("f_acctbal"),
+        (F.col("c_nationkey") / F.lit(25.0)).alias("f_nation"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("y"),
+    )
+    zz = F.round(
+        F.lit(GD_W["bias"])
+        + F.lit(GD_W["f_acctbal"]) * F.col("f_acctbal")
+        + F.lit(GD_W["f_nation"]) * F.col("f_nation"),
+        GD_Z_DP,
+    )
+    sig = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zz)), GD_SIG_DP)
+    b = f.select(
+        F.least(
+            F.floor(sig * CAL_BINS).cast("long"), F.lit(CAL_BINS - 1).cast("long")
+        ).alias("bin"),
+        "y",
+        sig.cast(f"decimal(28,{GD_SIG_DP})").alias("sig_d"),
+    )
+    agg = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("sig_d").alias("conf_sum"),
+    )
+    tot = agg.agg(F.sum("n").cast("long").alias("nt"))
+    mean_conf = F.col("conf_sum").cast("double") / F.col("n")
+    frac_pos = F.col("n_pos") / F.col("n").cast("double")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(mean_conf, 8).alias("mean_conf"),
+        F.round(frac_pos, 8).alias("frac_pos"),
+        F.round(F.abs(frac_pos - mean_conf) * F.col("n") / F.col("nt"), 8).alias(
+            "ece_contrib"
+        ),
+    )

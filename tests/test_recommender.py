@@ -14,11 +14,17 @@ from ccirecommenderdatapipeline_spark.plans.corpus import (
     q_length_bucket_batching,
 )
 from ccirecommenderdatapipeline_spark.plans.recommender import (
+    CAND_SAMPLE_MOD,
+    CAND_TOP,
+    DECAY_CAP,
     MIN_SUPPORT,
     TOP_NEIGHBORS,
     _order_brands,
+    q_brand_transition_matrix,
+    q_decayed_popularity,
     q_item_item_cosine,
     q_market_basket_pairs,
+    q_reco_candidates,
 )
 from ccirecommenderdatapipeline_spark.plans.training import (
     GD_LR,
@@ -123,3 +129,188 @@ def test_length_bucket_batching_accounting(spark):
     assert n_docs * gmax == total_cells_bucketed + sum(
         r["cells_saved"] for r in rows
     )
+
+
+def test_brand_transition_rows_normalize(spark):
+    """Each from-brand's outgoing probabilities sum to ~1 and cnt>0; the
+    transition count total equals the consecutive-order pair explosion."""
+    rows = q_brand_transition_matrix(spark, SF_SMALL).collect()
+    assert rows
+    by_from = defaultdict(list)
+    for r in rows:
+        assert r["cnt"] > 0
+        by_from[r["brand_from"]].append(r)
+    for frm, lst in by_from.items():
+        s = sum(r["prob"] for r in lst)
+        assert abs(s - 1.0) < 1e-6, (frm, s)
+        tot = sum(r["cnt"] for r in lst)
+        for r in lst:
+            assert r["prob"] == round(r["cnt"] / tot, 8)
+
+
+def test_decayed_popularity_dyadic_weights(spark):
+    """Scores are exact dyadic sums: every score is expressible as the
+    event count in weights of powers of two; shares sum to 1; rnk is a
+    permutation ordered by (score desc, brand)."""
+    rows = sorted(
+        q_decayed_popularity(spark, SF_SMALL).collect(), key=lambda r: r["rnk"]
+    )
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["score"], b["brand"]) >= (b["score"], a["brand"]) or a[
+            "score"
+        ] > b["score"]
+    tot = sum(r["score"] for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        # score bounded by n_events * 2^CAP and at least n_events * 1
+        assert r["n_events"] <= r["score"] <= r["n_events"] * (2**DECAY_CAP)
+        assert r["share"] == round(r["score"] / tot, 8)
+
+
+def test_reco_candidates_are_unbought_topk(spark):
+    """Every candidate is a brand the sampled customer never bought,
+    lists are <= CAND_TOP with dense ranks, scores non-increasing."""
+    rows = q_reco_candidates(spark, SF_SMALL).collect()
+    assert rows
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, SF_SMALL, "part").select("p_partkey", "p_brand")
+    bought = {
+        (r["o_custkey"], r["p_brand"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .collect()
+    }
+    by_ck = defaultdict(list)
+    for r in rows:
+        assert r["ck"] % CAND_SAMPLE_MOD == 0
+        assert (r["ck"], r["brand"]) not in bought
+        by_ck[r["ck"]].append(r)
+    for ck, lst in by_ck.items():
+        lst.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= CAND_TOP
+        assert all(
+            lst[i]["score"] >= lst[i + 1]["score"] for i in range(len(lst) - 1)
+        )
+
+
+def test_rendezvous_movement_only_to_new_shard(spark):
+    """HRW invariant: expanding 8 -> 9 shards moves docs ONLY into the new
+    shard; stable+moved partitions the corpus; balance is plausible."""
+    from ccirecommenderdatapipeline_spark.plans.storage import (
+        HRW_N,
+        q_rendezvous_sharding,
+    )
+
+    rows = {r["shard"]: r for r in q_rendezvous_sharding(spark, SF_SMALL).collect()}
+    assert set(rows) <= set(range(HRW_N + 1))
+    for sh, r in rows.items():
+        assert r["n_stable"] + r["n_moved_in"] == r["n_after"]
+        if sh < HRW_N:
+            assert r["n_moved_in"] == 0, "an old shard gained docs on expansion"
+        else:
+            assert r["n_stable"] == 0 and r["n_moved_in"] > 0
+    total = sum(r["n_after"] for r in rows.values())
+    moved = rows[HRW_N]["n_moved_in"]
+    # expected movement fraction 1/(N+1); allow wide tolerance on 500 docs
+    assert 0.02 < moved / total < 0.30
+
+
+def test_triangle_count_closed_form(spark):
+    """Replay triangles in pure Python from the same lift-filtered edge
+    set; transitivity = 3T / wedges."""
+    import itertools
+
+    from ccirecommenderdatapipeline_spark.plans.graph import (
+        TRI_LIFT,
+        q_triangle_count_oriented,
+    )
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+
+    row = q_triangle_count_oriented(spark, SF_SMALL).collect()[0]
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, SF_SMALL, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in ob:
+        baskets[r["ok"]].add(r["brand"])
+    n_orders = len(baskets)
+    cnt = defaultdict(int)
+    brand_c = defaultdict(int)
+    for bs in baskets.values():
+        for b in bs:
+            brand_c[b] += 1
+        for a, b in itertools.combinations(sorted(bs), 2):
+            cnt[(a, b)] += 1
+    edges = {
+        pair
+        for pair, c in cnt.items()
+        if (c * n_orders) / (brand_c[pair[0]] * brand_c[pair[1]]) > TRI_LIFT
+    }
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tris = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if a < c and b < c
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tris
+    assert row["transitivity"] == round(3.0 * tris / wedges, 8)
+
+
+def test_ab_test_zscore_shape(spark):
+    """Counts partition users by parity; z is finite and consistent with
+    the rate difference's sign."""
+    from ccirecommenderdatapipeline_spark.plans.events import q_ab_test_zscore
+
+    r = q_ab_test_zscore(spark, SF_SMALL).collect()[0]
+    assert r["conv_a"] <= r["n_a"] and r["conv_b"] <= r["n_b"]
+    assert r["rate_a"] == round(r["conv_a"] / r["n_a"], 8)
+    assert r["rate_b"] == round(r["conv_b"] / r["n_b"], 8)
+    assert r["z_score"] is not None
+    if r["rate_a"] != r["rate_b"]:
+        assert (r["z_score"] > 0) == (r["rate_a"] > r["rate_b"])
+
+
+def test_calibration_bins_close_to_ece(spark):
+    """Bin populations cover every customer exactly once; mean_conf lies
+    inside the bin's score interval; ece contributions are reconstructible."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        CAL_BINS,
+        q_logreg_calibration_bins,
+    )
+
+    rows = q_logreg_calibration_bins(spark, SF_SMALL).collect()
+    assert rows
+    nt = sum(r["n"] for r in rows)
+    n_cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    assert nt == n_cust
+    for r in rows:
+        assert 0 <= r["bin"] < CAL_BINS
+        lo, hi = r["bin"] / CAL_BINS, (r["bin"] + 1) / CAL_BINS
+        # mean confidence of a bin must sit in (or on) the bin interval
+        # (top bin also holds sig == 1.0 exactly)
+        assert lo - 1e-9 <= r["mean_conf"] <= hi + 1e-9
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert r["ece_contrib"] == round(
+            abs(r["frac_pos"] - r["mean_conf"]) * r["n"] / nt, 8
+        ) or abs(
+            r["ece_contrib"]
+            - abs(r["frac_pos"] - r["mean_conf"]) * r["n"] / nt
+        ) < 1e-7
