@@ -62,12 +62,12 @@ _PRIORITY = [
     "best_return_full_grid",
     # (c) round-1-verdict backfill (oldest rows, unchanged plans)
     "prices", "cci", "buy_signals", "signal_counts", "latest_cci",
-    "proj_rename", "filter_conjunctive", "when_otherwise",
-    "coalesce_bfill",
+    "proj_rename",
     # (anti_join/semi_join/update_join/cross_grid/quantile_disc/
     # regex_json_extract/json_get_k/cast_battery/date_arith/scalar_minmax/
-    # lookup_join displaced to keep the window at 50 as (d) grew — each
-    # keeps its r1 green row and local gate coverage; new code must
+    # lookup_join/filter_conjunctive/when_otherwise/coalesce_bfill
+    # displaced to keep the window at 50 as (d) grew —
+    # each keeps its r1 green row and local gate coverage; new code must
     # out-rank old re-verification)
     # (d) new this round (never driver-verified)
     "boilerplate_ngram_scrub", "token_budget_selection",
@@ -79,13 +79,14 @@ _PRIORITY = [
     "brand_transition_matrix", "decayed_popularity", "reco_candidates",
     "ab_test_zscore", "rendezvous_sharding", "triangle_count_oriented",
     "logreg_calibration_bins",
+    "target_encoding_loo", "ndcg_eval", "stream_decayed_popularity",
 ]
 
-# After this round's window executes, EVERY registered name has a driver
-# verdict under its current plan (the r5/r6 backlog of 15 verdict-less
+# After this round's window executes, the r5/r6 backlog of 15 verdict-less
 # queries is cleared by (a), the plan changes are re-verified by (b), and
-# the eight r7 additions are in (d)). Round 8 therefore has no mandatory
-# rotation; pin whatever plans change next and keep rotating stale rows.
+# all 22 round-7 additions are in (d). Still driver-unverified after r7:
+# the 14 displaced (c) names (all r1-green, plans unchanged) — rotate them
+# back in round 8 along with whatever plans change next.
 
 def _reorder() -> None:
     ordered = [n for n in _PRIORITY if n in QUERIES] + [

@@ -317,9 +317,7 @@ DECAY_DAYS = 90   # one half-life per 90 days of age
 DECAY_CAP = 20    # cap the exponent: ages beyond 20 half-lives all weigh 1
 
 
-@query(
-    "decayed_popularity",
-    oracle=f"""
+DECAYED_POP_ORACLE = f"""
 WITH ref AS (
     SELECT MAX(CAST(o_orderdate AS DATE)) AS rd FROM orders
 ), w AS (
@@ -342,8 +340,10 @@ SELECT brand, n_events, score,
        ROUND(score / CAST(t AS DOUBLE), 8) AS share,
        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, brand) AS INT) AS rnk
 FROM agg CROSS JOIN tot
-""",
-)
+"""
+
+
+@query("decayed_popularity", oracle=DECAYED_POP_ORACLE)
 def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decayed brand popularity: each purchase event weighs
     2^-(age_days // {DECAY_DAYS} half-lives), i.e. halves every
@@ -513,4 +513,193 @@ def q_reco_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ck", "brand", "score", F.row_number().over(cw).cast("int").alias("rnk")
         )
         .where(F.col("rnk") <= CAND_TOP)
+    )
+
+
+# --- Ranking-quality eval: temporal-split NDCG@5 -----------------------------
+
+NDCG_CUTOFF = "2000-01-01"   # train on orders before, evaluate on after
+NDCG_SAMPLE_MOD = 13         # eval slice: customers with ck % 13 == 0
+NDCG_K = 5
+
+# 1/log2(r+1) for r=1..5 and their prefix sums, frozen as 12dp decimal
+# literals so BOTH engines sum identical exact decimals (order-independent
+# DCG — no engine evaluates a transcendental at query time).
+NDCG_DISC = [
+    "1.000000000000", "0.630929753571", "0.500000000000",
+    "0.430676558073", "0.386852807235",
+]
+NDCG_CUM = [
+    "1.000000000000", "1.630929753571", "2.130929753571",
+    "2.561606311644", "2.948459118879",
+]
+
+_DISC_CASE = " ".join(
+    f"WHEN {i + 1} THEN CAST({d} AS DECIMAL(18,12))"
+    for i, d in enumerate(NDCG_DISC)
+)
+_CUM_CASE = " ".join(
+    f"WHEN {i + 1} THEN CAST({c} AS DECIMAL(18,12))"
+    for i, c in enumerate(NDCG_CUM)
+)
+
+
+@query(
+    "ndcg_eval",
+    oracle=f"""
+WITH base AS (
+    SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand,
+                    CAST(o.o_orderdate AS DATE) AS dt
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), tr AS (
+    SELECT DISTINCT ck, brand FROM base WHERE dt < DATE '{NDCG_CUTOFF}'
+), te AS (
+    SELECT DISTINCT ck, brand FROM base WHERE dt >= DATE '{NDCG_CUTOFF}'
+), new_rel AS (
+    SELECT te.ck, te.brand FROM te
+    WHERE NOT EXISTS (SELECT 1 FROM tr
+                      WHERE tr.ck = te.ck AND tr.brand = te.brand)
+), bc AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1
+), pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS both_cnt
+    FROM tr a JOIN tr b ON a.ck = b.ck AND a.brand <> b.brand
+    GROUP BY 1, 2
+), sim AS (
+    SELECT pairs.brand_a, pairs.brand_b,
+           ROUND(both_cnt / sqrt(CAST(ca.c AS DOUBLE) * cb2.c), 8) AS cosine
+    FROM pairs
+    JOIN bc ca ON ca.brand = pairs.brand_a
+    JOIN bc cb2 ON cb2.brand = pairs.brand_b
+), cand AS (
+    SELECT tr.ck, s.brand_b AS brand, MAX(s.cosine) AS score
+    FROM tr JOIN sim s ON s.brand_a = tr.brand
+    WHERE tr.ck % {NDCG_SAMPLE_MOD} = 0
+      AND NOT EXISTS (SELECT 1 FROM tr t2
+                      WHERE t2.ck = tr.ck AND t2.brand = s.brand_b)
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT ck, brand,
+           ROW_NUMBER() OVER (PARTITION BY ck ORDER BY score DESC, brand) AS rnk
+    FROM cand
+), hits AS (
+    SELECT r.ck, r.rnk,
+           CASE WHEN nr.brand IS NOT NULL THEN 1 ELSE 0 END AS rel
+    FROM ranked r
+    LEFT JOIN new_rel nr ON nr.ck = r.ck AND nr.brand = r.brand
+    WHERE r.rnk <= {NDCG_K}
+), dcg AS (
+    SELECT ck, SUM(rel * CASE rnk {_DISC_CASE} END) AS dcg_d,
+           CAST(SUM(rel) AS BIGINT) AS hits_at_k
+    FROM hits GROUP BY 1
+), nrel AS (
+    SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_rel FROM new_rel GROUP BY 1
+)
+SELECT d.ck, n.n_rel, d.hits_at_k,
+       ROUND(CAST(d.dcg_d AS DOUBLE), 8) AS dcg,
+       ROUND(CAST(d.dcg_d AS DOUBLE)
+             / CAST(CASE LEAST(n.n_rel, {NDCG_K}) {_CUM_CASE} END AS DOUBLE),
+             8) AS ndcg
+FROM dcg d JOIN nrel n ON n.ck = d.ck
+""",
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-split ranking eval for the item-item recommender:
+    train the cosine model on orders BEFORE {NDCG_CUTOFF}, recommend
+    top-{NDCG_K} unbought brands per sampled customer, and score against
+    the brands the customer ACTUALLY bought for the first time on/after
+    the cutoff — per-customer NDCG@{NDCG_K} with hits@{NDCG_K} and the
+    relevant-set size. The point-in-time split (model never sees the eval
+    period) is the leakage discipline every production reco eval needs;
+    ``ann_recall_eval`` is the geometric sibling, this is the behavioral
+    one.
+
+    Determinism: DCG discounts 1/log2(r+1) are FROZEN 12dp decimal
+    literals (module constants) so no engine evaluates a transcendental;
+    per-customer DCG is a sum of <= {NDCG_K} exact decimals and IDCG a
+    single prefix-sum literal — both order-independent; the final
+    division is one IEEE op.
+
+    100-TB shape: the model side is the vocabulary-bounded
+    ``item_item_cosine`` plan on the train slice; relevance sets shuffle
+    once on ck; every per-customer structure (candidates, hits) is
+    <= |V| rows. The cutoff filter is a scan-level pushdown."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("p_brand").alias("brand"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+        )
+    )
+    cutoff = F.lit(NDCG_CUTOFF).cast("date")
+    tr = base.where(F.col("dt") < cutoff).select("ck", "brand").distinct().persist()
+    te = base.where(F.col("dt") >= cutoff).select("ck", "brand").distinct()
+    new_rel = te.join(tr, ["ck", "brand"], "left_anti").persist()
+    bc = tr.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+    b2 = tr.select("ck", F.col("brand").alias("brand_b"))
+    pairs = (
+        tr.select("ck", F.col("brand").alias("brand_a"))
+        .join(b2, "ck")
+        .where(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("both_cnt"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    sim = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb2), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.round(
+                F.col("both_cnt")
+                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
+                8,
+            ).alias("cosine"),
+        )
+    )
+    sampled = tr.where(F.col("ck") % NDCG_SAMPLE_MOD == 0)
+    scored = (
+        sampled.withColumnRenamed("brand", "brand_a")
+        .join(F.broadcast(sim), "brand_a")
+        .select("ck", F.col("brand_b").alias("brand"), "cosine")
+    )
+    cand = (
+        scored.join(sampled, ["ck", "brand"], "left_anti")
+        .groupBy("ck", "brand")
+        .agg(F.max("cosine").alias("score"))
+    )
+    cw = Window.partitionBy("ck").orderBy(F.desc("score"), F.asc("brand"))
+    ranked = cand.select(
+        "ck", "brand", F.row_number().over(cw).alias("rnk")
+    ).where(F.col("rnk") <= NDCG_K)
+    hits = ranked.join(
+        new_rel.withColumn("rel_hit", F.lit(1)), ["ck", "brand"], "left"
+    ).select("ck", "rnk", F.coalesce(F.col("rel_hit"), F.lit(0)).alias("rel"))
+    disc = F.expr(f"CASE rnk {_DISC_CASE} END")
+    dcg = hits.groupBy("ck").agg(
+        F.sum(F.col("rel") * disc).alias("dcg_d"),
+        F.sum("rel").cast("long").alias("hits_at_k"),
+    )
+    nrel = new_rel.groupBy("ck").agg(F.count("*").cast("long").alias("n_rel"))
+    idcg = F.expr(f"CASE LEAST(n_rel, {NDCG_K}) {_CUM_CASE} END")
+    return dcg.join(nrel, "ck").select(
+        "ck",
+        "n_rel",
+        "hits_at_k",
+        F.round(F.col("dcg_d").cast("double"), 8).alias("dcg"),
+        F.round(F.col("dcg_d").cast("double") / idcg.cast("double"), 8).alias(
+            "ndcg"
+        ),
     )

@@ -418,3 +418,16 @@ def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_cms_merge
 
     return stream_cms_merge(spark, sf_dir)
+
+
+from .recommender import DECAYED_POP_ORACLE  # noqa: E402
+
+
+@query("stream_decayed_popularity", oracle=DECAYED_POP_ORACLE)
+def q_stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decayed popularity: per-micro-batch partial dyadic
+    scores merged brand-wise; equals the batch op exactly (see
+    streaming/jobs.py:stream_decayed_popularity)."""
+    from ..streaming.jobs import stream_decayed_popularity
+
+    return stream_decayed_popularity(spark, sf_dir)

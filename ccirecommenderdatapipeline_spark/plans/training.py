@@ -943,3 +943,62 @@ def q_logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ece_contrib"
         ),
     )
+
+
+# --- Leave-one-out target encoding -------------------------------------------
+
+
+@query(
+    "target_encoding_loo",
+    oracle="""
+WITH f AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(c_mktsegment = 'BUILDING' AS INT) AS y
+    FROM customer
+), g AS (
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS s
+    FROM f GROUP BY 1
+)
+SELECT f.c_custkey, f.c_nationkey, f.y,
+       CASE WHEN g.n > 1
+            THEN ROUND((g.s - f.y) / CAST(g.n - 1 AS DOUBLE), 8) END AS loo_enc
+FROM f JOIN g USING (c_nationkey)
+""",
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature (nation vs
+    the BUILDING label): each row's encoding is the category's positive
+    rate EXCLUDING the row itself, (sum_y - y_i) / (n - 1) — the standard
+    leakage-free way to feed a high-cardinality categorical to a model
+    (plain mean encoding leaks each row's own label; LOO is what
+    CatBoost-style pipelines materialize). Singleton categories encode
+    NULL rather than a degenerate 0/0.
+
+    Determinism: category sums are exact BIGINTs computed once
+    (map-combinable) and re-joined broadcast; each row then performs one
+    exact int subtraction and one IEEE division — no per-row state, no
+    summation-order exposure.
+
+    100-TB shape: one scan -> bounded-key (category) agg -> broadcast
+    join back over the same scan; the feature table streams out
+    partition-parallel with zero additional shuffles."""
+    f = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("y"),
+    )
+    g = f.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    return f.join(F.broadcast(g), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        "y",
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("s") - F.col("y")) / (F.col("n") - 1).cast("double"), 8
+            ),
+        ).alias("loo_enc"),
+    )

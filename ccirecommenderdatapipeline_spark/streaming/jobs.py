@@ -880,3 +880,130 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "pos")
         .agg(F.sum("c").cast("long").alias("c"))
     )
+
+
+def stage_brand_purchases_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Materialize the (brand, dt) purchase-event rows the decayed-
+    popularity op weighs — one row per lineitem with its brand and order
+    date — as an n-file parquet dir for file-source streaming. Idempotent
+    per sf_dir."""
+    from ..sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(STAGE_ROOT, f"{tag}_brandpurch_v1_{n_files}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select(
+                F.col("p_brand").alias("brand"),
+                F.col("o_orderdate").cast("date").alias("dt"),
+            )
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+def stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decayed popularity maintained OVER A STREAM: each micro-batch folds
+    its purchase events into a PARTIAL per-brand (score, n) table inside
+    foreachBatch and appends it to a log; the merged score is the
+    brand-wise SUM across batches. Because the decay weights are DYADIC
+    int64 (exact powers of two, see plans/recommender.py:
+    q_decayed_popularity), partial sums merge with NO floating drift —
+    the additivity argument that lets a 100-TB pipeline maintain recency
+    priors incrementally instead of rescanning history. With availableNow
+    over the staged files the merged result equals the batch op
+    bit-for-bit (the driver hashes it against the batch oracle).
+
+    The reference date is the corpus MAX(dt) — a point-in-time constant
+    fetched once before the stream starts (same scalar-fetch precedent as
+    plans/storage.py latest_partition); an incremental production job
+    would pin it per run the same way.
+
+    100-TB shape: each batch collapses to <= |V| partial rows before any
+    write; the log holds #batches x |V| bounded rows; the stream never
+    shuffles raw events."""
+    from ..plans.recommender import DECAY_CAP, DECAY_DAYS
+
+    staged = stage_brand_purchases_dir(spark, sf_dir)
+    ref_date = (
+        spark.read.parquet(staged).agg(F.max("dt").alias("rd")).first()["rd"]
+    )
+    schema = spark.read.parquet(staged).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    run_id = uuid.uuid4().hex[:10]
+    target = os.path.join(STAGE_ROOT, f"decpop_cells_{run_id}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        k = F.least(
+            F.floor(
+                F.datediff(F.lit(ref_date), F.col("dt")) / F.lit(DECAY_DAYS)
+            ),
+            F.lit(DECAY_CAP).cast("long"),
+        ).cast("int")
+        (
+            batch_df.withColumn("kk", k)
+            .select(
+                "brand",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {DECAY_CAP} - kk)").alias(
+                    "wt"
+                ),
+            )
+            .groupBy("brand")
+            .agg(
+                F.sum("wt").cast("long").alias("score_part"),
+                F.count("*").cast("long").alias("n_part"),
+            )
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(STAGE_ROOT, "ckpt", f"decpop_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    agg = (
+        spark.read.parquet(target)
+        .groupBy("brand")
+        .agg(
+            F.sum("score_part").cast("long").alias("score"),
+            F.sum("n_part").cast("long").alias("n_events"),
+        )
+    )
+    tot = agg.agg(F.sum("score").cast("long").alias("t"))
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.desc("score"), F.asc("brand"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n_events",
+            "score",
+            F.round(F.col("score") / F.col("t").cast("double"), 8).alias("share"),
+            F.row_number().over(rw).cast("int").alias("rnk"),
+        )
+    )

@@ -314,3 +314,54 @@ def test_calibration_bins_close_to_ece(spark):
             r["ece_contrib"]
             - abs(r["frac_pos"] - r["mean_conf"]) * r["n"] / nt
         ) < 1e-7
+
+
+def test_target_encoding_loo_leakage_free(spark):
+    """LOO encoding equals (group_sum - own_y)/(n-1); adding the row back
+    recovers the plain category mean; singletons are NULL."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        q_target_encoding_loo,
+    )
+
+    rows = q_target_encoding_loo(spark, SF_SMALL).collect()
+    by_nat = defaultdict(list)
+    for r in rows:
+        by_nat[r["c_nationkey"]].append(r)
+    assert sum(len(v) for v in by_nat.values()) == 150
+    for nat, lst in by_nat.items():
+        n, s = len(lst), sum(r["y"] for r in lst)
+        for r in lst:
+            if n == 1:
+                assert r["loo_enc"] is None
+            else:
+                assert r["loo_enc"] == round((s - r["y"]) / (n - 1), 8)
+
+
+def test_ndcg_eval_bounds_and_perfect_lists(spark):
+    """ndcg in [0,1]; hits_at_k <= min(n_rel, 5); a list with all top
+    slots relevant up to min(n_rel,5) scores exactly 1."""
+    from ccirecommenderdatapipeline_spark.plans.recommender import q_ndcg_eval
+
+    rows = q_ndcg_eval(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        assert 0 <= r["hits_at_k"] <= min(r["n_rel"], 5)
+        assert r["n_rel"] >= 1
+        if r["ndcg"] == 1.0:
+            assert r["hits_at_k"] == min(r["n_rel"], 5)
+
+
+def test_stream_decayed_popularity_equals_batch(spark):
+    """The streamed partial-merge result is row-identical to the batch
+    operator — dyadic additivity across micro-batches."""
+    from ccirecommenderdatapipeline_spark.plans.recommender import (
+        q_decayed_popularity,
+    )
+    from ccirecommenderdatapipeline_spark.streaming.jobs import (
+        stream_decayed_popularity,
+    )
+
+    batch = {tuple(r) for r in q_decayed_popularity(spark, SF_SMALL).collect()}
+    stream = {tuple(r) for r in stream_decayed_popularity(spark, SF_SMALL).collect()}
+    assert batch == stream
