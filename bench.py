@@ -68,6 +68,17 @@ HEADLINE = [
     "corpus_drift_kl",           # per-source KL drift telemetry (r7)
     "embedding_truncation_recall",  # matryoshka retrieval eval (r7)
     "cube_grouping_battery",     # CUBE + grouping_id battery (r7)
+    "market_basket_pairs",       # A-priori pair pass w/ lift (r7b)
+    "item_item_cosine",          # item-item CF neighbor lists (r7b)
+    "brand_transition_matrix",   # Markov purchase sequences (r7b)
+    "decayed_popularity",        # dyadic-exact recency prior (r7b)
+    "reco_candidates",           # recall-stage candidate gen (r7b)
+    "ndcg_eval",                 # temporal-split ranking eval (r7b)
+    "triangle_count_oriented",   # degree-oriented triangles (r7b)
+    "logreg_gd_step",            # full-batch GD allreduce shape (r7b)
+    "target_encoding_loo",       # leakage-free LOO encoding (r7b)
+    "rendezvous_sharding",       # HRW placement telemetry (r7b)
+    "ab_test_zscore",            # two-proportion experiment readout (r7b)
 ]
 
 

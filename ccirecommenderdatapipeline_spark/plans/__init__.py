@@ -61,12 +61,11 @@ _PRIORITY = [
     "best_return", "best_win", "best_return_per_days_held",
     "best_return_full_grid",
     # (c) round-1-verdict backfill (oldest rows, unchanged plans)
-    "prices", "cci", "buy_signals", "signal_counts", "latest_cci",
-    "proj_rename",
+    "prices", "cci", "buy_signals",
     # (anti_join/semi_join/update_join/cross_grid/quantile_disc/
     # regex_json_extract/json_get_k/cast_battery/date_arith/scalar_minmax/
-    # lookup_join/filter_conjunctive/when_otherwise/coalesce_bfill
-    # displaced to keep the window at 50 as (d) grew —
+    # lookup_join/filter_conjunctive/when_otherwise/coalesce_bfill/
+    # signal_counts/latest_cci/proj_rename displaced to keep the window at 50 as (d) grew —
     # each keeps its r1 green row and local gate coverage; new code must
     # out-rank old re-verification)
     # (d) new this round (never driver-verified)
@@ -80,12 +79,13 @@ _PRIORITY = [
     "ab_test_zscore", "rendezvous_sharding", "triangle_count_oriented",
     "logreg_calibration_bins",
     "target_encoding_loo", "ndcg_eval", "stream_decayed_popularity",
+    "dp_noisy_counts", "propensity_ipw", "reco_coverage_gini",
 ]
 
 # After this round's window executes, the r5/r6 backlog of 15 verdict-less
 # queries is cleared by (a), the plan changes are re-verified by (b), and
-# all 22 round-7 additions are in (d). Still driver-unverified after r7:
-# the 14 displaced (c) names (all r1-green, plans unchanged) — rotate them
+# all 25 round-7 additions are in (d). Still driver-unverified after r7:
+# the 17 displaced (c) names (all r1-green, plans unchanged) — rotate them
 # back in round 8 along with whatever plans change next.
 
 def _reorder() -> None:

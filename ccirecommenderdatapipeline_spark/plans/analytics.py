@@ -735,3 +735,95 @@ def q_param_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi": 0.09,
         },
     )
+
+
+# --- Differentially-private noisy counts (deterministic calibration rig) -----
+
+DP_SEED = "dp1:"
+DP_B = 2.0       # Laplace scale b = sensitivity/epsilon = 1/0.5
+DP_LN_DP = 9     # ln() rounding (libm 1-ulp guard)
+DP_NOISE_DP = 6  # noise rounding
+
+
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+WITH agg AS (
+    SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS true_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+), h AS (
+    SELECT brand, true_cnt,
+           ('0x' || substr(md5('{DP_SEED}' || brand), 1, 13))::BIGINT AS hm,
+           ('0x' || substr(md5('{DP_SEED}' || brand), 14, 1))::BIGINT % 2
+               AS sgn
+    FROM agg
+), n AS (
+    SELECT brand, true_cnt,
+           ROUND((1 - 2 * sgn) * {DP_B}
+                 * ROUND(ln(2.0 * (hm + 1) / CAST(POW(2, 53) AS DOUBLE)),
+                         {DP_LN_DP}), {DP_NOISE_DP}) AS noise
+    FROM h
+)
+SELECT brand, true_cnt, noise,
+       ROUND(true_cnt + noise, {DP_NOISE_DP}) AS noisy_cnt,
+       ROUND(abs(noise), {DP_NOISE_DP}) AS abs_err
+FROM n
+""",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts — the differential-privacy release
+    shape for a count table (per-brand purchase counts, sensitivity 1,
+    b = {DP_B}): noise = sign * b * Exp(1), with the exponential drawn by
+    inverse-CDF from an md5-dyadic uniform and the sign from an
+    independent hex digit. This rig is DETERMINISTIC on purpose — it is
+    the calibration/test harness for the release pipeline (realized
+    per-cell error vs the mechanism's b*ln(..) envelope); a production
+    release swaps the md5 draw for a real CSPRNG, everything else —
+    bounded-key agg, per-cell noise, release projection — is this exact
+    plan. The true/noisy columns sit side-by-side because this IS the
+    calibration view, not the public release.
+
+    Determinism: the uniform u = (h+1)/2^53 is an exact dyadic double
+    (weighted_sample_wr's construction, sampling.py:150); ln is rounded
+    at {DP_LN_DP}dp before the scale multiply, noise at {DP_NOISE_DP}dp —
+    bit-stable across engines.
+
+    100-TB shape: map-combinable count agg on the bounded brand key, then
+    map-only noise over |V| rows."""
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+    )
+    md5 = F.md5(F.concat(F.lit(DP_SEED), F.col("brand")))
+    h = agg.select(
+        "brand",
+        "true_cnt",
+        F.conv(F.substring(md5, 1, 13), 16, 10).cast("long").alias("hm"),
+        (F.conv(F.substring(md5, 14, 1), 16, 10).cast("long") % 2).alias("sgn"),
+    )
+    noise = F.round(
+        (F.lit(1) - F.lit(2) * F.col("sgn"))
+        * F.lit(DP_B)
+        * F.round(
+            F.log(F.lit(2.0) * (F.col("hm") + 1) / F.lit(float(2**53))),
+            DP_LN_DP,
+        ),
+        DP_NOISE_DP,
+    )
+    n = h.select("brand", "true_cnt", noise.alias("noise"))
+    return n.select(
+        "brand",
+        "true_cnt",
+        "noise",
+        F.round(F.col("true_cnt") + F.col("noise"), DP_NOISE_DP).alias("noisy_cnt"),
+        F.round(F.abs(F.col("noise")), DP_NOISE_DP).alias("abs_err"),
+    )

@@ -703,3 +703,158 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg"
         ),
     )
+
+
+# --- Recommendation exposure metrics: catalog coverage + Gini ----------------
+
+
+@query(
+    "reco_coverage_gini",
+    oracle=f"""
+WITH cb AS (
+    SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), bc AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM cb GROUP BY 1
+), pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS both_cnt
+    FROM cb a JOIN cb b ON a.ck = b.ck AND a.brand <> b.brand
+    GROUP BY 1, 2
+), sim AS (
+    SELECT pairs.brand_a, pairs.brand_b,
+           ROUND(both_cnt / sqrt(CAST(ca.c AS DOUBLE) * cb2.c), 8) AS cosine
+    FROM pairs
+    JOIN bc ca ON ca.brand = pairs.brand_a
+    JOIN bc cb2 ON cb2.brand = pairs.brand_b
+), cand AS (
+    SELECT cb.ck, s.brand_b AS brand, MAX(s.cosine) AS score
+    FROM cb JOIN sim s ON s.brand_a = cb.brand
+    WHERE NOT EXISTS (SELECT 1 FROM cb b2
+                      WHERE b2.ck = cb.ck AND b2.brand = s.brand_b)
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT ck, brand,
+           ROW_NUMBER() OVER (PARTITION BY ck ORDER BY score DESC, brand) AS rnk
+    FROM cand
+), expo AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ranked WHERE rnk <= {CAND_TOP} GROUP BY 1
+), allb AS (
+    SELECT DISTINCT p_brand AS brand FROM part
+), x AS (
+    SELECT a.brand, COALESCE(e.c, 0) AS c
+    FROM allb a LEFT JOIN expo e USING (brand)
+), ord AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c, brand) AS i FROM x
+), g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(SUM(c) AS BIGINT) AS total_recs,
+           CAST(SUM(i * c) AS BIGINT) AS sic,
+           CAST(COUNT(*) FILTER (WHERE c > 0) AS BIGINT) AS brands_recommended
+    FROM ord
+)
+SELECT n_brands, brands_recommended, total_recs,
+       ROUND(brands_recommended / CAST(n_brands AS DOUBLE), 8)
+           AS catalog_coverage,
+       ROUND((2.0 * sic - (n_brands + 1) * total_recs)
+             / (CAST(n_brands AS DOUBLE) * total_recs), 8) AS gini_exposure
+FROM g
+""",
+)
+def q_reco_coverage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation-exposure audit over the FULL serving surface (every
+    customer's top-{CAND_TOP} ``reco_candidates`` list, no sample):
+    catalog coverage (share of brands that appear in ANY list) and the
+    Gini concentration of exposure counts — the popularity-bias /
+    filter-bubble metrics a reco platform tracks next to accuracy
+    (``ndcg_eval``); zero-exposure brands are counted in the Gini so a
+    recommender that only ever surfaces 3 brands scores near 1.
+
+    The Gini is the exact rank formula (2*sum(i*x_i) - (n+1)*sum x) /
+    (n*sum x) over exposure counts sorted (count, brand) — int64-exact
+    up to one final division. The ranking window runs over |V| rows
+    (vocabulary-bounded, the bpe_merge_pairs precedent), never data.
+
+    100-TB shape: candidate generation is the ``reco_candidates`` plan
+    minus the sample pushdown — the ck shuffle carries every customer
+    (the serving fan-out is the product requirement); everything after
+    the per-brand exposure agg is |V|-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    bc = cb.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+    b = cb.select("ck", F.col("brand").alias("brand_b"))
+    pairs = (
+        cb.select("ck", F.col("brand").alias("brand_a"))
+        .join(b, "ck")
+        .where(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("both_cnt"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    sim = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb2), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.round(
+                F.col("both_cnt")
+                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
+                8,
+            ).alias("cosine"),
+        )
+    )
+    scored = (
+        cb.withColumnRenamed("brand", "brand_a")
+        .join(F.broadcast(sim), "brand_a")
+        .select("ck", F.col("brand_b").alias("brand"), "cosine")
+    )
+    cand = (
+        scored.join(cb, ["ck", "brand"], "left_anti")
+        .groupBy("ck", "brand")
+        .agg(F.max("cosine").alias("score"))
+    )
+    cw = Window.partitionBy("ck").orderBy(F.desc("score"), F.asc("brand"))
+    expo = (
+        cand.select("brand", F.row_number().over(cw).alias("rnk"))
+        .where(F.col("rnk") <= CAND_TOP)
+        .groupBy("brand")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    allb = p.select(F.col("p_brand").alias("brand")).distinct()
+    x = allb.join(expo, "brand", "left").select(
+        "brand", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+    iw = Window.orderBy("c", "brand")
+    ordd = x.select("c", F.row_number().over(iw).cast("long").alias("i"))
+    g = ordd.agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.sum("c").cast("long").alias("total_recs"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("sic"),
+        F.count(F.when(F.col("c") > 0, 1)).cast("long").alias("brands_recommended"),
+    )
+    return g.select(
+        "n_brands",
+        "brands_recommended",
+        "total_recs",
+        F.round(
+            F.col("brands_recommended") / F.col("n_brands").cast("double"), 8
+        ).alias("catalog_coverage"),
+        F.round(
+            (F.lit(2.0) * F.col("sic") - (F.col("n_brands") + 1) * F.col("total_recs"))
+            / (F.col("n_brands").cast("double") * F.col("total_recs")),
+            8,
+        ).alias("gini_exposure"),
+    )

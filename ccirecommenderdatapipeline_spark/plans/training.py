@@ -1002,3 +1002,128 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("loo_enc"),
     )
+
+
+# --- Inverse-propensity-weighted treatment effect ----------------------------
+
+IPW_W_DP = 10    # per-row weight rounding after the sigmoid
+
+
+@query(
+    "propensity_ipw",
+    oracle=f"""
+WITH f AS (
+    SELECT c_acctbal / 10000.0 AS f1, c_nationkey / 25.0 AS f2,
+           CAST(c_nationkey % 2 AS INT) AS t,
+           CAST(c_acctbal > 5000 AS INT) AS y
+    FROM customer
+), s AS (
+    SELECT t, y,
+           ROUND(1.0 / (1.0 + exp(-ROUND({GD_W['bias']}
+                 + {GD_W['f_acctbal']} * f1
+                 + {GD_W['f_nation']} * f2, {GD_Z_DP}))), {GD_SIG_DP}) AS e
+    FROM f
+), w AS (
+    SELECT t, y,
+           CASE WHEN t = 1 THEN ROUND(1.0 / e, {IPW_W_DP})
+                ELSE ROUND(1.0 / (1.0 - e), {IPW_W_DP}) END AS wt
+    FROM s
+), agg AS (
+    SELECT t,
+           SUM(CAST(ROUND(wt, 12) AS DECIMAL(28,12))) AS sw,
+           SUM(CAST(ROUND(wt * wt, 12) AS DECIMAL(28,12))) AS sw2,
+           SUM(CAST(ROUND(wt * y, 12) AS DECIMAL(28,12))) AS swy,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY 1
+), pv AS (
+    SELECT
+      MAX(CASE WHEN t = 1 THEN n END) AS n_treated,
+      MAX(CASE WHEN t = 0 THEN n END) AS n_control,
+      MAX(CASE WHEN t = 1 THEN ROUND(CAST(swy AS DOUBLE)
+            / CAST(sw AS DOUBLE), 8) END) AS mu_treated,
+      MAX(CASE WHEN t = 0 THEN ROUND(CAST(swy AS DOUBLE)
+            / CAST(sw AS DOUBLE), 8) END) AS mu_control,
+      MAX(CASE WHEN t = 1 THEN ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+            / CAST(sw2 AS DOUBLE), 4) END) AS ess_treated,
+      MAX(CASE WHEN t = 0 THEN ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+            / CAST(sw2 AS DOUBLE), 4) END) AS ess_control
+    FROM agg
+)
+SELECT n_treated, n_control, mu_treated, mu_control,
+       ROUND(mu_treated - mu_control, 8) AS ate_ipw,
+       ess_treated, ess_control
+FROM pv
+""",
+)
+def q_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Horvitz-
+    Thompson / Hajek estimator): treatment = nation parity, outcome =
+    high balance, propensity e(x) from the SAME frozen logistic scorer
+    as ``logreg_gd_step`` — weights 1/e for treated, 1/(1-e) for
+    control, ATE = weighted-mean difference, with the effective sample
+    size (sum w)^2 / sum w^2 per arm (the diagnostic that catches
+    propensity blow-up). The causal-inference readout an observational
+    events warehouse serves next to ``ab_test_zscore``'s randomized one.
+
+    Determinism: the sigmoid follows the gd-step rounding schedule;
+    weights round at {IPW_W_DP}dp; every aggregate is a DECIMAL(28,12)
+    sum of per-row rounded contributions (order-independent), and the
+    final ratios are single IEEE divisions.
+
+    100-TB shape: one scan, map-side score+weight, a 2-row hash agg,
+    then a literal-width pivot — no per-row state anywhere."""
+    f = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_acctbal") / F.lit(10000.0)).alias("f1"),
+        (F.col("c_nationkey") / F.lit(25.0)).alias("f2"),
+        (F.col("c_nationkey") % 2).cast("int").alias("t"),
+        (F.col("c_acctbal") > 5000).cast("int").alias("y"),
+    )
+    e = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -F.round(
+                    F.lit(GD_W["bias"])
+                    + F.lit(GD_W["f_acctbal"]) * F.col("f1")
+                    + F.lit(GD_W["f_nation"]) * F.col("f2"),
+                    GD_Z_DP,
+                )
+            )
+        ),
+        GD_SIG_DP,
+    )
+    wt = F.when(F.col("t") == 1, F.round(F.lit(1.0) / e, IPW_W_DP)).otherwise(
+        F.round(F.lit(1.0) / (F.lit(1.0) - e), IPW_W_DP)
+    )
+    dec = "decimal(28,12)"
+    w = f.select("t", "y", wt.alias("wt"))
+    agg = w.groupBy("t").agg(
+        F.sum(F.round(F.col("wt"), 12).cast(dec)).alias("sw"),
+        F.sum(F.round(F.col("wt") * F.col("wt"), 12).cast(dec)).alias("sw2"),
+        F.sum(F.round(F.col("wt") * F.col("y"), 12).cast(dec)).alias("swy"),
+        F.count("*").cast("long").alias("n"),
+    )
+    mu = F.round(F.col("swy").cast("double") / F.col("sw").cast("double"), 8)
+    ess = F.round(
+        F.col("sw").cast("double") * F.col("sw").cast("double")
+        / F.col("sw2").cast("double"),
+        4,
+    )
+    pv = agg.agg(
+        F.max(F.when(F.col("t") == 1, F.col("n"))).alias("n_treated"),
+        F.max(F.when(F.col("t") == 0, F.col("n"))).alias("n_control"),
+        F.max(F.when(F.col("t") == 1, mu)).alias("mu_treated"),
+        F.max(F.when(F.col("t") == 0, mu)).alias("mu_control"),
+        F.max(F.when(F.col("t") == 1, ess)).alias("ess_treated"),
+        F.max(F.when(F.col("t") == 0, ess)).alias("ess_control"),
+    )
+    return pv.select(
+        "n_treated",
+        "n_control",
+        "mu_treated",
+        "mu_control",
+        F.round(F.col("mu_treated") - F.col("mu_control"), 8).alias("ate_ipw"),
+        "ess_treated",
+        "ess_control",
+    )

@@ -365,3 +365,61 @@ def test_stream_decayed_popularity_equals_batch(spark):
     batch = {tuple(r) for r in q_decayed_popularity(spark, SF_SMALL).collect()}
     stream = {tuple(r) for r in stream_decayed_popularity(spark, SF_SMALL).collect()}
     assert batch == stream
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """Noise is reproducible from the documented md5 draw; noisy = true +
+    noise exactly; |noise| magnitudes follow the Exp envelope loosely."""
+    import hashlib
+    import math as m
+
+    from ccirecommenderdatapipeline_spark.plans.analytics import (
+        DP_B,
+        DP_LN_DP,
+        DP_NOISE_DP,
+        DP_SEED,
+        q_dp_noisy_counts,
+    )
+
+    rows = q_dp_noisy_counts(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    for r in rows:
+        md5 = hashlib.md5(f"{DP_SEED}{r['brand']}".encode()).hexdigest()
+        hm = int(md5[:13], 16)
+        sgn = int(md5[13], 16) % 2
+        noise = round(
+            (1 - 2 * sgn) * DP_B * round(m.log(2.0 * (hm + 1) / 2**53), DP_LN_DP),
+            DP_NOISE_DP,
+        )
+        assert r["noise"] == noise
+        assert r["noisy_cnt"] == round(r["true_cnt"] + noise, DP_NOISE_DP)
+        assert r["abs_err"] == round(abs(noise), DP_NOISE_DP)
+
+
+def test_propensity_ipw_reweights_toward_population(spark):
+    """ESS <= n per arm; weighted means lie in [0,1]; ate = mu_t - mu_c."""
+    from ccirecommenderdatapipeline_spark.plans.training import q_propensity_ipw
+
+    r = q_propensity_ipw(spark, SF_SMALL).collect()[0]
+    assert 0 < r["ess_treated"] <= r["n_treated"]
+    assert 0 < r["ess_control"] <= r["n_control"]
+    assert 0.0 <= r["mu_treated"] <= 1.0 and 0.0 <= r["mu_control"] <= 1.0
+    assert r["ate_ipw"] == round(r["mu_treated"] - r["mu_control"], 8)
+
+
+def test_reco_coverage_gini_bounds(spark):
+    """coverage in (0,1]; gini in [0,1); total recs <= customers * top-k."""
+    from ccirecommenderdatapipeline_spark.plans.recommender import (
+        q_reco_coverage_gini,
+    )
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+
+    r = q_reco_coverage_gini(spark, SF_SMALL).collect()[0]
+    n_cust = (
+        load_table(spark, SF_SMALL, "orders").select("o_custkey").distinct().count()
+    )
+    assert r["n_brands"] == 25
+    assert 0 < r["brands_recommended"] <= r["n_brands"]
+    assert r["catalog_coverage"] == round(r["brands_recommended"] / 25, 8)
+    assert 0.0 <= r["gini_exposure"] < 1.0
+    assert r["total_recs"] <= n_cust * CAND_TOP
