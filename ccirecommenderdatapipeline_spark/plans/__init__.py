@@ -60,12 +60,14 @@ _PRIORITY = [
     "feature_binning", "knn_ivf", "ann_recall_eval",
     "best_return", "best_win", "best_return_per_days_held",
     "best_return_full_grid",
-    # (c) round-1-verdict backfill (oldest rows, unchanged plans)
-    "prices", "cci", "buy_signals",
-    # (anti_join/semi_join/update_join/cross_grid/quantile_disc/
+    # (c) round-1-verdict backfill: NONE this round — all 20 r1-era
+    # names displaced; every (d) entry below is a NEW op needing its
+    # FIRST driver verdict, which out-ranks freshness re-checks.
+    # (prices/anti_join/semi_join/update_join/cross_grid/quantile_disc/
     # regex_json_extract/json_get_k/cast_battery/date_arith/scalar_minmax/
     # lookup_join/filter_conjunctive/when_otherwise/coalesce_bfill/
-    # signal_counts/latest_cci/proj_rename displaced to keep the window at 50 as (d) grew —
+    # signal_counts/latest_cci/proj_rename/cci/buy_signals displaced
+    # to keep the window at 50 as (d) grew —
     # each keeps its r1 green row and local gate coverage; new code must
     # out-rank old re-verification)
     # (d) new this round (never driver-verified)
@@ -80,12 +82,13 @@ _PRIORITY = [
     "logreg_calibration_bins",
     "target_encoding_loo", "ndcg_eval", "stream_decayed_popularity",
     "dp_noisy_counts", "propensity_ipw", "reco_coverage_gini",
+    "conformal_calibration", "info_gain_features", "fairness_metrics",
 ]
 
 # After this round's window executes, the r5/r6 backlog of 15 verdict-less
 # queries is cleared by (a), the plan changes are re-verified by (b), and
-# all 25 round-7 additions are in (d). Still driver-unverified after r7:
-# the 17 displaced (c) names (all r1-green, plans unchanged) — rotate them
+# all 28 round-7 additions are in (d). Still driver-unverified after r7:
+# the 20 displaced (c) names (all r1-green, plans unchanged) — rotate them
 # back in round 8 along with whatever plans change next.
 
 def _reorder() -> None:

@@ -683,3 +683,78 @@ def q_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dropped"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# --- Subgroup fairness metrics for the frozen scorer -------------------------
+
+FAIR_GROUPS = 5   # protected-group proxy: nationkey % 5
+
+
+@query(
+    "fairness_metrics",
+    oracle=f"""
+WITH s AS (
+    SELECT c_nationkey % {FAIR_GROUPS} AS grp,
+           CAST(c_mktsegment = 'BUILDING' AS INT) AS y,
+           CAST(ROUND(1.0 / (1.0 + exp(-ROUND({LOGREG_W['bias']}
+                 + {LOGREG_W['tokens_per_100']} * (c_acctbal / 10000.0)
+                 + {LOGREG_W['alpha_ratio']} * (c_nationkey / 25.0), 9))), 10)
+                > 0.5 AS INT) AS yhat
+    FROM customer
+)
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE), 8) AS base_rate,
+       ROUND(SUM(yhat) / CAST(COUNT(*) AS DOUBLE), 8) AS pred_rate,
+       ROUND(SUM(y * yhat)
+             / CAST(NULLIF(SUM(y), 0) AS DOUBLE), 8) AS tpr,
+       ROUND(SUM((1 - y) * yhat)
+             / CAST(NULLIF(SUM(1 - y), 0) AS DOUBLE), 8) AS fpr
+FROM s GROUP BY 1
+""",
+)
+def q_fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subgroup fairness audit of a frozen classifier: per protected-group
+    proxy (nation mod {FAIR_GROUPS}), the selection rate (demographic
+    parity read), TPR and FPR (equalized-odds read) against the actual
+    label — the model-governance table served next to
+    ``logreg_calibration_bins`` (calibration) and ``propensity_ipw``
+    (effect estimation). Gaps across rows are the fairness metrics;
+    per-group rows keep the query composable (max-gap is a 5-row fold).
+
+    Determinism: the score threshold is applied to the {LOGREG_W['bias']}-
+    family sigmoid under the usual rounding schedule (z@9dp, sig@10dp), so
+    yhat is an exact 0/1 in both engines; every metric is exact-int
+    counts with one IEEE division; empty denominators are NULL via
+    NULLIF, never 0/0.
+
+    100-TB shape: map-side score -> one hash agg on a {FAIR_GROUPS}-
+    bounded key. Nothing else."""
+    z = F.round(
+        F.lit(LOGREG_W["bias"])
+        + F.lit(LOGREG_W["tokens_per_100"]) * (F.col("c_acctbal") / 10000.0)
+        + F.lit(LOGREG_W["alpha_ratio"]) * (F.col("c_nationkey") / 25.0),
+        9,
+    )
+    s = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_nationkey") % FAIR_GROUPS).alias("grp"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("y"),
+        (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 10) > 0.5)
+        .cast("int")
+        .alias("yhat"),
+    )
+    return s.groupBy(F.col("grp").cast("long").alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("y") / F.count("*").cast("double"), 8).alias("base_rate"),
+        F.round(F.sum("yhat") / F.count("*").cast("double"), 8).alias("pred_rate"),
+        F.round(
+            F.sum(F.col("y") * F.col("yhat"))
+            / F.nullif(F.sum("y"), F.lit(0)).cast("double"),
+            8,
+        ).alias("tpr"),
+        F.round(
+            F.sum((F.lit(1) - F.col("y")) * F.col("yhat"))
+            / F.nullif(F.sum(F.lit(1) - F.col("y")), F.lit(0)).cast("double"),
+            8,
+        ).alias("fpr"),
+    )

@@ -1127,3 +1127,254 @@ def q_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ess_treated",
         "ess_control",
     )
+
+
+# --- Split-conformal prediction calibration ----------------------------------
+
+CONF_ALPHA_NUM = 9    # target coverage 1 - alpha = 9/10
+CONF_S_DP = 10        # nonconformity score rounding (matches GD_SIG_DP)
+
+
+@query(
+    "conformal_calibration",
+    oracle=f"""
+WITH s AS (
+    SELECT c_custkey, c_custkey % 2 AS arm,
+           CAST(c_mktsegment = 'BUILDING' AS INT) AS y,
+           ROUND(1.0 / (1.0 + exp(-ROUND({GD_W['bias']}
+                 + {GD_W['f_acctbal']} * (c_acctbal / 10000.0)
+                 + {GD_W['f_nation']} * (c_nationkey / 25.0),
+                 {GD_Z_DP}))), {GD_SIG_DP}) AS sig
+    FROM customer
+), sc AS (
+    SELECT c_custkey, arm, ROUND(abs(y - sig), {CONF_S_DP}) AS s FROM s
+), cal AS (
+    SELECT s, ROW_NUMBER() OVER (ORDER BY s, c_custkey) AS rn,
+           COUNT(*) OVER () AS n
+    FROM sc WHERE arm = 0
+), q AS (
+    SELECT MIN(CASE WHEN rn = LEAST(((n + 1) * {CONF_ALPHA_NUM} + 9) // 10, n)
+                    THEN s END) AS qhat,
+           CAST(MAX(n) AS BIGINT) AS n_cal,
+           CAST(MAX(LEAST(((n + 1) * {CONF_ALPHA_NUM} + 9) // 10, n))
+                AS BIGINT) AS k
+    FROM cal
+)
+SELECT q.n_cal, q.k, q.qhat,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN sc.s <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       ROUND(SUM(CASE WHEN sc.s <= q.qhat THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 8) AS coverage
+FROM sc CROSS JOIN q WHERE arm = 1
+GROUP BY 1, 2, 3
+""",
+)
+def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration (Vovk; Angelopoulos & Bates 2021) for
+    the frozen scorer: on a calibration split (even custkeys) take the
+    ceil((n+1)(1-alpha))-th smallest nonconformity score |y - sig| as
+    qhat, then report realized coverage P(s <= qhat) on the disjoint
+    eval split — the distribution-free uncertainty wrapper a scoring
+    pipeline ships next to ``logreg_calibration_bins``'s ECE.
+
+    The calibration order statistic uses ``two_phase_rank`` with
+    bucket=floor(s*64) — the scalable global-rank decomposition (NO
+    single-task sort; the r5 feature_binning lesson) — and k is pure
+    integer math, so qhat is engine-exact. Scores are rounded at
+    {CONF_S_DP}dp before ranking (ties broken by custkey in both
+    engines); coverage is an exact count over pre-rounded doubles.
+
+    100-TB shape: score+split are map-side; the rank is |buckets|x-
+    parallel two-phase; qhat broadcasts back as a scalar."""
+    s = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 2).alias("arm"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("y"),
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -F.round(
+                        F.lit(GD_W["bias"])
+                        + F.lit(GD_W["f_acctbal"]) * (F.col("c_acctbal") / 10000.0)
+                        + F.lit(GD_W["f_nation"]) * (F.col("c_nationkey") / 25.0),
+                        GD_Z_DP,
+                    )
+                )
+            ),
+            GD_SIG_DP,
+        ).alias("sig"),
+    )
+    sc = s.select(
+        "c_custkey",
+        "arm",
+        F.round(F.abs(F.col("y") - F.col("sig")), CONF_S_DP).alias("s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cal = sc.where(F.col("arm") == 0)
+    ranked = two_phase_rank(
+        cal,
+        "s",
+        id_col="c_custkey",
+        out="rn",
+        bucket=F.floor(F.col("s") * 64),
+    )
+    n_cal_df = cal.agg(F.count("*").cast("long").alias("n_cal"))
+    k_expr = F.least(
+        ((F.col("n_cal") + 1) * CONF_ALPHA_NUM + 9) / 10, F.col("n_cal")
+    )
+    q = (
+        ranked.crossJoin(F.broadcast(n_cal_df))
+        .where(F.col("rn") == F.floor(k_expr).cast("long"))
+        .select(
+            "n_cal",
+            F.floor(k_expr).cast("long").alias("k"),
+            F.col("s").alias("qhat"),
+        )
+    )
+    ev = sc.where(F.col("arm") == 1)
+    return (
+        ev.crossJoin(F.broadcast(q))
+        .groupBy("n_cal", "k", "qhat")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("s") <= F.col("qhat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.round(
+                F.sum(F.when(F.col("s") <= F.col("qhat"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                8,
+            ).alias("coverage"),
+        )
+        .select("n_cal", "k", "qhat", "n_eval", "n_covered", "coverage")
+    )
+
+
+# --- Information-gain feature ranking ----------------------------------------
+
+IG_LN_DP = 9     # per-term ln() rounding
+IG_C_DP = 12     # per-term contribution rounding before the decimal sum
+
+
+@query(
+    "info_gain_features",
+    oracle=f"""
+WITH f AS (
+    SELECT CAST(c_mktsegment = 'BUILDING' AS INT) AS y,
+           CAST(c_nationkey AS VARCHAR) AS nation,
+           c_mktsegment AS segment,
+           CAST(CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS VARCHAR)
+               AS acctbal_bin
+    FROM customer
+), u AS (
+    SELECT y, 'nation' AS feature, nation AS x FROM f
+    UNION ALL SELECT y, 'segment', segment FROM f
+    UNION ALL SELECT y, 'acctbal_bin', acctbal_bin FROM f
+), cxy AS (
+    SELECT feature, x, y, CAST(COUNT(*) AS BIGINT) AS c
+    FROM u GROUP BY 1, 2, 3
+), cx AS (
+    SELECT feature, x, CAST(SUM(c) AS BIGINT) AS nx FROM cxy GROUP BY 1, 2
+), nt AS (
+    SELECT feature, CAST(SUM(nx) AS BIGINT) AS n FROM cx GROUP BY 1
+), hyx AS (
+    SELECT cxy.feature,
+           SUM(CAST(ROUND(-(cxy.c / CAST(nt.n AS DOUBLE))
+                 * ROUND(ln(cxy.c / CAST(cx.nx AS DOUBLE)), {IG_LN_DP}),
+                 {IG_C_DP}) AS DECIMAL(28,{IG_C_DP}))) AS h_cond,
+           CAST(MAX(nt.n) AS BIGINT) AS n
+    FROM cxy
+    JOIN cx ON cx.feature = cxy.feature AND cx.x = cxy.x
+    JOIN nt ON nt.feature = cxy.feature
+    GROUP BY 1
+), nv AS (
+    SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_values FROM cx GROUP BY 1
+), cy AS (
+    SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1
+), hy AS (
+    SELECT SUM(CAST(ROUND(-(c / CAST(t.n AS DOUBLE))
+                 * ROUND(ln(c / CAST(t.n AS DOUBLE)), {IG_LN_DP}),
+                 {IG_C_DP}) AS DECIMAL(28,{IG_C_DP}))) AS h_y
+    FROM cy CROSS JOIN (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cy) t
+)
+SELECT hyx.feature, nv.n_values,
+       ROUND(CAST(hy.h_y AS DOUBLE), 8) AS h_y,
+       ROUND(CAST(hyx.h_cond AS DOUBLE), 8) AS h_y_given_x,
+       ROUND(CAST(hy.h_y AS DOUBLE) - CAST(hyx.h_cond AS DOUBLE), 8)
+           AS info_gain
+FROM hyx JOIN nv ON nv.feature = hyx.feature CROSS JOIN hy
+""",
+)
+def q_info_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature ranking (the ID3/C4.5 split criterion and
+    the standard filter-method feature selector): for each candidate
+    categorical feature, IG = H(y) - H(y|x) in nats, where H(y|x) =
+    -sum_{{x,y}} (c_xy/n) ln(c_xy/n_x) — computed for nation, market
+    segment, and a coarse balance bin from ONE customer scan (stack-
+    unpivot, the ``logreg_gd_step`` trick), so adding features never adds
+    scans. Reports per-feature cardinality so the reader can spot
+    cardinality-biased IG (the known ID3 pathology LOO encoding avoids).
+
+    Determinism: all probabilities are exact int/int divisions; ln is
+    rounded at {IG_LN_DP}dp before the multiply, each term at {IG_C_DP}dp,
+    and both entropies are DECIMAL sums — order-independent (the
+    ``corpus_drift_kl`` contract).
+
+    100-TB shape: one scan -> (feature, x, y) map-combinable counts
+    (key bounded by the summed feature cardinalities), then agg over the
+    bounded count table; H(y) broadcasts."""
+    f = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("y"),
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000.0)
+        .cast("long")
+        .cast("string")
+        .alias("acctbal_bin"),
+    )
+    u = f.select(
+        "y",
+        F.expr(
+            "stack(3, 'nation', nation, 'segment', segment,"
+            " 'acctbal_bin', acctbal_bin) AS (feature, x)"
+        ),
+    )
+    cxy = u.groupBy("feature", "x", "y").agg(F.count("*").cast("long").alias("c"))
+    cx = cxy.groupBy("feature", "x").agg(F.sum("c").cast("long").alias("nx"))
+    nt = cx.groupBy("feature").agg(F.sum("nx").cast("long").alias("n"))
+    dec = f"decimal(28,{IG_C_DP})"
+    term = F.round(
+        -(F.col("c") / F.col("n").cast("double"))
+        * F.round(F.log(F.col("c") / F.col("nx").cast("double")), IG_LN_DP),
+        IG_C_DP,
+    ).cast(dec)
+    hyx = (
+        cxy.join(cx, ["feature", "x"])
+        .join(F.broadcast(nt), "feature")
+        .groupBy("feature")
+        .agg(F.sum(term).alias("h_cond"), F.max("n").cast("long").alias("n"))
+    )
+    nv = cx.groupBy("feature").agg(F.count("*").cast("long").alias("n_values"))
+    cy = f.groupBy("y").agg(F.count("*").cast("long").alias("c"))
+    tot = cy.agg(F.sum("c").cast("long").alias("n"))
+    hterm = F.round(
+        -(F.col("c") / F.col("n").cast("double"))
+        * F.round(F.log(F.col("c") / F.col("n").cast("double")), IG_LN_DP),
+        IG_C_DP,
+    ).cast(dec)
+    hy = cy.crossJoin(F.broadcast(tot)).agg(F.sum(hterm).alias("h_y"))
+    return (
+        hyx.join(F.broadcast(nv), "feature")
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "feature",
+            "n_values",
+            F.round(F.col("h_y").cast("double"), 8).alias("h_y"),
+            F.round(F.col("h_cond").cast("double"), 8).alias("h_y_given_x"),
+            F.round(
+                F.col("h_y").cast("double") - F.col("h_cond").cast("double"), 8
+            ).alias("info_gain"),
+        )
+    )

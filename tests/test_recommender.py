@@ -423,3 +423,57 @@ def test_reco_coverage_gini_bounds(spark):
     assert r["catalog_coverage"] == round(r["brands_recommended"] / 25, 8)
     assert 0.0 <= r["gini_exposure"] < 1.0
     assert r["total_recs"] <= n_cust * CAND_TOP
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Marginal coverage on the eval split must be >= 1 - alpha - slack
+    (finite-sample); qhat is an achievable score; k = ceil(0.9(n+1))."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        q_conformal_calibration,
+    )
+
+    r = q_conformal_calibration(spark, SF_SMALL).collect()[0]
+    assert r["k"] == min((r["n_cal"] + 1) * 9 // 10 + (1 if (r["n_cal"] + 1) * 9 % 10 else 0), r["n_cal"])
+    assert 0.0 <= r["qhat"] <= 1.0
+    assert r["n_covered"] <= r["n_eval"]
+    # conformal guarantee holds marginally; allow finite-sample slack
+    assert r["coverage"] >= 0.9 - 3 * (0.9 * 0.1 / r["n_eval"]) ** 0.5
+
+
+def test_info_gain_nonnegative_and_bounded(spark):
+    """IG >= 0 (within rounding) and <= H(y); segment feature (contains
+    the label's defining column) must have the maximal IG."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        q_info_gain_features,
+    )
+
+    rows = {r["feature"]: r for r in q_info_gain_features(spark, SF_SMALL).collect()}
+    assert set(rows) == {"nation", "segment", "acctbal_bin"}
+    for r in rows.values():
+        assert r["info_gain"] >= -1e-6
+        assert r["info_gain"] <= r["h_y"] + 1e-6
+        assert r["h_y_given_x"] >= -1e-6
+    # segment determines y exactly -> H(y|segment) == 0, IG == H(y)
+    assert abs(rows["segment"]["h_y_given_x"]) < 1e-6
+    assert abs(rows["segment"]["info_gain"] - rows["segment"]["h_y"]) < 1e-6
+
+
+def test_fairness_metrics_count_identities(spark):
+    """Per-group counts partition customers; rates are exact count
+    ratios; tpr/fpr are NULL only when the denominator class is empty."""
+    from ccirecommenderdatapipeline_spark.plans.quality import (
+        FAIR_GROUPS,
+        q_fairness_metrics,
+    )
+
+    rows = q_fairness_metrics(spark, SF_SMALL).collect()
+    assert len(rows) <= FAIR_GROUPS
+    assert sum(r["n"] for r in rows) == 150
+    for r in rows:
+        assert 0.0 <= r["base_rate"] <= 1.0
+        assert 0.0 <= r["pred_rate"] <= 1.0
+        n_pos = round(r["base_rate"] * r["n"])
+        if n_pos == 0:
+            assert r["tpr"] is None
+        if n_pos == r["n"]:
+            assert r["fpr"] is None
