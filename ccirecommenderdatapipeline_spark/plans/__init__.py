@@ -85,6 +85,11 @@ _PRIORITY = [
     "conformal_calibration", "info_gain_features", "fairness_metrics",
 ]
 
+# Registered past the 50-row window this round (local oracle + pytest
+# green; FIRST candidates for the round-8 rotation): mmr_rerank,
+# ivm_aggregate_merge, plus any later round-7 additions and the 20
+# displaced (c) names above.
+
 # After this round's window executes, the r5/r6 backlog of 15 verdict-less
 # queries is cleared by (a), the plan changes are re-verified by (b), and
 # all 28 round-7 additions are in (d). Still driver-unverified after r7:

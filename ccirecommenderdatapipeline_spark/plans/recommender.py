@@ -858,3 +858,208 @@ def q_reco_coverage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("gini_exposure"),
     )
+
+
+# --- MMR diversified rerank (k=3 unrolled greedy) ----------------------------
+
+MMR_LAMBDA = 0.7   # relevance weight; 1-MMR_LAMBDA penalizes similarity
+# The MMR objective is evaluated in EXACT decimal arithmetic with integer
+# weights (10*lambda, 10*(1-lambda)) over decimal(12,8)-cast operands: a
+# float 0.7*s - 0.3*c rounded at 8dp can land ON a rounding boundary where
+# Spark's and DuckDB's double-ROUND disagree by 1 ulp of the 8th decimal
+# (observed at sf0.001) — decimal selection removes the boundary entirely.
+MMR_NUM = 7           # 10 * lambda
+MMR_DEN_MINUS = 3     # 10 * (1 - lambda)
+
+
+@query(
+    "mmr_rerank",
+    oracle=f"""
+WITH cb AS (
+    SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), bc AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM cb GROUP BY 1
+), pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS both_cnt
+    FROM cb a JOIN cb b ON a.ck = b.ck AND a.brand <> b.brand
+    GROUP BY 1, 2
+), sim AS (
+    SELECT pairs.brand_a, pairs.brand_b,
+           ROUND(both_cnt / sqrt(CAST(ca.c AS DOUBLE) * cb2.c), 8) AS cosine
+    FROM pairs
+    JOIN bc ca ON ca.brand = pairs.brand_a
+    JOIN bc cb2 ON cb2.brand = pairs.brand_b
+), cand AS (
+    SELECT cb.ck, s.brand_b AS brand, MAX(s.cosine) AS score
+    FROM cb JOIN sim s ON s.brand_a = cb.brand
+    WHERE cb.ck % {CAND_SAMPLE_MOD} = 0
+      AND NOT EXISTS (SELECT 1 FROM cb b2
+                      WHERE b2.ck = cb.ck AND b2.brand = s.brand_b)
+    GROUP BY 1, 2
+), s1 AS (
+    SELECT ck, brand AS b1, ROUND(score, 8) AS v1 FROM (
+        SELECT ck, brand, score,
+               ROW_NUMBER() OVER (PARTITION BY ck
+                                  ORDER BY score DESC, brand) AS rn
+        FROM cand) WHERE rn = 1
+), m2 AS (
+    SELECT c.ck, c.brand,
+           {MMR_NUM} * CAST(c.score AS DECIMAL(12,8))
+               - {MMR_DEN_MINUS} * CAST(COALESCE(x.cosine, 0.0)
+                                        AS DECIMAL(12,8)) AS mmr
+    FROM cand c JOIN s1 ON s1.ck = c.ck AND c.brand <> s1.b1
+    LEFT JOIN sim x ON x.brand_a = c.brand AND x.brand_b = s1.b1
+), s2 AS (
+    SELECT ck, brand AS b2, CAST(mmr AS DOUBLE) / 10 AS v2 FROM (
+        SELECT ck, brand, mmr,
+               ROW_NUMBER() OVER (PARTITION BY ck
+                                  ORDER BY mmr DESC, brand) AS rn
+        FROM m2) WHERE rn = 1
+), m3 AS (
+    SELECT c.ck, c.brand,
+           {MMR_NUM} * CAST(c.score AS DECIMAL(12,8))
+               - {MMR_DEN_MINUS} * CAST(GREATEST(COALESCE(x1.cosine, 0.0),
+                                                 COALESCE(x2.cosine, 0.0))
+                                        AS DECIMAL(12,8)) AS mmr
+    FROM cand c
+    JOIN s1 ON s1.ck = c.ck
+    JOIN s2 ON s2.ck = c.ck
+    LEFT JOIN sim x1 ON x1.brand_a = c.brand AND x1.brand_b = s1.b1
+    LEFT JOIN sim x2 ON x2.brand_a = c.brand AND x2.brand_b = s2.b2
+    WHERE c.brand <> s1.b1 AND c.brand <> s2.b2
+), s3 AS (
+    SELECT ck, brand AS b3, CAST(mmr AS DOUBLE) / 10 AS v3 FROM (
+        SELECT ck, brand, mmr,
+               ROW_NUMBER() OVER (PARTITION BY ck
+                                  ORDER BY mmr DESC, brand) AS rn
+        FROM m3) WHERE rn = 1
+)
+SELECT s1.ck, b1, v1, b2, v2, b3, v3
+FROM s1 JOIN s2 ON s2.ck = s1.ck JOIN s3 ON s3.ck = s1.ck
+""",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) of
+    the ``reco_candidates`` slate: greedily pick 3 brands maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-picked —
+    the diversity stage between candidate generation and serving
+    (``reco_coverage_gini`` measures why you want it). The greedy loop
+    is UNROLLED into three explicit plan stages (k is a product
+    constant): each step is a per-customer window argmax plus a
+    broadcast |V|^2 sim lookup — no iteration state, no driver loop,
+    and the whole slate stays one declarative plan. Customers with a
+    full 3-slate are emitted (inner-join semantics, both engines).
+
+    Determinism: relevance and sim are the pre-rounded cosine doubles;
+    each step's MMR value is rounded at 8dp BEFORE its ranking window
+    (ties -> brand), so selection is engine-exact at every step.
+
+    100-TB shape: candidates shuffle once on ck; every step's window is
+    per-customer (<= |V| rows) and the sim table broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    bc = cb.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+    b = cb.select("ck", F.col("brand").alias("brand_b"))
+    pairs = (
+        cb.select("ck", F.col("brand").alias("brand_a"))
+        .join(b, "ck")
+        .where(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("both_cnt"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    sim = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb2), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.round(
+                F.col("both_cnt")
+                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
+                8,
+            ).alias("cosine"),
+        )
+        .persist()
+    )
+    sampled = cb.where(F.col("ck") % CAND_SAMPLE_MOD == 0)
+    cand = (
+        sampled.withColumnRenamed("brand", "brand_a")
+        .join(F.broadcast(sim), "brand_a")
+        .select("ck", F.col("brand_b").alias("brand"), "cosine")
+        .join(sampled, ["ck", "brand"], "left_anti")
+        .groupBy("ck", "brand")
+        .agg(F.max("cosine").alias("score"))
+        .persist()
+    )
+    w = Window.partitionBy("ck")
+
+    def top1(df: DataFrame, val: str, bout: str, vout: str) -> DataFrame:
+        rn = F.row_number().over(w.orderBy(F.desc(val), F.asc("brand")))
+        return (
+            df.withColumn("_rn", rn)
+            .where(F.col("_rn") == 1)
+            .select("ck", F.col("brand").alias(bout), F.col(val).alias(vout))
+        )
+
+    s1 = top1(
+        cand.withColumn("v", F.round(F.col("score"), 8)), "v", "b1", "v1"
+    )
+    simx = lambda bcol, alias: (  # noqa: E731
+        sim.select(
+            F.col("brand_a").alias("brand"),
+            F.col("brand_b").alias(bcol),
+            F.col("cosine").alias(alias),
+        )
+    )
+    m2 = (
+        cand.join(s1, "ck")
+        .where(F.col("brand") != F.col("b1"))
+        .join(F.broadcast(simx("b1", "x1")), ["brand", "b1"], "left")
+        .withColumn(
+            "mmr",
+            F.lit(MMR_NUM) * F.col("score").cast("decimal(12,8)")
+            - F.lit(MMR_DEN_MINUS)
+            * F.coalesce(F.col("x1"), F.lit(0.0)).cast("decimal(12,8)"),
+        )
+    )
+    s2 = top1(m2, "mmr", "b2", "v2").withColumn(
+        "v2", F.col("v2").cast("double") / 10
+    )
+    m3 = (
+        cand.join(s1, "ck")
+        .join(s2, "ck")
+        .where((F.col("brand") != F.col("b1")) & (F.col("brand") != F.col("b2")))
+        .join(F.broadcast(simx("b1", "x1")), ["brand", "b1"], "left")
+        .join(F.broadcast(simx("b2", "x2")), ["brand", "b2"], "left")
+        .withColumn(
+            "mmr",
+            F.lit(MMR_NUM) * F.col("score").cast("decimal(12,8)")
+            - F.lit(MMR_DEN_MINUS)
+            * F.greatest(
+                F.coalesce(F.col("x1"), F.lit(0.0)),
+                F.coalesce(F.col("x2"), F.lit(0.0)),
+            ).cast("decimal(12,8)"),
+        )
+    )
+    s3 = top1(m3, "mmr", "b3", "v3").withColumn(
+        "v3", F.col("v3").cast("double") / 10
+    )
+    return (
+        s1.join(s2, "ck")
+        .join(s3, "ck")
+        .select("ck", "b1", "v1", "b2", "v2", "b3", "v3")
+    )

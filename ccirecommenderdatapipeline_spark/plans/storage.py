@@ -904,3 +904,73 @@ def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("a8") != F.col("a9"), 1)).cast("long").alias("n_moved_in"),
         F.count("*").cast("long").alias("n_after"),
     )
+
+
+# --- Incremental view maintenance: base agg ⊎ delta agg == full recompute ----
+
+IVM_CUTOFF = "2001-01-01"   # rows before = materialized base, after = delta
+
+
+@query(
+    "ivm_aggregate_merge",
+    oracle="""
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+            AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def q_ivm_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a partial-aggregate materialized
+    view: the Spark side NEVER runs the full-table aggregate — it
+    aggregates the pre-cutoff slice (the persisted "materialized view"),
+    separately aggregates the post-cutoff delta (the newly-landed
+    partition), and MERGES the two by re-aggregating the bounded
+    per-group partials — while the oracle IS the full recompute. Hash
+    equality proves the merge function (count-sum, sum-sum over exact
+    DECIMAL(18,2)) is lossless, the algebraic property that lets a
+    100-TB rollup absorb a daily partition in O(|delta| + |groups|)
+    instead of O(|history|). ``incremental_merge`` is the row-level
+    keep-last sibling; this is the aggregate-level one. Self-maintainable
+    because count/sum are commutative monoids — a max/min view would
+    need the row log on deletes (documented limit, Gupta & Mumick 1995).
+
+    Determinism: money sums run as DECIMAL(18,2) in every branch
+    (order-independent); the month key is a string in both engines.
+
+    100-TB shape: the base agg stands in for reading the stored view
+    (group-grain rows); the delta agg is partition-pruned by the cutoff
+    (scan-level pushdown); the merge shuffles only group-grain rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").alias("rev"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+    )
+    cutoff = F.lit(IVM_CUTOFF).cast("date")
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("month", "priority").agg(
+            F.count("*").cast("long").alias("n_part"),
+            F.sum("rev").alias("rev_part"),
+        )
+
+    base = part_agg(o.where(F.col("dt") < cutoff))
+    delta = part_agg(o.where(F.col("dt") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month", "priority")
+        .agg(
+            F.sum("n_part").cast("long").alias("n_orders"),
+            F.sum("rev_part").alias("rev"),
+        )
+    )
+    return merged.select(
+        "month",
+        "priority",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+    )

@@ -477,3 +477,103 @@ def test_fairness_metrics_count_identities(spark):
             assert r["tpr"] is None
         if n_pos == r["n"]:
             assert r["fpr"] is None
+
+
+def test_mmr_diversifies_and_is_greedy_exact(spark):
+    """Replay the 3-step greedy in pure Python (decimal weights) from the
+    candidate/sim tables; slate must match exactly."""
+    from decimal import Decimal
+
+    from ccirecommenderdatapipeline_spark.plans.recommender import (
+        CAND_SAMPLE_MOD,
+        MMR_DEN_MINUS,
+        MMR_NUM,
+        q_mmr_rerank,
+    )
+
+    got = {r["ck"]: r for r in q_mmr_rerank(spark, SF_SMALL).collect()}
+    assert got
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, SF_SMALL, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .collect()
+    )
+    bought = defaultdict(set)
+    for r in cb:
+        bought[r["ck"]].add(r["brand"])
+    brand_cust = defaultdict(set)
+    for r in cb:
+        brand_cust[r["brand"]].add(r["ck"])
+    import math as m
+
+    def cos(a, b):
+        inter = len(brand_cust[a] & brand_cust[b])
+        if not inter or a == b:
+            return 0.0
+        return round(inter / m.sqrt(len(brand_cust[a]) * len(brand_cust[b])), 8)
+
+    for ck, row in got.items():
+        assert ck % CAND_SAMPLE_MOD == 0
+        mine = bought[ck]
+        cand = {}
+        for b in brand_cust:
+            if b in mine:
+                continue
+            sc = max((cos(a, b) for a in mine), default=0.0)
+            if sc > 0:
+                cand[b] = sc
+        sel = []
+        for _ in range(3):
+            best = None
+            for b, sc in cand.items():
+                if b in sel:
+                    continue
+                pen = max((cos(b, s) for s in sel), default=0.0)
+                val = MMR_NUM * Decimal(f"{sc:.8f}") - MMR_DEN_MINUS * Decimal(
+                    f"{pen:.8f}"
+                )
+                key = (-val, b)
+                if best is None or key < best[0]:
+                    best = (key, b)
+            sel.append(best[1])
+        assert [row["b1"], row["b2"], row["b3"]] == sel, ck
+        assert len({row["b1"], row["b2"], row["b3"]}) == 3
+
+
+def test_ivm_merge_equals_full_recompute(spark):
+    """The base⊎delta merged aggregate equals a direct full-table
+    aggregate computed independently in-test."""
+    from ccirecommenderdatapipeline_spark.plans.storage import (
+        q_ivm_aggregate_merge,
+    )
+
+    got = {
+        (r["month"], r["priority"]): (r["n_orders"], round(r["revenue"], 2))
+        for r in q_ivm_aggregate_merge(spark, SF_SMALL).collect()
+    }
+    full = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev"),
+        )
+        .collect()
+    )
+    want = {
+        (r["month"], r["priority"]): (r["n"], round(float(r["rev"]), 2))
+        for r in full
+    }
+    assert got == want
