@@ -1063,3 +1063,124 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s3, "ck")
         .select("ck", "b1", "v1", "b2", "v2", "b3", "v3")
     )
+
+
+# --- Model-based CF: one closed-form ALS item-factor update ------------------
+
+ALS_SEED1, ALS_SEED2 = "als1:", "als2:"
+ALS_REG = 0.1     # ridge term lambda
+ALS_U_DP = 12     # user-factor rounding (md5-dyadic base)
+
+
+@query(
+    "als_item_step",
+    oracle=f"""
+WITH cb AS (
+    SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), uf AS (
+    SELECT DISTINCT ck,
+           ROUND((('0x' || substr(md5('{ALS_SEED1}' || ck), 1, 13))::BIGINT
+                  + 1) / CAST(POW(2, 52) AS DOUBLE), {ALS_U_DP}) AS u1,
+           ROUND((('0x' || substr(md5('{ALS_SEED2}' || ck), 1, 13))::BIGINT
+                  + 1) / CAST(POW(2, 52) AS DOUBLE), {ALS_U_DP}) AS u2
+    FROM cb
+), s AS (
+    SELECT cb.brand,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           SUM(CAST(ROUND(u1 * u1, 12) AS DECIMAL(28,12))) AS a11,
+           SUM(CAST(ROUND(u1 * u2, 12) AS DECIMAL(28,12))) AS a12,
+           SUM(CAST(ROUND(u2 * u2, 12) AS DECIMAL(28,12))) AS a22,
+           SUM(CAST(u1 AS DECIMAL(28,12))) AS b1,
+           SUM(CAST(u2 AS DECIMAL(28,12))) AS b2
+    FROM cb JOIN uf ON uf.ck = cb.ck
+    GROUP BY 1
+), f AS (
+    SELECT brand, n_users,
+           CAST(a11 AS DOUBLE) + {ALS_REG} AS p11,
+           CAST(a12 AS DOUBLE) AS p12,
+           CAST(a22 AS DOUBLE) + {ALS_REG} AS p22,
+           CAST(b1 AS DOUBLE) AS q1, CAST(b2 AS DOUBLE) AS q2
+    FROM s
+)
+SELECT brand, n_users,
+       ROUND((p22 * q1 - p12 * q2) / (p11 * p22 - p12 * p12), 8) AS f1,
+       ROUND((p11 * q2 - p12 * q1) / (p11 * p22 - p12 * p12), 8) AS f2
+FROM f
+""",
+)
+def q_als_item_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One alternating-least-squares ITEM half-step (Hu/Koren/Volinsky-
+    style implicit feedback, rank 2): holding user factors fixed, each
+    item's new factor solves the 2x2 ridge normal equations
+    (sum u u^T + lambda I) f = sum u r over the users who bought it,
+    in CLOSED FORM (Cramer's rule) — the model-based CF sibling of the
+    memory-based ``item_item_cosine``. User factors are frozen
+    md5-dyadic uniforms (a production job reads the previous
+    half-step's table; the algebra, shuffles, and solve are identical).
+
+    Determinism: the per-item Gram/moment sums are DECIMAL(28,12) sums
+    of per-row rounded products (order-independent); the 2x2 solve is a
+    fixed double expression on those exact sums; ROUND 8 on output.
+
+    100-TB shape: the interaction scan joins a broadcast-or-sharded user
+    factor table, partial-aggregates the 5 moment cells per item
+    map-side, and shuffles item-grain rows only — exactly the real ALS
+    dataflow (per-item solves are O(rank^3) driver-free map work)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+
+    def dyadic(seed: str) -> F.Column:
+        return F.round(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(seed), F.col("ck").cast("string"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + 1
+            )
+            / F.lit(float(2**52)),
+            ALS_U_DP,
+        )
+
+    uf = cb.select("ck").distinct().select(
+        "ck", dyadic(ALS_SEED1).alias("u1"), dyadic(ALS_SEED2).alias("u2")
+    )
+    dec = "decimal(28,12)"
+    s = (
+        cb.join(uf, "ck")
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.round(F.col("u1") * F.col("u1"), 12).cast(dec)).alias("a11"),
+            F.sum(F.round(F.col("u1") * F.col("u2"), 12).cast(dec)).alias("a12"),
+            F.sum(F.round(F.col("u2") * F.col("u2"), 12).cast(dec)).alias("a22"),
+            F.sum(F.col("u1").cast(dec)).alias("b1"),
+            F.sum(F.col("u2").cast(dec)).alias("b2"),
+        )
+    )
+    p11 = F.col("a11").cast("double") + F.lit(ALS_REG)
+    p12 = F.col("a12").cast("double")
+    p22 = F.col("a22").cast("double") + F.lit(ALS_REG)
+    q1, q2 = F.col("b1").cast("double"), F.col("b2").cast("double")
+    det = p11 * p22 - p12 * p12
+    return s.select(
+        "brand",
+        "n_users",
+        F.round((p22 * q1 - p12 * q2) / det, 8).alias("f1"),
+        F.round((p11 * q2 - p12 * q1) / det, 8).alias("f2"),
+    )

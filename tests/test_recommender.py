@@ -577,3 +577,50 @@ def test_ivm_merge_equals_full_recompute(spark):
         for r in full
     }
     assert got == want
+
+
+def test_als_item_step_solves_normal_equations(spark):
+    """Each item's factor must satisfy (A + lambda*I) f = b within
+    numerical tolerance, with A/b recomputed independently in Python."""
+    import hashlib
+
+    from ccirecommenderdatapipeline_spark.plans.recommender import (
+        ALS_REG,
+        ALS_SEED1,
+        ALS_SEED2,
+        ALS_U_DP,
+        q_als_item_step,
+    )
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+
+    got = {r["brand"]: r for r in q_als_item_step(spark, SF_SMALL).collect()}
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, SF_SMALL, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .collect()
+    )
+
+    def u(seed, ck):
+        h = int(hashlib.md5(f"{seed}{ck}".encode()).hexdigest()[:13], 16)
+        return round((h + 1) / 2**52, ALS_U_DP)
+
+    items = defaultdict(list)
+    for r in cb:
+        items[r["brand"]].append(r["ck"])
+    assert set(got) == set(items)
+    for brand, cks in items.items():
+        a11 = sum(round(u(ALS_SEED1, c) ** 2, 12) for c in cks) + ALS_REG
+        a12 = sum(round(u(ALS_SEED1, c) * u(ALS_SEED2, c), 12) for c in cks)
+        a22 = sum(round(u(ALS_SEED2, c) ** 2, 12) for c in cks) + ALS_REG
+        b1 = sum(u(ALS_SEED1, c) for c in cks)
+        b2 = sum(u(ALS_SEED2, c) for c in cks)
+        f1, f2 = got[brand]["f1"], got[brand]["f2"]
+        assert got[brand]["n_users"] == len(cks)
+        # residual of the normal equations at the reported solution
+        assert abs(a11 * f1 + a12 * f2 - b1) < 1e-4 * max(1.0, abs(b1))
+        assert abs(a12 * f1 + a22 * f2 - b2) < 1e-4 * max(1.0, abs(b2))
