@@ -90,6 +90,8 @@ HEADLINE = [
     "propensity_ipw",            # IPW treatment effect + ESS (r7b)
     "dp_noisy_counts",           # Laplace-mechanism release rig (r7b)
     "length_bucket_batching",    # padding-waste bucket telemetry (r7b)
+    "ivm_aggregate_merge",       # base⊎delta IVM merge == recompute (r7b)
+    "als_item_step",             # closed-form ALS item half-step (r7b)
 ]
 
 
