@@ -609,9 +609,7 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_M = 256  # 2^8 registers: bucket = first two md5 hex digits
 
 
-@query(
-    "hll_distinct",
-    oracle=f"""
+HLL_DISTINCT_ORACLE = f"""
 WITH {TOK_CTE},
 ex AS (
     SELECT UNNEST(CASE WHEN len(toks) >= 3
@@ -659,8 +657,35 @@ SELECT CAST({HLL_M} AS INTEGER) AS m, n_exact,
        ROUND(e, 2) AS n_hll,
        ROUND(abs(e - n_exact) / n_exact, 4) AS rel_err
 FROM est
-""",
-)
+"""
+
+
+def hll_regs(docs: DataFrame) -> DataFrame:
+    """(bucket, r) register table for a documents-shaped DataFrame —
+    works identically on a batch table or one micro-batch
+    (foreachBatch), which is what makes per-batch partial registers
+    MAX-mergeable (the cms_cells analogue for the HLL; shared by
+    q_hll_distinct's shape and streaming/jobs.py:stream_hll_merge)."""
+    tok = docs.select(
+        F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("t")
+    )
+    h = F.md5("t")
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10)).cast("int")
+    rest = F.substring(h, 3, 12)
+    lz = F.length(F.regexp_extract(rest, "^0*", 0))
+    dval = F.conv(F.substr(rest, lz + 1, F.lit(1)), 16, 10).cast("int")
+    extra = (
+        F.when(dval >= 8, 0).when(dval >= 4, 1).when(dval >= 2, 2).otherwise(3)
+    )
+    rho = F.when(lz == 12, F.lit(49)).otherwise(4 * lz + extra + 1)
+    return (
+        tok.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+@query("hll_distinct", oracle=HLL_DISTINCT_ORACLE)
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog vocabulary cardinality, built from scratch so BOTH
     engines compute bit-identical registers (Spark's approx_count_distinct

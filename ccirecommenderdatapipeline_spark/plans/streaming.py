@@ -431,3 +431,16 @@ def q_stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_decayed_popularity
 
     return stream_decayed_popularity(spark, sf_dir)
+
+
+from .corpus import HLL_DISTINCT_ORACLE  # noqa: E402
+
+
+@query("stream_hll_merge", oracle=HLL_DISTINCT_ORACLE)
+def q_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL: per-micro-batch partial registers merged by MAX;
+    equals the batch sketch exactly (see streaming/jobs.py:
+    stream_hll_merge — idempotent merge, replay-safe)."""
+    from ..streaming.jobs import stream_hll_merge
+
+    return stream_hll_merge(spark, sf_dir)

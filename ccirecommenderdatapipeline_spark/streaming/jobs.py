@@ -1007,3 +1007,74 @@ def stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(rw).cast("int").alias("rnk"),
         )
     )
+
+
+def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog maintained OVER A STREAM — the third streaming sketch
+    next to ``stream_cms_merge`` (cell-wise ADD) and
+    ``stream_decayed_popularity`` (brand-wise ADD): each micro-batch's
+    documents fold into a PARTIAL (bucket, max rho) register table
+    inside foreachBatch, and the merged sketch is the register-wise MAX
+    across batches — max is associative/commutative/IDEMPOTENT, so the
+    merge is lossless under any micro-batching AND under replayed
+    batches (at-least-once delivery cannot inflate an HLL, unlike a
+    counter — the operational reason cardinality telemetry favors it).
+    With availableNow over the staged files the merged registers equal
+    the batch sketch exactly; the estimator and the exact-distinct
+    error column replay the batch oracle bit-for-bit.
+
+    100-TB shape: each batch collapses to <= m = {HLL_M} register rows
+    before any write; the log holds #batches x m bounded rows; the
+    final merge and estimator run on register-grain data only."""
+    from ..plans.corpus import HLL_M, hll_regs
+    from ..operators.text import tokens, word_ngrams
+
+    staged = stage_documents_dir(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    run_id = uuid.uuid4().hex[:10]
+    target = os.path.join(STAGE_ROOT, f"hll_regs_{run_id}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_regs(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(STAGE_ROOT, "ckpt", f"hll_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    regs = (
+        spark.read.parquet(target).groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+    s = regs.agg(
+        F.count("*").alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("zp"),
+    )
+    exact = (
+        spark.read.parquet(staged)
+        .select(F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("t"))
+        .agg(F.count_distinct("t").cast("long").alias("n_exact"))
+    )
+    m = float(HLL_M)
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / (
+        F.col("zp") + (F.lit(HLL_M) - F.col("nb"))
+    )
+    v = F.lit(HLL_M) - F.col("nb")
+    e = F.when((raw <= 2.5 * m) & (v > 0), m * F.log(m / v)).otherwise(raw)
+    return s.crossJoin(F.broadcast(exact)).select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        "n_exact",
+        F.round(e, 2).alias("n_hll"),
+        F.round(F.abs(e - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )

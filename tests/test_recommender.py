@@ -624,3 +624,14 @@ def test_als_item_step_solves_normal_equations(spark):
         # residual of the normal equations at the reported solution
         assert abs(a11 * f1 + a12 * f2 - b1) < 1e-4 * max(1.0, abs(b1))
         assert abs(a12 * f1 + a22 * f2 - b2) < 1e-4 * max(1.0, abs(b2))
+
+
+def test_stream_hll_equals_batch(spark):
+    """Streamed register-MAX merge reproduces the batch HLL row exactly
+    (idempotent merge — replay-safe)."""
+    from ccirecommenderdatapipeline_spark.plans.corpus import q_hll_distinct
+    from ccirecommenderdatapipeline_spark.streaming.jobs import stream_hll_merge
+
+    batch = q_hll_distinct(spark, SF_SMALL).collect()
+    stream = stream_hll_merge(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
