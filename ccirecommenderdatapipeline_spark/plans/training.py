@@ -1378,3 +1378,85 @@ def q_info_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("info_gain"),
         )
     )
+
+
+# --- Cross-source quantile normalization --------------------------------------
+
+
+@query(
+    "quantile_normalize_sources",
+    oracle=f"""
+WITH lens AS (
+    SELECT doc_id, source, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tok
+    FROM documents
+), g AS (
+    SELECT doc_id, n_tok,
+           ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rg,
+           COUNT(*) OVER () AS n
+    FROM lens
+), s AS (
+    SELECT doc_id, source, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id)
+               AS r,
+           COUNT(*) OVER (PARTITION BY source) AS ns
+    FROM lens
+), k AS (
+    SELECT doc_id, source, n_tok,
+           (r * (SELECT MAX(n) FROM g) + ns - 1) // ns AS tgt
+    FROM s
+)
+SELECT k.doc_id, k.source, k.n_tok, g.n_tok AS qnorm_tok
+FROM k JOIN g ON g.rg = k.tgt
+""",
+)
+def q_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (the batch-effect correction
+    of microarray fame, applied to per-source length distributions):
+    each document's token count is replaced by the GLOBAL distribution's
+    value at the same quantile — rank r of n_s within the source maps to
+    the global order statistic at ceil(r*N/n_s) — so every source ends
+    up with the same marginal distribution, the preprocessing a mixture
+    trainer applies before per-source thresholds can mean the same thing
+    (``corpus_drift_kl`` detects the skew; this removes it).
+
+    BOTH ranks run through ``two_phase_rank`` with bucket=n_tok
+    (monotone integer key; no single-task sort for the global rank —
+    the feature_binning lesson), the target rank is pure integer math,
+    and the value lookup is an equi-join on the global rank. Everything
+    is exact int64 — no float leaves the plan.
+
+    100-TB shape: two bucketed two-phase ranks (|buckets|-parallel), a
+    broadcast of per-source sizes + the scalar N, and one equi-join
+    whose right side is the (rank, value) pairs — rank-grain, not
+    data-grain state anywhere."""
+    lens = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    g = two_phase_rank(
+        lens, "n_tok", id_col="doc_id", out="rg", bucket=F.col("n_tok")
+    ).select("doc_id", "n_tok", "rg")
+    n = lens.agg(F.count("*").cast("long").alias("n"))
+    s = two_phase_rank(
+        lens,
+        "n_tok",
+        part_cols=("source",),
+        id_col="doc_id",
+        out="r",
+        bucket=F.col("n_tok"),
+    )
+    ns = lens.groupBy("source").agg(F.count("*").cast("long").alias("ns"))
+    # integer ceil-div: (r*n + ns - 1) DIV ns — exact int math only
+    k = (
+        s.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.expr("(r * n + ns - 1) DIV ns").alias("tgt"),
+        )
+    )
+    lookup = g.select(F.col("rg").alias("tgt"), F.col("n_tok").alias("qnorm_tok"))
+    return k.join(lookup, "tgt").select("doc_id", "source", "n_tok", "qnorm_tok")

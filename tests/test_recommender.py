@@ -635,3 +635,33 @@ def test_stream_hll_equals_batch(spark):
     batch = q_hll_distinct(spark, SF_SMALL).collect()
     stream = stream_hll_merge(spark, SF_SMALL).collect()
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_quantile_normalize_equalizes_marginals(spark):
+    """After normalization every source's value multiset is (up to
+    rounding of ranks) a subset of the global order statistics, sources
+    of equal size get IDENTICAL multisets, and ranks are preserved
+    within each source."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        q_quantile_normalize_sources,
+    )
+
+    rows = q_quantile_normalize_sources(spark, SF_SMALL).collect()
+    assert rows
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    sizes = {s: len(v) for s, v in by_src.items()}
+    # equal-size sources -> identical normalized multisets
+    from collections import Counter
+
+    msets = defaultdict(list)
+    for s, v in by_src.items():
+        msets[sizes[s]].append(Counter(r["qnorm_tok"] for r in v))
+    for size, lst in msets.items():
+        assert all(c == lst[0] for c in lst), f"size-{size} sources differ"
+    # rank preservation: sorting by raw within a source sorts normalized
+    for s, v in by_src.items():
+        v.sort(key=lambda r: (r["n_tok"], r["doc_id"]))
+        qs = [r["qnorm_tok"] for r in v]
+        assert qs == sorted(qs), s
