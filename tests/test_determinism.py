@@ -41,6 +41,18 @@ NAMES = [
     "kmeans_lloyd_step",
     "interval_merge",
     "dedup_simhash_hamming",
+    # round-7b additions: decimal gradient/entropy/Gram sums (gd, ig,
+    # als), decimal-selected greedy ranking (mmr), two-phase order
+    # statistic (conformal), rank-join quantile map (qnorm), dyadic
+    # weight sums (decayed), window top-k off exact ratios (cosine)
+    "logreg_gd_step",
+    "info_gain_features",
+    "als_item_step",
+    "mmr_rerank",
+    "conformal_calibration",
+    "quantile_normalize_sources",
+    "decayed_popularity",
+    "item_item_cosine",
 ]
 
 
