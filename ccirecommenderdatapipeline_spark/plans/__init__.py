@@ -88,7 +88,8 @@ _PRIORITY = [
 # Registered past the 50-row window this round (local oracle + pytest
 # green; FIRST candidates for the round-8 rotation): mmr_rerank,
 # ivm_aggregate_merge, als_item_step, stream_hll_merge,
-# quantile_normalize_sources, plus any later round-7 additions and the 20
+# quantile_normalize_sources, kaplan_meier_survival, plus any later
+# round-7 additions and the 20
 # displaced (c) names above.
 
 # After this round's window executes, the r5/r6 backlog of 15 verdict-less

@@ -827,3 +827,119 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_cnt") + F.col("noise"), DP_NOISE_DP).alias("noisy_cnt"),
         F.round(F.abs(F.col("noise")), DP_NOISE_DP).alias("abs_err"),
     )
+
+
+# --- Kaplan-Meier survival: time to repeat purchase ---------------------------
+
+KM_LN_DP = 9   # per-step ln(1 - d/n) rounding
+KM_C_DP = 12   # per-step contribution rounding before the decimal cumsum
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle=f"""
+WITH seq AS (
+    SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS dt,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+), mx AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders
+), subj AS (
+    SELECT f.ck,
+           CASE WHEN s.dt IS NOT NULL THEN date_diff('day', f.dt, s.dt)
+                ELSE date_diff('day', f.dt, mx.md) END AS t,
+           CASE WHEN s.dt IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM (SELECT ck, dt FROM seq WHERE rn = 1) f
+    LEFT JOIN (SELECT ck, dt FROM seq WHERE rn = 2) s USING (ck)
+    CROSS JOIN mx
+), agg AS (
+    SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM subj GROUP BY 1
+), risk AS (
+    SELECT t, d, CAST(SUM(c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+    FROM agg
+), steps AS (
+    SELECT t, d, n_risk,
+           CAST(ROUND(ROUND(ln(1.0 - d / CAST(n_risk AS DOUBLE)),
+                            {KM_LN_DP}), {KM_C_DP})
+                AS DECIMAL(28,{KM_C_DP})) AS lnc
+    FROM risk WHERE d > 0 AND d < n_risk
+)
+SELECT t, d, n_risk,
+       ROUND(exp(CAST(SUM(lnc) OVER (ORDER BY t) AS DOUBLE)), 8) AS survival
+FROM steps
+""",
+)
+def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator for time-to-repeat-purchase:
+    each customer contributes the gap between their first and second
+    order, RIGHT-CENSORED at the corpus horizon for one-order customers
+    — survival analysis done correctly (dropping censored customers
+    would bias S(t) down), the lifecycle readout next to
+    ``retention_cohorts``'s calendar grid. S(t) = prod_{{t_i<=t}}
+    (1 - d_i/n_i) with n_i the at-risk count (a DESC cumulative count
+    over the time axis).
+
+    Determinism: the product runs in LOG space — ln(1 - d/n) of exact
+    int ratios, rounded at {KM_LN_DP}dp, accumulated as a
+    DECIMAL(28,{KM_C_DP}) running sum, exp'd once per row and rounded
+    at 8dp (the bigram-LM NLL contract, cumulatively). The two windows
+    order the EVENT-TIME axis — bounded by the calendar span, never by
+    customers (the subject agg collapses first).
+
+    100-TB shape: one per-customer rank (bounded partitions), a
+    time-grain agg, then calendar-bounded windows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("dt")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dt", "o_orderkey")
+    seq = o.withColumn("rn", F.row_number().over(w))
+    first = seq.where(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("ck"), F.col("dt").alias("d1")
+    )
+    second = seq.where(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck"), F.col("dt").alias("d2")
+    )
+    mx = o.agg(F.max("dt").alias("md"))
+    subj = (
+        first.join(second, "ck", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("md", "d1"))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    agg = subj.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"), F.count("*").cast("long").alias("c")
+    )
+    wd = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = agg.select(
+        "t", "d", F.sum("c").over(wd).cast("long").alias("n_risk")
+    )
+    steps = risk.where((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(
+            F.round(
+                F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double")),
+                KM_LN_DP,
+            ),
+            KM_C_DP,
+        )
+        .cast(f"decimal(28,{KM_C_DP})")
+        .alias("lnc"),
+    )
+    wu = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(F.exp(F.sum("lnc").over(wu).cast("double")), 8).alias("survival"),
+    )

@@ -665,3 +665,25 @@ def test_quantile_normalize_equalizes_marginals(spark):
         v.sort(key=lambda r: (r["n_tok"], r["doc_id"]))
         qs = [r["qnorm_tok"] for r in v]
         assert qs == sorted(qs), s
+
+
+def test_kaplan_meier_monotone_and_bounded(spark):
+    """S(t) is non-increasing in (0,1); each step multiplies by exactly
+    (1 - d/n) within the documented rounding; n_risk is non-increasing."""
+    from ccirecommenderdatapipeline_spark.plans.analytics import (
+        q_kaplan_meier_survival,
+    )
+
+    rows = sorted(
+        q_kaplan_meier_survival(spark, SF_SMALL).collect(), key=lambda r: r["t"]
+    )
+    assert rows
+    prev_s, prev_n = 1.0, None
+    for r in rows:
+        assert 0.0 < r["survival"] < 1.0
+        assert r["survival"] <= prev_s + 1e-9
+        step = 1.0 - r["d"] / r["n_risk"]
+        assert abs(r["survival"] - prev_s * step) < 1e-5
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n
+        prev_s, prev_n = r["survival"], r["n_risk"]
