@@ -92,6 +92,8 @@ HEADLINE = [
     "length_bucket_batching",    # padding-waste bucket telemetry (r7b)
     "ivm_aggregate_merge",       # base⊎delta IVM merge == recompute (r7b)
     "als_item_step",             # closed-form ALS item half-step (r7b)
+    "quantile_normalize_sources",  # cross-source quantile map (r7b)
+    "kaplan_meier_survival",     # censored time-to-repeat KM curve (r7b)
 ]
 
 
