@@ -621,6 +621,34 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``item_item_cosine`` plan on the train slice; relevance sets shuffle
     once on ck; every per-customer structure (candidates, hits) is
     <= |V| rows. The cutoff filter is a scan-level pushdown."""
+    ranked, new_rel = _temporal_ranked(spark, sf_dir)
+    hits = ranked.join(
+        new_rel.withColumn("rel_hit", F.lit(1)), ["ck", "brand"], "left"
+    ).select("ck", "rnk", F.coalesce(F.col("rel_hit"), F.lit(0)).alias("rel"))
+    disc = F.expr(f"CASE rnk {_DISC_CASE} END")
+    dcg = hits.groupBy("ck").agg(
+        F.sum(F.col("rel") * disc).alias("dcg_d"),
+        F.sum("rel").cast("long").alias("hits_at_k"),
+    )
+    nrel = new_rel.groupBy("ck").agg(F.count("*").cast("long").alias("n_rel"))
+    idcg = F.expr(f"CASE LEAST(n_rel, {NDCG_K}) {_CUM_CASE} END")
+    return dcg.join(nrel, "ck").select(
+        "ck",
+        "n_rel",
+        "hits_at_k",
+        F.round(F.col("dcg_d").cast("double"), 8).alias("dcg"),
+        F.round(F.col("dcg_d").cast("double") / idcg.cast("double"), 8).alias(
+            "ndcg"
+        ),
+    )
+
+
+def _temporal_ranked(spark: SparkSession, sf_dir: str):
+    """Shared temporal-split recommender eval rig (``ndcg_eval`` /
+    ``map_mrr_eval``): cosine model trained strictly before {NDCG_CUTOFF},
+    top-{NDCG_K} unbought candidates ranked per sampled customer. Returns
+    ``(ranked, new_rel)`` — the rank list (ck, brand, rnk<= {NDCG_K}) and
+    the first-time post-cutoff relevance set (ck, brand)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
@@ -678,25 +706,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = cand.select(
         "ck", "brand", F.row_number().over(cw).alias("rnk")
     ).where(F.col("rnk") <= NDCG_K)
-    hits = ranked.join(
-        new_rel.withColumn("rel_hit", F.lit(1)), ["ck", "brand"], "left"
-    ).select("ck", "rnk", F.coalesce(F.col("rel_hit"), F.lit(0)).alias("rel"))
-    disc = F.expr(f"CASE rnk {_DISC_CASE} END")
-    dcg = hits.groupBy("ck").agg(
-        F.sum(F.col("rel") * disc).alias("dcg_d"),
-        F.sum("rel").cast("long").alias("hits_at_k"),
-    )
-    nrel = new_rel.groupBy("ck").agg(F.count("*").cast("long").alias("n_rel"))
-    idcg = F.expr(f"CASE LEAST(n_rel, {NDCG_K}) {_CUM_CASE} END")
-    return dcg.join(nrel, "ck").select(
-        "ck",
-        "n_rel",
-        "hits_at_k",
-        F.round(F.col("dcg_d").cast("double"), 8).alias("dcg"),
-        F.round(F.col("dcg_d").cast("double") / idcg.cast("double"), 8).alias(
-            "ndcg"
-        ),
-    )
+    return ranked, new_rel
 
 
 # --- Recommendation exposure metrics: catalog coverage + Gini ----------------
@@ -1177,4 +1187,206 @@ def q_als_item_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round((p22 * q1 - p12 * q2) / det, 8).alias("f1"),
         F.round((p11 * q2 - p12 * q1) / det, 8).alias("f2"),
+    )
+
+
+# --- MAP / MRR / HitRate ranking eval (ndcg_eval's order-sensitive sibling) --
+
+
+@query(
+    "map_mrr_eval",
+    oracle=f"""
+WITH base AS (
+    SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand,
+                    CAST(o.o_orderdate AS DATE) AS dt
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), tr AS (
+    SELECT DISTINCT ck, brand FROM base WHERE dt < DATE '{NDCG_CUTOFF}'
+), te AS (
+    SELECT DISTINCT ck, brand FROM base WHERE dt >= DATE '{NDCG_CUTOFF}'
+), new_rel AS (
+    SELECT te.ck, te.brand FROM te
+    WHERE NOT EXISTS (SELECT 1 FROM tr
+                      WHERE tr.ck = te.ck AND tr.brand = te.brand)
+), bc AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1
+), pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS both_cnt
+    FROM tr a JOIN tr b ON a.ck = b.ck AND a.brand <> b.brand
+    GROUP BY 1, 2
+), sim AS (
+    SELECT pairs.brand_a, pairs.brand_b,
+           ROUND(both_cnt / sqrt(CAST(ca.c AS DOUBLE) * cb2.c), 8) AS cosine
+    FROM pairs
+    JOIN bc ca ON ca.brand = pairs.brand_a
+    JOIN bc cb2 ON cb2.brand = pairs.brand_b
+), cand AS (
+    SELECT tr.ck, s.brand_b AS brand, MAX(s.cosine) AS score
+    FROM tr JOIN sim s ON s.brand_a = tr.brand
+    WHERE tr.ck % {NDCG_SAMPLE_MOD} = 0
+      AND NOT EXISTS (SELECT 1 FROM tr t2
+                      WHERE t2.ck = tr.ck AND t2.brand = s.brand_b)
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT ck, brand,
+           ROW_NUMBER() OVER (PARTITION BY ck ORDER BY score DESC, brand) AS rnk
+    FROM cand
+), hits AS (
+    SELECT r.ck, r.rnk,
+           CASE WHEN nr.brand IS NOT NULL THEN 1 ELSE 0 END AS rel
+    FROM ranked r
+    LEFT JOIN new_rel nr ON nr.ck = r.ck AND nr.brand = r.brand
+    WHERE r.rnk <= {NDCG_K}
+), prec AS (
+    SELECT ck, rnk, rel,
+           SUM(rel) OVER (PARTITION BY ck ORDER BY rnk) AS cum_hits
+    FROM hits
+), m AS (
+    SELECT ck,
+           CAST(SUM(rel) AS BIGINT) AS hits_at_k,
+           MIN(CASE WHEN rel = 1 THEN rnk END) AS first_hit,
+           SUM(CAST(ROUND(rel * cum_hits / CAST(rnk AS DOUBLE), 12)
+                    AS DECIMAL(18,12))) AS ap_num
+    FROM prec GROUP BY 1
+), nrel AS (
+    SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_rel FROM new_rel GROUP BY 1
+)
+SELECT m.ck, n.n_rel, m.hits_at_k,
+       CASE WHEN m.first_hit IS NULL THEN 0.0
+            ELSE ROUND(1.0 / m.first_hit, 8) END AS rr,
+       ROUND(CAST(m.ap_num AS DOUBLE) / LEAST(n.n_rel, {NDCG_K}), 8) AS ap
+FROM m JOIN nrel n ON n.ck = m.ck
+""",
+)
+def q_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer MRR / AP@{NDCG_K} / hits@{NDCG_K} over the SAME
+    temporal-split rig as ``ndcg_eval`` (cosine model trained strictly
+    before {NDCG_CUTOFF}, scored on first-time post-cutoff purchases):
+    the order-sensitive eval trio a ranking launch review reads next to
+    NDCG — reciprocal rank of the FIRST hit, average precision over hit
+    positions, raw hit count.
+
+    Determinism: ranks and cumulative hit counts are exact integers;
+    each AP term rel*(cum_hits/rnk) is ONE IEEE division rounded to a
+    12dp DECIMAL before the per-customer decimal sum (order-independent,
+    the ndcg_eval discount discipline); RR is one division, ROUND 8.
+
+    100-TB shape: identical to ``ndcg_eval`` — vocabulary-bounded model,
+    one ck shuffle for relevance, <= |V| candidate rows per customer;
+    the AP window runs inside the <= {NDCG_K}-row per-customer rank list."""
+    ranked, new_rel = _temporal_ranked(spark, sf_dir)
+    hits = ranked.join(
+        new_rel.withColumn("rel_hit", F.lit(1)), ["ck", "brand"], "left"
+    ).select("ck", "rnk", F.coalesce(F.col("rel_hit"), F.lit(0)).alias("rel"))
+    cumw = Window.partitionBy("ck").orderBy("rnk")
+    prec = hits.withColumn("cum_hits", F.sum("rel").over(cumw))
+    m = prec.groupBy("ck").agg(
+        F.sum("rel").cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_hit"),
+        F.sum(
+            F.round(
+                F.col("rel") * F.col("cum_hits") / F.col("rnk").cast("double"),
+                12,
+            ).cast("decimal(18,12)")
+        ).alias("ap_num"),
+    )
+    nrel = new_rel.groupBy("ck").agg(F.count("*").cast("long").alias("n_rel"))
+    return m.join(nrel, "ck").select(
+        "ck",
+        "n_rel",
+        "hits_at_k",
+        F.when(F.col("first_hit").isNull(), F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) / F.col("first_hit"), 8))
+        .alias("rr"),
+        F.round(
+            F.col("ap_num").cast("double")
+            / F.least(F.col("n_rel"), F.lit(NDCG_K)),
+            8,
+        ).alias("ap"),
+    )
+
+
+# --- Deterministic negative sampling (training-pair generation) --------------
+
+NEG_SEED = "neg7:"   # hash-stream namespace for the sampling draw
+NEG_K = 3            # negatives per customer
+
+
+@query(
+    "negative_sampling",
+    oracle=f"""
+WITH pos AS (
+    SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), cks AS (
+    SELECT DISTINCT ck FROM pos
+), brands AS (
+    SELECT DISTINCT p_brand AS brand FROM part
+), cand AS (
+    SELECT c.ck, b.brand,
+           md5('{NEG_SEED}' || CAST(c.ck AS VARCHAR) || ':' || b.brand) AS hk
+    FROM cks c CROSS JOIN brands b
+    WHERE NOT EXISTS (SELECT 1 FROM pos
+                      WHERE pos.ck = c.ck AND pos.brand = b.brand)
+), rk AS (
+    SELECT ck, brand,
+           ROW_NUMBER() OVER (PARTITION BY ck ORDER BY hk, brand) AS neg_rank
+    FROM cand
+)
+SELECT ck, brand, CAST(neg_rank AS INTEGER) AS neg_rank
+FROM rk WHERE neg_rank <= {NEG_K}
+""",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform negative sampling for implicit-feedback training pairs
+    (the BPR / sampled-softmax data-gen step): for every customer with
+    purchase history, draw {NEG_K} brands they have NEVER bought,
+    uniformly at random but DETERMINISTICALLY — the draw order is the
+    md5('{NEG_SEED}' || ck || ':' || brand) hash stream, so a re-run (or
+    the DuckDB oracle) reproduces the exact sample without any RNG state.
+
+    100-TB shape: the brand catalog broadcasts (vocabulary-bounded dim);
+    candidate fan-out is |V| rows per customer, pruned by a LEFT ANTI
+    join against the (ck, brand) incidence before the per-customer
+    window, which then runs over <= |V| rows — no global sort, no skew
+    (md5 keys are uniform). For an unbounded SKU catalog you would first
+    hash-bucket the catalog and draw from the customer's bucket
+    (documented, as with ``item_item_cosine``'s vocabulary note)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pos = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    cks = pos.select("ck").distinct()
+    brands = p.select(F.col("p_brand").alias("brand")).distinct()
+    cand = (
+        cks.crossJoin(F.broadcast(brands))
+        .join(pos, ["ck", "brand"], "left_anti")
+        .withColumn(
+            "hk",
+            F.md5(
+                F.concat(
+                    F.lit(NEG_SEED),
+                    F.col("ck").cast("string"),
+                    F.lit(":"),
+                    F.col("brand"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("ck").orderBy("hk", "brand")
+    return (
+        cand.select("ck", "brand", F.row_number().over(w).alias("neg_rank"))
+        .where(F.col("neg_rank") <= NEG_K)
+        .select("ck", "brand", F.col("neg_rank").cast("int").alias("neg_rank"))
     )

@@ -687,3 +687,65 @@ def test_kaplan_meier_monotone_and_bounded(spark):
         if prev_n is not None:
             assert r["n_risk"] <= prev_n
         prev_s, prev_n = r["survival"], r["n_risk"]
+
+
+def test_map_mrr_consistency_with_ndcg(spark):
+    """Same rig as ndcg_eval: per-customer hit counts agree between the
+    two evals; rr = 1/first-hit-rank implies rr*hits relations; AP is in
+    [0,1] and AP=1 exactly when the top min(n_rel,5) slots are all hits."""
+    from ccirecommenderdatapipeline_spark.plans.recommender import (
+        q_map_mrr_eval,
+        q_ndcg_eval,
+    )
+
+    mrr = {r["ck"]: r for r in q_map_mrr_eval(spark, SF_SMALL).collect()}
+    ndcg = {r["ck"]: r for r in q_ndcg_eval(spark, SF_SMALL).collect()}
+    assert set(mrr) == set(ndcg)
+    for ck, r in mrr.items():
+        assert r["hits_at_k"] == ndcg[ck]["hits_at_k"]
+        assert r["n_rel"] == ndcg[ck]["n_rel"]
+        assert 0.0 <= r["ap"] <= 1.0 + 1e-9
+        if r["hits_at_k"] == 0:
+            assert r["rr"] == 0.0 and r["ap"] == 0.0
+        else:
+            # rr = 1/rank for an integer rank in [1, 5]
+            assert any(abs(r["rr"] - round(1.0 / k, 8)) < 1e-12 for k in range(1, 6))
+        if r["ap"] >= 1.0:
+            assert r["hits_at_k"] == min(r["n_rel"], 5)
+
+
+def test_negative_sampling_never_hits_positives(spark):
+    """Every sampled negative is genuinely unbought; exactly NEG_K (or the
+    remaining catalog size) per customer; ranks are contiguous from 1; the
+    draw is reproducible (deterministic md5 stream)."""
+    from ccirecommenderdatapipeline_spark.plans.recommender import (
+        NEG_K,
+        q_negative_sampling,
+    )
+
+    rows = q_negative_sampling(spark, SF_SMALL).collect()
+    assert rows
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select("o_orderkey", "o_custkey")
+    p = spark.read.parquet(f"{SF_SMALL}/part.parquet").select("p_partkey", "p_brand")
+    pos = {
+        (r["ck"], r["brand"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .collect()
+    }
+    n_brands = p.select("p_brand").distinct().count()
+    per_ck = defaultdict(list)
+    for r in rows:
+        assert (r["ck"], r["brand"]) not in pos
+        per_ck[r["ck"]].append(r["neg_rank"])
+    pos_per_ck = defaultdict(int)
+    for ck, _ in pos:
+        pos_per_ck[ck] += 1
+    for ck, ranks in per_ck.items():
+        expect = min(NEG_K, n_brands - pos_per_ck[ck])
+        assert sorted(ranks) == list(range(1, expect + 1))
+    again = {(r["ck"], r["brand"], r["neg_rank"]) for r in q_negative_sampling(spark, SF_SMALL).collect()}
+    assert again == {(r["ck"], r["brand"], r["neg_rank"]) for r in rows}
