@@ -669,3 +669,100 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array_sort(xs), (MED_W + 1) // 2),
     )
     return pr.select("symbol", "date", "close_pr", med.alias("med21"))
+
+
+# --- Per-symbol OLS trend line ----------------------------------------------
+
+
+@query(
+    "ols_trend",
+    oracle="WITH " + PRICES_ORACLE_CTE + """
+, xy AS (
+    SELECT symbol,
+           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date) AS x,
+           CAST(close_pr AS DECIMAL(18,2)) AS y
+    FROM prices
+), s AS (
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT)       AS n,
+           CAST(SUM(x) AS BIGINT)         AS sx,
+           CAST(SUM(x * x) AS BIGINT)     AS sxx,
+           SUM(y)                         AS sy,
+           SUM(x * y)                     AS sxy,
+           SUM(y * y)                     AS syy
+    FROM xy GROUP BY symbol HAVING COUNT(*) >= 2
+), f AS (
+    SELECT symbol, n, sx,
+           CAST(sy AS DOUBLE) AS sy_d,
+           CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - sx * CAST(sy AS DOUBLE)                     AS num,
+           CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS den_x,
+           CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)     AS den_y
+    FROM s
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_days,
+       ROUND(num / den_x, 8) AS slope,
+       ROUND((sy_d - num / den_x * sx) / n, 6) AS intercept,
+       ROUND(num * num / NULLIF(den_x * den_y, 0), 8) AS r2
+FROM f
+""",
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol ordinary-least-squares trend line over the close-price
+    series (slope per trading day, intercept, R-squared) — the regression
+    primitive behind drift screens and momentum factors, computed the
+    map-combinable way: five sufficient-statistic sums per symbol
+    (n, SUMx, SUMx2 as exact int64; SUMy, SUMxy, SUMy2 as exact DECIMAL
+    over the 2dp close), then closed-form algebra.
+
+    Determinism: every sum is order-independent (int64 / exact decimal);
+    the slope/intercept/R2 algebra is a FIXED IEEE double expression
+    tree on those bit-identical inputs (ab_test_zscore's discipline) —
+    the intercept reuses the UNROUNDED num/den_x subexpression so no
+    intermediate re-rounding enters the tree. Output scales match value
+    magnitudes (slope/r2 at 8dp; the price-scale intercept at 6dp —
+    at 8dp one sf0.01 symbol landed exactly on the cross-engine round()
+    half-boundary, the 1ulp divergence class). Constant-price symbols
+    get r2 = NULL (NULLIF guard);
+    single-day symbols are excluded (slope undefined, HAVING n >= 2).
+
+    100-TB shape: x = ROW_NUMBER over the per-symbol date axis (windows
+    partition by symbol — bounded by the calendar, no global sort); the
+    moment aggregate is one map-combinable shuffle at symbol grain; the
+    closed-form step is map-only over |symbols| rows."""
+    xw = Window.partitionBy("symbol").orderBy("date")
+    xy = prices_view(spark, sf_dir).select(
+        "symbol",
+        F.row_number().over(xw).alias("x"),
+        F.col("close_pr").cast("decimal(18,2)").alias("y"),
+    )
+    s = (
+        xy.groupBy("symbol")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    n_d = F.col("n").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    syy_d = F.col("syy").cast("double")
+    sx_d = F.col("sx").cast("double")
+    num = n_d * sxy_d - F.col("sx") * sy_d
+    den_x = n_d * F.col("sxx") - sx_d * F.col("sx")
+    den_y = n_d * syy_d - sy_d * sy_d
+    return s.select(
+        "symbol",
+        F.col("n").alias("n_days"),
+        F.round(num / den_x, 8).alias("slope"),
+        F.round((sy_d - num / den_x * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(num * num / F.nullif(den_x * den_y, F.lit(0)), 8).alias("r2"),
+    )

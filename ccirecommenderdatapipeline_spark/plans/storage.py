@@ -974,3 +974,82 @@ def q_ivm_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("rev").cast("double").alias("revenue"),
     )
+
+
+# --- Incremental JOIN-view maintenance (the delta-join rule) -----------------
+
+IVM_R_MOD = 13   # orders with o_orderkey % 13 == 0 form the late-arriving dR
+IVM_S_MOD = 7    # lineitems with (l_orderkey + l_linenumber) % 7 == 0 form dS
+
+
+@query(
+    "ivm_join_merge",
+    oracle=f"""
+SELECT o.o_orderkey AS okey,
+       CAST(l.l_linenumber AS INTEGER) AS line_no,
+       o.o_custkey AS ck,
+       CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS DOUBLE)
+           AS revenue,
+       CASE WHEN o.o_orderkey % {IVM_R_MOD} = 0
+             AND (l.l_orderkey + l.l_linenumber) % {IVM_S_MOD} = 0 THEN 'dRdS'
+            WHEN o.o_orderkey % {IVM_R_MOD} = 0 THEN 'dR'
+            WHEN (l.l_orderkey + l.l_linenumber) % {IVM_S_MOD} = 0 THEN 'dS'
+            ELSE 'base' END AS term
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+""",
+)
+def q_ivm_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta-join rule
+    d(R JOIN S) = dR JOIN S0  UNION  R0 JOIN dS  UNION  dR JOIN dS
+    (Blakeley et al. 1986; ``ivm_aggregate_merge`` is the aggregate-level
+    sibling, this is the join-level one). The Spark side NEVER evaluates
+    the full R JOIN S: it unions the stored view (R0 JOIN S0, standing in
+    for a read-back of the materialized join) with the three delta terms,
+    while the oracle IS the full recompute — hash equality proves the
+    rule is lossless. The delta membership of every joined row is
+    decidable from its own attributes (o_orderkey % {IVM_R_MOD},
+    (l_orderkey + l_linenumber) % {IVM_S_MOD} — a mod-keyed CDC batch,
+    deliberately NOT time-correlated: a shipdate-keyed dS would make
+    dR JOIN S0 empty since lineitems ship after their order books), so
+    both engines label the four terms identically.
+
+    100-TB shape: the two delta inputs are CDC-batch-sized and BROADCAST
+    into their join against the big stored side — dR JOIN S0 is a
+    map-side join over one S0 scan (with the view and S bucketed on the
+    join key, a layout this repo's `zorder_layout`/`compaction_plan` ops
+    maintain, the probe prunes to the delta's key buckets);
+    dR JOIN dS is delta-x-delta-sized. Nothing reshuffles the history.
+
+    Determinism: revenue is per-row 4dp-exact arithmetic; term labels
+    are integer mod tests; no aggregation at all."""
+    o_cols = ["o_orderkey", "o_custkey"]
+    s_cols = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]
+    o = load_table(spark, sf_dir, "orders").select(*o_cols)
+    li = load_table(spark, sf_dir, "lineitem").select(*s_cols)
+    r_is_delta = F.col("o_orderkey") % IVM_R_MOD == 0
+    s_is_delta = (F.col("l_orderkey") + F.col("l_linenumber")) % IVM_S_MOD == 0
+    r0, dr = o.where(~r_is_delta), o.where(r_is_delta)
+    s0, ds = li.where(~s_is_delta), li.where(s_is_delta)
+
+    def term(r: DataFrame, s: DataFrame, label: str, bcast: str) -> DataFrame:
+        if bcast == "r":
+            r = F.broadcast(r)
+        elif bcast == "s":
+            s = F.broadcast(s)
+        return r.join(s, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("int").alias("line_no"),
+            F.col("o_custkey").alias("ck"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .cast("double")
+            .alias("revenue"),
+            F.lit(label).alias("term"),
+        )
+
+    view0 = term(r0, s0, "base", "")          # the stored view stand-in
+    return (
+        view0
+        .unionByName(term(dr, s0, "dR", "r"))   # dR JOIN S0: broadcast dR
+        .unionByName(term(r0, ds, "dS", "s"))   # R0 JOIN dS: broadcast dS
+        .unionByName(term(dr, ds, "dRdS", "r"))  # delta x delta
+    )

@@ -384,3 +384,76 @@ def test_interval_merge_property(spark):
         assert got == want
 
     run()
+
+
+def test_ivm_join_merge_is_lossless_and_partitioned(spark):
+    """The four delta-join terms tile the full join exactly: their union is
+    row-identical to a direct R JOIN S, the terms are disjoint, and every
+    row's term label matches its own mod predicates."""
+    from pyspark.sql import functions as F
+
+    from ccirecommenderdatapipeline_spark.plans.storage import (
+        IVM_R_MOD,
+        IVM_S_MOD,
+        q_ivm_join_merge,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = q_ivm_join_merge(spark, SF_SMALL).collect()
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    direct = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("int").alias("line_no"),
+            F.col("o_custkey").alias("ck"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    assert len(rows) == len(direct)
+    # multiset equality: (l_orderkey, l_linenumber) is NOT unique in the
+    # synthetic lineitem, so duplicates must be preserved, not collapsed
+    assert Counter(
+        (r["okey"], r["line_no"], r["ck"], r["revenue"]) for r in rows
+    ) == Counter(tuple(r) for r in direct)
+    for r in rows:
+        dr = r["okey"] % IVM_R_MOD == 0
+        ds = (r["okey"] + r["line_no"]) % IVM_S_MOD == 0
+        expect = "dRdS" if dr and ds else "dR" if dr else "dS" if ds else "base"
+        assert r["term"] == expect
+    assert {r["term"] for r in rows} == {"base", "dR", "dS", "dRdS"}
+
+
+def test_ols_trend_matches_numpy_lstsq(spark):
+    """Per-symbol slope/intercept agree with numpy's least-squares fit;
+    r2 in [0,1]; n_days matches the series length."""
+    import numpy as np
+
+    from ccirecommenderdatapipeline_spark.plans.cci import q_ols_trend
+    from ccirecommenderdatapipeline_spark.sources.prices import prices_view
+    from tests.conftest import SF_SMALL
+
+    rows = {r["symbol"]: r for r in q_ols_trend(spark, SF_SMALL).collect()}
+    assert rows
+    series = {}
+    for r in prices_view(spark, SF_SMALL).select("symbol", "date", "close_pr").collect():
+        series.setdefault(r["symbol"], []).append((r["date"], round(r["close_pr"], 2)))
+    for sym, pts in series.items():
+        ys = np.array([y for _, y in sorted(pts)])
+        if len(ys) < 2:
+            assert sym not in rows
+            continue
+        xs = np.arange(1, len(ys) + 1, dtype=float)
+        slope, icpt = np.polyfit(xs, ys, 1)
+        got = rows[sym]
+        assert got["n_days"] == len(ys)
+        assert abs(got["slope"] - slope) < 1e-6
+        assert abs(got["intercept"] - icpt) < 1e-4
+        if got["r2"] is not None:
+            assert -1e-9 <= got["r2"] <= 1.0 + 1e-9
