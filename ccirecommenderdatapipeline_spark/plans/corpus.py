@@ -1246,3 +1246,104 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cells_saved"
         ),
     )
+
+
+# --- PMI collocations (rational lift ranking — no transcendentals) -----------
+
+PMI_MIN_CNT = 5    # bigram frequency floor (kills hapax noise)
+PMI_TOP = 100      # global top-K by lift
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+WITH {TOK_CTE},
+bg AS (
+    SELECT unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+    FROM tok
+), bgc AS (
+    SELECT string_split(gram, ' ')[1] AS w1,
+           string_split(gram, ' ')[2] AS w2,
+           CAST(COUNT(*) AS BIGINT) AS c_xy
+    FROM bg GROUP BY 1, 2
+), uni AS (
+    SELECT unnest(toks) AS w FROM tok
+), uc AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1
+), n AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS total FROM uc
+), scored AS (
+    SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+           ROUND(b.c_xy * CAST(n.total AS DOUBLE) / (u1.c * CAST(u2.c AS DOUBLE)),
+                 8) AS lift
+    FROM bgc b
+    JOIN uc u1 ON u1.w = b.w1
+    JOIN uc u2 ON u2.w = b.w2
+    CROSS JOIN n
+    WHERE b.c_xy >= {PMI_MIN_CNT}
+), rk AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rnk
+    FROM scored
+)
+SELECT w1, w2, c_xy, c_x, c_y, lift, CAST(rnk AS INTEGER) AS rnk
+FROM rk WHERE rnk <= {PMI_TOP}
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP} collocations by pointwise-mutual-information RANK —
+    the phrase-mining pass (Church & Hanks 1990) a corpus pipeline runs
+    to find multi-word units worth single tokens. PMI = log of
+    N*c(x,y) / (c(x)*c(y)); since log is monotone the ranking uses the
+    RATIONAL lift directly — both engines evaluate one IEEE division on
+    exact integer counts, and NO engine evaluates a transcendental (the
+    frozen-literal lesson from ndcg_eval, applied by reformulation).
+
+    100-TB shape: bigram and unigram counts are map-combinable hash
+    aggregates over the token stream (the heavy shuffle, vocabulary-
+    grain); the unigram re-joins are vocabulary-sized; the final
+    ROW_NUMBER is unpartitioned BUT runs over the frequency-floored
+    collocation table (c_xy >= {PMI_MIN_CNT}) — vocabulary²-bounded and
+    frequency-thinned, the ``bpe_merge_pairs`` precedent; at an
+    unbounded vocabulary you would pre-thin with a per-bucket top-K
+    before the global one."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bg = d.select(
+        F.explode(word_ngrams(toks, 2)).alias("gram")
+    ).select(
+        F.split(F.col("gram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("gram"), " ").getItem(1).alias("w2"),
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_xy"))
+    uni = d.select(F.explode(toks).alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").cast("long").alias("c")).persist()
+    n = uc.agg(F.sum("c").cast("long").alias("total"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        bgc.where(F.col("c_xy") >= PMI_MIN_CNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.col("c_xy")
+                * F.col("total").cast("double")
+                / (F.col("c_x") * F.col("c_y").cast("double")),
+                8,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "w1", "w2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= PMI_TOP)
+    )

@@ -326,3 +326,94 @@ def q_triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- BFS shortest hops (iterated frontier expansion) -------------------------
+
+BFS_ITERS = 4   # fixed frontier expansions; labels are exact min-hops <= 4
+
+
+def _bfs_oracle() -> str:
+    """Unrolled {BFS_ITERS}-level BFS as chained CTEs (DuckDB side)."""
+    body = """
+WITH base_edges AS (
+    SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), sym AS (
+    SELECT src, dst FROM base_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM base_edges
+), seed AS (
+    SELECT MIN(src) AS node FROM sym
+), f0 AS (
+    SELECT node, 0 AS hop FROM seed
+)"""
+    for i in range(1, BFS_ITERS + 1):
+        body += f""", f{i} AS (
+    SELECT DISTINCT s.dst AS node, {i} AS hop
+    FROM f{i - 1} f JOIN sym s ON s.src = f.node
+)"""
+    union = "\nUNION ALL\n".join(
+        f"    SELECT node, hop FROM f{i}" for i in range(BFS_ITERS + 1)
+    )
+    return body + f""", lv AS (
+{union}
+)
+SELECT node, CAST(MIN(hop) AS INTEGER) AS hops
+FROM lv GROUP BY node
+"""
+
+
+@query("bfs_hops", oracle=_bfs_oracle())
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest hops from the lexicographically-first node of
+    the customer<->supplier purchase graph, as {BFS_ITERS} unrolled
+    frontier expansions — the single-source-shortest-path shape
+    (hop-bounded, the standard production cut: 'within N degrees')
+    completing the graph family next to ``pagerank_bipartite``
+    (iteration), ``triangle_count_oriented`` (counting) and
+    ``hierarchy_walk`` (recursion). A node's label is MIN(level of first
+    appearance) over the unioned frontiers — exact min-hops for every
+    node within {BFS_ITERS} hops, by BFS induction; unreached nodes are
+    absent (no sentinel rows).
+
+    Each expansion is ONE equi-join of the current frontier against the
+    symmetric edge list followed by a DISTINCT — both shuffle on the
+    node key, the BFS-as-iterated-hash-join plan that scales to
+    billion-edge graphs when edges are co-partitioned by src (here the
+    edge list is reused across all {BFS_ITERS} joins from one persist; on
+    a cluster it would be bucketed by src so every expansion is
+    shuffle-free on the edge side). The frontier DISTINCT keeps each
+    level a set, so fan-out is bounded by |V| per level, not by path
+    multiplicity — the trap that makes naive unrolled BFS exponential.
+
+    Determinism: hop levels are exact integers; the seed is a MIN
+    aggregate; no floats anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    seed = sym.agg(F.min("src").alias("node"))
+    frontier = seed.select("node", F.lit(0).alias("hop"))
+    levels = [frontier]
+    for i in range(1, BFS_ITERS + 1):
+        frontier = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .select("node", F.lit(i).alias("hop"))
+        )
+        levels.append(frontier)
+    lv = levels[0]
+    for f in levels[1:]:
+        lv = lv.unionByName(f)
+    return lv.groupBy("node").agg(F.min("hop").cast("int").alias("hops"))

@@ -1460,3 +1460,104 @@ def q_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lookup = g.select(F.col("rg").alias("tgt"), F.col("n_tok").alias("qnorm_tok"))
     return k.join(lookup, "tgt").select("doc_id", "source", "n_tok", "qnorm_tok")
+
+
+# --- Hashing-trick feature vectorization -------------------------------------
+
+FH_DIM = 32        # hashed feature space dimension
+FH_SEED = "fh1:"   # hash-stream namespace
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+WITH feats AS (
+    SELECT c_custkey AS ck, 'seg:' || c_mktsegment AS feat FROM customer
+    UNION ALL
+    SELECT c_custkey AS ck, 'nat:' || CAST(c_nationkey AS VARCHAR) AS feat
+    FROM customer
+    UNION ALL
+    SELECT DISTINCT o.o_custkey AS ck, 'brand:' || p.p_brand AS feat
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), h AS (
+    SELECT ck,
+           ('0x' || substr(md5('{FH_SEED}' || feat), 1, 8))::BIGINT
+               % {FH_DIM} AS bucket,
+           1 - 2 * (('0x' || substr(md5('{FH_SEED}' || feat), 9, 1))::BIGINT
+               % 2) AS sgn
+    FROM feats
+)
+SELECT ck, CAST(bucket AS INTEGER) AS bucket,
+       CAST(SUM(sgn) AS BIGINT) AS val
+FROM h GROUP BY 1, 2
+HAVING SUM(sgn) <> 0
+""",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectorization (Weinberger et al., ICML 2009 —
+    the fixed-width categorical encoder that needs NO vocabulary build):
+    every customer feature token (market segment, nation, each distinct
+    purchased brand) hashes to one of {FH_DIM} buckets with a +/-1 sign
+    drawn from an independent hex digit, and the sparse vector is the
+    per-(customer, bucket) signed count. The signed sum makes collisions
+    unbiased in expectation — the property that lets the encoder skip the
+    global vocabulary scan entirely, which IS the 100-TB win: no dictionary
+    job, no broadcast of an unbounded vocab, new categories at serving
+    time hash to the same space.
+
+    Determinism: bucket and sign come from disjoint md5 hex substrings
+    (the ``dp_noisy_counts`` derivation); values are exact signed BIGINT
+    sums. Zero-sum cells (exact collision cancellation) are dropped on
+    both sides — sparse vectors carry no explicit zeros.
+
+    100-TB shape: the feature stream is a union of projection-only scans
+    plus one distinct on (ck, brand); the vector agg is map-combinable at
+    (ck, bucket) grain — <= {FH_DIM} cells per customer out of the
+    combiner."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    feats = (
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("feat"),
+        )
+        .unionByName(
+            c.select(
+                F.col("c_custkey").alias("ck"),
+                F.concat(
+                    F.lit("nat:"), F.col("c_nationkey").cast("string")
+                ).alias("feat"),
+            )
+        )
+        .unionByName(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select(
+                F.col("o_custkey").alias("ck"),
+                F.concat(F.lit("brand:"), F.col("p_brand")).alias("feat"),
+            )
+            .distinct()
+        )
+    )
+    md5 = F.md5(F.concat(F.lit(FH_SEED), F.col("feat")))
+    h = feats.select(
+        "ck",
+        (F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % FH_DIM).alias(
+            "bucket"
+        ),
+        (
+            F.lit(1)
+            - F.lit(2) * (F.conv(F.substring(md5, 9, 1), 16, 10).cast("long") % 2)
+        ).alias("sgn"),
+    )
+    return (
+        h.groupBy("ck", F.col("bucket").cast("int").alias("bucket"))
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .where(F.col("val") != 0)
+    )

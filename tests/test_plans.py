@@ -457,3 +457,124 @@ def test_ols_trend_matches_numpy_lstsq(spark):
         assert abs(got["intercept"] - icpt) < 1e-4
         if got["r2"] is not None:
             assert -1e-9 <= got["r2"] <= 1.0 + 1e-9
+
+
+def test_bfs_hops_matches_python_bfs(spark):
+    """Replay the hop-bounded BFS in pure Python over the same edge set;
+    labels must match exactly (min-hops, nodes beyond BFS_ITERS absent)."""
+    from collections import deque
+
+    from pyspark.sql import functions as F
+
+    from ccirecommenderdatapipeline_spark.plans.graph import BFS_ITERS, q_bfs_hops
+    from tests.conftest import SF_SMALL
+
+    got = {r["node"]: r["hops"] for r in q_bfs_hops(spark, SF_SMALL).collect()}
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    adj = {}
+    for r in edges:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    seed = min(adj)
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if dist[u] >= BFS_ITERS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got == dist
+
+
+def test_pmi_collocations_replay(spark):
+    """Pure-Python replay of tokenization, counts, and the lift ranking;
+    the top-100 list must match exactly (values and order key)."""
+    import re
+    from collections import Counter
+
+    from ccirecommenderdatapipeline_spark.plans.corpus import (
+        PMI_MIN_CNT,
+        PMI_TOP,
+        q_pmi_collocations,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = q_pmi_collocations(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("text").collect()
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        toks = [t for t in re.sub(r"[^a-z]+", " ", d["text"].lower()).split(" ") if t]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    scored = [
+        (round(c * float(total) / (uni[w1] * float(uni[w2])), 8), w1, w2, c)
+        for (w1, w2), c in bi.items()
+        if c >= PMI_MIN_CNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = scored[:PMI_TOP]
+    assert len(rows) == min(PMI_TOP, len(scored))
+    for r, (lift, w1, w2, c) in zip(sorted(rows, key=lambda r: r["rnk"]), expect):
+        assert (r["w1"], r["w2"], r["c_xy"]) == (w1, w2, c)
+        assert abs(r["lift"] - lift) < 1e-9
+        assert r["c_x"] == uni[w1] and r["c_y"] == uni[w2]
+
+
+def test_feature_hashing_replay(spark):
+    """Replay the md5 bucket/sign derivation in pure Python; the sparse
+    vectors must match exactly, with zero-sum cells absent."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        FH_DIM,
+        FH_SEED,
+        q_feature_hashing,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r["ck"], r["bucket"]): r["val"]
+        for r in q_feature_hashing(spark, SF_SMALL).collect()
+    }
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    p = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    bought = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .collect()
+    )
+    feats = []
+    for r in c:
+        feats.append((r["c_custkey"], f"seg:{r['c_mktsegment']}"))
+        feats.append((r["c_custkey"], f"nat:{r['c_nationkey']}"))
+    for r in bought:
+        feats.append((r["ck"], f"brand:{r['brand']}"))
+    vec = Counter()
+    for ck, feat in feats:
+        hx = hashlib.md5((FH_SEED + feat).encode()).hexdigest()
+        bucket = int(hx[:8], 16) % FH_DIM
+        sgn = 1 - 2 * (int(hx[8], 16) % 2)
+        vec[(ck, bucket)] += sgn
+    expect = {k: v for k, v in vec.items() if v != 0}
+    assert got == expect
