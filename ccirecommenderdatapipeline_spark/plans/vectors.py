@@ -1118,3 +1118,77 @@ def q_embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.count("t_neighbor") / F.lit(float(TRUNC_K))).alias("recall"),
         )
     )
+
+
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+
+JL_K = 8         # target dimension
+JL_D = 64        # source embedding dimension
+JL_SEED = "jl1"  # namespace for the frozen sign matrix
+
+
+def _jl_signs() -> list[list[int]]:
+    """The frozen +/-1 projection matrix: sign(j,i) from one md5 hex digit
+    of '{seed}:{j}:{i}' — reproducible from the seed alone (no RNG state),
+    so the Spark plan, the DuckDB oracle, and the pure-Python test all
+    rebuild the identical matrix."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{JL_SEED}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(JL_D)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+def _jl_sql_terms(row: list[int]) -> str:
+    parts = []
+    for i, s in enumerate(row):
+        t = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+        if not parts:
+            parts.append(t if s > 0 else f"(- {t})")
+        else:
+            parts.append(f"{'+' if s > 0 else '-'} {t}")
+    return " ".join(parts)
+
+
+@query(
+    "jl_projection",
+    oracle="SELECT vec_id, label,\n"
+    + ",\n".join(
+        f"       ({_jl_sql_terms(row)}) AS p{j + 1}"
+        for j, row in enumerate(_jl_signs())
+    )
+    + "\nFROM embeddings",
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project every {JL_D}-dim embedding to
+    {JL_K} dims through a FROZEN Rademacher +/-1 matrix (Achlioptas 2003 —
+    database-friendly random projections: +/-1 entries preserve pairwise
+    distances within (1 +/- eps) like Gaussian entries, but the transform
+    is pure addition/subtraction). This is the dimensionality-reduction
+    companion to ``embedding_truncation_recall`` (leading-dims cut): a
+    data-INDEPENDENT sketch needing no training pass, recomputable on any
+    shard from the seed alone — at 100 TB the matrix ships as part of the
+    plan (codegen literals), the map-only projection fuses into the scan,
+    and downstream ANN (``knn_ivf``) runs at {JL_K}/{JL_D} the cost.
+
+    Determinism: each output is a LEFT-ASSOCIATED chain of double
+    additions/subtractions over exactly cast float32 inputs — both
+    engines evaluate the identical IEEE expression tree, so the doubles
+    are BIT-IDENTICAL and ship unrounded (float32 sums are dyadic; no
+    cosmetic ROUND is needed or wanted)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id"), F.col("label")]
+    for j, row in enumerate(_jl_signs()):
+        expr = None
+        for i, s in enumerate(row):
+            t = F.element_at(F.col("embedding"), i + 1).cast("double")
+            if expr is None:
+                expr = t if s > 0 else -t
+            else:
+                expr = expr + t if s > 0 else expr - t
+        cols.append(expr.alias(f"p{j + 1}"))
+    return e.select(*cols)

@@ -1347,3 +1347,138 @@ def q_zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(skipped).cast("long").alias("n_skipped"),
         )
     )
+
+
+# --- RFM customer segmentation (three two-phase quintile ranks) --------------
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+WITH per_ck AS (
+    SELECT o_custkey AS ck,
+           MAX(CAST(o_orderdate AS DATE)) AS last_dt,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS spend
+    FROM orders GROUP BY 1
+), n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS total FROM per_ck
+), ranked AS (
+    SELECT ck, last_dt, n_orders, spend,
+           ROW_NUMBER() OVER (ORDER BY last_dt, ck)  AS r_rk,
+           ROW_NUMBER() OVER (ORDER BY n_orders, ck) AS f_rk,
+           ROW_NUMBER() OVER (ORDER BY spend, ck)    AS m_rk
+    FROM per_ck
+), scored AS (
+    SELECT ck, n_orders,
+           CAST(spend AS DOUBLE) AS spend,
+           CAST(1 + ((r_rk - 1) * 5) // n.total AS INTEGER) AS r_score,
+           CAST(1 + ((f_rk - 1) * 5) // n.total AS INTEGER) AS f_score,
+           CAST(1 + ((m_rk - 1) * 5) // n.total AS INTEGER) AS m_score
+    FROM ranked CROSS JOIN n
+)
+SELECT ck, n_orders, spend, r_score, f_score, m_score,
+       CAST(100 * r_score + 10 * f_score + m_score AS INTEGER) AS rfm,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_reactivated'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+            WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+            ELSE 'core' END AS segment
+FROM scored
+""",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM / recommender audience cut
+    (Hughes 1994): every customer scored 1-5 on Recency (last order
+    date), Frequency (order count) and Monetary (exact decimal spend),
+    quintile = 1 + (rank-1)*5 div N on the GLOBAL rank, then a fixed
+    segment taxonomy (champion / new_or_reactivated / at_risk_loyal /
+    hibernating / core).
+
+    PLAN: all three global ranks come from ``two_phase_rank`` (md5-style
+    bucketed two-phase row numbering — NO unpartitioned window anywhere,
+    the ``feature_binning`` discipline) with monotone numeric buckets:
+    days-since-epoch div 128 for dates, the count itself for frequency,
+    floor(spend/4096) for money. The quintile is integer arithmetic on
+    (rank, N), and the three rank tables re-join on ck — three bucket-
+    parallel rank pipelines + two ck-grain joins instead of three
+    single-task sorts; N rides as one broadcast row.
+
+    Determinism: ranks tie-break on ck; spend is DECIMAL(18,2)-exact;
+    every score is integer arithmetic. The oracle is the naive
+    three-window form, so the gate proves the two-phase decomposition
+    equals it row for row."""
+    from .training import two_phase_rank
+
+    per_ck = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias(
+                "spend"
+            ),
+        )
+        .persist()
+    )
+    n = per_ck.agg(F.count("*").cast("long").alias("total"))
+
+    def quintile(df: DataFrame, key: str, bucket, out: str) -> DataFrame:
+        ranked = two_phase_rank(
+            df, key_col=key, id_col="ck", out="_rk", bucket=bucket
+        )
+        return ranked.crossJoin(F.broadcast(n)).select(
+            "ck",
+            (
+                F.lit(1)
+                + F.floor((F.col("_rk") - 1) * 5 / F.col("total"))
+            )
+            .cast("int")
+            .alias(out),
+        )
+
+    r = quintile(
+        per_ck.select("ck", "last_dt"),
+        "last_dt",
+        F.floor(F.datediff("last_dt", F.lit("1990-01-01").cast("date")) / 128),
+        "r_score",
+    )
+    f = quintile(
+        per_ck.select("ck", "n_orders"), "n_orders", F.col("n_orders"), "f_score"
+    )
+    m = quintile(
+        per_ck.select("ck", "spend"),
+        "spend",
+        F.floor(F.col("spend") / 4096),
+        "m_score",
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new_or_reactivated")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") <= 2), "hibernating")
+        .otherwise("core")
+    )
+    return (
+        per_ck.select("ck", "n_orders", F.col("spend").cast("double").alias("spend"))
+        .join(r, "ck")
+        .join(f, "ck")
+        .join(m, "ck")
+        .select(
+            "ck",
+            "n_orders",
+            "spend",
+            "r_score",
+            "f_score",
+            "m_score",
+            (F.lit(100) * F.col("r_score") + F.lit(10) * F.col("f_score") + F.col("m_score"))
+            .cast("int")
+            .alias("rfm"),
+            seg.alias("segment"),
+        )
+    )

@@ -578,3 +578,128 @@ def test_feature_hashing_replay(spark):
         vec[(ck, bucket)] += sgn
     expect = {k: v for k, v in vec.items() if v != 0}
     assert got == expect
+
+
+def test_connected_components_matches_union_find(spark):
+    """Star contraction must converge to the exact components: compare
+    against a pure-Python union-find over the same lift-filtered edges."""
+    from ccirecommenderdatapipeline_spark.plans.graph import (
+        CC_LIFT,
+        q_connected_components,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = {r["brand"]: r["component"] for r in q_connected_components(spark, SF_SMALL).collect()}
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in ob:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["p_brand"])
+    from collections import Counter
+    from itertools import combinations
+
+    bc = Counter(b for s in baskets.values() for b in s)
+    n_orders = len(baskets)
+    pairs = Counter()
+    for s in baskets.values():
+        pairs.update(combinations(sorted(s), 2))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = [
+        (a, b)
+        for (a, b), c in pairs.items()
+        if (c * n_orders) / (bc[a] * float(bc[b])) > CC_LIFT
+    ]
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expect = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+    assert got == expect
+    assert got, "lift threshold removed every edge at sf0.001"
+
+
+def test_rfm_scores_are_quintiles(spark):
+    """Each score dimension splits customers into five near-equal bands;
+    scores replay from pure-Python sorted ranks; segments follow the CASE."""
+    from ccirecommenderdatapipeline_spark.plans.warehouse import q_rfm_segmentation
+    from tests.conftest import SF_SMALL
+
+    rows = q_rfm_segmentation(spark, SF_SMALL).collect()
+    assert rows
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    agg = {}
+    for r in o:
+        ck = r["o_custkey"]
+        d, spend = r["o_orderdate"], round(r["o_totalprice"], 2)
+        if ck not in agg:
+            agg[ck] = [d, 0, 0.0]
+        agg[ck][0] = max(agg[ck][0], d)
+        agg[ck][1] += 1
+        agg[ck][2] = round(agg[ck][2] + spend, 2)
+    n = len(agg)
+
+    def quint(order):
+        return {
+            ck: 1 + ((i * 5) // n) for i, ck in enumerate(order)
+        }
+
+    rs = quint(sorted(agg, key=lambda ck: (agg[ck][0], ck)))
+    fs = quint(sorted(agg, key=lambda ck: (agg[ck][1], ck)))
+    ms = quint(sorted(agg, key=lambda ck: (agg[ck][2], ck)))
+    for r in rows:
+        ck = r["ck"]
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (rs[ck], fs[ck], ms[ck])
+        assert r["rfm"] == 100 * rs[ck] + 10 * fs[ck] + ms[ck]
+        if rs[ck] >= 4 and fs[ck] >= 4 and ms[ck] >= 4:
+            assert r["segment"] == "champion"
+        elif rs[ck] >= 4 and fs[ck] <= 2:
+            assert r["segment"] == "new_or_reactivated"
+    assert len(rows) == n
+
+
+def test_jl_projection_replay_and_distortion(spark):
+    """Replay the frozen Rademacher projection in numpy (exact float64
+    left-fold); check the JL property loosely: projected pairwise cosine
+    ordering correlates with the original on a sample."""
+    import numpy as np
+
+    from ccirecommenderdatapipeline_spark.plans.vectors import (
+        JL_K,
+        _jl_signs,
+        q_jl_projection,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = q_jl_projection(spark, SF_SMALL).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    S = np.array(_jl_signs(), dtype=np.float64)
+    for r in rows:
+        v = emb[r["vec_id"]]
+        expect = [float(sum([s * x for s, x in zip(row, v)], 0.0)) for row in S]
+        got = [r[f"p{j + 1}"] for j in range(JL_K)]
+        for g, e in zip(got, expect):
+            assert abs(g - e) < 1e-9
+    # distortion: mean relative sq-norm error within the JL envelope
+    ratios = []
+    for r in rows[:50]:
+        v = emb[r["vec_id"]]
+        p = np.array([r[f"p{j + 1}"] for j in range(JL_K)])
+        ratios.append((np.dot(p, p) / JL_K) / np.dot(v, v))
+    assert 0.2 < float(np.mean(ratios)) < 5.0
