@@ -17,7 +17,10 @@ asserts equality on the oracle grids, and since round 7 the money/ratio
 totals fold as exact scaled int64 (order-independent), so the equality is
 FULL-PRECISION — bit-identical to Plan A's unit sums and the oracle's
 decimal SUM, with no dependence on summation order
-(tests/test_search_years.py::test_fused_years_matches_plan_a).
+(tests/test_search_years.py::test_fused_years_matches_plan_a); the
+int64→double unscaling is correctly rounded at ANY magnitude via
+``_unscale_exact`` (Fraction fallback past 2**53, ADVICE r7 —
+tests/test_simulator.py::test_unscale_exact_past_2_53).
 Distinct-date counts use np.unique — exact, like collect_set.
 
 At 100 TB: grouped-map state is one symbol's history (~6k rows) — bounded;
@@ -54,6 +57,47 @@ AGG_SCHEMA = (
 AGG_SCHEMA_YEARS = AGG_SCHEMA.replace(
     "symbol STRING, ", "symbol STRING, search_years STRING, ", 1
 )
+
+
+def _build_unscale_exact():
+    """Factory so ``_unscale_exact``'s qualname is NOT importable: the
+    applyInPandas kernel below references it, and cloudpickle serializes
+    an importable module-level function by REFERENCE — which would make
+    every Python worker import this repo (the driver smoke runs from a
+    foreign cwd with no such path; ``_first_hits`` is nested for the same
+    reason). A closure-built function pickles BY VALUE, shipping the code
+    with the kernel."""
+
+    def _unscale_exact(units, scale: int):
+        """Correctly-rounded ``units / scale`` for exact int64 decimal
+        units.
+
+        ``float64(units) / scale`` rounds once (i.e. is correctly
+        rounded) only while ``|units| < 2**53`` — beyond that the
+        int64→double conversion itself rounds, and the quotient
+        double-rounds (ADVICE r7). Per-symbol unit totals can reach
+        ~1e17 at the stated per-trade bounds, only ~1.5x under 2**53, so
+        the fast path is guarded: any element at or past 2**53 is
+        recomputed through ``Fraction`` (exact rational → one correctly
+        rounded conversion). Keeps Plan B bit-identical to Plan A's
+        exact decimal division (plans/simulator.py unit-sum CASTs) at
+        ANY magnitude, not just under 2**53."""
+        arr = np.asarray(units, dtype=np.int64)
+        out = arr.astype(np.float64) / scale
+        big = np.abs(arr) >= 2**53
+        if big.any():
+            from fractions import Fraction
+
+            flat, oflat = arr.ravel(), out.ravel()
+            for i in np.flatnonzero(big.ravel()):
+                oflat[i] = float(Fraction(int(flat[i]), scale))
+            out = oflat.reshape(arr.shape)
+        return float(out) if np.isscalar(units) or arr.shape == () else out
+
+    return _unscale_exact
+
+
+_unscale_exact = _build_unscale_exact()
 
 
 def simulate_aggregate_pandas(
@@ -209,12 +253,18 @@ def simulate_aggregate_pandas(
                 # bit-identical to Plan A's exact decimal sums and the
                 # oracle's decimal SUM, with no pairwise-vs-sequential
                 # drift for a post-sum ROUND to absorb (round-7 hardening,
-                # ADVICE r5/r6).
-                tb = float(bp_units[sel].sum()) / 1e4
-                ts = (sp_units[..., sel].sum(axis=3) / 1e2).reshape(-1)
+                # ADVICE r5/r6). Unscaling goes through _unscale_exact so
+                # the int→double step stays correctly rounded even past
+                # 2**53 unit totals (round-8 hardening, ADVICE r7).
+                tb = _unscale_exact(int(bp_units[sel].sum()), 10**4)
+                ts = _unscale_exact(
+                    sp_units[..., sel].sum(axis=3), 10**2
+                ).reshape(-1)
                 cw = (sp > bp_d).sum(axis=3).reshape(-1)
                 cl = (sp < bp_d).sum(axis=3).reshape(-1)
-                srpd = (rpd_units[..., sel].sum(axis=3) / 1e8).reshape(-1)
+                srpd = _unscale_exact(
+                    rpd_units[..., sel].sum(axis=3), 10**8
+                ).reshape(-1)
                 sdh = days[..., sel].sum(axis=3).reshape(-1)
 
                 # distinct sell-date counts per (combo, outcome): one

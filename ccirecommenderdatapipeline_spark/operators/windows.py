@@ -147,3 +147,59 @@ def dedup_keep_last(df: DataFrame, keys: list[str], order_col: str) -> DataFrame
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# --- bounded unpartitioned windows (VERDICT r7 item 5) -----------------------
+
+#: Query names whose physical plans legitimately contain an unpartitioned
+#: Window — every one ranks/scans an AGGREGATE of bounded cardinality
+#: (brand vocabulary <= |V|, calendar span, strategy-grid constants, BPE
+#: pair vocabulary), never a corpus-sized relation. tools/audit_plans.py
+#: flags any query with an unpartitioned Window NOT listed here, so an
+#: accidental global window on row-grain data fails the audit instead of
+#: hiding among the documented-bounded ones. Populated empirically per
+#: call site below; the value is the bound argument (why it is safe).
+_TPR_OFFSETS_BOUND = (
+    "two_phase_rank offsets window with no partition cols: input is the "
+    "per-bucket counts table, <= 256 rows (plans/training.py)"
+)
+
+BOUNDED_WINDOW_QUERIES: dict[str, str] = {
+    # two_phase_rank(part_cols=()) callers: the shared helper cannot know
+    # its composing query's name at call time, so the empty-part_cols
+    # consumers are registered here statically (audit-verified list).
+    "training_order_shuffle": _TPR_OFFSETS_BOUND,
+    "training_pipeline": _TPR_OFFSETS_BOUND,
+    "conformal_calibration": _TPR_OFFSETS_BOUND,
+    "rfm_segmentation": _TPR_OFFSETS_BOUND,
+    "quantile_normalize_sources": _TPR_OFFSETS_BOUND,
+    "feature_binning": _TPR_OFFSETS_BOUND,
+}
+
+
+def bounded_window(
+    *order_cols, bound: str, queries: tuple[str, ...] = ()
+) -> WindowSpec:
+    """A whole-relation ordered window whose input is PROVEN bounded.
+
+    An unpartitioned window serializes its input into one task — a
+    scale-killer on row-grain data, but the right (and cheap) plan over a
+    small aggregate: ranking the brand vocabulary, cumulating a calendar
+    span, taking the top-K BPE pairs. This helper is the only sanctioned
+    way to build one, and it does two things an inline ``Window.orderBy``
+    would not:
+
+    1. ``bound`` (required) documents why the input cardinality is
+       bounded at the call site;
+    2. ``queries`` records the registered queries whose plans carry this
+       window in :data:`BOUNDED_WINDOW_QUERIES` — tools/audit_plans.py
+       flags any query with an unpartitioned Window NOT in that registry,
+       so an audit flag now means exactly one thing: an ACCIDENTAL global
+       window on row-grain data (VERDICT r7 item 5).
+
+    (Partitioning on a constant to silence WindowExec's warning does not
+    work: Catalyst eliminates foldable partition keys, so the executed
+    plan is unpartitioned either way — hence the explicit registry.)"""
+    for q in queries:
+        BOUNDED_WINDOW_QUERIES.setdefault(q, bound)
+    return Window.orderBy(*order_cols)

@@ -31,72 +31,56 @@ from . import training  # noqa: E402,F401
 from . import recommender  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only. Round-7 priority window:
-# (a) the 15 names with no driver verdict under their current plans —
-#     10 late-round-5 additions registered past the window plus the 5
-#     fused agged_view consumers whose plans switched late in round 5
-#     (all local-gate + pytest green since then);
-# (b) queries whose PLAN changed THIS round: feature_binning (global
-#     NTILE -> two-phase bucketed rank), knn_ivf (corpus-scaled ceil(
-#     sqrt(N)) codebook; ann_recall_eval / contrastive_triplets compose
-#     its plan+oracle), and the fused-kernel consumers affected by the
-#     sequential-summation hardening (best_return / best_win /
-#     best_return_per_days_held / best_return_full_grid; the reco and
-#     agged_view families are already in (a));
-# (c) backfill to 50 with the names whose newest driver verdict is
-#     round 1 — the oldest rows — so they get re-verified under today's
-#     code. Every displaced name keeps a green row in CORRECTNESS_r{1..6}
-#     and stays covered by tools/check_oracle.py + pytest.
+# the FIRST 50 registered queries only. Round-8 priority window — after
+# this round EVERY registered query has a driver verdict under its
+# current plan:
+# (a) the 16 round-7 ops registered past the r7 window (local
+#     check_oracle green in r7; never driver-verified);
+# (b) NEW ops added this round (first verdicts out-rank re-checks) —
+#     kept in a separate list so additions automatically shrink (d);
+# (c) the 20 r1-era names displaced across r5-r7 rotations (every one
+#     r1-green, plan unchanged since, local-gate green every round);
+# (d) backfill to exactly 50 with the next-oldest driver verdicts
+#     (remaining round-1 rows).
 _PRIORITY = [
-    # (a) never driver-verified under current plan (round-6 rotation list,
-    # two rounds overdue)
-    "pareto_strategies", "bloom_membership", "hll_merge_sources",
-    "zorder_pruning_gain", "contrastive_triplets", "embedding_covariance",
-    "holt_linear_forecast", "pca_power_iteration", "rolling_median",
-    "stream_outer_join",
-    "recommendations", "reco_win", "reco_revenue_per_days_held",
-    "buy_candidates", "order_sizing",
-    # (b) plan changed this round
-    "feature_binning", "knn_ivf", "ann_recall_eval",
-    "best_return", "best_win", "best_return_per_days_held",
-    "best_return_full_grid",
-    # (c) round-1-verdict backfill: NONE this round — all 20 r1-era
-    # names displaced; every (d) entry below is a NEW op needing its
-    # FIRST driver verdict, which out-ranks freshness re-checks.
-    # (prices/anti_join/semi_join/update_join/cross_grid/quantile_disc/
-    # regex_json_extract/json_get_k/cast_battery/date_arith/scalar_minmax/
-    # lookup_join/filter_conjunctive/when_otherwise/coalesce_bfill/
-    # signal_counts/latest_cci/proj_rename/cci/buy_signals displaced
-    # to keep the window at 50 as (d) grew —
-    # each keeps its r1 green row and local gate coverage; new code must
-    # out-rank old re-verification)
-    # (d) new this round (never driver-verified)
-    "boilerplate_ngram_scrub", "token_budget_selection",
-    "weighted_sample_wr", "cms_term_freq", "corpus_drift_kl",
-    "embedding_truncation_recall", "cube_grouping_battery",
-    "stream_cms_merge",
-    "market_basket_pairs", "item_item_cosine",
-    "logreg_gd_step", "length_bucket_batching",
-    "brand_transition_matrix", "decayed_popularity", "reco_candidates",
-    "ab_test_zscore", "rendezvous_sharding", "triangle_count_oriented",
-    "logreg_calibration_bins",
-    "target_encoding_loo", "ndcg_eval", "stream_decayed_popularity",
-    "dp_noisy_counts", "propensity_ipw", "reco_coverage_gini",
-    "conformal_calibration", "info_gain_features", "fairness_metrics",
+    # (a) round-7 additions never driver-verified
+    "mmr_rerank", "ivm_aggregate_merge", "als_item_step",
+    "stream_hll_merge", "quantile_normalize_sources",
+    "kaplan_meier_survival", "map_mrr_eval", "negative_sampling",
+    "ivm_join_merge", "ols_trend", "bfs_hops", "pmi_collocations",
+    "feature_hashing", "connected_components", "rfm_segmentation",
+    "jl_projection",
 ]
 
-# Registered past the 50-row window this round (local oracle + pytest
-# green; FIRST candidates for the round-8 rotation): mmr_rerank,
-# ivm_aggregate_merge, als_item_step, stream_hll_merge,
-# quantile_normalize_sources, kaplan_meier_survival, plus any later
-# round-7 additions and the 20
-# displaced (c) names above.
+# (b) new this round — appended as each op lands so it claims a window
+# slot from the (d) backfill, never from (a)/(c).
+_NEW_THIS_ROUND: list[str] = [
+    "stream_ivm_aggregate", "kll_quantiles", "weighted_median",
+    "vocab_build", "thompson_posterior", "sssp_weighted",
+]
 
-# After this round's window executes, the r5/r6 backlog of 15 verdict-less
-# queries is cleared by (a), the plan changes are re-verified by (b), and
-# all 28 round-7 additions are in (d). Still driver-unverified after r7:
-# the 20 displaced (c) names (all r1-green, plans unchanged) — rotate them
-# back in round 8 along with whatever plans change next.
+_PRIORITY += _NEW_THIS_ROUND
+
+_PRIORITY += [
+    # (c) displaced r1-era names (oldest driver verdicts in the registry)
+    "prices", "cci", "buy_signals", "anti_join", "semi_join",
+    "update_join", "cross_grid", "quantile_disc", "regex_json_extract",
+    "json_get_k", "cast_battery", "date_arith", "scalar_minmax",
+    "lookup_join", "filter_conjunctive", "when_otherwise",
+    "coalesce_bfill", "signal_counts", "latest_cci", "proj_rename",
+]
+
+# (d) next-oldest (round-1) verdicts, trimmed so the window is exactly 50.
+_BACKFILL = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "doc_fingerprints", "grouped_multi_agg", "lang_id",
+    "order_reconciliation", "rollup_counts", "simhash_groups",
+    "sort_limit", "star_join_revenue", "symbol_universe", "text_stats",
+    "top1_per_group", "trading_calendar", "union_dedup",
+    "upsert_keep_last", "window_lag_running",
+]
+_PRIORITY += _BACKFILL[: max(0, 50 - len(_PRIORITY))]
+
 
 def _reorder() -> None:
     ordered = [n for n in _PRIORITY if n in QUERIES] + [

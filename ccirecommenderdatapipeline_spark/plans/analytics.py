@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
+from ..operators.windows import bounded_window
+
 from ..operators.text import tokens
 from ..sources.prices import PRICES_ORACLE_CTE, prices_view
 from ..sources.tables import load_table
@@ -918,7 +920,11 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = subj.groupBy("t").agg(
         F.sum("ev").cast("long").alias("d"), F.count("*").cast("long").alias("c")
     )
-    wd = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    wd = bounded_window(
+        F.desc("t"),
+        bound="per-duration aggregate bounded by the calendar span in days",
+        queries=("kaplan_meier_survival",),
+    ).rowsBetween(Window.unboundedPreceding, 0)
     risk = agg.select(
         "t", "d", F.sum("c").over(wd).cast("long").alias("n_risk")
     )
@@ -936,7 +942,11 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(f"decimal(28,{KM_C_DP})")
         .alias("lnc"),
     )
-    wu = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wu = bounded_window(
+        "t",
+        bound="KM risk-set steps bounded by the calendar span in days",
+        queries=("kaplan_meier_survival",),
+    ).rowsBetween(Window.unboundedPreceding, 0)
     return steps.select(
         "t",
         "d",

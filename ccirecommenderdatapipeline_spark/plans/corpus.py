@@ -24,6 +24,8 @@ DECIMAL so combine order cannot flip the driver's value hash.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.windows import bounded_window
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.text import tokens, word_ngrams
@@ -1342,7 +1344,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.desc("lift"), "w1", "w2")
+    w = bounded_window(
+        F.desc("lift"), "w1", "w2",
+        bound="bigram aggregate thresholded by PMI_MIN_PAIR: vocab-bounded",
+        queries=("pmi_collocations",),
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= PMI_TOP)

@@ -422,7 +422,8 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Connected components via alternating large-star / small-star ------------
 
 CC_LIFT = 1.05    # sparser than TRI_LIFT so the graph actually fragments
-CC_ROUNDS = 5     # alternating (large, small) pairs; O(log^2 n) suffices
+CC_MIN_ROUNDS = 5   # alternating (large, small) pairs before the first check
+CC_MAX_ROUNDS = 16  # hard cap: rounds are O(log^2 n); 16 pairs >> any real n
 
 
 _CC_EDGES_SQL = f"""
@@ -448,6 +449,83 @@ ob AS (
 )"""
 
 
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    g = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(g, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (larger -> smaller); connect every smaller
+    neighbor AND the center to m = min(N(u) ∪ {u}) = min neighbor."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    g = o.groupBy("u").agg(F.min("v").alias("m"))
+    down = (
+        o.join(g, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    center = g.select("u", F.col("m").alias("v"))
+    return (
+        down.unionByName(center)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_is_star_forest(e: DataFrame) -> bool:
+    """Fixed-point test: the contraction has converged iff no edge target
+    appears as a source — every (u, v) then points straight at a component
+    root, and because each star round PRESERVES the component partition of
+    the edge set, a star forest's stars ARE complete components. One
+    left-semi join + limit(1) — O(|e|) with an early-out, far cheaper
+    than another contraction round."""
+    chained = e.select(F.col("v").alias("u")).join(
+        e.select("u"), "u", "left_semi"
+    )
+    return len(chained.limit(1).collect()) == 0
+
+
+def _cc_converge(
+    edges: DataFrame,
+    large_star=None,
+    small_star=None,
+    min_rounds: int = CC_MIN_ROUNDS,
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Alternate large-star/small-star until the edge set is a star
+    forest, or raise after ``max_rounds`` pairs (VERDICT r7 item 4: the
+    old fixed CC_ROUNDS=5 loop would silently emit partially-contracted
+    components on a graph deeper than its round budget). The first
+    ``min_rounds`` pairs run unchecked (the common case converges inside
+    them and the check is pure overhead); after that every pair pays one
+    O(|e|) semi-join test. Per-round ``localCheckpoint`` truncates the
+    iterative lineage as before."""
+    large_star = large_star or _cc_large_star
+    small_star = small_star or _cc_small_star
+    e = edges
+    for rnd in range(max_rounds):
+        e = large_star(e).localCheckpoint(eager=True)
+        e = small_star(e).localCheckpoint(eager=True)
+        if rnd + 1 >= min_rounds and _cc_is_star_forest(e):
+            return e
+    raise RuntimeError(
+        f"connected-components contraction did not converge within "
+        f"{max_rounds} alternating star rounds — graph deeper than the "
+        f"round budget; raise CC_MAX_ROUNDS"
+    )
+
+
 @query(
     "connected_components",
     oracle=f"""
@@ -471,9 +549,12 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the O(log n)-round algorithm that replaces
     diameter-many label-propagation rounds (``dedup_clusters``' fixed
     4-iteration propagation is the may-not-converge sibling; this one
-    CONVERGES and the oracle proves it: DuckDB computes the EXACT
-    components by recursive transitive closure, and hash equality holds
-    only if {CC_ROUNDS} alternating pairs fully contracted every star).
+    CONVERGES BY CONSTRUCTION: ``_cc_converge`` iterates until the edge
+    set is a star forest — a checked fixed point — and raises past
+    CC_MAX_ROUNDS instead of silently emitting partially-contracted
+    components (VERDICT r7 item 4). The oracle proves the labels too:
+    DuckDB computes the EXACT components by recursive transitive
+    closure, and hash equality pins every root).
 
     Per round each star is: one min-aggregate keyed by node, one re-join
     against the edge list, one DISTINCT — all shuffles at node grain; the
@@ -525,42 +606,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    def large_star(e: DataFrame) -> DataFrame:
-        """(v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
-        sym = e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        g = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        return (
-            sym.join(g, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-        )
-
-    def small_star(e: DataFrame) -> DataFrame:
-        """Orient edges (larger -> smaller); connect every smaller
-        neighbor AND the center to m = min(N(u) ∪ {u}) = min neighbor."""
-        o = e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).where(F.col("u") != F.col("v")).distinct()
-        g = o.groupBy("u").agg(F.min("v").alias("m"))
-        down = (
-            o.join(g, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        center = g.select("u", F.col("m").alias("v"))
-        return (
-            down.unionByName(center)
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-        )
-
-    e = edges
-    for _ in range(CC_ROUNDS):
-        e = large_star(e).localCheckpoint(eager=True)
-        e = small_star(e).localCheckpoint(eager=True)
+    e = _cc_converge(edges)
     # at convergence e is a star forest (node -> component root)
     labels = e.groupBy(F.col("u").alias("brand")).agg(F.min("v").alias("root"))
     return nodes.join(labels, "brand", "left").select(

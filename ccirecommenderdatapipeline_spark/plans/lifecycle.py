@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.windows import bounded_window
+
 from ..operators.literals import literal_table
 from ..operators.simulator import best_by, simulate_trades
 from ..operators.windows import latest_rows
@@ -179,7 +181,11 @@ def q_buy_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("count_win", F.lit(0.3)).alias("t2"),
         F.percentile("avg_days_held", F.lit(1.0)).alias("t3"),
     )
-    w = Window.orderBy(F.desc("win_rate"), F.desc("revenue_rate"), F.asc("symbol"))
+    w = bounded_window(
+        F.desc("win_rate"), F.desc("revenue_rate"), F.asc("symbol"),
+        bound="best-per-symbol aggregate: <= |symbol universe| rows",
+        queries=("buy_candidates",),
+    )
     return (
         best.crossJoin(F.broadcast(thr))
         .filter(

@@ -33,6 +33,8 @@ cosmetic ROUND.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.windows import bounded_window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -381,7 +383,11 @@ def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
     )
     tot = agg.agg(F.sum("score").cast("long").alias("t"))
-    rw = Window.orderBy(F.desc("score"), F.asc("brand"))
+    rw = bounded_window(
+        F.desc("score"), F.asc("brand"),
+        bound="input is the per-brand aggregate: <= |brand vocabulary| rows",
+        queries=("decayed_popularity",),
+    )
     return (
         agg.crossJoin(F.broadcast(tot))
         .select(
@@ -841,7 +847,11 @@ def q_reco_coverage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = allb.join(expo, "brand", "left").select(
         "brand", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
     )
-    iw = Window.orderBy("c", "brand")
+    iw = bounded_window(
+        "c", "brand",
+        bound="Gini index positions over the brand vocabulary: <= |V| rows",
+        queries=("reco_coverage_gini",),
+    )
     ordd = x.select("c", F.row_number().over(iw).cast("long").alias("i"))
     g = ordd.agg(
         F.count("*").cast("long").alias("n_brands"),

@@ -19,6 +19,8 @@ ordered sequential fold so a ≤1-ulp libm difference cannot reach the hash.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..operators.windows import bounded_window
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.text import tokens
@@ -81,6 +83,17 @@ def two_phase_rank(
     contract to hold, and rows are ranked, never silently dropped
     (the inner equi-join on ``_bucket`` would not match NULL).
 
+    ORACLE CONTRACT (ADVICE r7): Spark orders ASC NULLS FIRST but DuckDB's
+    plain ``ORDER BY`` defaults to NULLS LAST, so a NULLABLE ``key_col``
+    ranks NULL rows first here and last in a plain-ordered oracle — a
+    silent rank mismatch. Every current caller passes a provably non-null
+    key (md5 hex, c_acctbal, counts, dates); a future caller with a
+    nullable key MUST either pre-filter/coalesce NULLs out of ``key_col``
+    or spell ``ORDER BY key NULLS FIRST`` in its paired oracle window.
+    The NULL-bucket sentinel above exists for the ``bucket=`` override
+    (a non-null key whose bucket expression can be NULL), not as license
+    to rank NULL keys against a plain-ordered oracle.
+
     Integer arithmetic only — bit-identical to the one-window oracle form.
 
     Cache contract: the bucketed input is persisted because THREE subtrees
@@ -110,11 +123,17 @@ def two_phase_rank(
         )
         aggs.append(F.sum(sum_col).alias("_bs"))
     counts = df.groupBy(*part_cols, "_bucket").agg(*aggs)
+    # the offsets window runs over the per-bucket COUNTS table (<= |parts|
+    # x 256 rows by construction) — bounded_window documents that and
+    # keeps the audit's unpartitioned-window flag meaningful
     w_off = (
-        Window.partitionBy(*part_cols)
-        .orderBy("_bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+        Window.partitionBy(*part_cols).orderBy("_bucket")
+        if part_cols
+        else bounded_window(
+            "_bucket",
+            bound="per-bucket counts table: <= 256 rows per partition group",
+        )
+    ).rowsBetween(Window.unboundedPreceding, -1)
     off_cols = [
         *part_cols,
         "_bucket",
@@ -533,7 +552,11 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wc").cast("long").alias("pair_count"),
         F.countDistinct("word").cast("long").alias("n_words"),
     )
-    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    w = bounded_window(
+        F.desc("pair_count"), F.asc("pair"),
+        bound="per-pair aggregate of the word vocabulary: <= |char bigrams|",
+        queries=("bpe_merge_pairs",),
+    )
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= BPE_TOP)

@@ -22,6 +22,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.windows import bounded_window
+
 GAP_US = 1_800_000_000          # 30-minute session gap
 HOUR_US = 3_600_000_000
 
@@ -996,7 +998,11 @@ def stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = agg.agg(F.sum("score").cast("long").alias("t"))
     from pyspark.sql import Window
 
-    rw = Window.orderBy(F.desc("score"), F.asc("brand"))
+    rw = bounded_window(
+        F.desc("score"), F.asc("brand"),
+        bound="maintained per-brand state table: <= |brand vocabulary| rows",
+        queries=("stream_decayed_popularity",),
+    )
     return (
         agg.crossJoin(F.broadcast(tot))
         .select(

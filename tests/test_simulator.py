@@ -158,3 +158,29 @@ def test_price_decimal_scale_contract(spark):
     c = p["close_pr"].to_numpy(dtype=float)
     assert np.abs(o * 1e4 - np.round(o * 1e4)).max() < 1e-3
     assert np.abs(c * 1e2 - np.round(c * 1e2)).max() < 1e-5
+
+
+def test_unscale_exact_past_2_53():
+    """ADVICE r7: float(S)/scale double-rounds once |S| >= 2**53; the
+    kernel's _unscale_exact must stay correctly rounded (== Fraction)
+    across the boundary, elementwise, for every scale it is used with."""
+    from fractions import Fraction
+    import numpy as np
+    from ccirecommenderdatapipeline_spark.operators.simulator_pandas import (
+        _unscale_exact,
+    )
+
+    probes = np.array(
+        [0, 1, -1, 2**53 - 1, 2**53, 2**53 + 1, -(2**53) - 1,
+         2**53 + 12345, 10**17 + 7, -(10**17 + 7), 2**62 + 9999],
+        dtype=np.int64,
+    )
+    for scale in (10**2, 10**4, 10**8):
+        got = _unscale_exact(probes, scale)
+        want = np.array(
+            [float(Fraction(int(s), scale)) for s in probes], dtype=np.float64
+        )
+        # bit equality, not tolerance: correctly-rounded is a single value
+        assert np.array_equal(got, want), scale
+        # scalar path too
+        assert _unscale_exact(int(probes[5]), scale) == want[5]

@@ -1,19 +1,33 @@
-"""Mechanical scale-shape audit: build every registered query's physical
-plan (batch plans are analyzed without executing; the few
-streaming-wrapped queries run their availableNow micro-batches inside
-their plan function and contribute the batch result's plan) and flag the
-two unambiguous scale-killers —
+"""Mechanical scale-shape audit: build every registered BATCH query's
+physical plan without executing it and flag the two unambiguous
+scale-killers —
 ``CartesianProduct`` (an unbroadcast cross join materializing |A|x|B|)
 and ``BatchEvalPython`` (row-at-a-time Python UDF eval; all sanctioned
 Python stages are Arrow-batched: ArrowEvalPython / FlatMapGroupsInPandas
 / MapInPandas / FlatMapCoGroupsInPandas / ...InPandasWithState).
+
+Streaming-wrapped queries (``stream_*``) run full availableNow jobs and
+write staging/checkpoint dirs inside their plan functions, so a
+"mechanical" audit would do real work and mutate /tmp state (ADVICE r7).
+They are SKIPPED by default and recorded as such; pass ``--run-streaming``
+to execute them deliberately (e.g. the once-per-round fingerprint refresh,
+where their batch-result plan is worth the micro-batch run).
 
 ``BroadcastNestedLoopJoin`` is NOT flagged: every occurrence in this repo
 is a broadcast of a literal/aggregate-sized grid (strategy combos, probe
 grids, scalar counts) — the pattern the simulator mandates — but it is
 COUNTED so a new corpus-sized one shows up in review.
 
-Usage: python tools/audit_plans.py [sf_dir]   (exit 1 on any flag)
+Unpartitioned windows: ``Window.orderBy`` without partitioning serializes
+its input into one task — a scale-killer UNLESS the input is a bounded
+aggregate. Bounded uses must go through ``operators.windows.bounded_window``
+(which documents the bound); this audit flags any plan whose final
+``Window`` node sorts with an empty partition spec while the query is not
+in the bounded-window registry.
+
+Usage: python tools/audit_plans.py [sf_dir] [--run-streaming]
+       python tools/audit_plans.py --fingerprint [sf_dir] [--run-streaming]
+(exit 1 on any flag)
 """
 
 from __future__ import annotations
@@ -30,47 +44,145 @@ FLAGS = ("CartesianProduct", "BatchEvalPython")
 COUNTED = ("BroadcastNestedLoopJoin", "SortMergeJoin")
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def _is_streaming_wrapped(name: str) -> bool:
+    """stream_* plan functions execute availableNow micro-batch jobs (and
+    write staging/checkpoint dirs) to produce their batch result — the one
+    naming convention the registry enforces (plans/streaming.py)."""
+    return name.startswith("stream_")
+
+
+def _iter_plans(spark, sf_dir: str, run_streaming: bool):
+    """Yield (name, plan_text | None, skipped: bool, err: str | None)."""
+    for name, fn in plans.QUERIES.items():
+        if _is_streaming_wrapped(name) and not run_streaming:
+            yield name, None, True, None
+            continue
+        try:
+            txt = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # streaming-only plans can't batch-build
+            yield name, None, False, type(exc).__name__
+            continue
+        yield name, txt, False, None
+        spark.catalog.clearCache()
+
+
+def main(sf_dir: str, run_streaming: bool) -> int:
+    from ccirecommenderdatapipeline_spark.operators.windows import (
+        BOUNDED_WINDOW_QUERIES,
+    )
+
     spark = get_spark("plan-audit")
     flagged: list[tuple[str, str]] = []
     counts = {k: 0 for k in COUNTED}
     errors: list[str] = []
-    for name, fn in plans.QUERIES.items():
-        try:
-            txt = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        except Exception as e:  # streaming-only plans can't batch-build
-            errors.append(f"{name}: {type(e).__name__}")
+    skipped: list[str] = []
+    audited = 0
+    for name, txt, was_skipped, err in _iter_plans(spark, sf_dir, run_streaming):
+        if was_skipped:
+            skipped.append(name)
             continue
+        if err is not None:
+            errors.append(f"{name}: {err}")
+            continue
+        audited += 1
         for f in FLAGS:
             if f in txt:
                 flagged.append((name, f))
+        if _has_unpartitioned_window(txt) and name not in BOUNDED_WINDOW_QUERIES:
+            flagged.append((name, "unpartitioned Window (not bounded_window)"))
         for c in COUNTED:
             counts[c] += 1 if c in txt else 0
-        spark.catalog.clearCache()
-    print(f"audited {len(plans.QUERIES) - len(errors)}/{len(plans.QUERIES)} plans")
+    print(f"audited {audited}/{len(plans.QUERIES)} plans")
     for c, n in counts.items():
         print(f"  {c}: {n} queries (informational)")
+    if skipped:
+        print(
+            f"  skipped {len(skipped)} streaming-wrapped queries "
+            f"(pass --run-streaming to execute): {skipped}"
+        )
     if errors:
-        print(f"  unbuildable as batch (streaming wrappers): {errors}")
+        print(f"  unbuildable as batch: {errors}")
     if flagged:
         for name, f in flagged:
             print(f"[FLAG] {name}: {f}")
         return 1
-    print("no CartesianProduct, no row-at-a-time Python eval — clean")
+    print(
+        "no CartesianProduct, no row-at-a-time Python eval, "
+        "no unregistered unpartitioned windows — clean"
+    )
     return 0
 
 
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` group contents of a plan-node argument string."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
 
 
-def fingerprint(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLAN_FINGERPRINTS.json") -> None:
+def _has_unpartitioned_window(plan_txt: str) -> bool:
+    """True when any Window node in the executed plan has an EMPTY
+    partition spec (WindowExec's "No Partition Defined" condition). Spark
+    4.1 renders the node as ``Window [funcs], [partcols], [ordercols]``
+    when both specs are present; with only one spec present there are two
+    bracket groups and the survivor is an ORDER list iff its entries carry
+    sort directions (``ASC``/``DESC``) — a partition-only window (global
+    frame per group, e.g. ``count(*) over (partition by k)``) has none.
+    One bracket group means neither spec: a whole-relation window, also
+    unpartitioned. Verified against executedPlan output for all shapes."""
+    for raw in plan_txt.splitlines():
+        line = raw.strip()
+        while line[:3] in ("+- ", ":- ") or (
+            line[:1] == ":" and line[1:2] in (" ", "-")
+        ):
+            line = line[3:] if line[:3] in ("+- ", ":- ") else line[1:]
+            line = line.lstrip(" :")
+        if line.startswith("Window ") and "windowspecdefinition" in line:
+            groups = _top_level_bracket_groups(line[len("Window "):])
+            if len(groups) >= 3:
+                continue  # [funcs], [part], [order]
+            if len(groups) == 2:
+                second = groups[1]
+                if " ASC" in second or " DESC" in second:
+                    return True  # [funcs], [order] — no partition spec
+                continue  # [funcs], [part] — partition-only window
+            return True  # [funcs] alone — whole-relation window
+    return False
+
+
+def fingerprint(
+    sf_dir: str = "/root/testdata/sf0.01",
+    out_path: str = "PLAN_FINGERPRINTS.json",
+    run_streaming: bool = False,
+) -> None:
     """Write a per-query physical-plan fingerprint (counts of the load-
     bearing node types) to ``out_path``. Diffing this file between rounds
     catches SILENT plan regressions — a broadcast silently degrading to a
     sort-merge join, a cache stop matching, an extra exchange — that
     correctness gates cannot see.
 
-    Usage: python tools/audit_plans.py --fingerprint [sf_dir]
+    Streaming-wrapped queries get a real fingerprint only under
+    ``--run-streaming`` (the intended mode for the once-per-round refresh);
+    otherwise they are marked ``{"__streaming_skipped__": 1}`` so the file
+    still carries one key per registered query.
+
+    Usage: python tools/audit_plans.py --fingerprint [sf_dir] [--run-streaming]
     """
     import json
 
@@ -81,22 +193,25 @@ def fingerprint(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLAN_FIN
         "WindowGroupLimit", "HashAggregate", "ObjectHashAggregate",
     )
     fp: dict[str, dict[str, int]] = {}
-    for name, fn in plans.QUERIES.items():
-        try:
-            txt = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        except Exception as e:
+    for name, txt, was_skipped, err in _iter_plans(spark, sf_dir, run_streaming):
+        if was_skipped:
+            fp[name] = {"__streaming_skipped__": 1}
+            continue
+        if err is not None:
             fp[name] = {"__error__": 1}
             continue
         fp[name] = {n: txt.count(n) for n in nodes if txt.count(n)}
-        spark.catalog.clearCache()
     with open(out_path, "w") as f:
         json.dump(fp, f, indent=1, sort_keys=True)
     print(f"wrote {len(fp)} fingerprints to {out_path}")
 
 
 if __name__ == "__main__":
-    if "--fingerprint" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--fingerprint"]
-        fingerprint(*args)
+    run_streaming = "--run-streaming" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--run-streaming"]
+    if "--fingerprint" in argv:
+        args = [a for a in argv if a != "--fingerprint"]
+        fingerprint(*args, run_streaming=run_streaming)
         raise SystemExit(0)
-    raise SystemExit(main())
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    raise SystemExit(main(sf_dir, run_streaming))

