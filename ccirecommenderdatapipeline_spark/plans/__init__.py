@@ -55,8 +55,8 @@ _PRIORITY = [
 # (b) new this round — appended as each op lands so it claims a window
 # slot from the (d) backfill, never from (a)/(c).
 _NEW_THIS_ROUND: list[str] = [
-    "stream_ivm_aggregate", "kll_quantiles", "weighted_median",
-    "vocab_build", "thompson_posterior", "sssp_weighted",
+    "stream_ivm_aggregate", "quantile_sketch_merge", "weighted_median",
+    "vocab_build", "bandit_replay_eval", "sssp_weighted",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

@@ -953,3 +953,246 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         F.round(F.exp(F.sum("lnc").over(wu).cast("double")), 8).alias("survival"),
     )
+
+
+# --- Mergeable quantile summary (two-level MRL-style merge) ------------------
+
+QSK_B = 8       # partial summaries (level-0 compactors) per group
+QSK_CAP = 32    # target samples per partial summary
+QSK_QS = (0.1, 0.5, 0.9)
+
+
+@query(
+    "quantile_sketch_merge",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)               AS n,
+       ROUND(quantile_cont(value, 0.1), 6)    AS q10_exact,
+       ROUND(quantile_cont(value, 0.5), 6)    AS q50_exact,
+       ROUND(quantile_cont(value, 0.9), 6)    AS q90_exact,
+       TRUE AS sketch_q10_ok, TRUE AS sketch_q50_ok, TRUE AS sketch_q90_ok,
+       TRUE AS summary_sublinear
+FROM events
+GROUP BY event_type
+""",
+)
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE approximate-quantile summary with a PROVEN error bound —
+    the deterministic Munro-Paterson/MRL two-level shape (Manku,
+    Rajagopalan & Lindsay, SIGMOD'98) that completes the sketch family
+    next to HLL (max-merge), Bloom (or-merge) and CMS (add-merge):
+
+    1. split each group into B={QSK_B} deterministic md5 buckets (the
+       "partial sketches" a 1000-executor job builds independently);
+    2. per bucket, keep every k-th value of the bucket's sort order with
+       weight k (k scales as n/(B*CAP) — summary size is CONSTANT per
+       bucket, so total state is B*CAP rows however large n grows);
+    3. MERGE = union the B weighted summaries (this is the whole merge
+       operator — no resort against raw data) and read quantiles off the
+       cumulative-weight curve.
+
+    Error guarantee (proved in-plan, driver-checked): for any threshold t
+    the merged weight W(t) ∈ (C(t) - B*k, C(t)] where C is the true CDF,
+    so the rank of the q-estimate lands within 2*B*k + B + 1 of q*n; the
+    booleans assert exactly that bound against EXACT ranks computed from
+    the raw data, and the oracle pins them TRUE — a sketch drifting out
+    of its guarantee is a driver-visible hash FAIL (the sketch_accuracy
+    contract pattern). Exact quantiles ride along as the audited values.
+
+    100-TB design: the per-bucket window sorts 1/(B) of a group per task;
+    the merged summary is B*CAP rows per group (sub-linear state, the
+    reason mergeable summaries exist); the exact-rank audit is one
+    broadcast join + one scan — it is the TEST, not the production path.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_g"))
+    kcol = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("n_g") / (QSK_B * QSK_CAP)).cast("long"),
+    ).alias("k")
+    dims = F.broadcast(counts.select("event_type", "n_g", kcol))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qsk8:"), F.col("event_id").cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("long")
+        % QSK_B
+    )
+    w_local = Window.partitionBy("event_type", "b").orderBy("value", "event_id")
+    samp = (
+        ev.join(dims, "event_type")
+        .withColumn("b", bucket)
+        .withColumn("rn", F.row_number().over(w_local))
+        .where(F.col("rn") % F.col("k") == 0)
+        .select("event_type", "value", F.col("k").alias("wt"))
+    )
+    tot = samp.groupBy("event_type").agg(
+        F.sum("wt").cast("long").alias("w_total"),
+        F.count("*").cast("long").alias("summary_rows"),
+    )
+    # RANGE frame so tied values share one cumulative weight (deterministic)
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        samp.withColumn("cw", F.sum("wt").over(w_cum))
+        .join(F.broadcast(tot), "event_type")
+    )
+    ests = cum.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cw") >= F.ceil(F.lit(q) * F.col("w_total")),
+                    F.col("value"),
+                )
+            ).alias(f"est_{int(q * 100)}")
+            for q in QSK_QS
+        ]
+    )
+    audit = (
+        ev.join(F.broadcast(ests), "event_type")
+        .join(dims, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.first("k").alias("k"),
+            *[
+                F.count(
+                    F.when(F.col("value") < F.col(f"est_{int(q * 100)}"), 1)
+                ).cast("long").alias(f"lo_{int(q * 100)}")
+                for q in QSK_QS
+            ],
+            *[
+                F.count(
+                    F.when(F.col("value") <= F.col(f"est_{int(q * 100)}"), 1)
+                ).cast("long").alias(f"hi_{int(q * 100)}")
+                for q in QSK_QS
+            ],
+            F.round(
+                F.expr("percentile_cont(0.1) WITHIN GROUP (ORDER BY value)"), 6
+            ).alias("q10_exact"),
+            F.round(
+                F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"), 6
+            ).alias("q50_exact"),
+            F.round(
+                F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)"), 6
+            ).alias("q90_exact"),
+        )
+    )
+    slack = 2 * QSK_B * F.col("k") + QSK_B + 1
+
+    def ok(q: float) -> F.Column:
+        p = int(q * 100)
+        return (
+            (F.col(f"lo_{p}") <= F.lit(q) * F.col("n") + slack)
+            & (F.col(f"hi_{p}") >= F.lit(q) * F.col("n") - slack)
+        ).alias(f"sketch_q{p}_ok")
+
+    return (
+        audit.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "q10_exact", "q50_exact", "q90_exact",
+            ok(0.1), ok(0.5), ok(0.9),
+            # summary_rows = sum_b floor(m_b/k) <= n/k <= 2*B*CAP: with
+            # x = n/(B*CAP), k = max(1, floor(x)) and x/floor(x) <= 2 for
+            # x >= 1 (k=1 only while n < 2*B*CAP). Constant-state proof.
+            (F.col("summary_rows") <= 2 * QSK_B * QSK_CAP).alias(
+                "summary_sublinear"
+            ),
+        )
+    )
+
+
+# --- Weighted quantiles (exact, two-phase) -----------------------------------
+
+WM_QS = ((25, 0.25), (50, 0.5), (75, 0.75))
+
+
+@query(
+    "weighted_median",
+    oracle="""
+WITH t AS (
+    SELECT l_returnflag AS flag, l_extendedprice AS v,
+           CAST(l_quantity AS BIGINT) AS wt,
+           l_orderkey * 8 + l_linenumber AS lid
+    FROM lineitem
+), c AS (
+    SELECT flag, v,
+           SUM(wt) OVER (PARTITION BY flag ORDER BY v, lid
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rsum
+    FROM t
+), w AS (SELECT flag, CAST(SUM(wt) AS BIGINT) AS total_weight FROM t GROUP BY 1)
+SELECT c.flag AS l_returnflag, w.total_weight,
+       MIN(c.v) FILTER (WHERE c.rsum >= CEIL(0.25 * w.total_weight)) AS wq25,
+       MIN(c.v) FILTER (WHERE c.rsum >= CEIL(0.5  * w.total_weight)) AS wq50,
+       MIN(c.v) FILTER (WHERE c.rsum >= CEIL(0.75 * w.total_weight)) AS wq75
+FROM c JOIN w ON w.flag = c.flag
+GROUP BY 1, 2
+""",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles (weighted median + quartiles) of
+    extended price weighted by quantity, per return flag — the
+    order-statistic no Spark builtin covers (``percentile`` has no weight
+    argument; ``percentile_approx`` is unweighted too). The weighted
+    q-quantile is the smallest value whose INCLUSIVE running weight in
+    (value, id) order reaches ceil(q * W).
+
+    Plan: the running weight comes from ``two_phase_rank``'s ``sum_col``
+    machinery (plans/training.py) with ``bucket=floor(v/1000)`` — a
+    value-monotone bucketing, so the global (value, id) running sum is
+    assembled from within-bucket running sums + broadcast cumulative
+    bucket offsets. NO per-flag single-task sort: a plain
+    ``SUM() OVER (PARTITION BY flag ORDER BY v)`` would serialize each
+    flag (3 groups = 3 tasks at 100 TB); here parallelism is
+    flags x price-buckets. Integer weights (quantities are integral —
+    pinned by the BIGINT cast) make every running sum exact, so the
+    threshold comparison is engine-exact and the picked values are raw
+    input doubles: bit-stable, no rounding anywhere.
+
+    The oracle states the same statistic as the one-window form, proving
+    the two-phase decomposition exact (the two_phase_rank contract)."""
+    from .training import two_phase_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("lid"),
+    )
+    ranked = two_phase_rank(
+        li,
+        key_col="v",
+        part_cols=("flag",),
+        id_col="lid",
+        sum_col="wt",
+        bucket=F.floor(F.col("v") / 1000),
+    )
+    totals = li.groupBy("flag").agg(
+        F.sum("wt").cast("long").alias("total_weight")
+    )
+    cum = ranked.join(F.broadcast(totals), "flag")
+    return (
+        cum.groupBy(F.col("flag").alias("l_returnflag"), "total_weight")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("rsum") >= F.ceil(F.lit(q) * F.col("total_weight")),
+                        F.col("v"),
+                    )
+                ).alias(f"wq{p}")
+                for p, q in WM_QS
+            ]
+        )
+    )

@@ -1353,3 +1353,83 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= PMI_TOP)
     )
+
+
+# --- Tokenizer vocabulary build (frequency-cutoff dictionary encoding) -------
+
+VOCAB_MIN_TF = 20   # min corpus frequency for a vocabulary entry
+
+
+@query(
+    "vocab_build",
+    oracle=f"""
+WITH {TOK_CTE},
+t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM t),
+tf AS (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT)            AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM t GROUP BY 1
+    HAVING COUNT(*) >= {VOCAB_MIN_TF}
+)
+SELECT token,
+       CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) AS token_id,
+       tf, df,
+       ROUND(CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT n_tok FROM tot), 8) AS cum_coverage
+FROM tf
+""",
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction — the dictionary-encoding step a
+    training pipeline runs before numericalising text: corpus term
+    frequencies, a min-frequency cutoff (tf >= {VOCAB_MIN_TF}; everything
+    below becomes OOV at encode time), contiguous ids by (tf DESC, token)
+    rank, and each entry's CUMULATIVE token coverage (what fraction of all
+    corpus tokens the vocabulary explains through this id — the curve that
+    sizes the vocab).
+
+    Scale shape: tf/df is one map-combinable hash aggregate at token
+    grain; the cutoff then shrinks it to the vocabulary, and only THAT
+    aggregate feeds the ranking window (a real vocabulary is 1e4-1e6
+    entries — post-aggregate grain, orders of magnitude under the corpus;
+    same bounded argument as bpe_merge_pairs' pair table). The id rank
+    and the coverage running sum share one window sort. Coverage divides
+    two exact longs once, rounded 8 — engine-stable."""
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tot = t.agg(F.count("*").cast("long").alias("n_tok"))
+    tf = (
+        t.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.count_distinct("doc_id").cast("long").alias("df"),
+        )
+        .where(F.col("tf") >= VOCAB_MIN_TF)
+    )
+    w = bounded_window(
+        F.desc("tf"), F.asc("token"),
+        bound="post-cutoff vocabulary aggregate: <= |tokens with tf >= "
+              f"{VOCAB_MIN_TF}|, corpus/{VOCAB_MIN_TF} at worst, ~1e4-1e6 real",
+        queries=("vocab_build",),
+    )
+    return (
+        tf.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.row_number().over(w).cast("long").alias("token_id"),
+            "tf",
+            "df",
+            F.round(
+                F.sum("tf")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("n_tok"),
+                8,
+            ).alias("cum_coverage"),
+        )
+    )

@@ -612,3 +612,135 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.join(labels, "brand", "left").select(
         "brand", F.coalesce(F.col("root"), F.col("brand")).alias("component")
     )
+
+
+# --- Weighted single-source shortest paths (Bellman-Ford relaxation) ---------
+
+SSSP_MAX_ROUNDS = 32   # >= |brand vocabulary| - 1 = 24; guard, never the plan
+_SSSP_K = 24           # oracle relaxation depth: |V| - 1 over the 25 brands
+
+
+def _sssp_oracle() -> str:
+    """Chained-CTE Bellman-Ford: d{{i+1}}(v) = min(d{{i}}(v),
+    min over edges u->v of d{{i}}(u) + w). K={_SSSP_K} rounds = |V|-1
+    suffices for any positive-weight shortest path (the bfs_hops chained
+    frontier precedent, generalized to weighted min-plus)."""
+    body = """
+ob AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), pr AS (
+    SELECT a.brand AS u, b.brand AS v, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+    FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+    GROUP BY 1, 2
+), e AS (
+    SELECT u, v, GREATEST(CAST(1 AS BIGINT),
+                          CAST(1000000 // pair_cnt AS BIGINT)) AS w
+    FROM pr
+), sym AS MATERIALIZED (
+    SELECT u AS src, v AS dst, w FROM e
+    UNION ALL
+    SELECT v AS src, u AS dst, w FROM e
+), src AS (SELECT MIN(src) AS s FROM sym),
+d0 AS MATERIALIZED (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src)"""
+    for i in range(_SSSP_K):
+        body += f""",
+d{i + 1} AS MATERIALIZED (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT s.dst AS node, d.dist + s.w AS dist
+        FROM d{i} d JOIN sym s ON s.src = d.node
+    ) GROUP BY node
+)"""
+    return (
+        "WITH "
+        + body
+        + f"""
+SELECT node AS brand, CAST(dist AS BIGINT) AS dist
+FROM d{_SSSP_K}
+"""
+    )
+
+
+@query("sssp_weighted", oracle=_sssp_oracle())
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the brand co-occurrence
+    graph (edge cost = 1e6 // pair_cnt, floored at 1 — rarely
+    co-purchased brands are "far"), from the lexicographically-first
+    brand: Bellman-Ford edge relaxation, the weighted generalization of
+    ``bfs_hops``' frontier joins.
+
+    Per round: one join of the CURRENT distance table against the edge
+    list + one min-aggregate at node grain — both shuffles at node/edge
+    grain, no all-pairs anything; ``localCheckpoint`` truncates the
+    iterative lineage (the connected_components lesson). The loop stops
+    EARLY at the first fixed point (distance table unchanged — one
+    count per round on a |V|-row table) and RAISES past
+    SSSP_MAX_ROUNDS instead of emitting partial distances
+    (the _cc_converge guard pattern); positive weights guarantee
+    convergence in <= |V|-1 rounds, so the guard is a tripwire, not a
+    budget. Costs are exact int64 (integer floor-division weights, + and
+    min only), so Spark and the oracle's {_SSSP_K}-round min-plus CTE
+    chain agree bit-for-bit.
+
+    100-TB shape: distances live at node grain, edges at edge grain,
+    rounds ~ weighted diameter; on a billion-node graph the same plan
+    runs with both bucketed by node — the standard iterative-BSP layout
+    (Pregel's SSSP, restated as joins)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
+    pr = (
+        ob.select("ok", F.col("brand").alias("brand_a"))
+        .join(b2, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+    )
+    e = pr.select(
+        F.col("brand_a").alias("u"),
+        F.col("brand_b").alias("v"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.lit(1_000_000) / F.col("pair_cnt")).cast("long"),
+        ).alias("w"),
+    )
+    sym = e.select("u", "v", "w").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint(eager=True)
+    source = sym.agg(F.min("u").alias("node"))
+    dist = source.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(SSSP_MAX_ROUNDS):
+        relaxed = (
+            dist.join(sym, dist.node == sym.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # fixed point iff no node improved and no node appeared
+        changed = (
+            relaxed.join(
+                dist.withColumnRenamed("dist", "old"), "node", "left"
+            )
+            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .limit(1)
+            .count()
+        )
+        dist = relaxed
+        if changed == 0:
+            return dist.select(F.col("node").alias("brand"), "dist")
+    raise RuntimeError(
+        f"SSSP relaxation did not reach a fixed point within "
+        f"{SSSP_MAX_ROUNDS} rounds — impossible for positive weights on "
+        f"a bounded vocabulary; investigate the edge build"
+    )

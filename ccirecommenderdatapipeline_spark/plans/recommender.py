@@ -1400,3 +1400,149 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neg_rank") <= NEG_K)
         .select("ck", "brand", F.col("neg_rank").cast("int").alias("neg_rank"))
     )
+
+
+# --- Off-policy bandit evaluation by replay ----------------------------------
+
+BANDIT_A0 = 500_000   # Beta-like prior: 0.5 mean reward in 1e-6 units ...
+BANDIT_B0 = 1         # ... over one pseudo-observation
+
+
+@query(
+    "bandit_replay_eval",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type AS arm, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_d,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) * 1000000
+                AS BIGINT) AS u_d
+    FROM events GROUP BY 1, 2
+), grid AS (
+    SELECT a.arm, d.day, COALESCE(x.n_d, 0) AS n_d, COALESCE(x.u_d, 0) AS u_d
+    FROM (SELECT DISTINCT arm FROM daily) a
+    CROSS JOIN (SELECT DISTINCT day FROM daily) d
+    LEFT JOIN daily x ON x.arm = a.arm AND x.day = d.day
+), cum AS (
+    SELECT arm, day, n_d, u_d,
+           {BANDIT_A0} + COALESCE(SUM(u_d) OVER (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a,
+           {BANDIT_B0} + COALESCE(SUM(n_d) OVER (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+    FROM grid
+), chosen AS (
+    SELECT i.day, i.arm, i.n_d, i.u_d
+    FROM cum i JOIN cum j ON j.day = i.day AND j.arm <> i.arm
+    GROUP BY 1, 2, 3, 4
+    HAVING BOOL_AND(
+        CAST(i.a AS DECIMAL(38,0)) * j.b > CAST(j.a AS DECIMAL(38,0)) * i.b
+        OR (CAST(i.a AS DECIMAL(38,0)) * j.b = CAST(j.a AS DECIMAL(38,0)) * i.b
+            AND i.arm < j.arm))
+)
+SELECT day, arm AS chosen_arm,
+       n_d AS n_matched,
+       CAST(u_d AS DOUBLE) / 1000000 AS matched_reward_sum,
+       CASE WHEN n_d > 0
+            THEN ROUND(CAST(u_d AS DOUBLE) / (n_d * 1000000), 6) END
+           AS matched_reward_mean
+FROM chosen
+""",
+)
+def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy REPLAY evaluation of a greedy-posterior bandit (Li et
+    al., WSDM 2011): treat each event_type as an arm and each day as a
+    decision round; the evaluated policy picks, per day, the arm with the
+    highest smoothed posterior mean reward computed from STRICTLY EARLIER
+    days (prior {BANDIT_A0}/1e6 over {BANDIT_B0} pseudo-obs), and the
+    replay estimator scores it on the day's logged rewards for that arm
+    alone — the standard unbiased offline protocol when the logged policy
+    is arm-uniform.
+
+    Engine-exact argmax: posterior means are RATIOS of exact integers
+    (micro-unit decimal reward sums / counts), and the per-day argmax is
+    decided by CROSS-MULTIPLYING — a_i*b_j > a_j*b_i in DECIMAL(38,0),
+    ties broken by arm name — never by floating division, so Spark and
+    DuckDB pick identical arms at any magnitude (the pmi_collocations
+    rational-ranking argument). The one division in the output is
+    exact-int / exact-int, rounded 6.
+
+    Scale shape: raw events collapse to the (arm x day) grid in one
+    map-combinable aggregate; every later step (running priors, K^2
+    pairwise tournament, replay join) runs on that bounded grid
+    (|arms| x |days| rows), broadcast throughout — the fact table is
+    scanned exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("arm"), F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_d"),
+            (F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")) * 1_000_000)
+            .cast("long")
+            .alias("u_d"),
+        )
+    )
+    arms = daily.select("arm").distinct()
+    days = daily.select("day").distinct()
+    grid = (
+        arms.crossJoin(days)
+        .join(daily, ["arm", "day"], "left")
+        .select(
+            "arm",
+            "day",
+            F.coalesce(F.col("n_d"), F.lit(0).cast("long")).alias("n_d"),
+            F.coalesce(F.col("u_d"), F.lit(0).cast("long")).alias("u_d"),
+        )
+    )
+    wprev = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "arm",
+        "day",
+        "n_d",
+        "u_d",
+        (F.lit(BANDIT_A0) + F.coalesce(F.sum("u_d").over(wprev), F.lit(0)))
+        .cast("long")
+        .alias("a"),
+        (F.lit(BANDIT_B0) + F.coalesce(F.sum("n_d").over(wprev), F.lit(0)))
+        .cast("long")
+        .alias("b"),
+    )
+    i, j = cum.alias("i"), cum.alias("j")
+    beat = (
+        F.col("i.a").cast("decimal(38,0)") * F.col("j.b")
+        > F.col("j.a").cast("decimal(38,0)") * F.col("i.b")
+    ) | (
+        (
+            F.col("i.a").cast("decimal(38,0)") * F.col("j.b")
+            == F.col("j.a").cast("decimal(38,0)") * F.col("i.b")
+        )
+        & (F.col("i.arm") < F.col("j.arm"))
+    )
+    chosen = (
+        i.join(
+            F.broadcast(j),
+            (F.col("i.day") == F.col("j.day")) & (F.col("i.arm") != F.col("j.arm")),
+        )
+        .groupBy(
+            F.col("i.day").alias("day"),
+            F.col("i.arm").alias("arm"),
+            F.col("i.n_d").alias("n_d"),
+            F.col("i.u_d").alias("u_d"),
+        )
+        .agg(F.min(beat).alias("wins_all"))
+        .where(F.col("wins_all"))
+    )
+    return chosen.select(
+        "day",
+        F.col("arm").alias("chosen_arm"),
+        F.col("n_d").alias("n_matched"),
+        (F.col("u_d").cast("double") / 1_000_000).alias("matched_reward_sum"),
+        F.when(
+            F.col("n_d") > 0,
+            F.round(F.col("u_d").cast("double") / (F.col("n_d") * 1_000_000), 6),
+        ).alias("matched_reward_mean"),
+    )

@@ -911,9 +911,10 @@ def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVM_CUTOFF = "2001-01-01"   # rows before = materialized base, after = delta
 
 
-@query(
-    "ivm_aggregate_merge",
-    oracle="""
+# full-recompute oracle shared with the streaming consumer
+# (streaming/jobs.py:stream_ivm_aggregate): the maintained view must equal
+# the from-scratch aggregate whatever the batching.
+IVM_AGG_ORACLE = """
 SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
        o_orderpriority AS priority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -921,8 +922,10 @@ SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
             AS DOUBLE) AS revenue
 FROM orders
 GROUP BY 1, 2
-""",
-)
+"""
+
+
+@query("ivm_aggregate_merge", oracle=IVM_AGG_ORACLE)
 def q_ivm_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance for a partial-aggregate materialized
     view: the Spark side NEVER runs the full-table aggregate — it

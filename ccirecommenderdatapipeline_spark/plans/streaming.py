@@ -444,3 +444,17 @@ def q_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_hll_merge
 
     return stream_hll_merge(spark, sf_dir)
+
+
+from .storage import IVM_AGG_ORACLE  # noqa: E402
+
+
+@query("stream_ivm_aggregate", oracle=IVM_AGG_ORACLE)
+def q_stream_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVM: the ivm_aggregate_merge view maintained across
+    micro-batches as versioned parquet snapshots, merged by re-aggregating
+    bounded group-grain partials; the final version equals the full
+    recompute (see streaming/jobs.py:stream_ivm_aggregate)."""
+    from ..streaming.jobs import stream_ivm_aggregate
+
+    return stream_ivm_aggregate(spark, sf_dir)
