@@ -34,9 +34,19 @@ HEADLINE = [
                                  # scheduled here so the plan-matched
                                  # agged_view cache is warm — a pipeline
                                  # runs the selection family together)
+    # --- text/dedup family, scheduled ADJACENT so each query runs with
+    # its plan-matched cache producers warm (VERDICT r7 item 6: the same
+    # grouping that took pareto_strategies 23.5s -> 1.96s; a real pipeline
+    # runs the dedup sweep as one stage, so warm shared token/shingle
+    # subtrees are the representative condition, not an artifact) ---
     "text_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "winnowing_dedup",           # MOSS per-window-min fingerprint dedup (r4)
+    "dedup_containment",         # asymmetric-containment near-dup (r5)
+    "dedup_simhash_hamming",     # banded-pigeonhole SimHash near-dup (r7)
+    "semantic_dedup",            # SemDeDup centroid-blocked pairs (r4)
+    "boilerplate_ngram_scrub",   # corpus-frequency chunk scrub (r7)
     "knn_brute_force",
     "knn_ivf",                   # the ANN scale path next to its baseline
     "session_windows",
@@ -48,23 +58,18 @@ HEADLINE = [
     "funnel_analysis",           # sequential-stage event funnel (r3)
     "bm25_search",               # inverted-index lexical ranking (r3)
     "tpch_q21",                  # EXISTS/NOT-EXISTS semi+anti cascade (r4)
-    "winnowing_dedup",           # MOSS per-window-min fingerprint dedup (r4)
     "cluster_margin",            # broadcast-centroid embedding scoring (r4)
     "cdc_apply",                 # CDC merge: upserts + tombstones (r4)
     "entity_resolution_qgram",   # prefix-filtered ER scale path (r4)
     "training_order_shuffle",    # two-phase seeded global order (r4)
     "bigram_perplexity",         # corpus LM scoring chain (r4)
-    "semantic_dedup",            # SemDeDup centroid-blocked pairs (r4)
     "cogroup_asof",              # COGROUP searchsorted as-of join (r5)
-    "dedup_containment",         # asymmetric-containment near-dup (r5)
     "training_pipeline",         # end-to-end train-file prep chain (r5)
     "ann_recall_eval",           # sampled IVF recall eval harness (r5)
-    "dedup_simhash_hamming",     # banded-pigeonhole SimHash near-dup (r7)
     "embedding_covariance",      # (dim,dim) cross-moment shuffle (r7)
     "interval_merge",            # overlapping-interval island merge (r7)
     "pca_power_iteration",       # D-sized iterative matvec jobs (r7)
     "feature_binning",           # two-phase bucketed exact NTILE (r7)
-    "boilerplate_ngram_scrub",   # corpus-frequency chunk scrub (r7)
     "token_budget_selection",    # two-phase running-sum budget draw (r7)
     "weighted_sample_wr",        # A-ES weighted draw w/o replacement (r7)
     "cms_term_freq",             # Count-Min sketch frequencies (r7)
@@ -94,6 +99,26 @@ HEADLINE = [
     "als_item_step",             # closed-form ALS item half-step (r7b)
     "quantile_normalize_sources",  # cross-source quantile map (r7b)
     "kaplan_meier_survival",     # censored time-to-repeat KM curve (r7b)
+    # --- r7 tail (bench backfill, VERDICT r7 item 2/3) ---
+    "mmr_rerank",                # decimal-exact MMR diversity rerank (r7b)
+    "map_mrr_eval",              # MRR / AP@5 / hits@5 eval trio (r7b)
+    "negative_sampling",         # md5-draw implicit negatives (r7b)
+    "ivm_join_merge",            # delta-join IVM rule terms (r7b)
+    "ols_trend",                 # sufficient-statistic OLS per symbol (r7b)
+    "bfs_hops",                  # frontier-join BFS levels (r7b)
+    "pmi_collocations",          # rational-lift collocation top-100 (r7b)
+    "feature_hashing",           # hashing-trick sparse vectors (r7b)
+    "connected_components",      # large/small-star contraction (r7b)
+    "rfm_segmentation",          # two-phase quintile segments (r7b)
+    "jl_projection",             # frozen Rademacher 64->8 sketch (r7b)
+    "stream_hll_merge",          # streaming HLL register merge (r7b)
+    # --- round 8 ---
+    "stream_ivm_aggregate",      # versioned streaming IVM view (r8)
+    "quantile_sketch_merge",     # mergeable MRL quantile summary (r8)
+    "weighted_median",           # two-phase exact weighted quartiles (r8)
+    "vocab_build",               # frequency-cutoff vocab + coverage (r8)
+    "bandit_replay_eval",        # off-policy replay argmax eval (r8)
+    "sssp_weighted",             # Bellman-Ford relaxation joins (r8)
 ]
 
 

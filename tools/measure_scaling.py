@@ -1,0 +1,59 @@
+"""Back-to-back scale-up measurement for SCALING.md rows: runs the given
+queries at sf0.1, the 5x replica and the 25x replica IN ONE session
+(JVM/worker pools warm, clearCache between queries) and prints one
+markdown-ish line per query. Same methodology as SCALING.md's header.
+
+Usage: python tools/measure_scaling.py q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ccirecommenderdatapipeline_spark import plans
+from ccirecommenderdatapipeline_spark.session import get_spark
+
+SCALES = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("5x", "/tmp/spark_graft_sf0.5"),
+    ("25x", "/tmp/spark_graft_sf2.5"),
+]
+
+
+def main() -> int:
+    names = sys.argv[1:]
+    unknown = [n for n in names if n not in plans.QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 1
+    spark = get_spark("scaling")
+    # warm-ups (JVM + Python worker pool), same as bench.py
+    plans.QUERIES["cci"](spark, SCALES[0][1]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    from pyspark.sql import functions as F
+
+    spark.range(64).withColumn("g", F.col("id") % 32).groupBy("g").applyInPandas(
+        lambda p: p, "id long, g long"
+    ).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    for name in names:
+        cells = []
+        for tag, sf_dir in SCALES:
+            t0 = time.perf_counter()
+            plans.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cells.append(f"{tag}={time.perf_counter() - t0:.2f}s")
+            spark.catalog.clearCache()
+        print(f"SCALING {name}: " + " ".join(cells), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
