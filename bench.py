@@ -119,6 +119,11 @@ HEADLINE = [
     "vocab_build",               # frequency-cutoff vocab + coverage (r8)
     "bandit_replay_eval",        # off-policy replay argmax eval (r8)
     "sssp_weighted",             # Bellman-Ford relaxation joins (r8)
+    "changepoint_sse",           # prefix-sum SSE changepoint (r8)
+    "walk_forward_eval",         # rolling-origin backtest folds (r8)
+    "markov_stationary",         # ordered-fold power iteration (r8)
+    "kcore_decomposition",       # iterative peel to fixed point (r8)
+    "decile_lift_table",         # descending-rank gains table (r8)
 ]
 
 

@@ -57,6 +57,8 @@ _PRIORITY = [
 _NEW_THIS_ROUND: list[str] = [
     "stream_ivm_aggregate", "quantile_sketch_merge", "weighted_median",
     "vocab_build", "bandit_replay_eval", "sssp_weighted",
+    "changepoint_sse", "walk_forward_eval", "stream_quantile_sketch",
+    "markov_stationary", "kcore_decomposition", "decile_lift_table",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

@@ -962,9 +962,9 @@ QSK_CAP = 32    # target samples per partial summary
 QSK_QS = (0.1, 0.5, 0.9)
 
 
-@query(
-    "quantile_sketch_merge",
-    oracle="""
+# shared with streaming/jobs.py:stream_quantile_sketch — the contract is
+# identical whatever the batching: exact quantiles + TRUE-pinned bounds.
+QSK_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT)               AS n,
        ROUND(quantile_cont(value, 0.1), 6)    AS q10_exact,
@@ -974,8 +974,10 @@ SELECT event_type,
        TRUE AS summary_sublinear
 FROM events
 GROUP BY event_type
-""",
-)
+"""
+
+
+@query("quantile_sketch_merge", oracle=QSK_ORACLE)
 def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE approximate-quantile summary with a PROVEN error bound —
     the deterministic Munro-Paterson/MRL two-level shape (Manku,

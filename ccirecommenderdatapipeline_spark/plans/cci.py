@@ -766,3 +766,224 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(num * num / F.nullif(den_x * den_y, F.lit(0)), 8).alias("r2"),
     )
+
+
+# --- Single changepoint detection (binary-segmentation step) -----------------
+
+@query(
+    "changepoint_sse",
+    oracle="WITH " + PRICES_ORACLE_CTE + """
+, y AS (
+    SELECT symbol, date,
+           CAST(ROUND(close_pr, 2) AS DECIMAL(18,2)) AS y,
+           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date) AS s
+    FROM prices
+), pre AS (
+    SELECT symbol, date, s,
+           CAST(SUM(y) OVER (PARTITION BY symbol ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS l1,
+           CAST(SUM(y) OVER (PARTITION BY symbol) AS DOUBLE) AS t1,
+           COUNT(*) OVER (PARTITION BY symbol) AS n
+    FROM y
+), sc AS (
+    SELECT symbol, date, s, n, l1, t1,
+           l1 * l1 / s + (t1 - l1) * (t1 - l1) / (n - s) AS score
+    FROM pre WHERE s < n AND n >= 2
+), top AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol
+                                 ORDER BY score DESC, s ASC) AS rk
+    FROM sc
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS cp_pos, date AS cp_date,
+       ROUND(l1 / s, 6)              AS left_mean,
+       ROUND((t1 - l1) / (n - s), 6) AS right_mean,
+       score - t1 * t1 / n AS sse_gain
+FROM top WHERE rk = 1
+""",
+)
+def q_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single mean-shift changepoint per symbol — the binary-
+    segmentation step (Scott & Knott 1974) behind regime-break screens:
+    split position s minimizing total SSE, equivalently maximizing
+    score(s) = L(s)^2/s + R(s)^2/(n-s) where L/R are the left/right
+    close-price sums. One prefix-sum pass gives every candidate's score;
+    no per-split rescans (O(n) per symbol, not O(n^2)).
+
+    Determinism (the ols_trend discipline): prefix sums fold exact
+    DECIMAL(18,2) closes (order-independent), the decimal→double casts
+    are correctly rounded, and score is a FIXED IEEE expression tree on
+    those bit-identical doubles — so the per-symbol argmax (score DESC,
+    earlier position on exact ties) picks the same row in both engines
+    with NO pre-comparison rounding. Means round once at the edge;
+    sse_gain ships UNROUNDED (magnitude ~1e9 puts 6dp past double's
+    exact-decimal range, the cross-engine round() 1-ulp class).
+
+    100-TB shape: everything is per-symbol windows over the date axis
+    (one symbol-grain shuffle, calendar-bounded partitions) + a
+    WindowGroupLimit top-1; no global window, no second scan."""
+    w_ord = Window.partitionBy("symbol").orderBy("date")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("symbol")
+    y = prices_view(spark, sf_dir).select(
+        "symbol",
+        "date",
+        F.round(F.col("close_pr"), 2).cast("decimal(18,2)").alias("y"),
+    )
+    pre = y.select(
+        "symbol",
+        "date",
+        F.row_number().over(w_ord).alias("s"),
+        F.sum("y").over(w_run).cast("double").alias("l1"),
+        F.sum("y").over(w_all).cast("double").alias("t1"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    r1 = F.col("t1") - F.col("l1")
+    nr = F.col("n") - F.col("s")
+    sc = pre.where((F.col("s") < F.col("n")) & (F.col("n") >= 2)).withColumn(
+        "score", F.col("l1") * F.col("l1") / F.col("s") + r1 * r1 / nr
+    )
+    top = sc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("symbol").orderBy(F.desc("score"), F.asc("s"))
+        ),
+    ).where(F.col("rk") == 1)
+    return top.select(
+        "symbol",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("cp_pos"),
+        F.col("date").alias("cp_date"),
+        F.round(F.col("l1") / F.col("s"), 6).alias("left_mean"),
+        F.round(r1 / nr, 6).alias("right_mean"),
+        # UNROUNDED (jl_projection discipline): gain magnitudes reach
+        # ~1e9+, where 6dp exceeds double's exact-decimal range and the
+        # engines' round() algorithms diverge by 1 ulp — but the raw
+        # doubles are bit-identical (exact decimal sums -> fixed tree).
+        (F.col("score") - F.col("t1") * F.col("t1") / F.col("n")).alias(
+            "sse_gain"
+        ),
+    )
+
+
+# --- Walk-forward (rolling-origin) evaluation --------------------------------
+
+WF_FOLDS = 4
+
+
+@query(
+    "walk_forward_eval",
+    oracle="WITH " + PRICES_ORACLE_CTE + f"""
+, bounds AS (
+    SELECT MIN(date) AS lo, MAX(date) AS hi,
+           CAST(hi - lo AS BIGINT) AS span
+    FROM prices
+), folds AS (
+    SELECT k,
+           lo + CAST(FLOOR(k * span / {WF_FOLDS + 1}) AS INTEGER) AS cut,
+           CASE WHEN k = {WF_FOLDS} THEN hi
+                ELSE lo + CAST(FLOOR((k + 1) * span / {WF_FOLDS + 1}) AS INTEGER)
+           END AS cut_next
+    FROM bounds, (SELECT unnest(range(1, {WF_FOLDS + 1})) AS k)
+), pred AS (
+    SELECT f.k, p.symbol, max_by(p.close_pr, p.date) AS yhat
+    FROM prices p JOIN folds f ON p.date <= f.cut
+    GROUP BY 1, 2
+), test AS (
+    SELECT f.k, f.cut, p.symbol,
+           CAST(ROUND(p.close_pr, 2) AS DECIMAL(18,2)) AS y, pr.yhat
+    FROM prices p
+    JOIN folds f ON p.date > f.cut AND p.date <= f.cut_next
+    LEFT JOIN pred pr ON pr.k = f.k AND pr.symbol = p.symbol
+)
+SELECT k AS fold, cut AS cutoff_date,
+       CAST(COUNT(yhat) AS BIGINT)           AS n_test,
+       CAST(COUNT(*) - COUNT(yhat) AS BIGINT) AS n_no_model,
+       ROUND(CAST(SUM(ABS(y - CAST(ROUND(yhat, 2) AS DECIMAL(18,2))))
+                  AS DOUBLE) / COUNT(yhat), 6) AS mae,
+       ROUND(SQRT(CAST(SUM((y - CAST(ROUND(yhat, 2) AS DECIMAL(18,2)))
+                           * (y - CAST(ROUND(yhat, 2) AS DECIMAL(18,2))))
+                       AS DOUBLE) / COUNT(yhat)), 6) AS rmse
+FROM test
+GROUP BY 1, 2
+""",
+)
+def q_walk_forward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (rolling-origin) backtest harness — the time-series
+    cross-validation every forecasting pipeline needs and a plain random
+    split gets WRONG (temporal leakage): {WF_FOLDS} expanding folds, each
+    training on all history up to its cutoff and testing on the next
+    segment, scored here for the naive random-walk forecaster (last
+    training close per symbol — the baseline every model must beat).
+
+    Exactness: per-fold errors are differences of exact DECIMAL(18,2)
+    closes (order-independent sums; squares stay exact at scale 4), cast
+    to double once for the final MAE/RMSE algebra (fixed IEEE tree,
+    rounded 6). Fold cutoffs are integer day arithmetic off the global
+    min/max — engine-identical.
+
+    100-TB shape: the fold table is {WF_FOLDS} broadcast rows; the
+    train-side scan collapses to (symbol, fold) grain via max_by before
+    joining (a |symbols|x{WF_FOLDS} broadcast model table); the test-side
+    expansion is map-only (each row lands in <= 1 fold... exactly one
+    for rows after the first cutoff). One scan feeds both sides."""
+    pv = prices_view(spark, sf_dir)
+    bounds = pv.agg(
+        F.min("date").alias("lo"),
+        F.max("date").alias("hi"),
+        F.datediff(F.max("date"), F.min("date")).cast("long").alias("span"),
+    )
+    folds = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(1), F.lit(WF_FOLDS))).alias("k"),
+            "lo", "hi", "span",
+        )
+        .select(
+            "k",
+            F.date_add(
+                "lo",
+                F.floor(F.col("k") * F.col("span") / (WF_FOLDS + 1)).cast("int"),
+            ).alias("cut"),
+            F.when(F.col("k") == WF_FOLDS, F.col("hi"))
+            .otherwise(
+                F.date_add(
+                    "lo",
+                    F.floor(
+                        (F.col("k") + 1) * F.col("span") / (WF_FOLDS + 1)
+                    ).cast("int"),
+                )
+            )
+            .alias("cut_next"),
+        )
+    )
+    pred = (
+        pv.join(F.broadcast(folds), F.col("date") <= F.col("cut"))
+        .groupBy("k", "symbol")
+        .agg(F.max_by("close_pr", "date").alias("yhat"))
+    )
+    test = (
+        pv.join(
+            F.broadcast(folds),
+            (F.col("date") > F.col("cut")) & (F.col("date") <= F.col("cut_next")),
+        )
+        .select(
+            "k", "cut", "symbol",
+            F.round("close_pr", 2).cast("decimal(18,2)").alias("y"),
+        )
+        .join(F.broadcast(pred), ["k", "symbol"], "left")
+    )
+    err = F.col("y") - F.round(F.col("yhat"), 2).cast("decimal(18,2)")
+    return (
+        test.groupBy(F.col("k").alias("fold"), F.col("cut").alias("cutoff_date"))
+        .agg(
+            F.count("yhat").cast("long").alias("n_test"),
+            (F.count("*") - F.count("yhat")).cast("long").alias("n_no_model"),
+            F.round(
+                F.sum(F.abs(err)).cast("double") / F.count("yhat"), 6
+            ).alias("mae"),
+            F.round(
+                F.sqrt(F.sum(err * err).cast("double") / F.count("yhat")), 6
+            ).alias("rmse"),
+        )
+    )

@@ -744,3 +744,143 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{SSSP_MAX_ROUNDS} rounds — impossible for positive weights on "
         f"a bounded vocabulary; investigate the edge build"
     )
+
+
+# --- k-core decomposition (iterative peeling) --------------------------------
+
+KCORE_K = 3
+KCORE_LIFT = 1.02       # denser than CC_LIFT so the core is non-trivial at
+                        # the driver's sf0.01 gate (CC's 1.05 graph peels to
+                        # empty there — a vacuous 0==0 check)
+KCORE_MAX_ROUNDS = 30   # rounds <= nodes ever removed <= |brand vocab| = 25
+_KCORE_R = 26           # oracle unroll: |V| + 1 peels always reach the core
+
+
+def _kcore_oracle() -> str:
+    body = f"""
+ob AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+    SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob
+), bc AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY 1
+), pr AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_cnt
+    FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+    GROUP BY 1, 2
+), e0 AS MATERIALIZED (
+    SELECT pr.brand_a AS u, pr.brand_b AS v
+    FROM pr
+    JOIN bc ca ON ca.brand = pr.brand_a
+    JOIN bc cb ON cb.brand = pr.brand_b
+    CROSS JOIN n
+    WHERE (pair_cnt * n.n_orders) / (CAST(ca.c AS DOUBLE) * cb.c) > {KCORE_LIFT}
+)"""
+    for i in range(_KCORE_R):
+        body += f""",
+keep{i} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+    ) GROUP BY node HAVING COUNT(*) >= {KCORE_K}
+),
+e{i + 1} AS MATERIALIZED (
+    SELECT e.u, e.v FROM e{i} e
+    JOIN keep{i} ku ON ku.node = e.u
+    JOIN keep{i} kv ON kv.node = e.v
+)"""
+    return (
+        "WITH "
+        + body
+        + f"""
+SELECT node AS brand, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM e{_KCORE_R} UNION ALL SELECT v FROM e{_KCORE_R})
+GROUP BY node
+"""
+    )
+
+
+@query("kcore_decomposition", oracle=_kcore_oracle())
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {KCORE_K}-core of the lift>{KCORE_LIFT} brand co-occurrence graph
+    (Seidman 1983): iteratively PEEL every node with degree < k and the
+    edges it carries until the degree condition holds everywhere — the
+    standard cohesion screen (dense-community seeds, spam-ring cores)
+    that a single degree filter gets wrong (removals cascade).
+
+    Spark runs the peel as a loop of [degree aggregate -> two semi-joins]
+    at node/edge grain with per-round ``localCheckpoint``, stopping at
+    the FIRST fixed point (no edge removed — one count per round) and
+    raising past KCORE_MAX_ROUNDS (the _cc_converge guard discipline;
+    rounds are bounded by nodes-ever-removed <= |V|). The oracle unrolls
+    {_KCORE_R} = |V|+1 materialized peels — always past the fixed point
+    on a 25-brand vocabulary — so hash equality proves the early-stopped
+    loop reached the same core. Output: core members with their degree
+    INSIDE the core (exact ints).
+
+    100-TB shape: each round is one map-combinable degree count plus two
+    hash semi-joins, all keyed by node; nothing retains non-core state
+    across rounds, and the edge set only shrinks."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
+    pr = (
+        ob.select("ok", F.col("brand").alias("brand_a"))
+        .join(b2, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    e = (
+        pr.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("pair_cnt") * F.col("n_orders"))
+            / (F.col("c_a").cast("double") * F.col("c_b"))
+            > KCORE_LIFT
+        )
+        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= KCORE_K).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            core = e2
+            return (
+                core.select(F.col("u").alias("brand"))
+                .unionByName(core.select(F.col("v").alias("brand")))
+                .groupBy("brand")
+                .agg(F.count("*").cast("long").alias("core_degree"))
+            )
+        e, n_edges = e2, n2
+    raise RuntimeError(
+        f"k-core peeling did not reach a fixed point within "
+        f"{KCORE_MAX_ROUNDS} rounds — impossible while rounds <= removed "
+        f"nodes <= |V|; investigate the edge build"
+    )

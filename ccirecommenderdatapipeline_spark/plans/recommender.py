@@ -1546,3 +1546,142 @@ def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("u_d").cast("double") / (F.col("n_d") * 1_000_000), 6),
         ).alias("matched_reward_mean"),
     )
+
+
+# --- Stationary distribution of the purchase Markov chain --------------------
+
+MARKOV_ITERS = 20
+
+
+def _markov_oracle() -> str:
+    body = """
+ob AS (
+    SELECT DISTINCT o.o_custkey AS ck, o.o_orderkey AS ok,
+                    o.o_orderdate AS dt, p.p_brand AS brand
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), ordseq AS (
+    SELECT ck, ok, DENSE_RANK() OVER (PARTITION BY ck ORDER BY dt, ok) AS rn
+    FROM (SELECT DISTINCT ck, ok, dt FROM ob)
+), tr0 AS (
+    SELECT a.brand AS brand_from, b.brand AS brand_to,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ob a
+    JOIN ordseq sa ON sa.ok = a.ok
+    JOIN ordseq sb ON sb.ck = sa.ck AND sb.rn = sa.rn + 1
+    JOIN ob b ON b.ok = sb.ok
+    GROUP BY 1, 2
+), states AS MATERIALIZED (SELECT DISTINCT brand_from AS brand FROM tr0),
+tr AS MATERIALIZED (
+    SELECT t.brand_from, t.brand_to, t.cnt,
+           CAST(SUM(t.cnt) OVER (PARTITION BY t.brand_from) AS BIGINT) AS tot
+    FROM tr0 t JOIN states s ON s.brand = t.brand_to
+),
+v0 AS MATERIALIZED (
+    SELECT brand, CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM states) AS val
+    FROM states
+)"""
+    for t in range(MARKOV_ITERS):
+        body += f""",
+v{t + 1} AS MATERIALIZED (
+    SELECT tr.brand_to AS brand,
+           list_sum(list(v.val * tr.cnt / tr.tot ORDER BY tr.brand_from)) AS val
+    FROM tr JOIN v{t} v ON v.brand = tr.brand_from
+    GROUP BY 1
+)"""
+    return (
+        "WITH "
+        + body
+        + f"""
+SELECT brand, ROUND(val, 8) AS pi
+FROM v{MARKOV_ITERS}
+"""
+    )
+
+
+@query("markov_stationary", oracle=_markov_oracle())
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the brand purchase chain — pi = pi.P by
+    power iteration over ``brand_transition_matrix``'s row-stochastic
+    matrix (restricted to states with outgoing mass so rows stay
+    stochastic), {MARKOV_ITERS} iterations from uniform: the long-run
+    brand visit share that PageRank generalizes (pagerank_bipartite is
+    the damped teleport sibling; this is the raw-chain limit).
+
+    Engine-exact floats WITHOUT rounding between iterations: each new
+    component is a SEQUENTIAL LEFT FOLD of its terms ordered by source
+    brand — Spark folds ``array_sort(collect_list(struct(from, term)))``
+    with the ``F.aggregate`` HOF, DuckDB folds ``list(term ORDER BY
+    from)`` with ``list_sum`` — the same W2/rolling-MAD determinism
+    contract (operators/windows.py), so after 20 matrix-vector products
+    both engines hold bit-identical doubles and ONE final round(8)
+    suffices. Terms are ``v * cnt / tot`` with exact-int cnt/tot — a
+    fixed IEEE tree.
+
+    100-TB shape: the matrix is vocabulary-bounded (|V|^2 rows max) and
+    broadcast; each iteration is one bounded-key aggregate — the fact
+    table is scanned once to build the counts, never again."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").alias("dt"),
+            F.col("p_brand").alias("brand"),
+        )
+    )
+    baskets = ob.groupBy("ck", "ok", "dt").agg(F.collect_set("brand").alias("bs"))
+    w = Window.partitionBy("ck").orderBy("dt", "ok")
+    lagged = (
+        baskets.withColumn("prev", F.lag("bs").over(w))
+        .where(F.col("prev").isNotNull())
+    )
+    tr0 = (
+        lagged.select(F.explode("prev").alias("brand_from"), "bs")
+        .select("brand_from", F.explode("bs").alias("brand_to"))
+        .groupBy("brand_from", "brand_to")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    states = tr0.select(F.col("brand_from").alias("brand")).distinct()
+    tr = (
+        tr0.join(
+            F.broadcast(states.select(F.col("brand").alias("brand_to"))),
+            "brand_to",
+        )
+        .withColumn(
+            "tot",
+            F.sum("cnt").over(Window.partitionBy("brand_from")).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_states = states.count()
+    v = states.select(
+        "brand", (F.lit(1.0) / F.lit(n_states)).alias("val")
+    ).localCheckpoint(eager=True)
+    for _ in range(MARKOV_ITERS):
+        terms = tr.join(
+            F.broadcast(v), tr.brand_from == v.brand
+        ).select(
+            F.col("brand_to"),
+            F.col("brand_from"),
+            (F.col("val") * F.col("cnt") / F.col("tot")).alias("term"),
+        )
+        v = (
+            terms.groupBy(F.col("brand_to").alias("brand"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("brand_from", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ).alias("val")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select("brand", F.round("val", 8).alias("pi"))

@@ -458,3 +458,16 @@ def q_stream_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_ivm_aggregate
 
     return stream_ivm_aggregate(spark, sf_dir)
+
+
+from .analytics import QSK_ORACLE  # noqa: E402
+
+
+@query("stream_quantile_sketch", oracle=QSK_ORACLE)
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable quantile summary: per-micro-batch weighted
+    sample sets union-merged across batches, rank-error bound asserted
+    against exact ranks (see streaming/jobs.py:stream_quantile_sketch)."""
+    from ..streaming.jobs import stream_quantile_sketch
+
+    return stream_quantile_sketch(spark, sf_dir)

@@ -1482,3 +1482,137 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             seg.alias("segment"),
         )
     )
+
+
+# --- Decile lift / gains table ----------------------------------------------
+
+LIFT_NDECILES = 10
+
+
+@query(
+    "decile_lift_table",
+    oracle=f"""
+WITH resp AS (
+    SELECT DISTINCT o_custkey AS ck FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+), scored AS (
+    SELECT c.c_custkey, c.c_acctbal,
+           CAST(r.ck IS NOT NULL AS INTEGER) AS y,
+           ROW_NUMBER() OVER (ORDER BY c.c_acctbal DESC, c.c_custkey) AS rk,
+           COUNT(*) OVER () AS n
+    FROM customer c LEFT JOIN resp r ON r.ck = c.c_custkey
+), binned AS (
+    SELECT ((rk - 1) * {LIFT_NDECILES}) // n + 1 AS decile, y FROM scored
+), agg AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(y) AS BIGINT)   AS n_resp
+    FROM binned GROUP BY 1
+), cum AS (
+    SELECT decile, n_cust, n_resp,
+           CAST(SUM(n_cust) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cust,
+           CAST(SUM(n_resp) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_resp,
+           CAST(SUM(n_cust) OVER () AS BIGINT) AS tot_cust,
+           CAST(SUM(n_resp) OVER () AS BIGINT) AS tot_resp
+    FROM agg
+)
+SELECT CAST(decile AS INTEGER) AS decile, n_cust, n_resp,
+       ROUND(CAST(n_resp AS DOUBLE) / n_cust, 6) AS resp_rate,
+       cum_resp,
+       ROUND(CAST(cum_resp AS DOUBLE) / tot_resp, 6) AS cum_capture,
+       ROUND((CAST(cum_resp AS DOUBLE) / cum_cust)
+             / (CAST(tot_resp AS DOUBLE) / tot_cust), 6) AS cum_lift
+FROM cum
+""",
+)
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table — the campaign-targeting
+    readout every scored-audience pipeline ends with: customers ranked
+    by score (account balance standing in for a model score), split into
+    {LIFT_NDECILES} SQL-standard deciles, each reporting response rate
+    (responder = has an URGENT-priority order), cumulative capture and
+    cumulative lift vs the base rate.
+
+    Plan: the global rank rides ``two_phase_rank`` DESCENDING via the
+    negated-balance bucket (bucket = floor(-acctbal), monotone in the
+    -acctbal sort key; same no-single-task-sort argument as
+    feature_binning, whose oracle-vs-two-phase equality covers this
+    shape) — the oracle states the plain one-window ROW_NUMBER DESC.
+    Decile membership is pure integer arithmetic on (rank, n); the
+    cumulative columns run on the 10-row decile aggregate
+    (bounded_window). All ratios are exact-int divisions rounded 6.
+
+    100-TB shape: one customer-grain scan feeds the rank; the responder
+    flag is a broadcast-able semi-join on the distinct URGENT customer
+    set; everything after the decile aggregate is 10 rows."""
+    from ..operators.windows import bounded_window
+    from .training import two_phase_rank
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    resp = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    scored = c.join(
+        F.broadcast(resp.withColumn("y", F.lit(1))), "c_custkey", "left"
+    ).select(
+        "c_custkey",
+        (-F.col("c_acctbal")).alias("neg_bal"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    ranked = two_phase_rank(
+        scored,
+        key_col="neg_bal",
+        id_col="c_custkey",
+        out="rk",
+        bucket=F.floor(F.col("neg_bal")),
+    )
+    tot = scored.agg(F.count("*").cast("long").alias("n"))
+    binned = ranked.crossJoin(F.broadcast(tot)).select(
+        (((F.col("rk") - 1) * LIFT_NDECILES) / F.col("n"))
+        .cast("long")
+        .alias("decile_0"),
+        "y",
+    ).select((F.col("decile_0") + 1).alias("decile"), "y")
+    agg = binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("y").cast("long").alias("n_resp"),
+    )
+    wcum = bounded_window(
+        "decile",
+        bound=f"decile aggregate: exactly {LIFT_NDECILES} rows",
+        queries=("decile_lift_table",),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = agg.select(
+        "decile",
+        "n_cust",
+        "n_resp",
+        F.sum("n_cust").over(wcum).cast("long").alias("cum_cust"),
+        F.sum("n_resp").over(wcum).cast("long").alias("cum_resp"),
+        F.sum("n_cust").over(wall).cast("long").alias("tot_cust"),
+        F.sum("n_resp").over(wall).cast("long").alias("tot_resp"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_cust",
+        "n_resp",
+        F.round(F.col("n_resp").cast("double") / F.col("n_cust"), 6).alias(
+            "resp_rate"
+        ),
+        "cum_resp",
+        F.round(F.col("cum_resp").cast("double") / F.col("tot_resp"), 6).alias(
+            "cum_capture"
+        ),
+        F.round(
+            (F.col("cum_resp").cast("double") / F.col("cum_cust"))
+            / (F.col("tot_resp").cast("double") / F.col("tot_cust")),
+            6,
+        ).alias("cum_lift"),
+    )

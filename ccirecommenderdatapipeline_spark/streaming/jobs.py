@@ -1199,3 +1199,160 @@ def stream_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_part").alias("n_orders"),
         F.col("rev_part").cast("double").alias("revenue"),
     )
+
+
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summary maintained OVER A STREAM — the fourth
+    streaming sketch next to CMS (add), HLL (max) and decayed popularity
+    (add), and the union-merge twin of the batch
+    ``quantile_sketch_merge``: each micro-batch sorts ONLY ITSELF per
+    group, keeps every k_b-th value with weight k_b (k_b sized to the
+    batch, so per-batch summary state is <= 2*CAP rows per group), and
+    appends the weighted samples to a log. The MERGE is a bare UNION —
+    the defining property of a mergeable summary (Agarwal et al., PODS
+    2012): no resort against history, no raw-event retention.
+
+    Error bound, streaming form: each batch contributes < k_b weight
+    error at any threshold (the one-compactor case of the batch op's
+    bound), so with K = sum of per-batch k_b the merged rank error is
+    <= 2K + #batches + 1 — computed from the log itself and asserted
+    against EXACT ranks from the staged data; the oracle pins the
+    booleans TRUE. Replay safety: a redelivered batch re-appends the
+    same deterministic sample set keyed by batch_id (dedup on read).
+
+    100-TB shape: per-batch state is bounded rows/group before any
+    write; the log grows with batch count, not event count; the final
+    estimate runs on summary grain only."""
+    from ..plans.analytics import QSK_CAP
+
+    staged = stage_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    run_id = uuid.uuid4().hex[:10]
+    target = os.path.join(STAGE_ROOT, f"qsk_log_{run_id}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        counts = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_b")
+        )
+        k_b = F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("n_b") / QSK_CAP).cast("long"),
+        ).alias("k")
+        w_loc = Window.partitionBy("event_type").orderBy("value", "event_id")
+        (
+            batch_df.select("event_type", "event_id", "value")
+            .join(F.broadcast(counts.select("event_type", k_b)), "event_type")
+            .withColumn("rn", F.row_number().over(w_loc))
+            .where(F.col("rn") % F.col("k") == 0)
+            .select(
+                "event_type",
+                "value",
+                F.col("k").alias("wt"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(STAGE_ROOT, "ckpt", f"qsk_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(target).dropDuplicates(
+        ["event_type", "value", "wt", "batch_id"]
+    )
+    # K = sum over batches of that batch's k; nb = batch count per group
+    per_batch = log.groupBy("event_type", "batch_id").agg(
+        F.first("wt").alias("k_b"), F.count("*").alias("rows_b")
+    )
+    kstats = per_batch.groupBy("event_type").agg(
+        F.sum("k_b").cast("long").alias("k_sum"),
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum("rows_b").cast("long").alias("summary_rows"),
+    )
+    tot = log.groupBy("event_type").agg(F.sum("wt").cast("long").alias("w_total"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        log.withColumn("cw", F.sum("wt").over(w_cum))
+        .join(F.broadcast(tot), "event_type")
+    )
+    qs = (0.1, 0.5, 0.9)
+    ests = cum.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cw") >= F.ceil(F.lit(q) * F.col("w_total")),
+                    F.col("value"),
+                )
+            ).alias(f"est_{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    ev = spark.read.parquet(staged)
+    audit = (
+        ev.join(F.broadcast(ests), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.count(
+                    F.when(F.col("value") < F.col(f"est_{int(q * 100)}"), 1)
+                ).cast("long").alias(f"lo_{int(q * 100)}")
+                for q in qs
+            ],
+            *[
+                F.count(
+                    F.when(F.col("value") <= F.col(f"est_{int(q * 100)}"), 1)
+                ).cast("long").alias(f"hi_{int(q * 100)}")
+                for q in qs
+            ],
+            F.round(
+                F.expr("percentile_cont(0.1) WITHIN GROUP (ORDER BY value)"), 6
+            ).alias("q10_exact"),
+            F.round(
+                F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"), 6
+            ).alias("q50_exact"),
+            F.round(
+                F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)"), 6
+            ).alias("q90_exact"),
+        )
+    )
+    joined = audit.join(F.broadcast(kstats), "event_type")
+    slack = 2 * F.col("k_sum") + F.col("n_batches") + 1
+
+    def ok(q: float):
+        p = int(q * 100)
+        return (
+            (F.col(f"lo_{p}") <= F.lit(q) * F.col("n") + slack)
+            & (F.col(f"hi_{p}") >= F.lit(q) * F.col("n") - slack)
+        ).alias(f"sketch_q{p}_ok")
+
+    return joined.select(
+        "event_type",
+        "n",
+        "q10_exact", "q50_exact", "q90_exact",
+        ok(0.1), ok(0.5), ok(0.9),
+        (F.col("summary_rows") <= 2 * QSK_CAP * F.col("n_batches")).alias(
+            "summary_sublinear"
+        ),
+    )
