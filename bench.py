@@ -124,6 +124,9 @@ HEADLINE = [
     "markov_stationary",         # ordered-fold power iteration (r8)
     "kcore_decomposition",       # iterative peel to fixed point (r8)
     "decile_lift_table",         # descending-rank gains table (r8)
+    "benford_audit",             # first-digit fraud screen (r8)
+    "record_survivorship",       # golden-record field rules (r8)
+    "psi_feature_drift",         # binned PSI drift gate (r8)
 ]
 
 

@@ -59,6 +59,7 @@ _NEW_THIS_ROUND: list[str] = [
     "vocab_build", "bandit_replay_eval", "sssp_weighted",
     "changepoint_sse", "walk_forward_eval", "stream_quantile_sketch",
     "markov_stationary", "kcore_decomposition", "decile_lift_table",
+    "benford_audit", "record_survivorship", "psi_feature_drift",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND
@@ -73,6 +74,11 @@ _PRIORITY += [
 ]
 
 # (d) next-oldest (round-1) verdicts, trimmed so the window is exactly 50.
+# NOTE (round-8 close): 15 new ops grew (b) past the point where (d) fits —
+# the window is (a)16 + (b)15 + first 19 of (c); `proj_rename` (the 51st
+# name, r1-green, plan unchanged, locally gated every round) is the one
+# pre-existing query left without a window slot this round — first (c)
+# candidate for round 9 along with the remaining _BACKFILL names.
 _BACKFILL = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "doc_fingerprints", "grouped_multi_agg", "lang_id",

@@ -631,3 +631,140 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cb / nb, 8).alias("rate_b"),
         F.round(z, 8).alias("z_score"),
     )
+
+
+# --- Population Stability Index (train/serve feature drift) ------------------
+
+PSI_BINS = 10
+PSI_SPLIT_DAY = 15     # slice boundary: day-of-month <= 15 vs > 15
+PSI_LN_DP = 9          # per-bin ln() rounding (libm 1-ulp guard, KL idiom)
+PSI_C_DP = 12          # per-bin contribution rounding before the decimal sum
+
+
+@query(
+    "psi_feature_drift",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_type, value,
+           CAST(EXTRACT(day FROM ts) <= {PSI_SPLIT_DAY} AS INTEGER) AS is_base
+    FROM events
+), rng AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+    FROM ev GROUP BY 1
+), binned AS (
+    SELECT e.event_type, e.is_base,
+           LEAST(CAST(FLOOR((e.value - r.lo) / (r.hi - r.lo) * {PSI_BINS})
+                      AS BIGINT), {PSI_BINS - 1}) AS bin
+    FROM ev e JOIN rng r ON r.event_type = e.event_type
+), counts AS (
+    SELECT event_type, bin,
+           CAST(COUNT(*) FILTER (WHERE is_base = 1) AS BIGINT) AS c_b,
+           CAST(COUNT(*) FILTER (WHERE is_base = 0) AS BIGINT) AS c_c
+    FROM binned GROUP BY 1, 2
+), grid AS (
+    SELECT t.event_type, b.bin,
+           COALESCE(c.c_b, 0) AS c_b, COALESCE(c.c_c, 0) AS c_c
+    FROM (SELECT DISTINCT event_type FROM ev) t
+    CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = b.bin
+), tots AS (
+    SELECT event_type, CAST(SUM(c_b) AS BIGINT) AS n_b,
+           CAST(SUM(c_c) AS BIGINT) AS n_c
+    FROM grid GROUP BY 1
+), terms AS (
+    SELECT g.event_type, t.n_b, t.n_c,
+           CAST(ROUND(((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE)
+                       - (g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))
+                 * ROUND(ln(((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE))
+                            / ((g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))),
+                         {PSI_LN_DP}), {PSI_C_DP})
+                AS DECIMAL(28,{PSI_C_DP})) AS term
+    FROM grid g JOIN tots t ON t.event_type = g.event_type
+)
+SELECT event_type, n_b AS n_base, n_c AS n_current,
+       ROUND(CAST(SUM(term) AS DOUBLE), 8) AS psi
+FROM terms GROUP BY 1, 2, 3
+""",
+)
+def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the month's two
+    halves — the train/serve feature-drift gate every scoring pipeline
+    monitors (PSI > 0.2 = retrain): {PSI_BINS} equi-width bins over the
+    feature's observed range, Laplace-smoothed shares (+1 per bin, so
+    empty bins stay finite), PSI = sum (p-q)*ln(p/q). The numeric
+    sibling of ``corpus_drift_kl`` (symmetric-ish, binned) and
+    ``cusum_drift`` (sequential).
+
+    Determinism (the KL idiom): bin edges are a fixed IEEE tree on
+    min/max doubles (identical floor both engines); shares are exact-int
+    ratios; the one transcendental is rounded {PSI_LN_DP}dp per bin, the
+    contribution {PSI_C_DP}dp, and the per-type sum runs as DECIMAL —
+    order-independent.
+
+    100-TB shape: one scan builds (type, slice, bin) counts
+    (map-combinable, bounded key space = |types| x {PSI_BINS} x 2);
+    everything after runs on that grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.dayofmonth("ts") <= PSI_SPLIT_DAY).cast("int").alias("is_base"),
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        "is_base",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * PSI_BINS
+            ).cast("long"),
+            F.lit(PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("is_base") == 1, 1)).cast("long").alias("c_b"),
+        F.count(F.when(F.col("is_base") == 0, 1)).cast("long").alias("c_c"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(PSI_BINS).select(
+                    F.col("id").cast("long").alias("bin")
+                )
+            )
+        )
+        .join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce(F.col("c_b"), F.lit(0).cast("long")).alias("c_b"),
+            F.coalesce(F.col("c_c"), F.lit(0).cast("long")).alias("c_c"),
+        )
+    )
+    tots = grid.groupBy("event_type").agg(
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.sum("c_c").cast("long").alias("n_c"),
+    )
+    p = (F.col("c_b") + 1) / (F.col("n_b") + PSI_BINS).cast("double")
+    q = (F.col("c_c") + 1) / (F.col("n_c") + PSI_BINS).cast("double")
+    terms = grid.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        "n_b",
+        "n_c",
+        F.round((p - q) * F.round(F.log(p / q), PSI_LN_DP), PSI_C_DP)
+        .cast(f"decimal(28,{PSI_C_DP})")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy(
+            "event_type",
+            F.col("n_b").alias("n_base"),
+            F.col("n_c").alias("n_current"),
+        )
+        .agg(F.round(F.sum("term").cast("double"), 8).alias("psi"))
+    )

@@ -1616,3 +1616,236 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, precomputed so NO transcendental is
+# evaluated in either engine (the pmi_collocations discipline applied to
+# Benford's law — constants are exact double literals on both sides).
+BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829993,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.045757490560675115,
+}
+
+
+@query(
+    "benford_audit",
+    oracle=f"""
+WITH cents AS (
+    SELECT CAST(ROUND(o_totalprice, 2) * 100 AS BIGINT) AS c FROM orders
+), digits AS (
+    SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM cents WHERE c > 0
+), agg AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM agg),
+exp AS (
+    SELECT digit, CAST(pb AS DOUBLE) AS p_benford
+    FROM (VALUES {", ".join(f"({d}, {p!r})" for d, p in BENFORD.items())})
+        AS t(digit, pb)
+)
+SELECT e.digit, COALESCE(a.n_obs, 0) AS n_obs,
+       ROUND(CAST(COALESCE(a.n_obs, 0) AS DOUBLE) / t.n, 8) AS obs_share,
+       ROUND(e.p_benford, 8) AS benford_share,
+       ROUND(ABS(CAST(COALESCE(a.n_obs, 0) AS DOUBLE) / t.n - e.p_benford), 8)
+           AS abs_dev,
+       ROUND((COALESCE(a.n_obs, 0) - e.p_benford * t.n)
+             * (COALESCE(a.n_obs, 0) - e.p_benford * t.n)
+             / (e.p_benford * t.n), 6) AS chi2_term
+FROM exp e LEFT JOIN agg a ON a.digit = e.digit CROSS JOIN tot t
+""",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    fraud/synthetic-data screen (Nigrini's digit analysis): observed
+    first-digit shares vs the Benford expectation log10(1+1/d), with
+    per-digit chi-square terms.
+
+    Determinism: the first digit comes from the INTEGER CENTS rendered
+    as a string (both engines print int64 identically) — never from
+    log10/pow on doubles, whose boundary behavior at exact powers of
+    ten is the classic cross-engine trap; the Benford expectations are
+    nine precomputed double literals shared by both sides (no
+    transcendental evaluated anywhere). Shares/chi2 are fixed IEEE
+    trees on exact ints, rounded once.
+
+    100-TB shape: one map-side digit projection + a 9-key count agg
+    (map-combinable); everything after is 9 rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.round(F.col("o_totalprice"), 2) * 100).cast("long").alias("c")
+    ).where(F.col("c") > 0)
+    agg = o.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    tot = agg.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = literal_table(
+        spark,
+        [(d, p) for d, p in BENFORD.items()],
+        "digit INT, p_benford DOUBLE",
+    )
+    j = (
+        exp.join(F.broadcast(agg), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+            "p_benford",
+            "n",
+        )
+    )
+    obs = F.col("n_obs").cast("double") / F.col("n")
+    dev = F.col("n_obs") - F.col("p_benford") * F.col("n")
+    return j.select(
+        "digit",
+        "n_obs",
+        F.round(obs, 8).alias("obs_share"),
+        F.round(F.col("p_benford"), 8).alias("benford_share"),
+        F.round(F.abs(obs - F.col("p_benford")), 8).alias("abs_dev"),
+        F.round(dev * dev / (F.col("p_benford") * F.col("n")), 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+# --- Record survivorship (golden-record merge) -------------------------------
+
+SURV_OLD = "1900-01-01"   # recency sentinel for members with no orders
+
+
+@query(
+    "record_survivorship",
+    oracle=f"""
+WITH members AS (
+    SELECT c.c_custkey, c.c_custkey // 10 AS cluster_id, c.c_name,
+           c.c_acctbal, c.c_mktsegment, c.c_nationkey,
+           COALESCE(lo.last_dt, DATE '{SURV_OLD}') AS last_dt
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_dt
+        FROM orders GROUP BY 1
+    ) lo ON lo.o_custkey = c.c_custkey
+), sized AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM members
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        ORDER BY last_dt DESC, c_acctbal DESC, c_custkey) AS rk
+    FROM sized WHERE n_members >= 2
+), seg_counts AS (
+    SELECT cluster_id, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM sized WHERE n_members >= 2 GROUP BY 1, 2
+), seg_pick AS (
+    SELECT cluster_id, c_mktsegment AS seg_mode FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY cnt DESC, c_mktsegment) AS srk
+        FROM seg_counts
+    ) WHERE srk = 1
+), agg AS (
+    SELECT cluster_id,
+           CAST(MAX(n_members) AS BIGINT) AS n_members,
+           CAST(COUNT(*) FILTER (WHERE last_dt > DATE '{SURV_OLD}') AS BIGINT)
+               AS n_active,
+           MAX(c_acctbal) AS max_acctbal
+    FROM ranked GROUP BY 1
+)
+SELECT r.cluster_id, r.c_custkey AS canonical_key, r.c_name AS canonical_name,
+       r.last_dt AS canonical_last_order,
+       CAST(r.c_nationkey AS BIGINT) AS canonical_nation,
+       a.max_acctbal, s.seg_mode, a.n_members, a.n_active
+FROM ranked r
+JOIN agg a ON a.cluster_id = r.cluster_id
+JOIN seg_pick s ON s.cluster_id = r.cluster_id
+WHERE r.rk = 1
+""",
+)
+def q_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction from duplicate clusters — the
+    survivorship step after entity resolution (``entity_resolution``
+    finds the clusters; here the decimal-shift key stands in for them):
+    per cluster, FIELD-LEVEL rules assemble one canonical record —
+    most-recently-active member donates identity fields (name, nation,
+    key; ties by balance then key), balance takes the MAX across members
+    (greatest-value rule), segment takes the MODE (ties alphabetical) —
+    the three standard rule families (recency / extremum / frequency)
+    in one pass.
+
+    Determinism: every pick is a ROW_NUMBER over a fully-tied-off order
+    (both engines), counts/dates/decimals exact; no floats anywhere.
+
+    100-TB shape: recency joins a pre-aggregated (customer, last order)
+    table; all windows partition by cluster_id (bounded groups); the
+    mode pick runs on the (cluster, segment) aggregate. One shuffle at
+    cluster grain after the member build."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"
+    )
+    lo = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_dt"))
+    )
+    members = (
+        c.join(lo, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_custkey") / 10).cast("long").alias("cluster_id"),
+            "c_name",
+            "c_acctbal",
+            "c_mktsegment",
+            "c_nationkey",
+            F.coalesce(
+                F.col("last_dt"), F.lit(SURV_OLD).cast("date")
+            ).alias("last_dt"),
+        )
+    )
+    sized = members.withColumn(
+        "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+    ).where(F.col("n_members") >= 2).persist()
+    ranked = sized.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("last_dt"), F.desc("c_acctbal"), F.asc("c_custkey")
+            )
+        ),
+    )
+    seg_pick = (
+        sized.groupBy("cluster_id", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "srk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("cnt"), F.asc("c_mktsegment")
+                )
+            ),
+        )
+        .where(F.col("srk") == 1)
+        .select("cluster_id", F.col("c_mktsegment").alias("seg_mode"))
+    )
+    agg = ranked.groupBy("cluster_id").agg(
+        F.max("n_members").cast("long").alias("n_members"),
+        F.count(F.when(F.col("last_dt") > F.lit(SURV_OLD).cast("date"), 1))
+        .cast("long")
+        .alias("n_active"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .drop("n_members")
+        .join(agg, "cluster_id")
+        .join(F.broadcast(seg_pick), "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("c_custkey").alias("canonical_key"),
+            F.col("c_name").alias("canonical_name"),
+            F.col("last_dt").alias("canonical_last_order"),
+            F.col("c_nationkey").cast("long").alias("canonical_nation"),
+            "max_acctbal",
+            "seg_mode",
+            "n_members",
+            "n_active",
+        )
+    )

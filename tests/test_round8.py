@@ -327,3 +327,109 @@ def test_stream_quantile_sketch_booleans(spark):
     for r in rows:
         assert r["sketch_q10_ok"] and r["sketch_q50_ok"] and r["sketch_q90_ok"]
         assert r["summary_sublinear"]
+
+
+def test_benford_chi2_matches_python(spark):
+    """Digit extraction and chi-square terms against a pure-Python pass."""
+    from collections import Counter
+
+    from ccirecommenderdatapipeline_spark.plans.warehouse import (
+        BENFORD,
+        q_benford_audit,
+    )
+
+    got = {r["digit"]: r for r in q_benford_audit(spark, SF_SMALL).collect()}
+    prices = [
+        r["o_totalprice"]
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    ]
+    digs = Counter(int(str(int(round(p * 100)))[0]) for p in prices if round(p * 100) > 0)
+    n = sum(digs.values())
+    assert abs(sum(r["obs_share"] for r in got.values()) - 1.0) < 1e-6
+    for d in range(1, 10):
+        assert got[d]["n_obs"] == digs.get(d, 0), d
+        e = BENFORD[d] * n
+        want = (digs.get(d, 0) - e) ** 2 / e
+        assert abs(got[d]["chi2_term"] - want) < 1e-4, d
+
+
+def test_record_survivorship_matches_python(spark):
+    """Canonical picks (recency/extremum/mode rules) vs a dict reference."""
+    from ccirecommenderdatapipeline_spark.plans.warehouse import (
+        q_record_survivorship,
+    )
+    import datetime
+
+    got = {r["cluster_id"]: r for r in q_record_survivorship(spark, SF_SMALL).collect()}
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    last = {}
+    for r in orders:
+        d = r["o_orderdate"]
+        d = d.date() if hasattr(d, "date") else d
+        k = r["o_custkey"]
+        if k not in last or d > last[k]:
+            last[k] = d
+    old = datetime.date(1900, 1, 1)
+    clusters: dict = {}
+    for r in cust:
+        clusters.setdefault(r["c_custkey"] // 10, []).append(r)
+    for cid, members in clusters.items():
+        if len(members) < 2:
+            assert cid not in got
+            continue
+        best = max(
+            members,
+            key=lambda m: (last.get(m["c_custkey"], old), m["c_acctbal"], -m["c_custkey"]),
+        )
+        g = got[cid]
+        assert g["canonical_key"] == best["c_custkey"], cid
+        assert g["max_acctbal"] == max(m["c_acctbal"] for m in members)
+        assert g["n_members"] == len(members)
+        from collections import Counter
+
+        segc = Counter(m["c_mktsegment"] for m in members)
+        top = max(segc.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+        # mode with alphabetical tie-break
+        best_cnt = max(segc.values())
+        want_seg = min(s for s, c in segc.items() if c == best_cnt)
+        assert g["seg_mode"] == want_seg, cid
+
+
+def test_psi_matches_numpy(spark):
+    """PSI >= 0 and equals a numpy recomputation with the same binning."""
+    import math
+    from collections import Counter
+
+    from ccirecommenderdatapipeline_spark.plans.events import (
+        PSI_BINS,
+        PSI_SPLIT_DAY,
+        q_psi_feature_drift,
+    )
+
+    got = {r["event_type"]: r for r in q_psi_feature_drift(spark, SF_SMALL).collect()}
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["ts"], r["value"]))
+    for t, rows in by_type.items():
+        lo = min(v for _, v in rows)
+        hi = max(v for _, v in rows)
+        cb, cc = Counter(), Counter()
+        nb = nc = 0
+        for ts, v in rows:
+            b = min(int((v - lo) / (hi - lo) * PSI_BINS), PSI_BINS - 1)
+            if ts.day <= PSI_SPLIT_DAY:
+                cb[b] += 1
+                nb += 1
+            else:
+                cc[b] += 1
+                nc += 1
+        psi = 0.0
+        for b in range(PSI_BINS):
+            p = (cb.get(b, 0) + 1) / (nb + PSI_BINS)
+            q = (cc.get(b, 0) + 1) / (nc + PSI_BINS)
+            psi += (p - q) * math.log(p / q)
+        assert got[t]["n_base"] == nb and got[t]["n_current"] == nc
+        assert got[t]["psi"] >= 0
+        assert abs(got[t]["psi"] - psi) < 1e-6, t
