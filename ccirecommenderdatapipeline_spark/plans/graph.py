@@ -377,15 +377,19 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     node within {BFS_ITERS} hops, by BFS induction; unreached nodes are
     absent (no sentinel rows).
 
-    Each expansion is ONE equi-join of the current frontier against the
-    symmetric edge list followed by a DISTINCT — both shuffle on the
-    node key, the BFS-as-iterated-hash-join plan that scales to
-    billion-edge graphs when edges are co-partitioned by src (here the
-    edge list is reused across all {BFS_ITERS} joins from one persist; on
-    a cluster it would be bucketed by src so every expansion is
-    shuffle-free on the edge side). The frontier DISTINCT keeps each
-    level a set, so fan-out is bounded by |V| per level, not by path
-    multiplicity — the trap that makes naive unrolled BFS exponential.
+    Each expansion is ONE equi-join of the current DELTA frontier against
+    the symmetric edge list followed by a DISTINCT and an ANTI-JOIN
+    against the visited set — the textbook delta-BFS (round-8 replan):
+    without the subtraction every level re-expands ALL previously
+    reached nodes, so on a small-world graph levels 3-4 re-join nearly
+    the whole vertex set against the whole edge list (this was the
+    repo's slowest headline query, 9.7 s at sf0.1 / 38.9 s at 25x —
+    the anti-join makes later frontiers the small NEW rings instead).
+    All shuffles stay on the node key; on a cluster the edge list would
+    be bucketed by src so every expansion is shuffle-free on the edge
+    side. Result is row-identical to the full re-expansion (a revisited
+    node can never improve its min-hop — BFS induction), which the
+    unchanged full-expansion ORACLE proves.
 
     Determinism: hop levels are exact integers; the seed is a MIN
     aggregate; no floats anywhere."""
@@ -403,20 +407,21 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     seed = sym.agg(F.min("src").alias("node"))
-    frontier = seed.select("node", F.lit(0).alias("hop"))
-    levels = [frontier]
+    frontier = seed.select("node", F.lit(0).alias("hop")).localCheckpoint(
+        eager=True
+    )
+    visited = frontier
     for i in range(1, BFS_ITERS + 1):
         frontier = (
             frontier.join(sym, frontier.node == sym.src)
             .select(F.col("dst").alias("node"))
             .distinct()
+            .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(i).alias("hop"))
+            .localCheckpoint(eager=True)
         )
-        levels.append(frontier)
-    lv = levels[0]
-    for f in levels[1:]:
-        lv = lv.unionByName(f)
-    return lv.groupBy("node").agg(F.min("hop").cast("int").alias("hops"))
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited.select("node", F.col("hop").cast("int").alias("hops"))
 
 
 # --- Connected components via alternating large-star / small-star ------------
