@@ -127,6 +127,9 @@ HEADLINE = [
     "benford_audit",             # first-digit fraud screen (r8)
     "record_survivorship",       # golden-record field rules (r8)
     "psi_feature_drift",         # binned PSI drift gate (r8)
+    "k_anonymity_audit",         # QI class-size release gate (r8)
+    "linucb_step",               # contextual-bandit ridge step (r8)
+    "assortativity_degree",      # endpoint-degree Pearson (r8)
 ]
 
 

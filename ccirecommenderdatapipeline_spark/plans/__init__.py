@@ -60,6 +60,7 @@ _NEW_THIS_ROUND: list[str] = [
     "changepoint_sse", "walk_forward_eval", "stream_quantile_sketch",
     "markov_stationary", "kcore_decomposition", "decile_lift_table",
     "benford_audit", "record_survivorship", "psi_feature_drift",
+    "k_anonymity_audit", "linucb_step", "assortativity_degree",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

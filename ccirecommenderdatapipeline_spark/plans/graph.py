@@ -889,3 +889,111 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{KCORE_MAX_ROUNDS} rounds — impossible while rounds <= removed "
         f"nodes <= |V|; investigate the edge build"
     )
+
+
+# --- Degree assortativity coefficient ----------------------------------------
+
+@query(
+    "assortativity_degree",
+    oracle="""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), e AS (
+    SELECT a.brand AS u, b.brand AS v
+    FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+    GROUP BY 1, 2
+), dsym AS (
+    SELECT u AS src, v AS dst FROM e
+    UNION ALL
+    SELECT v AS src, u AS dst FROM e
+), deg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM dsym GROUP BY 1
+), pairs AS (
+    SELECT du.d AS x, dv.d AS y
+    FROM dsym s JOIN deg du ON du.node = s.src JOIN deg dv ON dv.node = s.dst
+), m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pairs
+)
+SELECT m AS n_directed_edges,
+       ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / NULLIF(SQRT((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0), 8)
+           AS assortativity
+FROM m
+""",
+)
+def q_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the brand
+    co-occurrence graph: the Pearson correlation of endpoint degrees
+    over every directed edge — positive = hubs attach to hubs (social
+    shape), negative = hub-and-spoke (broadcast shape). The one-number
+    topology diagnostic next to ``key_skew_profile``'s key-level view;
+    it decides whether hub-capped plans (dedup_simhash_hamming's bucket
+    caps) are load-bearing on a given graph.
+
+    Exact int64 sufficient statistics (degrees and their products are
+    vocabulary-bounded), one fixed IEEE tree, one round(8) — the
+    ols_trend discipline. Plan: distinct-pair edges, one degree
+    aggregate, two broadcast joins back, a single scalar moment row.
+
+    100-TB: everything after the pair distinct is node/edge-grain with
+    map-combinable moments; the correlation itself is one row."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
+    e = (
+        ob.select("ok", F.col("brand").alias("brand_a"))
+        .join(b2, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
+        .distinct()
+    )
+    dsym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).persist()
+    deg = dsym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    pairs = (
+        dsym.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = md * F.col("sxy") - sxd * F.col("sy")
+    denx = md * F.col("sxx") - sxd * F.col("sx")
+    deny = md * F.col("syy") - syd * F.col("sy")
+    return m.select(
+        F.col("m").alias("n_directed_edges"),
+        # NULL on a degree-regular graph (zero variance -> r undefined)
+        F.round(num / F.nullif(F.sqrt(denx * deny), F.lit(0.0)), 8).alias(
+            "assortativity"
+        ),
+    )

@@ -758,3 +758,82 @@ def q_fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("fpr"),
     )
+
+
+# --- k-anonymity / l-diversity audit -----------------------------------------
+
+KANON_K = 5          # minimum safe equivalence-class size
+KANON_BAL_BUCKET = 1000   # quasi-identifier coarsening for acctbal
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH sens AS (
+    SELECT DISTINCT o_custkey AS ck FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+), rows_q AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+           c.c_mktsegment AS segment,
+           CAST(FLOOR(c.c_acctbal / {KANON_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+           CAST(s.ck IS NOT NULL AS INTEGER) AS sensitive
+    FROM customer c LEFT JOIN sens s ON s.ck = c.c_custkey
+)
+SELECT nation, segment, bal_bucket,
+       CAST(COUNT(*) AS BIGINT)                    AS class_size,
+       CAST(COUNT(DISTINCT sensitive) AS BIGINT)   AS l_diversity,
+       COUNT(*) < {KANON_K}                        AS k_violation,
+       COUNT(DISTINCT sensitive) = 1               AS homogeneous
+FROM rows_q
+GROUP BY 1, 2, 3
+""",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) over the quasi-identifier set (nation, market segment,
+    coarsened balance) with an URGENT-order flag as the sensitive
+    attribute — the release-gate check next to ``dp_noisy_counts``
+    (noise) and ``pii_scrub`` (redaction): every equivalence class
+    reports its size, its l-diversity, and the two failure modes
+    (class smaller than k={KANON_K}; homogeneous sensitive value, the
+    attack l-diversity exists to stop).
+
+    Exact integers end to end; one map-combinable aggregate over the
+    bounded QI key space plus a broadcast-able distinct sensitive-set
+    join — the fact table is scanned once. At 100 TB the class table is
+    |QI-combinations| rows, the release decision's natural grain."""
+    sens = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    rows_q = c.join(
+        F.broadcast(sens.withColumn("s", F.lit(1))), "c_custkey", "left"
+    ).select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / KANON_BAL_BUCKET).cast("long").alias(
+            "bal_bucket"
+        ),
+        F.coalesce(F.col("s"), F.lit(0)).alias("sensitive"),
+    )
+    return (
+        rows_q.groupBy("nation", "segment", "bal_bucket")
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.count_distinct("sensitive").cast("long").alias("l_diversity"),
+        )
+        .select(
+            "nation",
+            "segment",
+            "bal_bucket",
+            "class_size",
+            "l_diversity",
+            (F.col("class_size") < KANON_K).alias("k_violation"),
+            (F.col("l_diversity") == 1).alias("homogeneous"),
+        )
+    )

@@ -1685,3 +1685,103 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return v.select("brand", F.round("val", 8).alias("pi"))
+
+
+# --- LinUCB half-step (contextual bandit sufficient statistics) --------------
+
+LINUCB_LAMBDA = 1     # ridge prior on A
+LINUCB_ALPHA = 1.0    # exploration width
+LINUCB_PROBE = 0.5    # probe context feature value for the UCB readout
+
+
+@query(
+    "linucb_step",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_type AS arm,
+           CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS x,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS BIGINT) AS r
+    FROM events
+), s AS (
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT)                         AS n,
+           CAST(SUM(x) AS DECIMAL(28,6))                    AS sx,
+           CAST(SUM(x * x) AS DECIMAL(38,12))               AS sxx,
+           CAST(SUM(r) AS BIGINT)                           AS sr,
+           CAST(SUM(r * x) AS DECIMAL(28,6))                AS srx
+    FROM ev GROUP BY 1
+), f AS (
+    SELECT arm, n,
+           {LINUCB_LAMBDA} + CAST(n AS DOUBLE)   AS a00,
+           CAST(sx AS DOUBLE)                    AS a01,
+           {LINUCB_LAMBDA} + CAST(sxx AS DOUBLE) AS a11,
+           CAST(sr AS DOUBLE)                    AS b0,
+           CAST(srx AS DOUBLE)                   AS b1
+    FROM s
+), g AS (
+    SELECT arm, n, a00, a01, a11, b0, b1,
+           a00 * a11 - a01 * a01 AS det
+    FROM f
+)
+SELECT arm, n,
+       ROUND((a11 * b0 - a01 * b1) / det, 8) AS theta0,
+       ROUND((a00 * b1 - a01 * b0) / det, 8) AS theta1,
+       ROUND((a11 * b0 - a01 * b1) / det
+             + (a00 * b1 - a01 * b0) / det * {LINUCB_PROBE!r}
+             + {LINUCB_ALPHA!r} * SQRT(
+                 (a11 - 2 * {LINUCB_PROBE!r} * a01
+                  + {LINUCB_PROBE!r} * {LINUCB_PROBE!r} * a00) / det), 8)
+           AS ucb_score
+FROM g
+""",
+)
+def q_linucb_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LinUCB ridge half-step per arm (Li et al., WWW 2010) — the
+    CONTEXTUAL sibling of ``bandit_replay_eval``'s context-free
+    posterior and ``als_item_step``'s closed-form solve: context
+    x = (1, value), reward r = parity of the event's props.k field,
+    A = lambda*I + sum x x^T and b = sum r x accumulated as EXACT
+    decimal sufficient statistics (the ols_trend discipline: 2x2 A has
+    three distinct cells, all map-combinable), then theta = A^-1 b by
+    the closed 2x2 inverse and the UCB readout
+    theta.x* + alpha*sqrt(x*^T A^-1 x*) at a fixed probe context.
+
+    Determinism: every sum is DECIMAL/int64 exact; the inverse/sqrt
+    algebra is one fixed IEEE tree on correctly-rounded casts, rounded
+    once at 8dp (magnitudes O(1)).
+
+    100-TB shape: one scan -> five map-combinable cells per arm; the
+    solve is |arms| rows of scalar algebra."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("arm"),
+        F.round(F.col("value"), 6).cast("decimal(18,6)").alias("x"),
+        (
+            F.get_json_object("props", "$.k").cast("long") % 2
+        ).alias("r"),
+    )
+    s = ev.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("decimal(28,6)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,12)").alias("sxx"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("x")).cast("decimal(28,6)").alias("srx"),
+    )
+    a00 = F.lit(LINUCB_LAMBDA) + F.col("n").cast("double")
+    a01 = F.col("sx").cast("double")
+    a11 = F.lit(LINUCB_LAMBDA) + F.col("sxx").cast("double")
+    b0 = F.col("sr").cast("double")
+    b1 = F.col("srx").cast("double")
+    det = a00 * a11 - a01 * a01
+    th0 = (a11 * b0 - a01 * b1) / det
+    th1 = (a00 * b1 - a01 * b0) / det
+    p = F.lit(LINUCB_PROBE)
+    ucb = th0 + th1 * p + F.lit(LINUCB_ALPHA) * F.sqrt(
+        (a11 - F.lit(2.0) * p * a01 + p * p * a00) / det
+    )
+    return s.select(
+        "arm",
+        "n",
+        F.round(th0, 8).alias("theta0"),
+        F.round(th1, 8).alias("theta1"),
+        F.round(ucb, 8).alias("ucb_score"),
+    )

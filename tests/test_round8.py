@@ -433,3 +433,120 @@ def test_psi_matches_numpy(spark):
         assert got[t]["n_base"] == nb and got[t]["n_current"] == nc
         assert got[t]["psi"] >= 0
         assert abs(got[t]["psi"] - psi) < 1e-6, t
+
+
+def test_k_anonymity_matches_python(spark):
+    """Class sizes, l-diversity and violation flags vs a dict pass."""
+    from collections import Counter, defaultdict
+
+    from ccirecommenderdatapipeline_spark.plans.quality import (
+        KANON_BAL_BUCKET,
+        KANON_K,
+        q_k_anonymity_audit,
+    )
+
+    got = {
+        (r["nation"], r["segment"], r["bal_bucket"]): r
+        for r in q_k_anonymity_audit(spark, SF_SMALL).collect()
+    }
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    urgent = {
+        r["o_custkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+        if r["o_orderpriority"] == "1-URGENT"
+    }
+    sizes = Counter()
+    sens = defaultdict(set)
+    import math
+
+    for c in cust:
+        key = (
+            c["c_nationkey"],
+            c["c_mktsegment"],
+            math.floor(c["c_acctbal"] / KANON_BAL_BUCKET),
+        )
+        sizes[key] += 1
+        sens[key].add(1 if c["c_custkey"] in urgent else 0)
+    assert set(got) == set(sizes)
+    for key, n in sizes.items():
+        g = got[key]
+        assert g["class_size"] == n
+        assert g["l_diversity"] == len(sens[key])
+        assert g["k_violation"] == (n < KANON_K)
+        assert g["homogeneous"] == (len(sens[key]) == 1)
+
+
+def test_linucb_matches_numpy(spark):
+    """Closed-form 2x2 solve == numpy ridge solve per arm."""
+    import json
+
+    import numpy as np
+
+    from ccirecommenderdatapipeline_spark.plans.recommender import (
+        LINUCB_ALPHA,
+        LINUCB_LAMBDA,
+        LINUCB_PROBE,
+        q_linucb_step,
+    )
+
+    got = {r["arm"]: r for r in q_linucb_step(spark, SF_SMALL).collect()}
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    by_arm: dict = {}
+    for r in ev:
+        x = round(r["value"], 6)
+        rew = json.loads(r["props"])["k"] % 2
+        by_arm.setdefault(r["event_type"], []).append((x, rew))
+    for arm, rows in by_arm.items():
+        X = np.array([[1.0, x] for x, _ in rows])
+        y = np.array([float(rw) for _, rw in rows])
+        A = LINUCB_LAMBDA * np.eye(2) + X.T @ X
+        b = X.T @ y
+        theta = np.linalg.solve(A, b)
+        xs = np.array([1.0, LINUCB_PROBE])
+        ucb = theta @ xs + LINUCB_ALPHA * np.sqrt(xs @ np.linalg.solve(A, xs))
+        g = got[arm]
+        assert abs(g["theta0"] - theta[0]) < 1e-6, arm
+        assert abs(g["theta1"] - theta[1]) < 1e-6, arm
+        assert abs(g["ucb_score"] - ucb) < 1e-6, arm
+
+
+def test_assortativity_matches_networkx_formula(spark):
+    """Moment-form Pearson == direct computation over edge endpoints."""
+    from collections import Counter
+    from itertools import combinations
+
+    from ccirecommenderdatapipeline_spark.plans.graph import (
+        q_assortativity_degree,
+    )
+
+    row = q_assortativity_degree(spark, SF_SMALL).collect()[0]
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in ob:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["p_brand"])
+    e = set()
+    for s in baskets.values():
+        e.update(combinations(sorted(s), 2))
+    deg = Counter()
+    for u, v in e:
+        deg[u] += 1
+        deg[v] += 1
+    xs, ys = [], []
+    for u, v in e:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    import numpy as np
+
+    r_want = np.corrcoef(xs, ys)[0, 1]
+    assert row["n_directed_edges"] == 2 * len(e)
+    if np.isnan(r_want):  # degree-regular graph: r undefined -> NULL
+        assert row["assortativity"] is None
+    else:
+        assert abs(row["assortativity"] - r_want) < 1e-6
