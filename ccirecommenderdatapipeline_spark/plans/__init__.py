@@ -75,11 +75,13 @@ _PRIORITY += [
 ]
 
 # (d) next-oldest (round-1) verdicts, trimmed so the window is exactly 50.
-# NOTE (round-8 close): 15 new ops grew (b) past the point where (d) fits —
-# the window is (a)16 + (b)15 + first 19 of (c); `proj_rename` (the 51st
-# name, r1-green, plan unchanged, locally gated every round) is the one
-# pre-existing query left without a window slot this round — first (c)
-# candidate for round 9 along with the remaining _BACKFILL names.
+# NOTE (round-8 close): 18 new ops grew (b) past the point where (c)
+# fits whole — the window is (a)16 + (b)18 + the first 16 of (c); the
+# last four (c) names (coalesce_bfill, signal_counts, latest_cci,
+# proj_rename — all r1-green, plans unchanged, locally re-gated this
+# round) plus every _BACKFILL name roll to the round-9 rotation. New
+# first-verdict code out-ranks freshness re-checks, per the standing
+# policy above.
 _BACKFILL = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "doc_fingerprints", "grouped_multi_agg", "lang_id",
