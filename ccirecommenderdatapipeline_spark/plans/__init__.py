@@ -91,6 +91,10 @@ _BACKFILL = [
     "upsert_keep_last", "window_lag_running",
 ]
 _PRIORITY += _BACKFILL[: max(0, 50 - len(_PRIORITY))]
+# the window is EXACTLY 50 (tests/test_pipeline.py pins it): with (b) at
+# 18 the (c) tail overflows — trim explicitly so nothing is dropped
+# silently; the cut names are enumerated in the NOTE above.
+_PRIORITY = _PRIORITY[:50]
 
 
 def _reorder() -> None:
