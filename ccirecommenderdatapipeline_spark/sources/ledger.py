@@ -62,6 +62,10 @@ def make_sink():
                     try:
                         os.remove(os.path.join(self.path, m.filename))
                     except OSError:
+                        # best-effort abort cleanup: a part file another
+                        # task already removed (or never wrote) is fine —
+                        # the absent _MANIFEST.json is what marks the
+                        # write failed, not the stray parts
                         pass
 
     class LedgerSink(DataSource):

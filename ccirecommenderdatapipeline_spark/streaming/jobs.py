@@ -580,6 +580,8 @@ def tws_user_stats(spark: SparkSession, staged_dir: str, checkpoint: str) -> Dat
             )
 
         def close(self) -> None:
+            # StatefulProcessor interface requirement; this processor
+            # holds no resources outside GroupState
             pass
 
     updates = sdf.groupBy("user_id").transformWithStateInPandas(
