@@ -130,6 +130,8 @@ HEADLINE = [
     "k_anonymity_audit",         # QI class-size release gate (r8)
     "linucb_step",               # contextual-bandit ridge step (r8)
     "assortativity_degree",      # endpoint-degree Pearson (r8)
+    "clustering_coefficient",    # per-node oriented triangles (r8)
+    "link_prediction_jaccard",   # common-neighbor wedge scores (r8)
 ]
 
 

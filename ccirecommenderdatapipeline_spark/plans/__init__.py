@@ -61,6 +61,7 @@ _NEW_THIS_ROUND: list[str] = [
     "markov_stationary", "kcore_decomposition", "decile_lift_table",
     "benford_audit", "record_survivorship", "psi_feature_drift",
     "k_anonymity_audit", "linucb_step", "assortativity_degree",
+    "clustering_coefficient", "link_prediction_jaccard",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

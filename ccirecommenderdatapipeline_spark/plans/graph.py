@@ -997,3 +997,250 @@ def q_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+# --- Per-node clustering coefficient / common-neighbor link prediction -------
+
+# Shared oracle CTE: the lift-filtered brand co-occurrence graph, exactly
+# the edge set of triangle_count_oriented (reference daily_function.py has
+# no graph surface; this extends the basket-analysis family).
+_BRAND_EDGES_CTE = f"""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+    SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob
+), bc AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY 1
+), pr AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_cnt
+    FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+    GROUP BY 1, 2
+), edges AS (
+    SELECT pr.brand_a AS u, pr.brand_b AS v
+    FROM pr
+    JOIN bc ca ON ca.brand = pr.brand_a
+    JOIN bc cb ON cb.brand = pr.brand_b
+    CROSS JOIN n
+    WHERE (pair_cnt * n.n_orders) / (CAST(ca.c AS DOUBLE) * cb.c) > {TRI_LIFT}
+)"""
+
+
+def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) lift-filtered brand co-occurrence edges — the
+    Spark twin of ``_BRAND_EDGES_CTE`` (same graph triangle_count uses)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
+    pr = (
+        ob.select("ok", F.col("brand").alias("brand_a"))
+        .join(b2, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    return (
+        pr.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("pair_cnt") * F.col("n_orders"))
+            / (F.col("c_a").cast("double") * F.col("c_b"))
+            > TRI_LIFT
+        )
+        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
+    )
+
+
+@query(
+    "clustering_coefficient",
+    oracle=_BRAND_EDGES_CTE
+    + """
+, deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+    ) GROUP BY 1
+), o AS (
+    SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS td
+    FROM edges e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+), tri AS (
+    SELECT o1.s AS x, o1.t AS y, o2.t AS z
+    FROM o o1
+    JOIN o o2 ON o1.s = o2.s AND (o1.td, o1.t) < (o2.td, o2.t)
+    JOIN o oc ON oc.s = o1.t AND oc.t = o2.t
+), pert AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY 1
+)
+SELECT d.node AS brand, d.d AS degree,
+       COALESCE(p.n_tri, CAST(0 AS BIGINT)) AS n_triangles,
+       CASE WHEN d.d >= 2
+            THEN ROUND(2.0 * COALESCE(p.n_tri, 0) / (d.d * (d.d - 1)), 8)
+            END AS lcc
+FROM deg d LEFT JOIN pert p ON p.node = d.node
+""",
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (Watts-Strogatz) over the
+    brand co-occurrence graph: lcc(v) = 2*tri(v) / (d(v)*(d(v)-1)), NULL
+    where degree < 2 leaves it undefined.
+
+    Plan: the SAME degree-oriented wedge enumeration as
+    ``triangle_count_oriented`` (hub wedges never materialize because the
+    (degree, name) total order gives hubs tiny out-degree), but each
+    closed triangle is attributed to all THREE corners via a 3-way
+    unionAll before the per-node count — still an equi-join pipeline, no
+    OR-join. Degrees broadcast (vocabulary-bounded dimension).
+
+    100-TB shape: wedge work is O(sum of out-degree^2) = O(m^{3/2}) on
+    any graph regardless of skew; the per-node attribution adds one
+    map-side explode of exactly 3 rows per triangle."""
+    edges = _brand_edges(spark, sf_dir).persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("td"),
+    ).persist()
+    o1 = o.select("s", F.col("t").alias("a"), F.col("td").alias("da"))
+    o2 = o.select("s", F.col("t").alias("b"), F.col("td").alias("db"))
+    tri = (
+        o1.join(o2, "s")
+        .where(F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b")))
+        .join(o.select(F.col("s").alias("a"), F.col("t").alias("b")), ["a", "b"])
+        .select("s", "a", "b")
+    )
+    pert = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("a").alias("node")))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    dd = F.col("d").cast("double")
+    return (
+        deg.join(F.broadcast(pert), "node", "left")
+        .select(
+            F.col("node").alias("brand"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (dd * (dd - F.lit(1.0))),
+                    8,
+                ),
+            ).alias("lcc"),
+        )
+    )
+
+
+@query(
+    "link_prediction_jaccard",
+    oracle=_BRAND_EDGES_CTE
+    + """
+, bidir AS (
+    SELECT u AS src, v AS dst FROM edges
+    UNION ALL
+    SELECT v AS src, u AS dst FROM edges
+), deg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM bidir GROUP BY 1
+), cn AS (
+    SELECT b1.dst AS a, b2.dst AS b, CAST(COUNT(*) AS BIGINT) AS common
+    FROM bidir b1 JOIN bidir b2 ON b1.src = b2.src AND b1.dst < b2.dst
+    GROUP BY 1, 2
+), cand AS (
+    SELECT c.a, c.b, c.common
+    FROM cn c
+    LEFT JOIN edges e ON e.u = c.a AND e.v = c.b
+    WHERE e.u IS NULL
+)
+SELECT c.a AS brand_a, c.b AS brand_b, c.common AS common_neighbors,
+       ROUND(CAST(c.common AS DOUBLE) / (da.d + db.d - c.common), 8) AS jaccard
+FROM cand c
+JOIN deg da ON da.node = c.a
+JOIN deg db ON db.node = c.b
+""",
+)
+def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    for every NON-adjacent brand pair with at least one shared neighbor,
+    the Jaccard score |N(a) n N(b)| / |N(a) u N(b)| — the classic
+    "which edge forms next" readout recommender graphs run.
+
+    Plan: wedge enumeration via the bidirectional adjacency self-joined
+    on the shared center (one shuffle on src), canonical a < b so the
+    existing-edge anti-join is a pure equi-join on the canonical edge
+    list; degrees broadcast. Exact integer common/union counts, one
+    division ROUND 8.
+
+    100-TB shape: wedge work is sum over centers of d(z)^2 — on the
+    bounded brand vocabulary trivially small; on an open graph the
+    standard production mitigation (cap or sample wedge centers above a
+    degree threshold, as dedup_simhash_hamming does for hub buckets)
+    applies without changing the plan shape."""
+    edges = _brand_edges(spark, sf_dir).persist()
+    bidir = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = bidir.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    b1 = bidir.select("src", F.col("dst").alias("a"))
+    b2 = bidir.select("src", F.col("dst").alias("b"))
+    cn = (
+        b1.join(b2, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    cand = cn.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("d_b"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.col("common").alias("common_neighbors"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("d_a") + F.col("d_b") - F.col("common")),
+                8,
+            ).alias("jaccard"),
+        )
+    )
