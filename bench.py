@@ -132,6 +132,8 @@ HEADLINE = [
     "assortativity_degree",      # endpoint-degree Pearson (r8)
     "clustering_coefficient",    # per-node oriented triangles (r8)
     "link_prediction_jaccard",   # common-neighbor wedge scores (r8)
+    "isotonic_calibration",      # PAV minimax on score bins (r8)
+    "decision_stump",            # histogram split scan (r8)
 ]
 
 

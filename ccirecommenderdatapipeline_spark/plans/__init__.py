@@ -62,6 +62,7 @@ _NEW_THIS_ROUND: list[str] = [
     "benford_audit", "record_survivorship", "psi_feature_drift",
     "k_anonymity_audit", "linucb_step", "assortativity_degree",
     "clustering_coefficient", "link_prediction_jaccard",
+    "isotonic_calibration", "decision_stump",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

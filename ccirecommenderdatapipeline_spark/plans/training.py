@@ -1584,3 +1584,313 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("long").alias("val"))
         .where(F.col("val") != 0)
     )
+
+
+# --- Isotonic calibration (pool-adjacent-violators on score bins) -----------
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+WITH f AS (
+    SELECT c_acctbal / 10000.0 AS f_acctbal,
+           c_nationkey / 25.0 AS f_nation,
+           CAST(c_mktsegment = 'BUILDING' AS INT) AS y
+    FROM customer
+), z AS (
+    SELECT *, ROUND({GD_W['bias']} + {GD_W['f_acctbal']} * f_acctbal
+                    + {GD_W['f_nation']} * f_nation, {GD_Z_DP}) AS zz FROM f
+), s AS (
+    SELECT y, ROUND(1.0 / (1.0 + exp(-zz)), {GD_SIG_DP}) AS sig FROM z
+), b AS (
+    SELECT LEAST(CAST(FLOOR(sig * {CAL_BINS}) AS BIGINT), {CAL_BINS - 1}) AS bin,
+           y FROM s
+), agg AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM b GROUP BY 1
+), idx AS (
+    SELECT bin, n, n_pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS rk,
+           CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+           CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+    FROM agg
+), iv AS (
+    SELECT j.rk AS j, k.rk AS k,
+           (k.cp - (j.cp - j.n_pos)) / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS m
+    FROM idx j JOIN idx k ON j.rk <= k.rk
+), inner_min AS (
+    SELECT i.rk AS i, iv.j, MIN(iv.m) AS mn
+    FROM idx i JOIN iv ON iv.j <= i.rk AND iv.k >= i.rk
+    GROUP BY 1, 2
+), fit AS (
+    SELECT i AS rk, MAX(mn) AS iso FROM inner_min GROUP BY 1
+)
+SELECT x.bin, x.n, x.n_pos,
+       ROUND(x.n_pos / CAST(x.n AS DOUBLE), 8) AS raw_rate,
+       ROUND(f2.iso, 8) AS iso_rate
+FROM idx x JOIN fit f2 ON f2.rk = x.rk
+""",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the frozen
+    logistic scorer — the non-parametric alternative to Platt scaling
+    every ranking/ads pipeline fits over a scored-and-labeled batch.
+    Scores are pooled into the SAME {CAL_BINS} equal-width bins as
+    ``logreg_calibration_bins``; the fitted value per bin is the
+    pool-adjacent-violators solution computed in closed form via the
+    minimax identity iso[i] = max_(j<=i) min_(k>=i) mean(y[j..k])
+    (Ayer et al. 1955 / Robertson-Wright-Dykstra) — exact, no iteration.
+
+    Determinism: the scorer follows logreg_gd_step's rounding schedule;
+    interval means divide identical int64 prefix-sum differences in both
+    engines (one IEEE division each), and min/max over identical doubles
+    are order-free; ROUND 8 only at the readout.
+
+    100-TB shape: the row-grain work is ONE scan into a {CAL_BINS}-key
+    hash agg (map-combinable); the PAV minimax runs on the bin aggregate
+    — O(B^3) pairs with B = {CAL_BINS}, a constant-size broadcast
+    self-join, NOT a sequential sweep over rows. The classic sequential
+    PAV is inherently serial; pooling to bounded bins first is what
+    makes the fit distributable (and is how production systems calibrate
+    at scale anyway)."""
+    from ..operators.windows import bounded_window
+
+    f = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_acctbal") / F.lit(10000.0)).alias("f_acctbal"),
+        (F.col("c_nationkey") / F.lit(25.0)).alias("f_nation"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("y"),
+    )
+    zz = F.round(
+        F.lit(GD_W["bias"])
+        + F.lit(GD_W["f_acctbal"]) * F.col("f_acctbal")
+        + F.lit(GD_W["f_nation"]) * F.col("f_nation"),
+        GD_Z_DP,
+    )
+    sig = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zz)), GD_SIG_DP)
+    agg = (
+        f.select(
+            F.least(
+                F.floor(sig * CAL_BINS).cast("long"),
+                F.lit(CAL_BINS - 1).cast("long"),
+            ).alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    w = bounded_window(
+        "bin",
+        bound=f"score-bin aggregate: at most {CAL_BINS} rows",
+        queries=("isotonic_calibration",),
+    )
+    idx = agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("n_pos").over(w).cast("long").alias("cp"),
+    ).persist()
+    j = idx.select(
+        F.col("rk").alias("j"),
+        (F.col("cp") - F.col("n_pos")).alias("cp_lo"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+    )
+    k = idx.select(
+        F.col("rk").alias("k"), F.col("cp").alias("cp_hi"), F.col("cn").alias("cn_hi")
+    )
+    iv = (
+        j.crossJoin(F.broadcast(k))
+        .where(F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("cp_hi") - F.col("cp_lo"))
+                / (F.col("cn_hi") - F.col("cn_lo")).cast("double")
+            ).alias("m"),
+        )
+    )
+    inner_min = (
+        idx.select(F.col("rk").alias("i"))
+        .crossJoin(F.broadcast(iv))
+        .where((F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("m").alias("mn"))
+    )
+    fit = inner_min.groupBy(F.col("i").alias("rk")).agg(F.max("mn").alias("iso"))
+    return idx.join(F.broadcast(fit), "rk").select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n").cast("double"), 8).alias("raw_rate"),
+        F.round(F.col("iso"), 8).alias("iso_rate"),
+    )
+
+
+# --- Decision stump (best single split over binned features) ----------------
+
+STUMP_BINS = 16   # equi-width bins for the continuous feature
+
+
+@query(
+    "decision_stump",
+    oracle=f"""
+WITH c AS (
+    SELECT c_acctbal, c_nationkey,
+           CAST(c_mktsegment = 'BUILDING' AS INT) AS y
+    FROM customer
+), rng AS (
+    SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM c
+), binned AS (
+    SELECT 'acctbal' AS feature,
+           LEAST(CAST(FLOOR((c.c_acctbal - r.lo) / (r.hi - r.lo)
+                            * {STUMP_BINS}) AS BIGINT),
+                 {STUMP_BINS - 1}) AS bin,
+           y
+    FROM c CROSS JOIN rng r
+    UNION ALL
+    SELECT 'nationkey' AS feature, CAST(c_nationkey AS BIGINT) AS bin, y
+    FROM c
+), agg AS (
+    SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM binned GROUP BY 1, 2
+), cum AS (
+    SELECT feature, bin,
+           CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bin)
+                AS BIGINT) AS cn,
+           CAST(SUM(n_pos) OVER (PARTITION BY feature ORDER BY bin)
+                AS BIGINT) AS cp,
+           CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+           CAST(SUM(n_pos) OVER (PARTITION BY feature) AS BIGINT) AS pt,
+           CAST(MAX(bin) OVER (PARTITION BY feature) AS BIGINT) AS max_bin
+    FROM agg
+), splits AS (
+    SELECT feature, bin AS thr_bin,
+           cn AS n_left, cp AS pos_left,
+           nt - cn AS n_right, pt - cp AS pos_right,
+           (cn * (1.0 - (cp / CAST(cn AS DOUBLE)) * (cp / CAST(cn AS DOUBLE))
+                      - ((cn - cp) / CAST(cn AS DOUBLE))
+                        * ((cn - cp) / CAST(cn AS DOUBLE)))
+            + (nt - cn)
+              * (1.0 - ((pt - cp) / CAST(nt - cn AS DOUBLE))
+                       * ((pt - cp) / CAST(nt - cn AS DOUBLE))
+                     - ((nt - cn) - (pt - cp)) / CAST(nt - cn AS DOUBLE)
+                       * (((nt - cn) - (pt - cp)) / CAST(nt - cn AS DOUBLE))))
+           / CAST(nt AS DOUBLE) AS gini_w
+    FROM cum WHERE bin < max_bin
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                                 ORDER BY gini_w, thr_bin) AS rn
+    FROM splits
+)
+SELECT feature, thr_bin, n_left, pos_left, n_right, pos_right,
+       ROUND(gini_w, 8) AS gini_w,
+       CAST(rn = 1 AS INT) AS is_best
+FROM ranked
+""",
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training step: evaluate EVERY candidate split
+    (feature, threshold) of a one-level tree by weighted Gini impurity
+    and mark the per-feature argmin — the inner loop of tree ensembles
+    (XGBoost/LightGBM grow trees from exactly these histogram-binned
+    split scans). Features: c_acctbal in {STUMP_BINS} equi-width bins,
+    c_nationkey ordinal; label = BUILDING segment.
+
+    Plan: one scan explodes each row into its (feature, bin) long form
+    (2 rows/customer), a bounded-key hash agg builds per-bin (n, pos)
+    histograms, and cumulative sums ALONG each feature's bin order turn
+    them into left/right split totals — the standard histogram trick
+    that replaces per-threshold scans with one prefix pass. Windows are
+    PARTITIONED by feature (each partition <= {STUMP_BINS} bins). The
+    argmin is a per-feature row_number over the split table.
+
+    Determinism: split totals are exact int64; the Gini expression is a
+    fixed IEEE tree on identical operands (both engines write the same
+    tree, unrounded for ranking, ROUND 8 only at the readout); ties
+    break on thr_bin.
+
+    100-TB shape: row-grain work is the map-side bin explode + combinable
+    histogram agg (key space = 2 features x {STUMP_BINS} bins); every
+    downstream op runs on the bounded histogram."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal",
+        "c_nationkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("y"),
+    )
+    rng = c.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    acct = c.crossJoin(F.broadcast(rng)).select(
+        F.lit("acctbal").alias("feature"),
+        F.least(
+            F.floor(
+                (F.col("c_acctbal") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * STUMP_BINS
+            ).cast("long"),
+            F.lit(STUMP_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "y",
+    )
+    nat = c.select(
+        F.lit("nationkey").alias("feature"),
+        F.col("c_nationkey").cast("long").alias("bin"),
+        "y",
+    )
+    agg = (
+        acct.unionByName(nat)
+        .groupBy("feature", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    wo = Window.partitionBy("feature").orderBy("bin")
+    wp = Window.partitionBy("feature")
+    cum = agg.select(
+        "feature",
+        "bin",
+        F.sum("n").over(wo).cast("long").alias("cn"),
+        F.sum("n_pos").over(wo).cast("long").alias("cp"),
+        F.sum("n").over(wp).cast("long").alias("nt"),
+        F.sum("n_pos").over(wp).cast("long").alias("pt"),
+        F.max("bin").over(wp).cast("long").alias("max_bin"),
+    )
+    cn, cp = F.col("cn"), F.col("cp")
+    nt, pt = F.col("nt"), F.col("pt")
+    nr = nt - cn
+    pr = pt - cp
+    cnd, nrd = cn.cast("double"), nr.cast("double")
+    gini_l = (
+        F.lit(1.0) - (cp / cnd) * (cp / cnd) - ((cn - cp) / cnd) * ((cn - cp) / cnd)
+    )
+    gini_r = (
+        F.lit(1.0) - (pr / nrd) * (pr / nrd) - (nr - pr) / nrd * ((nr - pr) / nrd)
+    )
+    splits = cum.where(F.col("bin") < F.col("max_bin")).select(
+        "feature",
+        F.col("bin").alias("thr_bin"),
+        cn.alias("n_left"),
+        cp.alias("pos_left"),
+        nr.alias("n_right"),
+        pr.alias("pos_right"),
+        ((cn * gini_l + nr * gini_r) / nt.cast("double")).alias("gini_w"),
+    )
+    wr = Window.partitionBy("feature").orderBy("gini_w", "thr_bin")
+    return splits.select(
+        "*", F.row_number().over(wr).alias("rn")
+    ).select(
+        "feature",
+        "thr_bin",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.round("gini_w", 8).alias("gini_w"),
+        (F.col("rn") == 1).cast("int").alias("is_best"),
+    )

@@ -68,3 +68,73 @@ def test_link_prediction_jaccard_matches_python(spark):
     for k, (common, jac) in want.items():
         assert got[k]["common_neighbors"] == common
         assert abs(got[k]["jaccard"] - jac) < 1e-7
+
+
+def test_isotonic_matches_sequential_pav(spark):
+    """Closed-form minimax fit == the classic sequential stack PAV."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        q_isotonic_calibration,
+    )
+
+    rows = sorted(
+        q_isotonic_calibration(spark, SF_SMALL).collect(), key=lambda r: r["bin"]
+    )
+    assert rows
+    # sequential weighted PAV over the same bins
+    blocks = [[r["n_pos"], r["n"]] for r in rows]  # [sum_y, weight]
+    stack: list[list[float]] = []
+    for pos, n in blocks:
+        stack.append([pos, n])
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):
+            p2, n2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+    # expand: each stack block covers a run of bins whose weights sum to
+    # the block weight; every bin in the run gets the block mean
+    fitted = []
+    i = 0
+    for pos, n in stack:
+        acc = 0
+        while acc < n:
+            acc += rows[i]["n"]
+            fitted.append(pos / n)
+            i += 1
+        assert acc == n
+    assert len(fitted) == len(rows)
+    for r, f in zip(rows, fitted):
+        assert abs(r["iso_rate"] - f) < 1e-7
+    # monotone non-decreasing
+    iso = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+
+
+def test_decision_stump_matches_python(spark):
+    """Histogram split scores == brute-force recompute; argmin flagged."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        q_decision_stump,
+    )
+
+    rows = q_decision_stump(spark, SF_SMALL).collect()
+    assert rows
+    by_feat: dict[str, list] = {}
+    for r in rows:
+        by_feat.setdefault(r["feature"], []).append(r)
+    assert set(by_feat) == {"acctbal", "nationkey"}
+    for feat, rs in by_feat.items():
+        nt = rs[0]["n_left"] + rs[0]["n_right"]
+        best = None
+        for r in rs:
+            nl, pl = r["n_left"], r["pos_left"]
+            nr_, pr_ = r["n_right"], r["pos_right"]
+            assert nl + nr_ == nt and nl > 0 and nr_ > 0
+            gl = 1.0 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2
+            gr = 1.0 - (pr_ / nr_) ** 2 - ((nr_ - pr_) / nr_) ** 2
+            gini = (nl * gl + nr_ * gr) / nt
+            assert abs(r["gini_w"] - gini) < 1e-6
+            key = (round(gini, 10), r["thr_bin"])
+            if best is None or key < best[0]:
+                best = (key, r["thr_bin"])
+        flagged = [r["thr_bin"] for r in rs if r["is_best"] == 1]
+        assert flagged == [best[1]]
