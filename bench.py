@@ -134,6 +134,8 @@ HEADLINE = [
     "link_prediction_jaccard",   # common-neighbor wedge scores (r8)
     "isotonic_calibration",      # PAV minimax on score bins (r8)
     "decision_stump",            # histogram split scan (r8)
+    "naive_bayes_classify",      # bounded-vocab NB train+eval (r8)
+    "chi2_feature_selection",    # token-language contingency filter (r8)
 ]
 
 

@@ -63,6 +63,7 @@ _NEW_THIS_ROUND: list[str] = [
     "k_anonymity_audit", "linucb_step", "assortativity_degree",
     "clustering_coefficient", "link_prediction_jaccard",
     "isotonic_calibration", "decision_stump",
+    "naive_bayes_classify", "chi2_feature_selection",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

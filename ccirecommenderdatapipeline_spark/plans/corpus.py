@@ -1433,3 +1433,326 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+# --- Multinomial naive Bayes language classifier ----------------------------
+
+NB_MIN_DF = 3    # train-split document frequency floor for the vocabulary
+NB_LN_DP = 9     # per-token ln() rounding (libm 1-ulp guard, KL idiom)
+NB_C_DP = 12     # per-term contribution rounding before the decimal sum
+
+
+@query(
+    "naive_bayes_classify",
+    oracle=f"""
+WITH {TOK_CTE.strip()},
+split AS (
+    SELECT doc_id, lang, toks, CAST(doc_id % 5 = 0 AS INT) AS is_test
+    FROM tok
+), train_tok AS (
+    SELECT s.doc_id, s.lang, t.tok
+    FROM split s, UNNEST(s.toks) AS t(tok) WHERE s.is_test = 0
+), vocab AS (
+    SELECT tok FROM (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM train_tok GROUP BY 1
+    ) WHERE df >= {NB_MIN_DF}
+), vsize AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+), model AS (
+    SELECT tt.lang, tt.tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM train_tok tt JOIN vocab v ON v.tok = tt.tok
+    GROUP BY 1, 2
+), ctot AS (
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM model GROUP BY 1
+), prior AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs
+    FROM split WHERE is_test = 0 GROUP BY 1
+), ptot AS (
+    SELECT CAST(SUM(docs) AS BIGINT) AS nd FROM prior
+), classes AS (
+    SELECT p.lang,
+           CAST(ROUND(ln(p.docs / CAST(t.nd AS DOUBLE)), {NB_LN_DP})
+                AS DECIMAL(28,{NB_C_DP})) AS logprior
+    FROM prior p CROSS JOIN ptot t
+), test_cnt AS (
+    SELECT x.doc_id, x.tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT s.doc_id, t.tok
+        FROM split s, UNNEST(s.toks) AS t(tok) WHERE s.is_test = 1
+    ) x JOIN vocab v ON v.tok = x.tok GROUP BY 1, 2
+), terms AS (
+    SELECT tc.doc_id, c.lang,
+           CAST(ROUND(tc.cnt * ROUND(ln((COALESCE(m.c, 0) + 1)
+                    / CAST(ct.n_l + vs.v AS DOUBLE)), {NB_LN_DP}), {NB_C_DP})
+                AS DECIMAL(28,{NB_C_DP})) AS term
+    FROM test_cnt tc
+    CROSS JOIN classes c
+    LEFT JOIN model m ON m.lang = c.lang AND m.tok = tc.tok
+    JOIN ctot ct ON ct.lang = c.lang
+    CROSS JOIN vsize vs
+), docscore AS (
+    SELECT doc_id, lang, SUM(term) AS ll FROM terms GROUP BY 1, 2
+), scored AS (
+    SELECT s.doc_id, s.lang AS lang_actual, c.lang AS cand,
+           c.logprior + COALESCE(d.ll, CAST(0 AS DECIMAL(28,{NB_C_DP})))
+               AS score
+    FROM split s
+    CROSS JOIN classes c
+    LEFT JOIN docscore d ON d.doc_id = s.doc_id AND d.lang = c.lang
+    WHERE s.is_test = 1
+), best AS (
+    SELECT doc_id, lang_actual, cand AS lang_pred,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand) AS rn
+    FROM scored
+)
+SELECT lang_actual, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best WHERE rn = 1 GROUP BY 1, 2
+""",
+)
+def q_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language ID, trained and applied in one
+    dataflow: docs split 80/20 by ``doc_id % 5`` (deterministic, no RNG),
+    a df >= {NB_MIN_DF} vocabulary, Laplace-smoothed per-class token
+    log-likelihoods, and an argmax over class scores on the held-out
+    split — emitted as the confusion matrix (actual x predicted doc
+    counts), the eval artifact every classifier pipeline materializes.
+
+    Determinism (the KL idiom): the two transcendentals (class prior and
+    token likelihood ln) are rounded {NB_LN_DP}dp; each doc-token-class
+    contribution is count x rounded-ln rounded {NB_C_DP}dp and summed as
+    DECIMAL, so the per-doc score is combine-order-free and the argmax
+    (ties broken by class name) is engine-exact.
+
+    100-TB shape: the model is a (class x vocab-token) aggregate —
+    df-thresholded, so it broadcasts into the scoring join; test docs
+    fan out only by |classes| (bounded, 5 here) and join the model on
+    token. No global sort anywhere; OOV tokens drop at the vocab join
+    exactly as a bounded-vocab production classifier drops them."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks"),
+        (F.col("doc_id") % 5 == 0).cast("int").alias("is_test"),
+    )
+    train_tok = (
+        docs.where(F.col("is_test") == 0)
+        .select("doc_id", "lang", F.explode("toks").alias("tok"))
+    )
+    vocab = (
+        train_tok.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= NB_MIN_DF)
+        .select("tok")
+        .persist()
+    )
+    vsize = vocab.agg(F.count("*").cast("long").alias("v"))
+    model = (
+        train_tok.join(vocab, "tok")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    ctot = model.groupBy("lang").agg(F.sum("c").cast("long").alias("n_l"))
+    prior = (
+        docs.where(F.col("is_test") == 0)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("docs"))
+    )
+    ptot = prior.agg(F.sum("docs").cast("long").alias("nd"))
+    classes = prior.crossJoin(F.broadcast(ptot)).select(
+        "lang",
+        F.round(F.log(F.col("docs") / F.col("nd").cast("double")), NB_LN_DP)
+        .cast(f"decimal(28,{NB_C_DP})")
+        .alias("logprior"),
+    )
+    test_cnt = (
+        docs.where(F.col("is_test") == 1)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .join(vocab, "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    terms = (
+        test_cnt.crossJoin(
+            F.broadcast(classes.select("lang"))
+        )
+        .join(F.broadcast(model), ["lang", "tok"], "left")
+        .join(F.broadcast(ctot), "lang")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.col("cnt")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                        / (F.col("n_l") + F.col("v")).cast("double")
+                    ),
+                    NB_LN_DP,
+                ),
+                NB_C_DP,
+            )
+            .cast(f"decimal(28,{NB_C_DP})")
+            .alias("term"),
+        )
+    )
+    docscore = terms.groupBy("doc_id", "lang").agg(F.sum("term").alias("ll"))
+    scored = (
+        docs.where(F.col("is_test") == 1)
+        .select("doc_id", F.col("lang").alias("lang_actual"))
+        .crossJoin(F.broadcast(classes))
+        .join(
+            docscore.select(
+                "doc_id", F.col("lang").alias("lang"), "ll"
+            ),
+            ["doc_id", "lang"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang_actual",
+            F.col("lang").alias("cand"),
+            (
+                F.col("logprior")
+                + F.coalesce(
+                    F.col("ll"), F.lit(0).cast(f"decimal(28,{NB_C_DP})")
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    return (
+        scored.select(
+            "lang_actual",
+            F.col("cand").alias("lang_pred"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+# --- Chi-squared feature selection (token x language) -----------------------
+
+CHI2_MIN_DF = 5      # corpus document-frequency floor for scored tokens
+CHI2_CRIT = 3.841    # chi^2_1 critical value at p = 0.05
+
+
+@query(
+    "chi2_feature_selection",
+    oracle=f"""
+WITH {TOK_CTE.strip()},
+pres AS (
+    SELECT DISTINCT x.doc_id, x.lang, x.tok FROM (
+        SELECT t.doc_id, t.lang, u.tok
+        FROM tok t, UNNEST(t.toks) AS u(tok)
+    ) x
+), vocab AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+    FROM pres GROUP BY 1 HAVING COUNT(*) >= {CHI2_MIN_DF}
+), nl AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+    FROM documents GROUP BY 1
+), nd AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), a_cnt AS (
+    SELECT p.tok, p.lang, CAST(COUNT(*) AS BIGINT) AS a
+    FROM pres p JOIN vocab v ON v.tok = p.tok
+    GROUP BY 1, 2
+), grid AS (
+    SELECT v.tok, v.df, l.lang, l.n_l, COALESCE(a.a, 0) AS a, n.n
+    FROM vocab v
+    CROSS JOIN nl l
+    CROSS JOIN nd n
+    LEFT JOIN a_cnt a ON a.tok = v.tok AND a.lang = l.lang
+), scored AS (
+    SELECT tok, lang, a, df, n_l,
+           (CAST(n AS DOUBLE)
+            * ((CAST(a AS DOUBLE) * (n - df - (n_l - a))
+                - (CAST(df - a AS DOUBLE) * (n_l - a)))
+               * (CAST(a AS DOUBLE) * (n - df - (n_l - a))
+                  - (CAST(df - a AS DOUBLE) * (n_l - a)))))
+           / (CAST(df AS DOUBLE) * (n - df) * n_l * (n - n_l)) AS chi2
+    FROM grid
+)
+SELECT tok, lang, a AS n_lang_with, df, n_l,
+       ROUND(chi2, 6) AS chi2
+FROM scored WHERE chi2 >= {CHI2_CRIT}
+""",
+)
+def q_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared (token, language) feature selection: for every token
+    with corpus document frequency >= {CHI2_MIN_DF}, the one-vs-rest 2x2
+    presence contingency against each language, keeping associations
+    significant at p = 0.05 (chi^2 >= {CHI2_CRIT}) — the classic filter
+    step before training text classifiers, and the statistical sibling
+    of ``info_gain_features`` (entropy) and ``pmi_collocations``
+    (pairwise lift).
+
+    Determinism: all four contingency cells are exact int64 derived from
+    (a, df, n_l, n); the chi2 expression converts to double BEFORE any
+    product (so no int64 overflow at scale) through an identical IEEE
+    tree in both engines, and the {CHI2_CRIT} filter + ROUND 6 operate
+    on identical doubles.
+
+    100-TB shape: one explode to DISTINCT (doc, token) presence (the
+    same inverted-index grain TF-IDF builds), a map-combinable df agg
+    with a HAVING floor that bounds the scored vocabulary, and a
+    |vocab| x |languages| grid via broadcast of the bounded language
+    dimension — no all-pairs, no sort; the significance filter keeps
+    the output sparse."""
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        docs.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    vocab = (
+        pres.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= CHI2_MIN_DF)
+    )
+    nl = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    nd = docs.agg(F.count("*").cast("long").alias("n"))
+    a_cnt = (
+        pres.join(vocab.select("tok"), "tok")
+        .groupBy("tok", "lang")
+        .agg(F.count("*").cast("long").alias("a"))
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nd))
+        .join(a_cnt, ["tok", "lang"], "left")
+        .select(
+            "tok",
+            "df",
+            "lang",
+            "n_l",
+            F.coalesce(F.col("a"), F.lit(0).cast("long")).alias("a"),
+            "n",
+        )
+    )
+    a, df, n_l, n = F.col("a"), F.col("df"), F.col("n_l"), F.col("n")
+    e = a.cast("double") * (n - df - (n_l - a)) - (df - a).cast("double") * (n_l - a)
+    chi2 = (n.cast("double") * (e * e)) / (
+        df.cast("double") * (n - df) * n_l * (n - n_l)
+    )
+    return (
+        grid.select(
+            "tok",
+            "lang",
+            a.alias("n_lang_with"),
+            "df",
+            "n_l",
+            chi2.alias("chi2_raw"),
+        )
+        .where(F.col("chi2_raw") >= CHI2_CRIT)
+        .select(
+            "tok",
+            "lang",
+            "n_lang_with",
+            "df",
+            "n_l",
+            F.round("chi2_raw", 6).alias("chi2"),
+        )
+    )

@@ -138,3 +138,107 @@ def test_decision_stump_matches_python(spark):
                 best = (key, r["thr_bin"])
         flagged = [r["thr_bin"] for r in rs if r["is_best"] == 1]
         assert flagged == [best[1]]
+
+
+def _py_tokens(text: str) -> list:
+    import re
+
+    return [t for t in re.sub(r"[^a-z]+", " ", text.lower()).split(" ") if t]
+
+
+def test_naive_bayes_matches_python(spark):
+    """Distributed NB confusion matrix == a from-scratch Python NB with
+    the same split, vocab floor, smoothing and rounding schedule."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from ccirecommenderdatapipeline_spark.plans.corpus import (
+        NB_LN_DP,
+        NB_MIN_DF,
+        q_naive_bayes_classify,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    train = [(r["lang"], _py_tokens(r["text"])) for r in docs if r["doc_id"] % 5]
+    test = [(r["lang"], _py_tokens(r["text"])) for r in docs if r["doc_id"] % 5 == 0]
+    df: Counter = Counter()
+    for _, toks in train:
+        df.update(set(toks))
+    vocab = {t for t, c in df.items() if c >= NB_MIN_DF}
+    model: dict = {}
+    ctot: Counter = Counter()
+    prior: Counter = Counter()
+    for lang, toks in train:
+        prior[lang] += 1
+        for t in toks:
+            if t in vocab:
+                model[(lang, t)] = model.get((lang, t), 0) + 1
+                ctot[lang] += 1
+    nd = sum(prior.values())
+    v = len(vocab)
+    confusion: Counter = Counter()
+    q = Decimal(10) ** -12
+    for lang_actual, toks in test:
+        cnt = Counter(t for t in toks if t in vocab)
+        best = None
+        for lang in sorted(prior):
+            s = Decimal(str(round(math.log(prior[lang] / nd), NB_LN_DP))).quantize(q)
+            for t, c in cnt.items():
+                ln = round(
+                    math.log((model.get((lang, t), 0) + 1) / (ctot[lang] + v)),
+                    NB_LN_DP,
+                )
+                s += Decimal(str(round(c * ln, 12))).quantize(q)
+            if best is None or s > best[0]:
+                best = (s, lang)
+        confusion[(lang_actual, best[1])] += 1
+    got = {
+        (r["lang_actual"], r["lang_pred"]): r["n_docs"]
+        for r in q_naive_bayes_classify(spark, SF_SMALL).collect()
+    }
+    assert got == dict(confusion)
+    assert sum(got.values()) == len(test)
+
+
+def test_chi2_matches_python(spark):
+    """Grid chi2 == brute-force 2x2 contingency per (token, lang)."""
+    from collections import Counter
+
+    from ccirecommenderdatapipeline_spark.plans.corpus import (
+        CHI2_CRIT,
+        CHI2_MIN_DF,
+        q_chi2_feature_selection,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    pres = [(r["lang"], set(_py_tokens(r["text"]))) for r in docs]
+    n = len(pres)
+    df: Counter = Counter()
+    for _, toks in pres:
+        df.update(toks)
+    nl = Counter(lang for lang, _ in pres)
+    want = {}
+    for tok, dft in df.items():
+        if dft < CHI2_MIN_DF:
+            continue
+        for lang in nl:
+            a = sum(1 for lg, toks in pres if lg == lang and tok in toks)
+            b, c = dft - a, nl[lang] - a
+            d = n - dft - c
+            e = a * d - b * c
+            chi2 = n * e * e / (dft * (n - dft) * nl[lang] * (n - nl[lang]))
+            if chi2 >= CHI2_CRIT:
+                want[(tok, lang)] = (a, chi2)
+    got = {
+        (r["tok"], r["lang"]): r
+        for r in q_chi2_feature_selection(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for k, (a, chi2) in want.items():
+        assert got[k]["n_lang_with"] == a
+        assert abs(got[k]["chi2"] - chi2) < 1e-5
