@@ -136,6 +136,8 @@ HEADLINE = [
     "decision_stump",            # histogram split scan (r8)
     "naive_bayes_classify",      # bounded-vocab NB train+eval (r8)
     "chi2_feature_selection",    # token-language contingency filter (r8)
+    "acf_lags",                  # per-symbol autocorrelation (r8)
+    "bootstrap_mean_ci",         # Poissonized bootstrap interval (r8)
 ]
 
 

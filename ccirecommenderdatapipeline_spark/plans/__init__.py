@@ -64,6 +64,7 @@ _NEW_THIS_ROUND: list[str] = [
     "clustering_coefficient", "link_prediction_jaccard",
     "isotonic_calibration", "decision_stump",
     "naive_bayes_classify", "chi2_feature_selection",
+    "acf_lags", "bootstrap_mean_ci",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

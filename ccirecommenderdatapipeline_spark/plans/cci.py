@@ -987,3 +987,114 @@ def q_walk_forward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rmse"),
         )
     )
+
+
+# --- Autocorrelation function (per-symbol, lags 1..K) ------------------------
+
+ACF_MAX_LAG = 5
+ACF_MIN_N = 20   # minimum aligned pairs per (symbol, lag)
+
+_ACF_ARMS = "\nUNION ALL\n".join(
+    f"SELECT symbol, {k} AS lag, close_pr AS x, l{k} AS y "
+    f"FROM led WHERE l{k} IS NOT NULL"
+    for k in range(1, ACF_MAX_LAG + 1)
+)
+_ACF_LEADS = ", ".join(
+    f"LEAD(close_pr, {k}) OVER (PARTITION BY symbol ORDER BY date) AS l{k}"
+    for k in range(1, ACF_MAX_LAG + 1)
+)
+
+
+@query(
+    "acf_lags",
+    oracle="WITH " + PRICES_ORACLE_CTE + f""",
+led AS (
+    SELECT symbol, close_pr, {_ACF_LEADS}
+    FROM prices
+), pairs AS (
+    {_ACF_ARMS}
+), mom AS (
+    SELECT symbol, lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(ROUND(x * y, 4) AS DECIMAL(32,4))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(ROUND(x * x, 4) AS DECIMAL(32,4))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(ROUND(y * y, 4) AS DECIMAL(32,4))) AS DOUBLE) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT symbol, lag, n,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS acf
+FROM mom
+WHERE n >= {ACF_MIN_N}
+  AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the per-symbol close series at trading-
+    day lags 1..{ACF_MAX_LAG} — the stationarity/seasonality readout a
+    forecasting pipeline (``holt_linear_forecast``, ``ols_trend``)
+    computes before choosing a model. Uses the aligned-pairs Pearson
+    form (corr of x_t with x_(t+k)), the variant that is exactly a
+    correlation per lag.
+
+    Plan: ONE partitioned window pass emits all {ACF_MAX_LAG} leads
+    (single shuffle on symbol, no self-join), a stack unpivots them to
+    (symbol, lag, x, y) pairs, and the five Pearson moments accumulate
+    per (symbol, lag) exactly as ``stats_correlation`` does: DECIMAL
+    sums of 2-dec money (products rounded at their exact 4-dec scale),
+    one cast to double, closed form in a fixed IEEE tree, ROUND 8
+    (FMA-contraction guard).
+
+    100-TB shape: lead computation is the same sort the per-symbol
+    series already needs; moments are map-combinable on a
+    (|symbols| x {ACF_MAX_LAG})-bounded key."""
+    p = prices_view(spark, sf_dir).select("symbol", "date", "close_pr")
+    w = Window.partitionBy("symbol").orderBy("date")
+    led = p.select(
+        "symbol",
+        "close_pr",
+        *[
+            F.lead("close_pr", k).over(w).alias(f"l{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (lag, y)".format(
+        n=ACF_MAX_LAG,
+        args=", ".join(
+            f"{k}, l{k}" for k in range(1, ACF_MAX_LAG + 1)
+        ),
+    )
+    pairs = led.select(
+        "symbol", F.col("close_pr").alias("x"), F.expr(stack_expr)
+    ).where(F.col("y").isNotNull())
+    mom = pairs.groupBy("symbol", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(32,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(32,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 4).cast("decimal(32,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        mom.filter((F.col("n") >= ACF_MIN_N) & (varx > 0) & (vary > 0))
+        .select(
+            "symbol",
+            "lag",
+            "n",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.sqrt(varx) * F.sqrt(vary)),
+                8,
+            ).alias("acf"),
+        )
+    )

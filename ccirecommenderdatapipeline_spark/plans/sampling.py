@@ -214,3 +214,171 @@ def q_weighted_sample_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("draw") <= WSAMPLE_K)
         .select("doc_id", "source", "weight", "sel_key", "draw")
     )
+
+
+# --- Poissonized bootstrap confidence interval ------------------------------
+
+import math as _math
+
+BOOT_B = 32            # bootstrap replicates
+BOOT_SEED = "boot:"    # md5 domain separator
+# Poisson(1) CDF ladder for the inverse-CDF draw; weights above
+# len(_BOOT_CDF) round to the tail bucket (P < 1.1e-5).
+_BOOT_CDF = []
+_s = 0.0
+for _k in range(8):
+    _s += _math.exp(-1.0) / _math.factorial(_k)
+    _BOOT_CDF.append(_s)
+# ceil(q * B) order-statistic indexes of the replicate means
+BOOT_LO_IDX = _math.ceil(0.05 * BOOT_B)    # 5th pct
+BOOT_MID_IDX = _math.ceil(0.50 * BOOT_B)   # median
+BOOT_HI_IDX = _math.ceil(0.95 * BOOT_B)    # 95th pct
+
+_BOOT_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    + f" ELSE {len(_BOOT_CDF)} END"
+)
+
+
+def _boot_weight_col() -> "F.Column":
+    """Spark twin of the SQL CASE ladder (identical double literals)."""
+    expr = F.lit(len(_BOOT_CDF))
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        expr = F.when(F.col("u") < F.lit(_BOOT_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+WITH reps AS (
+    SELECT unnest(range(1, {BOOT_B + 1})) AS rep
+), drawn AS (
+    SELECT r.rep, o.o_totalprice,
+           ({_BOOT_CASE_SQL}) AS w
+    FROM orders o CROSS JOIN reps r
+    CROSS JOIN LATERAL (
+        SELECT (('0x' || substr(md5('{BOOT_SEED}'
+                    || CAST(o.o_orderkey AS VARCHAR) || ':'
+                    || CAST(r.rep AS VARCHAR)), 1, 13))::BIGINT + 1)
+               / CAST(POW(2, 53) AS DOUBLE) AS u
+    ) h
+), means AS (
+    SELECT rep,
+           CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS m
+    FROM drawn GROUP BY 1
+), ranked AS (
+    SELECT m, CAST(ROW_NUMBER() OVER (ORDER BY m, rep) AS BIGINT) AS rk
+    FROM means
+), base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS full_mean
+    FROM orders
+)
+SELECT b.n_rows,
+       ROUND(b.full_mean, 6) AS mean_est,
+       ROUND(lo.m, 6) AS boot_p05,
+       ROUND(md.m, 6) AS boot_p50,
+       ROUND(hi.m, 6) AS boot_p95,
+       CAST({BOOT_B} AS BIGINT) AS n_replicates
+FROM base b
+CROSS JOIN (SELECT m FROM ranked WHERE rk = {BOOT_LO_IDX}) lo
+CROSS JOIN (SELECT m FROM ranked WHERE rk = {BOOT_MID_IDX}) md
+CROSS JOIN (SELECT m FROM ranked WHERE rk = {BOOT_HI_IDX}) hi
+""",
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poissonized bootstrap CI for the mean order value: each of
+    {BOOT_B} replicates re-weights every row by an independent
+    Poisson(1) draw (the distributed bootstrap — Chamandy et al.,
+    "Estimating uncertainty for massive data streams", and the basis of
+    the bag-of-little-bootstraps) instead of multinomial resampling,
+    which would need global coordination. The 5/50/95 order statistics
+    of the replicate means are the interval.
+
+    Determinism: u = (h+1)/2^53 from 13 md5 hex chars (exact dyadic
+    double, same idiom as ``weighted_sample_wr``); the Poisson inverse-
+    CDF ladder compares u against shared double literals; replicate
+    means divide a DECIMAL-exact weighted sum by an int64 count (one
+    IEEE division), and the order statistics rank identical doubles
+    (ties broken by rep id). ROUND 6 at the readout only.
+
+    100-TB shape: the rep x row fan-out is MAP-SIDE (a broadcast range
+    join, no shuffle) and collapses immediately into {BOOT_B} partial
+    sums per partition — the shuffle moves B rows per partition, the
+    classic sufficient-statistic bootstrap. The rank runs on a
+    {BOOT_B}-row aggregate (bounded_window)."""
+    from ..operators.windows import bounded_window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = spark.range(1, BOOT_B + 1).select(F.col("id").cast("long").alias("rep"))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(BOOT_SEED),
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("rep").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        )
+        / F.lit(float(2**53))
+    )
+    drawn = o.crossJoin(F.broadcast(reps)).select(
+        "rep", "o_totalprice", u.alias("u")
+    ).select("rep", "o_totalprice", _boot_weight_col().alias("w"))
+    means = drawn.groupBy("rep").agg(
+        (
+            F.sum(F.col("w") * F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.sum("w").cast("long")
+        ).alias("m")
+    )
+    wr = bounded_window(
+        "m",
+        "rep",
+        bound=f"replicate-mean aggregate: exactly {BOOT_B} rows",
+        queries=("bootstrap_mean_ci",),
+    )
+    ranked = means.select(
+        "m", F.row_number().over(wr).cast("long").alias("rk")
+    )
+    base = o.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("full_mean"),
+    )
+    pick = lambda idx, name: F.broadcast(  # noqa: E731
+        ranked.where(F.col("rk") == idx).select(F.col("m").alias(name))
+    )
+    return (
+        base.crossJoin(pick(BOOT_LO_IDX, "lo"))
+        .crossJoin(pick(BOOT_MID_IDX, "md"))
+        .crossJoin(pick(BOOT_HI_IDX, "hi"))
+        .select(
+            "n_rows",
+            F.round("full_mean", 6).alias("mean_est"),
+            F.round("lo", 6).alias("boot_p05"),
+            F.round("md", 6).alias("boot_p50"),
+            F.round("hi", 6).alias("boot_p95"),
+            F.lit(BOOT_B).cast("long").alias("n_replicates"),
+        )
+    )

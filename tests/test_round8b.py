@@ -242,3 +242,81 @@ def test_chi2_matches_python(spark):
     for k, (a, chi2) in want.items():
         assert got[k]["n_lang_with"] == a
         assert abs(got[k]["chi2"] - chi2) < 1e-5
+
+
+def test_acf_matches_numpy(spark):
+    """Decimal-moment ACF == numpy corrcoef on aligned lag pairs."""
+    import numpy as np
+
+    from ccirecommenderdatapipeline_spark.plans.cci import (
+        ACF_MAX_LAG,
+        ACF_MIN_N,
+        q_acf_lags,
+    )
+    from ccirecommenderdatapipeline_spark.sources.prices import prices_view
+
+    series: dict[str, list] = {}
+    for r in prices_view(spark, SF_SMALL).select("symbol", "date", "close_pr").collect():
+        series.setdefault(r["symbol"], []).append((r["date"], r["close_pr"]))
+    got = {(r["symbol"], r["lag"]): r for r in q_acf_lags(spark, SF_SMALL).collect()}
+    want = {}
+    for sym, rows in series.items():
+        xs = np.array([v for _, v in sorted(rows)])
+        for k in range(1, ACF_MAX_LAG + 1):
+            if len(xs) - k < ACF_MIN_N:
+                continue
+            a, b = xs[:-k], xs[k:]
+            if a.std() == 0 or b.std() == 0:
+                continue
+            want[(sym, k)] = (len(a), float(np.corrcoef(a, b)[0, 1]))
+    assert set(got) == set(want)
+    for key, (n, acf) in want.items():
+        assert got[key]["n"] == n
+        assert abs(got[key]["acf"] - acf) < 1e-6
+
+
+def test_bootstrap_matches_python(spark):
+    """Distributed Poissonized bootstrap == hashlib recompute."""
+    import hashlib
+
+    from ccirecommenderdatapipeline_spark.plans.sampling import (
+        BOOT_B,
+        BOOT_HI_IDX,
+        BOOT_LO_IDX,
+        BOOT_MID_IDX,
+        BOOT_SEED,
+        _BOOT_CDF,
+        q_bootstrap_mean_ci,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    means = []
+    for rep in range(1, BOOT_B + 1):
+        num = 0.0
+        den = 0
+        for r in orders:
+            h = int(
+                hashlib.md5(
+                    f"{BOOT_SEED}{r['o_orderkey']}:{rep}".encode()
+                ).hexdigest()[:13],
+                16,
+            )
+            u = (h + 1) / 2**53
+            w = len(_BOOT_CDF)
+            for k, c in enumerate(_BOOT_CDF):
+                if u < c:
+                    w = k
+                    break
+            num += w * round(r["o_totalprice"], 2)
+            den += w
+        means.append(num / den)
+    means.sort()
+    row = q_bootstrap_mean_ci(spark, SF_SMALL).collect()[0]
+    assert row["n_rows"] == len(orders)
+    assert row["n_replicates"] == BOOT_B
+    assert abs(row["boot_p05"] - means[BOOT_LO_IDX - 1]) < 1e-4
+    assert abs(row["boot_p50"] - means[BOOT_MID_IDX - 1]) < 1e-4
+    assert abs(row["boot_p95"] - means[BOOT_HI_IDX - 1]) < 1e-4
+    assert row["boot_p05"] <= row["boot_p50"] <= row["boot_p95"]
