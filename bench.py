@@ -138,6 +138,9 @@ HEADLINE = [
     "chi2_feature_selection",    # token-language contingency filter (r8)
     "acf_lags",                  # per-symbol autocorrelation (r8)
     "bootstrap_mean_ci",         # Poissonized bootstrap interval (r8)
+    "apriori_triples",           # candidate-pruned frequent triples (r8)
+    "spatial_grid_join",         # grid-blocked radius self-join (r8)
+    "rank_fusion_rrf",           # hybrid-search rank fusion (r8)
 ]
 
 

@@ -65,6 +65,7 @@ _NEW_THIS_ROUND: list[str] = [
     "isotonic_calibration", "decision_stump",
     "naive_bayes_classify", "chi2_feature_selection",
     "acf_lags", "bootstrap_mean_ci",
+    "apriori_triples", "spatial_grid_join", "rank_fusion_rrf",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

@@ -1756,3 +1756,159 @@ def q_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("chi2_raw", 6).alias("chi2"),
         )
     )
+
+
+# --- Reciprocal-rank fusion of two retrieval systems ------------------------
+
+RRF_K = 60      # the canonical RRF constant (Cormack et al. 2009)
+RRF_R = 50      # per-system candidate list depth
+RRF_OUT = 20    # fused results returned
+RRF_DP = 12     # per-system contribution rounding before the decimal sum
+
+
+@query(
+    "rank_fusion_rrf",
+    oracle=f"""
+WITH {TOK_CTE},
+q AS (SELECT unnest({[*BM25_TERMS]!r}::VARCHAR[]) AS term),
+terms AS (
+    SELECT doc_id, unnest(toks) AS term FROM tok
+), tf AS (
+    SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM terms t JOIN q ON q.term = t.term
+    GROUP BY t.doc_id, t.term
+), dl AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok
+), df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(CAST(len(toks) AS BIGINT)) AS total_tokens
+    FROM tok
+), per_term AS (
+    SELECT t.doc_id,
+           CAST(ROUND(
+               {_IDF_SQL}
+               * (t.tf * ({BM25_K1} + 1))
+               / (t.tf + {BM25_K1} * (1 - {BM25_B}
+                   + {BM25_B} * l.dl * s.n_docs / s.total_tokens)),
+               8) AS DECIMAL(18,8)) AS term_score
+    FROM tf t
+    JOIN dl l ON l.doc_id = t.doc_id
+    JOIN df d ON d.term = t.term
+    CROSS JOIN stats s
+), sys_a AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(SUM(term_score) AS DOUBLE) DESC, doc_id)
+           AS BIGINT) AS rk
+    FROM per_term GROUP BY doc_id
+    QUALIFY rk <= {RRF_R}
+), sys_b AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY SUM(tf) DESC, doc_id) AS BIGINT) AS rk
+    FROM tf GROUP BY doc_id
+    QUALIFY rk <= {RRF_R}
+), fused AS (
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           a.rk AS rank_bm25, b.rk AS rank_tf,
+           COALESCE(CAST(ROUND(1.0 / ({RRF_K} + a.rk), {RRF_DP})
+                         AS DECIMAL(18,{RRF_DP})),
+                    CAST(0 AS DECIMAL(18,{RRF_DP})))
+           + COALESCE(CAST(ROUND(1.0 / ({RRF_K} + b.rk), {RRF_DP})
+                           AS DECIMAL(18,{RRF_DP})),
+                      CAST(0 AS DECIMAL(18,{RRF_DP}))) AS score
+    FROM sys_a a FULL OUTER JOIN sys_b b ON b.doc_id = a.doc_id
+)
+SELECT doc_id, rank_bm25, rank_tf,
+       ROUND(CAST(score AS DOUBLE), 8) AS rrf
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM fused
+) WHERE rn <= {RRF_OUT}
+""",
+)
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    retrieval systems over the fixed query — BM25 (weighted lexical) and
+    raw term frequency (unweighted lexical) — the standard way hybrid
+    search merges heterogeneous rankers without score normalization:
+    rrf(d) = sum over systems of 1/({RRF_K} + rank_s(d)), top-{RRF_R}
+    per system, top-{RRF_OUT} fused.
+
+    Determinism: ranks are exact ints (score DESC, doc_id ties); each
+    1/(k+rank) is a rounded {RRF_DP}dp DECIMAL so the 2-system sum and
+    its DESC order are engine-exact; ROUND 8 readout.
+
+    100-TB shape: each system's top-{RRF_R} comes from TakeOrdered
+    (per-partition heap + driver merge — never a single-task global
+    sort); rank assignment then runs on the <= {RRF_R}-row result
+    (bounded_window), and the fusion join touches <= 2x{RRF_R} rows."""
+    from ..operators.windows import bounded_window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    terms = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+    )
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") * F.col("n_docs") / F.col("total_tokens"))
+    )
+    bm25 = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 8).cast("decimal(18,8)").alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").cast("double").alias("s"))
+    )
+    tfsum = tf.groupBy("doc_id").agg(F.sum("tf").alias("s"))
+
+    def top_ranked(scored: DataFrame) -> DataFrame:
+        top = scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(RRF_R)
+        w = bounded_window(
+            F.desc("s"),
+            F.asc("doc_id"),
+            bound=f"TakeOrdered result: at most {RRF_R} rows",
+            queries=("rank_fusion_rrf",),
+        )
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("rk")
+        )
+
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(RRF_K) + c), RRF_DP).cast(
+            f"decimal(18,{RRF_DP})"
+        ),
+        F.lit(0).cast(f"decimal(18,{RRF_DP})"),
+    )
+    a = top_ranked(bm25).select("doc_id", F.col("rk").alias("rank_bm25"))
+    b = top_ranked(tfsum).select("doc_id", F.col("rk").alias("rank_tf"))
+    fused = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_bm25",
+        "rank_tf",
+        (contrib(F.col("rank_bm25")) + contrib(F.col("rank_tf"))).alias("score"),
+    )
+    return (
+        fused.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_OUT)
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_tf",
+            F.round(F.col("score").cast("double"), 8).alias("rrf"),
+        )
+    )

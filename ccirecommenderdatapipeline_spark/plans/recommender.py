@@ -1785,3 +1785,130 @@ def q_linucb_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(th1, 8).alias("theta1"),
         F.round(ucb, 8).alias("ucb_score"),
     )
+
+
+# --- Apriori level-3: frequent brand triples --------------------------------
+
+TRI_SUPPORT = 0.004   # support floor for pairs AND triples (monotone)
+
+
+@query(
+    "apriori_triples",
+    oracle=f"""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+    SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob
+), fp AS (
+    SELECT a.brand AS u, b.brand AS v
+    FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+    CROSS JOIN n
+    GROUP BY 1, 2, n.n_orders
+    HAVING COUNT(*) >= {TRI_SUPPORT} * n.n_orders
+), cand AS (
+    SELECT p1.u AS a, p1.v AS b, p2.v AS c
+    FROM fp p1
+    JOIN fp p2 ON p2.u = p1.u AND p2.v > p1.v
+    JOIN fp p3 ON p3.u = p1.v AND p3.v = p2.v
+), pair_occ AS (
+    SELECT a.ok, a.brand AS a, b.brand AS b
+    FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+    JOIN fp ON fp.u = a.brand AND fp.v = b.brand
+), tri_occ AS (
+    SELECT p.a, p.b, o.brand AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pair_occ p
+    JOIN ob o ON o.ok = p.ok AND o.brand > p.b
+    JOIN cand ON cand.a = p.a AND cand.b = p.b AND cand.c = o.brand
+    GROUP BY 1, 2, 3
+)
+SELECT t.a AS brand_a, t.b AS brand_b, t.c AS brand_c, t.cnt,
+       ROUND(t.cnt / CAST(n.n_orders AS DOUBLE), 8) AS support
+FROM tri_occ t CROSS JOIN n
+WHERE t.cnt >= {TRI_SUPPORT} * n.n_orders
+""",
+)
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3 (Agrawal & Srikant 1994) over order baskets:
+    frequent brand TRIPLES at support >= {TRI_SUPPORT}, grown from
+    frequent pairs by the classic candidate-generation + subset-pruning
+    step (a triple is a candidate only if ALL three of its pairs are
+    frequent) — the itemset layer above ``market_basket_pairs``' rules.
+
+    Plan: frequent pairs are a vocabulary-bounded aggregate (broadcast);
+    candidate triples join fp x fp on the shared head with a third-pair
+    membership check — all broadcast-side, no basket data touched. The
+    basket pass then streams (ok, a, b) pair occurrences SEMI-JOINED to
+    frequent pairs (the Apriori prune: infrequent pairs never explode)
+    before extending by one brand and checking the candidate set. Counts
+    exact int64; one support division ROUND 8.
+
+    100-TB shape: the only data-scale joins are per-basket self-joins
+    whose fan-out the support floor bounds (a basket contributes at most
+    |frequent brands in it| choose 2 pair rows); candidate/model sides
+    are bounded aggregates. This is the textbook distributed Apriori —
+    no all-pairs on the open item domain."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
+    b2 = ob.select("ok", F.col("brand").alias("v"))
+    fp = (
+        ob.select("ok", F.col("brand").alias("u"))
+        .join(b2, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("pc"))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("pc") >= F.lit(TRI_SUPPORT) * F.col("n_orders"))
+        .select("u", "v")
+        .persist()
+    )
+    p2 = fp.select(F.col("u").alias("u2"), F.col("v").alias("c"))
+    p3 = fp.select(F.col("u").alias("b3"), F.col("v").alias("c3"))
+    cand = (
+        fp.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(F.broadcast(p2), F.col("a") == F.col("u2"))
+        .where(F.col("c") > F.col("b"))
+        .join(
+            F.broadcast(p3),
+            (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    pair_occ = (
+        ob.select("ok", F.col("brand").alias("a"))
+        .join(b2.select("ok", F.col("v").alias("b")), "ok")
+        .where(F.col("a") < F.col("b"))
+        .join(
+            F.broadcast(fp.select(F.col("u").alias("a"), F.col("v").alias("b"))),
+            ["a", "b"],
+            "left_semi",
+        )
+    )
+    tri_occ = (
+        pair_occ.join(ob.select("ok", F.col("brand").alias("c")), "ok")
+        .where(F.col("c") > F.col("b"))
+        .join(F.broadcast(cand), ["a", "b", "c"], "left_semi")
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        tri_occ.crossJoin(F.broadcast(n))
+        .where(F.col("cnt") >= F.lit(TRI_SUPPORT) * F.col("n_orders"))
+        .select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.col("c").alias("brand_c"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_orders").cast("double"), 8).alias(
+                "support"
+            ),
+        )
+    )

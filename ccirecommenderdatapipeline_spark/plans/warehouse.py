@@ -1849,3 +1849,99 @@ def q_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# spatial_grid_join — radius self-join via grid-cell blocking
+# ---------------------------------------------------------------------------
+
+SP_SIDE = 10000       # synthetic coordinate space side length
+SP_EPS = 100          # L2 radius; also the grid cell size
+# Knuth multiplicative hashes: deterministic integer coords per customer
+SP_MULT_X = 2654435761
+SP_MULT_Y = 40503
+
+
+@query(
+    "spatial_grid_join",
+    oracle=f"""
+WITH pts AS (
+    SELECT c_custkey AS id,
+           (c_custkey * {SP_MULT_X}) % {SP_SIDE} AS x,
+           (c_custkey * {SP_MULT_Y} + c_nationkey * 7919) % {SP_SIDE} AS y
+    FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+     <= {SP_EPS * SP_EPS}
+""",
+)
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join (all point pairs within L2 distance {SP_EPS}) —
+    the geospatial workhorse behind store-catchment overlap, dedup of
+    GPS pings, and proximity features. Coordinates are deterministic
+    integer points hashed from (custkey, nationkey) into a
+    {SP_SIDE}x{SP_SIDE} space (exact int64 arithmetic, identical mod in
+    both engines since every operand is non-negative).
+
+    Plan (vs the oracle's brute-force quadratic join — stated that way
+    deliberately, the blocking is what's under test): each point lands
+    in ONE grid cell of side eps; the probe side explodes each point to
+    its 3x3 neighbor-cell keys and equi-joins the build side's home
+    cell, so every qualifying pair (distance <= eps <= cell side) is
+    found exactly once, candidate work is |cell| x |9 neighbors| — never
+    all-pairs — and the exact int64 distance filter prunes the corners.
+    The a < b canonicalization dedups nothing (each pair meets once:
+    probe a against b's unique home cell) but orients output.
+
+    100-TB shape: one shuffle on cell key; density skew (a hot cell) is
+    the standard spatial-skew case AQE's skew-join splitting handles
+    because the join is a plain equi-join on the cell key."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * SP_MULT_X) % SP_SIDE).alias("x"),
+        ((F.col("c_custkey") * SP_MULT_Y + F.col("c_nationkey") * 7919) % SP_SIDE)
+        .alias("y"),
+    )
+    build = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / SP_EPS).alias("cx"),
+        F.floor(F.col("y") / SP_EPS).alias("cy"),
+    )
+    off = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    probe = (
+        pts.crossJoin(F.broadcast(off))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.floor(F.col("x") / SP_EPS) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("y") / SP_EPS) + F.col("dy")).alias("cy"),
+        )
+    )
+    dx = F.col("xa") - F.col("x")
+    dy = F.col("ya") - F.col("y")
+    return (
+        probe.join(
+            build.select(
+                F.col("id").alias("id_b"), "x", "y", "cx", "cy"
+            ),
+            ["cx", "cy"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dx * dx + dy * dy <= F.lit(SP_EPS * SP_EPS))
+        .select(
+            "id_a",
+            "id_b",
+            (dx * dx + dy * dy).cast("long").alias("dist2"),
+        )
+    )

@@ -320,3 +320,117 @@ def test_bootstrap_matches_python(spark):
     assert abs(row["boot_p50"] - means[BOOT_MID_IDX - 1]) < 1e-4
     assert abs(row["boot_p95"] - means[BOOT_HI_IDX - 1]) < 1e-4
     assert row["boot_p05"] <= row["boot_p50"] <= row["boot_p95"]
+
+
+def test_apriori_triples_matches_bruteforce(spark):
+    """Candidate-pruned triple counts == brute-force enumeration."""
+    from collections import Counter
+    from itertools import combinations
+
+    from ccirecommenderdatapipeline_spark.plans.recommender import (
+        TRI_SUPPORT,
+        q_apriori_triples,
+    )
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = spark.read.parquet(f"{SF_SMALL}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    brands = {r["p_partkey"]: r["p_brand"] for r in part.collect()}
+    baskets: dict[int, set] = {}
+    for r in li.collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(brands[r["l_partkey"]])
+    n = len(baskets)
+    cnt: Counter = Counter()
+    for bs in baskets.values():
+        for tri in combinations(sorted(bs), 3):
+            cnt[tri] += 1
+    want = {
+        tri: c for tri, c in cnt.items() if c >= TRI_SUPPORT * n
+    }
+    got = {
+        (r["brand_a"], r["brand_b"], r["brand_c"]): r["cnt"]
+        for r in q_apriori_triples(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_spatial_grid_matches_bruteforce(spark):
+    """3x3 neighbor-cell blocking finds exactly the brute-force pairs."""
+    from ccirecommenderdatapipeline_spark.plans.warehouse import (
+        SP_EPS,
+        SP_MULT_X,
+        SP_MULT_Y,
+        SP_SIDE,
+        q_spatial_grid_join,
+    )
+
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    ).collect()
+    pts = [
+        (
+            r["c_custkey"],
+            (r["c_custkey"] * SP_MULT_X) % SP_SIDE,
+            (r["c_custkey"] * SP_MULT_Y + r["c_nationkey"] * 7919) % SP_SIDE,
+        )
+        for r in cust
+    ]
+    want = {}
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1 :]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= SP_EPS * SP_EPS:
+                want[(min(ia, ib), max(ia, ib))] = d2
+    got = {
+        (r["id_a"], r["id_b"]): r["dist2"]
+        for r in q_spatial_grid_join(spark, SF_SMALL).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_rrf_matches_python(spark):
+    """Fused RRF ordering == recompute from the two systems' rankings."""
+    from ccirecommenderdatapipeline_spark.plans.corpus import (
+        BM25_TERMS,
+        RRF_K,
+        RRF_OUT,
+        RRF_R,
+        q_rank_fusion_rrf,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    # system B reference: raw query-term frequency
+    tf = {}
+    for r in docs:
+        c = sum(1 for t in _py_tokens(r["text"]) if t in BM25_TERMS)
+        if c:
+            tf[r["doc_id"]] = c
+    rank_b = {
+        doc: i + 1
+        for i, (doc, _) in enumerate(
+            sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_R]
+        )
+    }
+    rows = q_rank_fusion_rrf(spark, SF_SMALL).collect()
+    assert len(rows) <= RRF_OUT
+    # rank_tf agrees with the reference ranking; rrf consistent
+    for r in rows:
+        if r["rank_tf"] is not None:
+            assert rank_b[r["doc_id"]] == r["rank_tf"]
+        want = 0.0
+        if r["rank_bm25"] is not None:
+            want += round(1.0 / (RRF_K + r["rank_bm25"]), 12)
+        if r["rank_tf"] is not None:
+            want += round(1.0 / (RRF_K + r["rank_tf"]), 12)
+        assert abs(r["rrf"] - want) < 1e-7
+    # descending fused order with doc_id ties
+    keys = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # both systems contribute somewhere in the fused list
+    assert any(r["rank_bm25"] is not None for r in rows)
+    assert any(r["rank_tf"] is not None for r in rows)
