@@ -141,6 +141,9 @@ HEADLINE = [
     "apriori_triples",           # candidate-pruned frequent triples (r8)
     "spatial_grid_join",         # grid-blocked radius self-join (r8)
     "rank_fusion_rrf",           # hybrid-search rank fusion (r8)
+    "hll_set_intersection",      # sketch union-merge + incl-excl (r8)
+    "mann_whitney_u",            # nonparametric rank-sum test (r8)
+    "em_gmm_step",               # soft-clustering EM step (r8)
 ]
 
 

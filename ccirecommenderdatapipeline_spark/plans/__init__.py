@@ -66,6 +66,7 @@ _NEW_THIS_ROUND: list[str] = [
     "naive_bayes_classify", "chi2_feature_selection",
     "acf_lags", "bootstrap_mean_ci",
     "apriori_triples", "spatial_grid_join", "rank_fusion_rrf",
+    "hll_set_intersection", "mann_whitney_u", "em_gmm_step",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

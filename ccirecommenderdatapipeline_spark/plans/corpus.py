@@ -1912,3 +1912,164 @@ def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score").cast("double"), 8).alias("rrf"),
         )
     )
+
+
+# --- HLL set algebra: union-merge + inclusion-exclusion intersection --------
+
+HLL_A_LO, HLL_A_HI = 0, 9     # set A: sources src0..src9
+HLL_B_LO, HLL_B_HI = 5, 14    # set B: sources src5..src14 (overlaps A)
+
+_HLL_EST_SQL = """
+    SELECT CASE WHEN raw <= 2.5 * {m} AND v > 0
+                THEN {m}.0 * ln({m}.0 / v) ELSE raw END
+    FROM (SELECT (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0
+                     / (zp + ({m} - nb)) AS raw,
+                 {m} - nb AS v
+          FROM (SELECT COUNT(*) AS nb, SUM(power(2.0, -r)) AS zp
+                FROM {regs}))
+"""
+
+
+@query(
+    "hll_set_intersection",
+    oracle=f"""
+WITH {TOK_CTE},
+ex AS (
+    SELECT CAST(substr(source, 4) AS INTEGER) AS src_no,
+           UNNEST(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS t
+    FROM tok
+), mem AS (
+    SELECT 'a' AS s, t FROM ex
+    WHERE src_no BETWEEN {HLL_A_LO} AND {HLL_A_HI}
+    UNION ALL
+    SELECT 'b' AS s, t FROM ex
+    WHERE src_no BETWEEN {HLL_B_LO} AND {HLL_B_HI}
+), hx AS (
+    SELECT s, md5(t) AS h FROM mem
+), parts AS (
+    SELECT s,
+           (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+           substr(h, 3, 12) AS rest
+    FROM hx
+), rho AS (
+    SELECT s, bucket,
+           CASE WHEN lz = 12 THEN 49
+                ELSE 4 * lz
+                   + CASE WHEN dval >= 8 THEN 0
+                          WHEN dval >= 4 THEN 1
+                          WHEN dval >= 2 THEN 2
+                          ELSE 3 END
+                   + 1 END AS rho
+    FROM (SELECT s, bucket, rest,
+                 length(regexp_extract(rest, '^0*')) AS lz,
+                 (instr('0123456789abcdef',
+                        substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1))
+                      - 1) AS dval
+          FROM parts)
+), regs AS (
+    SELECT s, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2
+), regs_a AS (SELECT bucket, r FROM regs WHERE s = 'a'),
+regs_b AS (SELECT bucket, r FROM regs WHERE s = 'b'),
+regs_u AS (SELECT bucket, MAX(r) AS r FROM regs GROUP BY 1),
+exact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_inter FROM (
+        SELECT DISTINCT a.t FROM
+            (SELECT DISTINCT t FROM ex
+             WHERE src_no BETWEEN {HLL_A_LO} AND {HLL_A_HI}) a
+        JOIN (SELECT DISTINCT t FROM ex
+              WHERE src_no BETWEEN {HLL_B_LO} AND {HLL_B_HI}) b
+          ON b.t = a.t
+    )
+)
+SELECT CAST({HLL_M} AS INTEGER) AS m,
+       n_exact_inter,
+       ROUND(ea, 2) AS est_a,
+       ROUND(eb, 2) AS est_b,
+       ROUND(eu, 2) AS est_union,
+       ROUND(ea + eb - eu, 2) AS est_inter,
+       ROUND(abs(ea + eb - eu - n_exact_inter) / n_exact_inter, 4) AS rel_err
+FROM (SELECT ({_HLL_EST_SQL.format(m=HLL_M, regs="regs_a")}) AS ea,
+             ({_HLL_EST_SQL.format(m=HLL_M, regs="regs_b")}) AS eb,
+             ({_HLL_EST_SQL.format(m=HLL_M, regs="regs_u")}) AS eu)
+CROSS JOIN exact
+""",
+)
+def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set ALGEBRA over two overlapping per-source-group trigram
+    sketches: the union sketch is the per-bucket register MAX of the two
+    sketches (the merge that makes HLL the distributed-cardinality
+    workhorse — never re-reads the data), and the intersection estimate
+    is inclusion-exclusion |A| + |B| - |A u B|. The exact intersection
+    (a distinct-join the sketches exist to avoid) rides along to report
+    the realized relative error, completing the sketch-algebra family
+    next to ``hll_distinct`` / ``hll_merge_sources`` / ``stream_hll_merge``.
+
+    Determinism: registers are exact ints from md5 hex digits (same
+    construction as ``hll_distinct``); the three estimator evaluations
+    share one IEEE tree; ROUND 2/4 readouts.
+
+    100-TB shape: one pass builds BOTH sketches (a doc in the overlap
+    emits to both membership arms map-side); everything after the
+    256-row-per-sketch register aggregate is constant-size — the union
+    never touches data, exactly how cross-corpus overlap telemetry runs
+    at scale (the exact-join arm is the audit, not the product)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.substring("source", 4, 10).cast("int").alias("src_no"), "text"
+    )
+    in_a = F.col("src_no").between(HLL_A_LO, HLL_A_HI)
+    in_b = F.col("src_no").between(HLL_B_LO, HLL_B_HI)
+    regs_a = hll_regs(docs.where(in_a)).persist()
+    regs_b = hll_regs(docs.where(in_b)).persist()
+    regs_u = (
+        regs_a.unionByName(regs_b).groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+
+    m = float(HLL_M)
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        s = regs.agg(
+            F.count("*").alias("nb"),
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("zp"),
+        )
+        raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / (
+            F.col("zp") + (F.lit(HLL_M) - F.col("nb"))
+        )
+        v = F.lit(HLL_M) - F.col("nb")
+        e = F.when((raw <= 2.5 * m) & (v > 0), m * F.log(m / v)).otherwise(raw)
+        return s.select(e.alias(name))
+
+    tri_a = (
+        docs.where(in_a)
+        .select(F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("t"))
+        .distinct()
+    )
+    tri_b = (
+        docs.where(in_b)
+        .select(F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("t"))
+        .distinct()
+    )
+    exact = tri_a.join(tri_b, "t", "left_semi").agg(
+        F.count("*").cast("long").alias("n_exact_inter")
+    )
+    inter = F.col("ea") + F.col("eb") - F.col("eu")
+    return (
+        est(regs_a, "ea")
+        .crossJoin(F.broadcast(est(regs_b, "eb")))
+        .crossJoin(F.broadcast(est(regs_u, "eu")))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).cast("int").alias("m"),
+            "n_exact_inter",
+            F.round(F.col("ea"), 2).alias("est_a"),
+            F.round(F.col("eb"), 2).alias("est_b"),
+            F.round(F.col("eu"), 2).alias("est_union"),
+            F.round(inter, 2).alias("est_inter"),
+            F.round(
+                F.abs(inter - F.col("n_exact_inter")) / F.col("n_exact_inter"), 4
+            ).alias("rel_err"),
+        )
+    )

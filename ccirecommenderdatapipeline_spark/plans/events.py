@@ -768,3 +768,136 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("term").cast("double"), 8).alias("psi"))
     )
+
+
+# --- Mann-Whitney U (Wilcoxon rank-sum) two-sample test ----------------------
+
+MW_TYPE_1 = "purchase"   # sample 1
+MW_TYPE_2 = "view"       # sample 2
+MW_BUCKET = 1000         # cents per prefix bucket (value domain is a fixed
+                         # metric range, so the bucket count is bounded)
+
+
+@query(
+    "mann_whitney_u",
+    oracle=f"""
+WITH s AS (
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+           CAST(event_type = '{MW_TYPE_1}' AS INTEGER) AS s1
+    FROM events
+    WHERE event_type IN ('{MW_TYPE_1}', '{MW_TYPE_2}')
+), grp AS (
+    SELECT vc, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(s1) AS BIGINT) AS n1v
+    FROM s GROUP BY 1
+), pre AS (
+    SELECT vc, cnt, n1v,
+           CAST(SUM(cnt) OVER (ORDER BY vc) - cnt AS BIGINT) AS prev
+    FROM grp
+), agg AS (
+    SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+           CAST(SUM(cnt - n1v) AS BIGINT) AS n2,
+           CAST(SUM(n1v * (2 * prev + cnt + 1)) AS BIGINT) AS r1x2,
+           CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+    FROM pre
+)
+SELECT n1, n2,
+       ROUND((r1x2 - n1 * (n1 + 1)) / 2.0, 2) AS u1,
+       ROUND(((r1x2 - n1 * (n1 + 1)) / 2.0
+              - CAST(n1 AS DOUBLE) * n2 / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - ties / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+             8) AS z
+FROM agg
+""",
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test comparing the
+    '{MW_TYPE_1}' vs '{MW_TYPE_2}' event-value distributions — the
+    NONPARAMETRIC sibling of ``ab_test_zscore`` (no normality
+    assumption), with the normal approximation z including the standard
+    tie correction. Rank sums use the tie-group identity: every row in
+    a tied value group takes the group's average rank, so
+    2*R1 = sum over groups of n1v * (2*prev + cnt + 1) — exact int64,
+    no half-ranks until the readout.
+
+    Plan: one scan to value-group grain (vc cents, exact), then a
+    prefix-count along the value order. At row grain that prefix would
+    be a global sort; at GROUP grain it is a bucketed two-phase prefix
+    (the two_phase_rank argument): intra-bucket windows partition by
+    the {MW_BUCKET}-cent bucket, bucket totals are a bounded aggregate
+    (fixed metric domain). The oracle states the plain one-window form.
+    All test statistics derive from four exact int64 sums in one final
+    single-row expression (fixed IEEE tree, ROUND 8).
+
+    100-TB shape: shuffles touch only the distinct-value group table;
+    the four sufficient statistics are map-combinable."""
+    from ..operators.windows import bounded_window
+
+    s = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(MW_TYPE_1, MW_TYPE_2))
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            (F.col("event_type") == MW_TYPE_1).cast("int").alias("s1"),
+        )
+    )
+    grp = s.groupBy("vc").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("s1").cast("long").alias("n1v"),
+    ).withColumn("bucket", F.floor(F.col("vc") / MW_BUCKET))
+    w_intra = (
+        Window.partitionBy("bucket")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = grp.select(
+        "vc",
+        "cnt",
+        "n1v",
+        "bucket",
+        (F.sum("cnt").over(w_intra) - F.col("cnt")).alias("prev_in_bucket"),
+    )
+    btot = grp.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("bc"))
+    w_b = bounded_window(
+        "bucket",
+        bound=f"bucket totals: value domain / {MW_BUCKET} cents, bounded",
+        queries=("mann_whitney_u",),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    bpre = btot.select(
+        "bucket", (F.sum("bc").over(w_b) - F.col("bc")).alias("bucket_prev")
+    )
+    pre = intra.join(F.broadcast(bpre), "bucket").select(
+        "cnt",
+        "n1v",
+        (F.col("bucket_prev") + F.col("prev_in_bucket")).alias("prev"),
+    )
+    agg = pre.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum(F.col("n1v") * (2 * F.col("prev") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = (F.col("r1x2") - n1 * (n1 + 1)) / 2.0
+    mu = n1.cast("double") * n2 / 2.0
+    var = (
+        n1.cast("double")
+        * n2
+        / 12.0
+        * (
+            (n1 + n2 + 1)
+            - F.col("ties") / ((n1 + n2).cast("double") * (n1 + n2 - 1))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 2).alias("u1"),
+        F.round((u1 - mu) / F.sqrt(var), 8).alias("z"),
+    )

@@ -1894,3 +1894,124 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gini_w", 8).alias("gini_w"),
         (F.col("rn") == 1).cast("int").alias("is_best"),
     )
+
+
+# --- One EM step for a 1-D two-component Gaussian mixture -------------------
+
+GMM_MU = (0.1, 0.6)      # frozen component means (feature = acctbal/1e4)
+GMM_SIG = (0.3, 0.3)     # frozen component sigmas
+GMM_W = (0.5, 0.5)       # frozen mixing weights
+GMM_E_DP = 9             # exponent-argument rounding pre-exp (libm guard)
+GMM_P_DP = 12            # density rounding post-exp
+GMM_R_DP = 10            # responsibility rounding before decimal sums
+
+_GMM_P_SQL = [
+    f"ROUND(exp(ROUND(-0.5 * ((f - {GMM_MU[k]}) / {GMM_SIG[k]})"
+    f" * ((f - {GMM_MU[k]}) / {GMM_SIG[k]}), {GMM_E_DP}))"
+    f" / {GMM_SIG[k]}, {GMM_P_DP})"
+    for k in (0, 1)
+]
+
+
+@query(
+    "em_gmm_step",
+    oracle=f"""
+WITH f AS (
+    SELECT c_acctbal / 10000.0 AS f FROM customer
+), p AS (
+    SELECT f, {_GMM_P_SQL[0]} AS p1, {_GMM_P_SQL[1]} AS p2 FROM f
+), r AS (
+    SELECT f,
+           ROUND({GMM_W[0]} * p1 / ({GMM_W[0]} * p1 + {GMM_W[1]} * p2),
+                 {GMM_R_DP}) AS r1
+    FROM p
+), lng AS (
+    SELECT 1 AS component, f, r1 AS r FROM r
+    UNION ALL
+    SELECT 2 AS component, f, ROUND(1.0 - r1, {GMM_R_DP}) AS r FROM r
+), m AS (
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(r, {GMM_R_DP})
+                AS DECIMAL(28,{GMM_R_DP}))) AS DOUBLE) AS sr,
+           CAST(SUM(CAST(ROUND(r * f, {GMM_R_DP})
+                AS DECIMAL(28,{GMM_R_DP}))) AS DOUBLE) AS srx,
+           CAST(SUM(CAST(ROUND(r * f * f, {GMM_P_DP})
+                AS DECIMAL(32,{GMM_P_DP}))) AS DOUBLE) AS srxx
+    FROM lng GROUP BY 1
+)
+SELECT component, n,
+       ROUND(sr / n, 6) AS w_new,
+       ROUND(srx / sr, 6) AS mu_new,
+       ROUND(sqrt(srxx / sr - (srx / sr) * (srx / sr)), 6) AS sigma_new
+FROM m
+""",
+)
+def q_em_gmm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration of a 1-D two-component Gaussian mixture over the
+    scaled account balance, from frozen parameters (mu={GMM_MU},
+    sigma={GMM_SIG}, w={GMM_W}) — the soft-clustering training-step
+    shape next to ``kmeans_lloyd_step`` (hard assignments) and
+    ``logreg_gd_step`` (supervised): E-step responsibilities, M-step
+    re-estimates from three weighted sufficient statistics.
+
+    Determinism: the one transcendental (exp) follows the
+    ``logreg_gd_step`` schedule — exponent argument rounded
+    {GMM_E_DP}dp, density {GMM_P_DP}dp, responsibility {GMM_R_DP}dp —
+    and all three M-step sums run as DECIMAL (combine-order-free); the
+    normalizing divisions and sqrt are one fixed IEEE tree per
+    component, ROUND 6.
+
+    100-TB shape: E-step is pure map; the M-step is a 2-key hash agg of
+    map-combinable decimal sums (the classic sufficient-statistic EM —
+    what Spark MLlib's GaussianMixture aggregates per iteration);
+    nothing downstream exceeds |components| rows."""
+    f = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_acctbal") / F.lit(10000.0)).alias("f")
+    )
+    ps = []
+    for k in (0, 1):
+        d = (F.col("f") - GMM_MU[k]) / GMM_SIG[k]
+        ps.append(
+            F.round(
+                F.exp(F.round(F.lit(-0.5) * d * d, GMM_E_DP)) / GMM_SIG[k],
+                GMM_P_DP,
+            )
+        )
+    r1 = F.round(
+        GMM_W[0] * ps[0] / (GMM_W[0] * ps[0] + GMM_W[1] * ps[1]), GMM_R_DP
+    )
+    r = f.select("f", r1.alias("r1"))
+    lng = r.select(F.lit(1).alias("component"), "f", F.col("r1").alias("r")).unionByName(
+        r.select(
+            F.lit(2).alias("component"),
+            "f",
+            F.round(F.lit(1.0) - F.col("r1"), GMM_R_DP).alias("r"),
+        )
+    )
+    m = lng.groupBy("component").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.round(F.col("r"), GMM_R_DP).cast(f"decimal(28,{GMM_R_DP})")
+        ).cast("double").alias("sr"),
+        F.sum(
+            F.round(F.col("r") * F.col("f"), GMM_R_DP).cast(
+                f"decimal(28,{GMM_R_DP})"
+            )
+        ).cast("double").alias("srx"),
+        F.sum(
+            F.round(F.col("r") * F.col("f") * F.col("f"), GMM_P_DP).cast(
+                f"decimal(32,{GMM_P_DP})"
+            )
+        ).cast("double").alias("srxx"),
+    )
+    mu_new = F.col("srx") / F.col("sr")
+    return m.select(
+        "component",
+        "n",
+        F.round(F.col("sr") / F.col("n"), 6).alias("w_new"),
+        F.round(mu_new, 6).alias("mu_new"),
+        F.round(
+            F.sqrt(F.col("srxx") / F.col("sr") - mu_new * mu_new), 6
+        ).alias("sigma_new"),
+    )

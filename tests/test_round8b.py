@@ -434,3 +434,123 @@ def test_rrf_matches_python(spark):
     # both systems contribute somewhere in the fused list
     assert any(r["rank_bm25"] is not None for r in rows)
     assert any(r["rank_tf"] is not None for r in rows)
+
+
+def test_hll_intersection_properties(spark):
+    """Exact intersection == brute force; sketch estimates sane."""
+    from ccirecommenderdatapipeline_spark.plans.corpus import (
+        HLL_A_HI,
+        HLL_A_LO,
+        HLL_B_HI,
+        HLL_B_LO,
+        q_hll_set_intersection,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+
+    def trigrams(text):
+        toks = _py_tokens(text)
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    a, b = set(), set()
+    for r in docs:
+        n = int(r["source"][3:])
+        t = trigrams(r["text"])
+        if HLL_A_LO <= n <= HLL_A_HI:
+            a |= t
+        if HLL_B_LO <= n <= HLL_B_HI:
+            b |= t
+    row = q_hll_set_intersection(spark, SF_SMALL).collect()[0]
+    assert row["n_exact_inter"] == len(a & b)
+    # m=256 gives ~6.5% standard error; allow 4 sigma on each estimate
+    assert abs(row["est_a"] - len(a)) / len(a) < 0.3
+    assert abs(row["est_b"] - len(b)) / len(b) < 0.3
+    assert abs(row["est_union"] - len(a | b)) / len(a | b) < 0.3
+    # union register merge dominates both parts
+    assert row["est_union"] >= max(row["est_a"], row["est_b"]) - 1e-6
+
+
+def test_mann_whitney_matches_python(spark):
+    """Two-phase rank-sum == direct average-rank computation."""
+    import math
+
+    from ccirecommenderdatapipeline_spark.plans.events import (
+        MW_TYPE_1,
+        MW_TYPE_2,
+        q_mann_whitney_u,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    sample = [
+        (round(r["value"] * 100), r["event_type"] == MW_TYPE_1)
+        for r in ev
+        if r["event_type"] in (MW_TYPE_1, MW_TYPE_2)
+    ]
+    sample.sort()
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < len(sample):
+        j = i
+        while j < len(sample) and sample[j][0] == sample[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        ranks[sample[i][0]] = avg
+        i = j
+    r1 = sum(ranks[v] for v, is1 in sample if is1)
+    n1 = sum(1 for _, is1 in sample if is1)
+    n2 = len(sample) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    from collections import Counter
+
+    tc = Counter(v for v, _ in sample)
+    ties = sum(c**3 - c for c in tc.values())
+    n = n1 + n2
+    var = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+    row = q_mann_whitney_u(spark, SF_SMALL).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert abs(row["u1"] - u1) < 1e-6
+    assert abs(row["z"] - z) < 1e-6
+
+
+def test_em_gmm_matches_numpy(spark):
+    """Decimal-summed EM step == numpy EM step (loose tolerance covers
+    the rounding schedule)."""
+    import numpy as np
+
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        GMM_MU,
+        GMM_SIG,
+        GMM_W,
+        q_em_gmm_step,
+    )
+
+    x = np.array(
+        [
+            r["c_acctbal"] / 10000.0
+            for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+            .select("c_acctbal")
+            .collect()
+        ]
+    )
+    p1 = np.exp(-0.5 * ((x - GMM_MU[0]) / GMM_SIG[0]) ** 2) / GMM_SIG[0]
+    p2 = np.exp(-0.5 * ((x - GMM_MU[1]) / GMM_SIG[1]) ** 2) / GMM_SIG[1]
+    r1 = GMM_W[0] * p1 / (GMM_W[0] * p1 + GMM_W[1] * p2)
+    rows = {r["component"]: r for r in q_em_gmm_step(spark, SF_SMALL).collect()}
+    for comp, r in ((1, r1), (2, 1 - r1)):
+        got = rows[comp]
+        assert got["n"] == len(x)
+        assert abs(got["w_new"] - r.mean()) < 1e-5
+        mu = (r * x).sum() / r.sum()
+        assert abs(got["mu_new"] - mu) < 1e-5
+        sig = np.sqrt((r * x * x).sum() / r.sum() - mu * mu)
+        assert abs(got["sigma_new"] - sig) < 1e-5
+    # responsibilities partition: weights sum to 1
+    assert abs(rows[1]["w_new"] + rows[2]["w_new"] - 1.0) < 1e-5
