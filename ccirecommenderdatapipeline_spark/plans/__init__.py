@@ -81,13 +81,13 @@ _PRIORITY += [
 ]
 
 # (d) next-oldest (round-1) verdicts, trimmed so the window is exactly 50.
-# NOTE (round-8 close): 18 new ops grew (b) past the point where (c)
-# fits whole — the window is (a)16 + (b)18 + the first 16 of (c); the
-# last four (c) names (coalesce_bfill, signal_counts, latest_cci,
-# proj_rename — all r1-green, plans unchanged, locally re-gated this
-# round) plus every _BACKFILL name roll to the round-9 rotation. New
-# first-verdict code out-ranks freshness re-checks, per the standing
-# policy above.
+# NOTE (round-8 close): 32 new ops grew (b) past the point where (c)
+# fits at all — the window is (a)16 + (b)32 + the first 2 of (c)
+# (prices, cci); the other 18 (c) names (all r1-green, plans unchanged,
+# locally re-gated this round) plus every _BACKFILL name roll to the
+# round-9 rotation. New first-verdict code out-ranks freshness
+# re-checks, per the standing policy above: every (b) op has NO driver
+# verdict yet, while every displaced name has an r1-green one.
 _BACKFILL = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "doc_fingerprints", "grouped_multi_agg", "lang_id",
@@ -98,7 +98,7 @@ _BACKFILL = [
 ]
 _PRIORITY += _BACKFILL[: max(0, 50 - len(_PRIORITY))]
 # the window is EXACTLY 50 (tests/test_pipeline.py pins it): with (b) at
-# 18 the (c) tail overflows — trim explicitly so nothing is dropped
+# 32 the (c) tail overflows — trim explicitly so nothing is dropped
 # silently; the cut names are enumerated in the NOTE above.
 _PRIORITY = _PRIORITY[:50]
 
