@@ -144,6 +144,9 @@ HEADLINE = [
     "hll_set_intersection",      # sketch union-merge + incl-excl (r8)
     "mann_whitney_u",            # nonparametric rank-sum test (r8)
     "em_gmm_step",               # soft-clustering EM step (r8)
+    "welch_t_test",              # parametric two-sample test (r8)
+    "kruskal_wallis",            # k-group rank ANOVA (r8)
+    "roc_auc_eval",              # rank-statistic AUC/Gini (r8)
 ]
 
 

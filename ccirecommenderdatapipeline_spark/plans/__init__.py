@@ -67,6 +67,7 @@ _NEW_THIS_ROUND: list[str] = [
     "acf_lags", "bootstrap_mean_ci",
     "apriori_triples", "spatial_grid_join", "rank_fusion_rrf",
     "hll_set_intersection", "mann_whitney_u", "em_gmm_step",
+    "welch_t_test", "kruskal_wallis", "roc_auc_eval",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

@@ -901,3 +901,275 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u1, 2).alias("u1"),
         F.round((u1 - mu) / F.sqrt(var), 8).alias("z"),
     )
+
+
+# --- Welch's t-test (unequal-variance two-sample) ----------------------------
+
+WELCH_TYPE_1 = "purchase"
+WELCH_TYPE_2 = "view"
+
+
+@query(
+    "welch_t_test",
+    oracle=f"""
+WITH s AS (
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+           CAST(event_type = '{WELCH_TYPE_1}' AS INTEGER) AS s1
+    FROM events
+    WHERE event_type IN ('{WELCH_TYPE_1}', '{WELCH_TYPE_2}')
+), g AS (
+    SELECT s1, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vc) AS BIGINT) AS s,
+           CAST(SUM(vc * vc) AS BIGINT) AS q
+    FROM s GROUP BY 1
+), w AS (
+    SELECT
+        MAX(CASE WHEN s1 = 1 THEN n END) AS n1,
+        MAX(CASE WHEN s1 = 0 THEN n END) AS n2,
+        MAX(CASE WHEN s1 = 1 THEN s END) AS s1s,
+        MAX(CASE WHEN s1 = 0 THEN s END) AS s2s,
+        MAX(CASE WHEN s1 = 1 THEN q END) AS q1,
+        MAX(CASE WHEN s1 = 0 THEN q END) AS q2
+    FROM g
+)
+SELECT n1, n2,
+       ROUND(s1s / (100.0 * n1), 8) AS mean1,
+       ROUND(s2s / (100.0 * n2), 8) AS mean2,
+       ROUND((s1s / (100.0 * n1) - s2s / (100.0 * n2))
+             / sqrt(((q1 - CAST(s1s AS DOUBLE) * s1s / n1)
+                     / (10000.0 * (n1 - 1))) / n1
+                    + ((q2 - CAST(s2s AS DOUBLE) * s2s / n2)
+                       / (10000.0 * (n2 - 1))) / n2),
+             8) AS t,
+       ROUND(POW(((q1 - CAST(s1s AS DOUBLE) * s1s / n1)
+                  / (10000.0 * (n1 - 1))) / n1
+                 + ((q2 - CAST(s2s AS DOUBLE) * s2s / n2)
+                    / (10000.0 * (n2 - 1))) / n2, 2)
+             / (POW(((q1 - CAST(s1s AS DOUBLE) * s1s / n1)
+                     / (10000.0 * (n1 - 1))) / n1, 2) / (n1 - 1)
+                + POW(((q2 - CAST(s2s AS DOUBLE) * s2s / n2)
+                       / (10000.0 * (n2 - 1))) / n2, 2) / (n2 - 1)),
+             4) AS df
+FROM w
+""",
+)
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on '{WELCH_TYPE_1}' vs
+    '{WELCH_TYPE_2}' event values — the PARAMETRIC sibling of
+    ``mann_whitney_u`` (compares means, not rank distributions), with
+    the Welch-Satterthwaite degrees of freedom.
+
+    Exactness: the only data-dependent aggregation is three int64 sums
+    per group (n, sum of cents, sum of squared cents; 49,002 cents max
+    -> squares ~2.4e9, x rows ~ 4.8e12 << 2^63). Every mean/variance/
+    t/df derives from those six exact integers through one fixed IEEE
+    double expression tree, identical in both engines (+, -, *, /,
+    sqrt, pow are all correctly rounded), then ROUND 8/4 at readout.
+
+    100-TB shape: one scan, map-combinable partial sums, a 2-row
+    exchange; no windows, no joins. The cheapest possible two-sample
+    test at any scale."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(WELCH_TYPE_1, WELCH_TYPE_2))
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            (F.col("event_type") == WELCH_TYPE_1).cast("int").alias("s1"),
+        )
+    )
+    g = s.groupBy("s1").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("q"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("s1") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("s1") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("s1") == 1, F.col("s"))).alias("s1s"),
+        F.max(F.when(F.col("s1") == 0, F.col("s"))).alias("s2s"),
+        F.max(F.when(F.col("s1") == 1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("s1") == 0, F.col("q"))).alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1s") / (100.0 * n1)
+    m2 = F.col("s2s") / (100.0 * n2)
+    v1 = (F.col("q1") - F.col("s1s").cast("double") * F.col("s1s") / n1) / (
+        10000.0 * (n1 - 1)
+    )
+    v2 = (F.col("q2") - F.col("s2s").cast("double") * F.col("s2s") / n2) / (
+        10000.0 * (n2 - 1)
+    )
+    se2 = v1 / n1 + v2 / n2
+    df_ws = F.pow(se2, 2) / (
+        F.pow(v1 / n1, 2) / (n1 - 1) + F.pow(v2 / n2, 2) / (n2 - 1)
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1, 8).alias("mean1"),
+        F.round(m2, 8).alias("mean2"),
+        F.round((m1 - m2) / F.sqrt(se2), 8).alias("t"),
+        F.round(df_ws, 4).alias("df"),
+    )
+
+
+# --- Kruskal-Wallis H (k-group rank test) ------------------------------------
+
+KW_BUCKET = 1000  # cents per prefix bucket (same bounded-domain argument
+                  # as MW_BUCKET)
+
+
+@query(
+    "kruskal_wallis",
+    oracle=f"""
+WITH s AS (
+    SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS vc
+    FROM events
+), vg AS (
+    SELECT vc, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1
+), pre AS (
+    SELECT vc, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY vc) - cnt AS BIGINT) AS prev
+    FROM vg
+), gv AS (
+    SELECT g, s.vc, CAST(COUNT(*) AS BIGINT) AS cnt_gv
+    FROM s GROUP BY 1, 2
+), grp AS (
+    SELECT g, CAST(SUM(cnt_gv) AS BIGINT) AS n_g,
+           CAST(SUM(cnt_gv * (2 * pre.prev + pre.cnt + 1)) AS BIGINT)
+               AS r2x
+    FROM gv JOIN pre ON gv.vc = pre.vc
+    GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS nn,
+           CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+    FROM vg
+), uv AS (
+    SELECT n_g, r2x // (4 * n_g) AS u, r2x % (4 * n_g) AS v
+    FROM grp
+), hsum AS (
+    SELECT CAST(SUM(u * u * (4 * n_g) + 2 * u * v
+                    + (v * v) // (4 * n_g)) AS BIGINT) AS hq,
+           SUM(CAST((v * v) % (4 * n_g) AS DOUBLE) / (4 * n_g)) AS hfrac
+    FROM uv
+)
+SELECT g AS event_type, n_g, r2x AS rank_sum_x2,
+       ROUND(
+           (12.0 / (nn * CAST(nn + 1 AS DOUBLE)) * (hq + hfrac)
+            - 3.0 * (nn + 1))
+           / (1.0 - ties / (CAST(nn AS DOUBLE) * nn * nn - nn)),
+           8) AS h
+FROM grp, tot, hsum
+""",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across ALL event-type groups — the k-group
+    generalization of ``mann_whitney_u`` (one-way ANOVA on ranks), with
+    the standard tie correction. Emits one row per group carrying the
+    exact per-group evidence (n_g, doubled tie-averaged rank sum) plus
+    the global H repeated per row.
+
+    Exactness: doubled rank sums are exact int64 via the tie-group
+    identity (2*R_g = sum_v cnt_gv * (2*prev_v + cnt_v + 1)); the
+    H numerator sum_g (2R_g)^2 / n_g is split by divmod into an exact
+    integer part plus k sub-1.0 double fractions. (2R_g)^2 itself would
+    overflow int64 past ~100k rows, so each term is expanded through
+    r2x = u*D + v (D = 4*n_g): r2x^2 div D = u^2*D + 2uv + v^2 div D
+    with every piece <= N^2*n_g — long-safe to ~1e9 rows, decimal(38,0)
+    beyond (documented escalation, same expression tree). Cross-engine /
+    combine-order drift lives only in the k sub-1.0 fractions — a few
+    ulps, invisible under ROUND 8 against H's ~1e4 magnitude.
+
+    Plan: value-group grain + the same bucketed two-phase prefix as
+    ``mann_whitney_u`` (intra-bucket window over {KW_BUCKET}-cent
+    buckets, bounded bucket-total broadcast); per-(group,value) counts
+    join the prefix at value grain; everything after is a k-row
+    aggregate. 100-TB: two map-combinable shuffles at value grain,
+    no row-grain sort anywhere."""
+    from ..operators.windows import bounded_window
+
+    s = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    vg = s.groupBy("vc").agg(F.count("*").cast("long").alias("cnt"))
+    vgb = vg.withColumn("bucket", F.floor(F.col("vc") / KW_BUCKET))
+    w_intra = (
+        Window.partitionBy("bucket")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = vgb.select(
+        "vc",
+        "cnt",
+        "bucket",
+        (F.sum("cnt").over(w_intra) - F.col("cnt")).alias("prev_in_bucket"),
+    )
+    btot = vgb.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("bc"))
+    w_b = bounded_window(
+        "bucket",
+        bound=f"bucket totals: value domain / {KW_BUCKET} cents, bounded",
+        queries=("kruskal_wallis",),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    bpre = btot.select(
+        "bucket", (F.sum("bc").over(w_b) - F.col("bc")).alias("bucket_prev")
+    )
+    pre = intra.join(F.broadcast(bpre), "bucket").select(
+        "vc",
+        "cnt",
+        (F.col("bucket_prev") + F.col("prev_in_bucket")).alias("prev"),
+    )
+    gv = s.groupBy("g", "vc").agg(F.count("*").cast("long").alias("cnt_gv"))
+    grp = (
+        gv.join(pre, "vc")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt_gv").cast("long").alias("n_g"),
+            F.sum(
+                F.col("cnt_gv") * (2 * F.col("prev") + F.col("cnt") + 1)
+            )
+            .cast("long")
+            .alias("r2x"),
+        )
+    )
+    tot = vg.agg(
+        F.sum("cnt").cast("long").alias("nn"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("ties"),
+    )
+    uv = grp.select(
+        "n_g",
+        F.expr("r2x div (4 * n_g)").alias("u"),
+        (F.col("r2x") % (4 * F.col("n_g"))).alias("v"),
+    )
+    hsum = uv.agg(
+        F.sum(
+            F.col("u") * F.col("u") * (4 * F.col("n_g"))
+            + 2 * F.col("u") * F.col("v")
+            + F.expr("(v * v) div (4 * n_g)")
+        )
+        .cast("long")
+        .alias("hq"),
+        F.sum(
+            ((F.col("v") * F.col("v")) % (4 * F.col("n_g"))).cast("double")
+            / (4 * F.col("n_g"))
+        ).alias("hfrac"),
+    )
+    nn = F.col("nn")
+    h_raw = 12.0 / (nn * (nn + 1).cast("double")) * (
+        F.col("hq") + F.col("hfrac")
+    ) - 3.0 * (nn + 1)
+    corr = 1.0 - F.col("ties") / (
+        nn.cast("double") * nn * nn - nn
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hsum))
+        .select(
+            F.col("g").alias("event_type"),
+            "n_g",
+            F.col("r2x").alias("rank_sum_x2"),
+            F.round(h_raw / corr, 8).alias("h"),
+        )
+    )

@@ -837,3 +837,121 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_diversity") == 1).alias("homogeneous"),
         )
     )
+
+
+# --- ROC AUC of a document-quality signal ------------------------------------
+
+AUC_POS_LANG = "en"   # positive class
+AUC_BUCKET = 100      # chars per prefix bucket (value-domain bucketing,
+                      # same bounded-metric-range argument as MW_BUCKET)
+
+
+@query(
+    "roc_auc_eval",
+    oracle=f"""
+WITH s AS (
+    SELECT CAST(n_chars AS BIGINT) AS vc,
+           CAST(lang = '{AUC_POS_LANG}' AS INTEGER) AS pos
+    FROM documents
+), grp AS (
+    SELECT vc, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(pos) AS BIGINT) AS npv
+    FROM s GROUP BY 1
+), pre AS (
+    SELECT vc, cnt, npv,
+           CAST(SUM(cnt) OVER (ORDER BY vc) - cnt AS BIGINT) AS prev
+    FROM grp
+), agg AS (
+    SELECT CAST(SUM(npv) AS BIGINT) AS n_pos,
+           CAST(SUM(cnt - npv) AS BIGINT) AS n_neg,
+           CAST(SUM(npv * (2 * prev + cnt + 1)) AS BIGINT) AS r2x
+    FROM pre
+)
+SELECT n_pos, n_neg,
+       ROUND((r2x - n_pos * (n_pos + 1))
+             / (2.0 * n_pos * n_neg), 8) AS auc,
+       ROUND((r2x - n_pos * (n_pos + 1))
+             / (1.0 * n_pos * n_neg) - 1.0, 8) AS gini
+FROM agg
+""",
+)
+def q_roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC (+ Gini) of ``n_chars`` as a classifier score for the
+    '{AUC_POS_LANG}' class — the standard threshold-free binary-ranking
+    metric, computed through the rank-statistic identity
+    AUC = U / (n_pos * n_neg) with tie-averaged ranks (a tied pair
+    contributes 1/2, the trapezoidal ROC convention). Complements
+    ``logreg_calibration_bins`` (calibration) and ``decile_lift_table``
+    (gains): this is the DISCRIMINATION axis of model eval.
+
+    Exactness: identical machinery to ``mann_whitney_u`` — the doubled
+    positive-class rank sum 2*R_pos = sum_v npv*(2*prev_v + cnt_v + 1)
+    is exact int64 (long-safe to ~1e9 rows; decimal(38,0) beyond), and
+    AUC/Gini are single fixed divisions of exact integers, ROUND 8.
+
+    Plan: one scan to score-group grain, a bucketed two-phase prefix
+    count over {AUC_BUCKET}-char buckets (intra-bucket window + bounded
+    broadcast bucket totals — no global sort), then a single-row
+    readout. 100-TB: shuffles only the distinct-score table; AUC over a
+    trillion predictions costs one map-combinable group-count plus a
+    distinct-score-grain prefix."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_window
+
+    s = _docs(spark, sf_dir).select(
+        F.col("n_chars").cast("long").alias("vc"),
+        (F.col("lang") == AUC_POS_LANG).cast("int").alias("pos"),
+    )
+    grp = (
+        s.groupBy("vc")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("npv"),
+        )
+        .withColumn("bucket", F.floor(F.col("vc") / AUC_BUCKET))
+    )
+    w_intra = (
+        Window.partitionBy("bucket")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = grp.select(
+        "vc",
+        "cnt",
+        "npv",
+        "bucket",
+        (F.sum("cnt").over(w_intra) - F.col("cnt")).alias("prev_in_bucket"),
+    )
+    btot = grp.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("bc"))
+    w_b = bounded_window(
+        "bucket",
+        bound=f"bucket totals: n_chars domain / {AUC_BUCKET}, bounded",
+        queries=("roc_auc_eval",),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    bpre = btot.select(
+        "bucket", (F.sum("bc").over(w_b) - F.col("bc")).alias("bucket_prev")
+    )
+    agg = (
+        intra.join(F.broadcast(bpre), "bucket")
+        .select(
+            "cnt",
+            "npv",
+            (F.col("bucket_prev") + F.col("prev_in_bucket")).alias("prev"),
+        )
+        .agg(
+            F.sum("npv").cast("long").alias("n_pos"),
+            F.sum(F.col("cnt") - F.col("npv")).cast("long").alias("n_neg"),
+            F.sum(F.col("npv") * (2 * F.col("prev") + F.col("cnt") + 1))
+            .cast("long")
+            .alias("r2x"),
+        )
+    )
+    np_, nn_ = F.col("n_pos"), F.col("n_neg")
+    u2x = F.col("r2x") - np_ * (np_ + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(u2x / (2.0 * np_ * nn_), 8).alias("auc"),
+        F.round(u2x / (1.0 * np_ * nn_) - 1.0, 8).alias("gini"),
+    )

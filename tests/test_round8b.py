@@ -554,3 +554,107 @@ def test_em_gmm_matches_numpy(spark):
         assert abs(got["sigma_new"] - sig) < 1e-5
     # responsibilities partition: weights sum to 1
     assert abs(rows[1]["w_new"] + rows[2]["w_new"] - 1.0) < 1e-5
+
+
+def _event_values(spark, types=None):
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    return [
+        (r["event_type"], round(r["value"] * 100))
+        for r in rows
+        if types is None or r["event_type"] in types
+    ]
+
+
+def test_welch_t_test_matches_python(spark):
+    """Exact-cent sufficient statistics == scipy-style Welch formula."""
+    import math
+
+    from ccirecommenderdatapipeline_spark.plans.events import (
+        WELCH_TYPE_1,
+        WELCH_TYPE_2,
+        q_welch_t_test,
+    )
+
+    sample = _event_values(spark, (WELCH_TYPE_1, WELCH_TYPE_2))
+    a = [v / 100.0 for t, v in sample if t == WELCH_TYPE_1]
+    b = [v / 100.0 for t, v in sample if t == WELCH_TYPE_2]
+    n1, n2 = len(a), len(b)
+    m1, m2 = sum(a) / n1, sum(b) / n2
+    v1 = sum((x - m1) ** 2 for x in a) / (n1 - 1)
+    v2 = sum((x - m2) ** 2 for x in b) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    row = q_welch_t_test(spark, SF_SMALL).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert abs(row["mean1"] - m1) < 1e-6
+    assert abs(row["mean2"] - m2) < 1e-6
+    assert abs(row["t"] - t) < 1e-6
+    assert abs(row["df"] - df) < 1e-2
+
+
+def _avg_ranks(values):
+    """value -> tie-averaged rank over the sorted multiset."""
+    values = sorted(values)
+    ranks, i = {}, 0
+    while i < len(values):
+        j = i
+        while j < len(values) and values[j] == values[i]:
+            j += 1
+        ranks[values[i]] = (i + 1 + j) / 2.0
+        i = j
+    return ranks
+
+
+def test_kruskal_wallis_matches_python(spark):
+    """Divmod-exact H == direct tie-corrected rank ANOVA."""
+    from collections import Counter
+
+    from ccirecommenderdatapipeline_spark.plans.events import (
+        q_kruskal_wallis,
+    )
+
+    sample = _event_values(spark)
+    ranks = _avg_ranks([v for _, v in sample])
+    groups: dict[str, list] = {}
+    for g, v in sample:
+        groups.setdefault(g, []).append(v)
+    n = len(sample)
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(ranks[v] for v in vs) ** 2 / len(vs) for vs in groups.values()
+    ) - 3.0 * (n + 1)
+    tc = Counter(v for _, v in sample)
+    corr = 1.0 - sum(c**3 - c for c in tc.values()) / (n**3 - n)
+    h /= corr
+    rows = q_kruskal_wallis(spark, SF_SMALL).collect()
+    assert {r["event_type"] for r in rows} == set(groups)
+    for r in rows:
+        vs = groups[r["event_type"]]
+        assert r["n_g"] == len(vs)
+        r2x = round(2 * sum(ranks[v] for v in vs))
+        assert r["rank_sum_x2"] == r2x
+        assert abs(r["h"] - h) < 1e-5
+
+
+def test_roc_auc_matches_python(spark):
+    """Rank-statistic AUC == direct pairwise win/tie count."""
+    from ccirecommenderdatapipeline_spark.plans.quality import (
+        AUC_POS_LANG,
+        q_roc_auc_eval,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "lang", "n_chars"
+    ).collect()
+    pos = [r["n_chars"] for r in docs if r["lang"] == AUC_POS_LANG]
+    neg = [r["n_chars"] for r in docs if r["lang"] != AUC_POS_LANG]
+    wins = sum(1.0 for p in pos for q in neg if p > q) + sum(
+        0.5 for p in pos for q in neg if p == q
+    )
+    auc = wins / (len(pos) * len(neg))
+    row = q_roc_auc_eval(spark, SF_SMALL).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    assert abs(row["auc"] - auc) < 1e-8
+    assert abs(row["gini"] - (2 * auc - 1)) < 1e-8
