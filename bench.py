@@ -147,6 +147,9 @@ HEADLINE = [
     "welch_t_test",              # parametric two-sample test (r8)
     "kruskal_wallis",            # k-group rank ANOVA (r8)
     "roc_auc_eval",              # rank-statistic AUC/Gini (r8)
+    "jaccard_prefix_filter_join",  # exact prefix-filter similarity join (r8)
+    "phrase_search_positions",   # positional-index phrase search (r8)
+    "oov_rate_eval",             # frozen-vocab OOV coverage (r8)
 ]
 
 

@@ -68,6 +68,8 @@ _NEW_THIS_ROUND: list[str] = [
     "apriori_triples", "spatial_grid_join", "rank_fusion_rrf",
     "hll_set_intersection", "mann_whitney_u", "em_gmm_step",
     "welch_t_test", "kruskal_wallis", "roc_auc_eval",
+    "jaccard_prefix_filter_join", "phrase_search_positions",
+    "oov_rate_eval",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND

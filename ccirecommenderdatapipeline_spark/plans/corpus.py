@@ -2073,3 +2073,137 @@ def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --- positional phrase search -------------------------------------------------
+
+PHRASE_T1 = "sort"    # phrase term 1
+PHRASE_T2 = "merge"   # phrase term 2 (query: the exact bigram "sort merge")
+
+
+@query(
+    "phrase_search_positions",
+    oracle="WITH " + TOK_CTE + f"""
+, pos AS (
+    SELECT doc_id, unnest(toks) AS t,
+           CAST(generate_subscripts(toks, 1) AS BIGINT) AS p
+    FROM tok
+), m AS (
+    SELECT a.doc_id, a.p
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    WHERE a.t = '{PHRASE_T1}' AND b.t = '{PHRASE_T2}'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(p) AS BIGINT) AS first_pos
+FROM m GROUP BY 1
+""",
+)
+def q_phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search through a POSITIONAL inverted index — the IR
+    structure behind quoted queries: posting lists carry (doc, position),
+    and a phrase match is an equi-join of the two terms' postings on
+    (doc_id, adjacent position). Complements ``bm25_search`` (bag-of-words
+    relevance) with the order-sensitive membership primitive; positions
+    are 1-based to match the oracle's generate_subscripts convention.
+
+    Plan: posexplode the token array once, filter to the TWO phrase
+    terms' postings immediately (predicate reaches the scan — the index
+    never materializes for non-query terms), then a co-keyed join on
+    (doc_id, pos+1 = pos) and a per-doc count/min.
+
+    100-TB: postings of two terms are a vanishing fraction of the
+    corpus; the join shuffles only those postings on doc_id, and
+    first-position/min aggregates map-side. Query cost scales with
+    term selectivity, not corpus size — the inverted-index property."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "t")
+    )
+    postings = toks.select(
+        "doc_id", "t", (F.col("pos0") + 1).cast("long").alias("p")
+    ).where(F.col("t").isin(PHRASE_T1, PHRASE_T2))
+    a = postings.where(F.col("t") == PHRASE_T1).select("doc_id", "p")
+    b = postings.where(F.col("t") == PHRASE_T2).select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    return (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.min("p").cast("long").alias("first_pos"),
+        )
+    )
+
+
+# --- OOV-rate evaluation against a frozen top-V vocabulary --------------------
+
+OOV_V = 20             # vocabulary size (top-V train tokens)
+OOV_TRAIN_MAX = 10     # sources srcN with N < 10 train the vocab; rest eval
+
+
+@query(
+    "oov_rate_eval",
+    oracle="WITH " + TOK_CTE + f"""
+, t AS (
+    SELECT lang, CAST(substr(source, 4) AS INTEGER) AS src_n,
+           unnest(toks) AS w
+    FROM tok
+), vocab AS (
+    SELECT w FROM t WHERE src_n < {OOV_TRAIN_MAX}
+    GROUP BY 1 ORDER BY COUNT(*) DESC, w LIMIT {OOV_V}
+), ev AS (
+    SELECT lang, t.w, v.w AS vw
+    FROM t LEFT JOIN vocab v ON v.w = t.w
+    WHERE src_n >= {OOV_TRAIN_MAX}
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           / CAST(COUNT(*) AS BIGINT) AS oov_rate
+FROM ev GROUP BY 1
+""",
+)
+def q_oov_rate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of a frozen top-{OOV_V} vocabulary, built
+    on the train sources (srcN, N < {OOV_TRAIN_MAX}) and evaluated per
+    language on the held-out sources — the tokenizer-coverage metric a
+    training pipeline tracks when a vocab/BPE model trained on one crawl
+    is applied to the next (pairs with ``vocab_build``, which emits the
+    vocabulary itself, and ``corpus_drift_kl``, which tracks distribution
+    shift). Vocab boundary ties break (count DESC, token ASC) — total
+    order, both engines.
+
+    Plan: one token explode feeds both arms; the train arm aggregates to
+    token grain and TakeOrdered's the top-V (bounded result, no global
+    row sort); the eval arm LEFT-joins the broadcast vocabulary and
+    aggregates per language. 100-TB: token-grain agg is map-combinable;
+    the vocabulary is O(V) and broadcast; eval is one scan."""
+    t = _docs(spark, sf_dir).select(
+        "lang",
+        F.substring("source", 4, 10).cast("int").alias("src_n"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    vocab = (
+        t.where(F.col("src_n") < OOV_TRAIN_MAX)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(OOV_V)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    ev = t.where(F.col("src_n") >= OOV_TRAIN_MAX).join(
+        F.broadcast(vocab), "w", "left"
+    )
+    return ev.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        (
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                "long"
+            )
+            / F.count("*").cast("long")
+        ).alias("oov_rate"),
+    )

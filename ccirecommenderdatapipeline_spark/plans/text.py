@@ -1053,3 +1053,124 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+# --- 9. prefix-filtering set-similarity join (exact, all-pairs-free) ---------
+
+PFJ_N = 5      # word 5-grams: sparser sets than the trigram ops, so the
+               # prefix filter has real selectivity on this corpus
+PFJ_T = 0.5    # Jaccard threshold — dyadic, so ceil(t*n) is exact in both
+               # engines (0.5*n is an exact double for any int64 n)
+
+_G5_SQL = (
+    "list_distinct(CASE WHEN len(toks) >= 5 THEN "
+    "list_transform(range(1, len(toks) - 3), i -> "
+    "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+    "toks[i+3] || ' ' || toks[i+4]) "
+    "ELSE CAST([] AS VARCHAR[]) END)"
+)
+
+
+@query(
+    "jaccard_prefix_filter_join",
+    oracle="WITH " + TOK_CTE + f"""
+, g5 AS (
+    SELECT doc_id, {_G5_SQL} AS grams FROM tok
+), expl AS (
+    SELECT doc_id, unnest(grams) AS g FROM g5
+), sz AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM expl GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS inter_grams
+    FROM expl a JOIN expl b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_grams,
+       x.n + y.n - inter_grams AS union_grams,
+       inter_grams / (x.n + y.n - inter_grams) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = doc_a
+JOIN sz y ON y.doc_id = doc_b
+WHERE inter_grams / (x.n + y.n - inter_grams) >= {PFJ_T}
+""",
+)
+def q_jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    al. ICDE'06; Vernica et al. SIGMOD'10 is the MapReduce form): two
+    5-gram shingle sets with Jaccard >= {PFJ_T} MUST share a token inside
+    each set's (n - ceil(t*n) + 1)-length prefix under any global token
+    order, so candidate generation joins only prefix tokens and the
+    verify step touches only candidates. Ordering tokens rarest-first
+    (ascending document frequency) makes prefixes maximally selective —
+    hub shingles are pushed OUT of prefixes, which is the anti-skew
+    property: no all-pairs bucket on a stop-shingle can form, WITHOUT
+    the lossy DF_CAP semantics ``dedup_ngram_jaccard`` trades away. The
+    oracle is the brute-force inverted-index join over ALL co-occurring
+    pairs — equality proves the filter lossless.
+
+    Plan: one shuffle on the shingle key to attach df, a per-doc window
+    to rank shingles rarest-first, the candidate join on prefix shingles
+    only, then per-candidate verification by array_intersect on the two
+    gram arrays (O(|x|+|y|) per pair, pairs << all-pairs).
+
+    100-TB: the candidate join's fan-out is sum over PREFIX tokens of
+    freq² instead of sum over ALL tokens — on Zipfian corpora that is
+    orders of magnitude smaller; verification is linear in candidates.
+    Exactly the join a dedup pipeline runs when it must certify "no pair
+    above t was missed" (LSH gives recall < 1)."""
+    docs = _docs(spark, sf_dir)
+    garr = docs.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(tokens(F.col("text")), PFJ_N)).alias(
+            "grams"
+        ),
+    )
+    sh = garr.select("doc_id", F.explode("grams").alias("g"))
+    dfreq = sh.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "g")
+    ranked = (
+        sh.join(dfreq, "g")
+        .select(
+            "doc_id",
+            "g",
+            F.row_number().over(w_doc).alias("rn"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(PFJ_T) * F.col("n")) + 1
+    ).select("doc_id", "g")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    union = (
+        F.size("ga").cast("long") + F.size("gb").cast("long")
+        - F.col("inter_grams")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_grams"),
+            "ga",
+            "gb",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_grams",
+            union.alias("union_grams"),
+            (F.col("inter_grams") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= PFJ_T)
+    )

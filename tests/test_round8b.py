@@ -658,3 +658,115 @@ def test_roc_auc_matches_python(spark):
     assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
     assert abs(row["auc"] - auc) < 1e-8
     assert abs(row["gini"] - (2 * auc - 1)) < 1e-8
+
+
+def _doc_tokens(spark):
+    import re
+
+    rows = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    out = {}
+    for r in rows:
+        toks = [t for t in re.sub(r"[^a-z]+", " ", r["text"].lower()).split() if t]
+        out[r["doc_id"]] = (toks, r["lang"], r["source"])
+    return out
+
+
+def test_jaccard_prefix_filter_matches_bruteforce(spark):
+    """Prefix-filter join == brute-force all-pairs Jaccard (losslessness)."""
+    from ccirecommenderdatapipeline_spark.plans.text import (
+        PFJ_N,
+        PFJ_T,
+        q_jaccard_prefix_filter_join,
+    )
+
+    docs = _doc_tokens(spark)
+    sets = {
+        d: {
+            " ".join(toks[i : i + PFJ_N])
+            for i in range(len(toks) - PFJ_N + 1)
+        }
+        for d, (toks, _, _) in docs.items()
+        if len(toks) >= PFJ_N
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter / union >= PFJ_T:
+                want[(a, b)] = (inter, union)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter_grams"], r["union_grams"])
+        for r in q_jaccard_prefix_filter_join(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce at least one qualifying pair"
+
+
+def test_phrase_search_matches_python(spark):
+    """Positional-index phrase join == direct adjacent-token scan."""
+    from ccirecommenderdatapipeline_spark.plans.corpus import (
+        PHRASE_T1,
+        PHRASE_T2,
+        q_phrase_search_positions,
+    )
+
+    docs = _doc_tokens(spark)
+    want = {}
+    for d, (toks, _, _) in docs.items():
+        hits = [
+            i + 1
+            for i in range(len(toks) - 1)
+            if toks[i] == PHRASE_T1 and toks[i + 1] == PHRASE_T2
+        ]
+        if hits:
+            want[d] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in q_phrase_search_positions(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain the phrase"
+
+
+def test_oov_rate_matches_python(spark):
+    """Frozen top-V vocab + per-lang OOV == direct Counter computation."""
+    from collections import Counter
+
+    from ccirecommenderdatapipeline_spark.plans.corpus import (
+        OOV_TRAIN_MAX,
+        OOV_V,
+        q_oov_rate_eval,
+    )
+
+    docs = _doc_tokens(spark)
+    train = Counter()
+    for toks, _, src in docs.values():
+        if int(src[3:]) < OOV_TRAIN_MAX:
+            train.update(toks)
+    vocab = {
+        w
+        for w, _ in sorted(train.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :OOV_V
+        ]
+    }
+    want = {}
+    for toks, lang, src in docs.values():
+        if int(src[3:]) >= OOV_TRAIN_MAX:
+            n, o = want.get(lang, (0, 0))
+            want[lang] = (
+                n + len(toks),
+                o + sum(1 for t in toks if t not in vocab),
+            )
+    got = {
+        r["lang"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in q_oov_rate_eval(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for lang, (n, o) in want.items():
+        gn, go, gr = got[lang]
+        assert (gn, go) == (n, o)
+        assert abs(gr - o / n) < 1e-12

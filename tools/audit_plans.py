@@ -51,9 +51,11 @@ def _is_streaming_wrapped(name: str) -> bool:
     return name.startswith("stream_")
 
 
-def _iter_plans(spark, sf_dir: str, run_streaming: bool):
+def _iter_plans(spark, sf_dir: str, run_streaming: bool, only=None):
     """Yield (name, plan_text | None, skipped: bool, err: str | None)."""
     for name, fn in plans.QUERIES.items():
+        if only is not None and name not in only:
+            continue
         if _is_streaming_wrapped(name) and not run_streaming:
             yield name, None, True, None
             continue
@@ -170,6 +172,7 @@ def fingerprint(
     sf_dir: str = "/root/testdata/sf0.01",
     out_path: str = "PLAN_FINGERPRINTS.json",
     run_streaming: bool = False,
+    only: list[str] | None = None,
 ) -> None:
     """Write a per-query physical-plan fingerprint (counts of the load-
     bearing node types) to ``out_path``. Diffing this file between rounds
@@ -183,8 +186,15 @@ def fingerprint(
     still carries one key per registered query.
 
     Usage: python tools/audit_plans.py --fingerprint [sf_dir] [--run-streaming]
+                                       [--only name1,name2,...]
+
+    With ``--only``, existing entries for OTHER queries are preserved
+    (merge), so a new-op batch can add its fingerprints without
+    re-executing — or clobbering the --run-streaming baselines of — the
+    other 300+ plans.
     """
     import json
+    import os
 
     spark = get_spark("plan-fingerprint")
     nodes = (
@@ -193,7 +203,12 @@ def fingerprint(
         "WindowGroupLimit", "HashAggregate", "ObjectHashAggregate",
     )
     fp: dict[str, dict[str, int]] = {}
-    for name, txt, was_skipped, err in _iter_plans(spark, sf_dir, run_streaming):
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            fp = json.load(f)
+    for name, txt, was_skipped, err in _iter_plans(
+        spark, sf_dir, run_streaming, only=only
+    ):
         if was_skipped:
             fp[name] = {"__streaming_skipped__": 1}
             continue
@@ -211,7 +226,12 @@ if __name__ == "__main__":
     argv = [a for a in sys.argv[1:] if a != "--run-streaming"]
     if "--fingerprint" in argv:
         args = [a for a in argv if a != "--fingerprint"]
-        fingerprint(*args, run_streaming=run_streaming)
+        only = None
+        if "--only" in args:
+            i = args.index("--only")
+            only = args[i + 1].split(",")
+            args = args[:i] + args[i + 2 :]
+        fingerprint(*args, run_streaming=run_streaming, only=only)
         raise SystemExit(0)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     raise SystemExit(main(sf_dir, run_streaming))
