@@ -150,6 +150,12 @@ HEADLINE = [
     "jaccard_prefix_filter_join",  # exact prefix-filter similarity join (r8)
     "phrase_search_positions",   # positional-index phrase search (r8)
     "oov_rate_eval",             # frozen-vocab OOV coverage (r8)
+    "hits_hubs_authorities",     # integer-exact HITS power iteration (r8)
+    "theil_sen_slope",           # robust pairwise-median trend (r8)
+    "cooccurrence_window_weighted",  # GloVe X-matrix builder (r8)
+    "bloom_semi_join_pushdown",  # runtime-filter join pruning (r8)
+    "char_entropy_quality",      # map-only entropy quality gate (r8)
+    "markov_attribution",        # removal-effect chain attribution (r8)
 ]
 
 

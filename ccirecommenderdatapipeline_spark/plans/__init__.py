@@ -70,6 +70,10 @@ _NEW_THIS_ROUND: list[str] = [
     "welch_t_test", "kruskal_wallis", "roc_auc_eval",
     "jaccard_prefix_filter_join", "phrase_search_positions",
     "oov_rate_eval",
+    "hits_hubs_authorities", "theil_sen_slope",
+    "cooccurrence_window_weighted",
+    "bloom_semi_join_pushdown", "char_entropy_quality",
+    "markov_attribution",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND
@@ -84,13 +88,15 @@ _PRIORITY += [
 ]
 
 # (d) next-oldest (round-1) verdicts, trimmed so the window is exactly 50.
-# NOTE (round-8 close): 32 new ops grew (b) past the point where (c)
-# fits at all — the window is (a)16 + (b)32 + the first 2 of (c)
-# (prices, cci); the other 18 (c) names (all r1-green, plans unchanged,
-# locally re-gated this round) plus every _BACKFILL name roll to the
-# round-9 rotation. New first-verdict code out-ranks freshness
-# re-checks, per the standing policy above: every (b) op has NO driver
-# verdict yet, while every displaced name has an r1-green one.
+# NOTE (round-8 close): 44 new ops grew (b) past the 50-slot window —
+# the window is (a)16 + the first 34 of (b) (through `kruskal_wallis`).
+# The 10 newest (b) ops (`roc_auc_eval` .. `markov_attribution`), all
+# 20 (c) names (r1-green, plans unchanged, locally re-gated this
+# round) and every _BACKFILL name roll to the round-9 rotation; the 10
+# new ones are locally oracle-verified at sf0.001+sf0.01 this round.
+# New first-verdict code out-ranks freshness re-checks, per the
+# standing policy above: every (b) op has NO driver verdict yet, while
+# every displaced name has an r1-green one.
 _BACKFILL = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "doc_fingerprints", "grouped_multi_agg", "lang_id",

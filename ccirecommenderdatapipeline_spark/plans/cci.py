@@ -1098,3 +1098,127 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+# --- Theil-Sen robust trend (median of pairwise slopes) -----------------------
+
+TS_SLOPE_DP = 10   # pairwise slopes are rounded before the median pick so a
+                   # <=1-ulp double-division difference cannot permute the
+                   # sorted multiset around the median position
+TS_WINDOW = 120    # trailing trading days in the trend window: bounds the
+                   # quadratic pair work at 120*119/2 = 7,140 slopes per
+                   # symbol — the "robust half-year trend" product shape
+                   # (full-span pairwise at ~500 days = 125k HOF evals per
+                   # symbol measured 600s+ at sf0.1; the window is the
+                   # standard way Theil-Sen ships)
+
+
+@query(
+    "theil_sen_slope",
+    oracle="WITH " + PRICES_ORACLE_CTE + f"""
+, xy AS (
+    SELECT symbol,
+           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date) AS x,
+           CAST(close_pr AS DECIMAL(18,2)) AS y
+    FROM prices
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date DESC)
+            <= {TS_WINDOW}
+), pr AS (
+    SELECT a.symbol,
+           ROUND(CAST(b.y - a.y AS DOUBLE) / (b.x - a.x), {TS_SLOPE_DP})
+               AS sl
+    FROM xy a JOIN xy b ON b.symbol = a.symbol AND b.x > a.x
+), r AS (
+    SELECT symbol, sl,
+           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY sl) AS rn,
+           COUNT(*) OVER (PARTITION BY symbol) AS np
+    FROM pr
+)
+SELECT symbol,
+       CAST((1 + CAST(SQRT(8.0 * np + 1) AS BIGINT)) // 2 AS BIGINT)
+           AS n_days,
+       CAST(np AS BIGINT) AS n_pairs,
+       sl AS ts_slope
+FROM r WHERE rn = (np + 1) // 2
+""",
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per symbol over the trailing {TS_WINDOW}
+    trading days: the MEDIAN of all pairwise slopes
+    (y_j - y_i)/(x_j - x_i) over the trading-day index — the
+    29%-breakdown-point sibling of ``ols_trend`` (one outlier close
+    cannot move it), same x convention (row_number over date) so the
+    two slopes are directly comparable. Median = the type-1 lower
+    median (position ceil(np/2) of the sorted slope multiset) — an
+    exact ORDER STATISTIC, no averaging of two middles, so the readout
+    is one of the rounded slope values verbatim. n_days is recovered
+    from the pair count via the triangular-number inverse (documents
+    that pairs, not rows, are the work unit).
+
+    Exactness: close_pr is exact DECIMAL(18,2); each slope is ONE
+    correctly-rounded double division of exact quantities, rounded to
+    {TS_SLOPE_DP}dp before ranking (WKEY_DP contract); selecting the
+    k-th element of a sorted MULTISET is tie-order independent.
+
+    Plan & 100-TB shape: pairs-per-symbol is WINDOW-bounded —
+    {TS_WINDOW} trailing days -> 7,140 pairs per symbol, a CONSTANT —
+    so the quadratic work stays INSIDE each symbol's row:
+    one groupBy collects the sorted series (bounded array), and the
+    pair slopes, the sort, and the median pick are array HOFs — the
+    pair table NEVER hits an exchange (a pair self-join at 25k symbols
+    would shuffle 3.5e9 rows and OOM the window sort; measured before
+    this rewrite). Corpus growth adds symbols = more independent rows;
+    total work is linear in symbols. The oracle states the self-join
+    form this replaces. The estimator everyone downgrades to sampling
+    is exact here because the per-group pair count is bounded by
+    design."""
+    arr = (
+        prices_view(spark, sf_dir)
+        .select("symbol", "date", F.col("close_pr").cast("decimal(18,2)").alias("y"))
+        .groupBy("symbol")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("date", "y"))
+            ).alias("pts")
+        )
+        .select(
+            "symbol",
+            F.transform(F.col("pts"), lambda p: p["y"]).alias("ys_full"),
+        )
+        .select(
+            "symbol",
+            F.slice(
+                F.col("ys_full"),
+                F.greatest(
+                    F.size("ys_full") - (TS_WINDOW - 1), F.lit(1)
+                ),
+                F.lit(TS_WINDOW),
+            ).alias("ys"),
+        )
+        .where(F.size("ys") >= 2)
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+    slopes = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.round(
+                    (F.element_at(ys, j) - F.element_at(ys, i)).cast("double")
+                    / (j - i).cast("double"),
+                    TS_SLOPE_DP,
+                ),
+            ),
+        )
+    )
+    sl = F.array_sort(slopes)
+    np_ = F.size(sl)
+    return arr.select(
+        "symbol",
+        n.cast("long").alias("n_days"),
+        np_.cast("long").alias("n_pairs"),
+        F.element_at(sl, F.floor((np_ + 1) / 2).cast("int")).alias(
+            "ts_slope"
+        ),
+    )

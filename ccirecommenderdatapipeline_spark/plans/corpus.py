@@ -2207,3 +2207,82 @@ def q_oov_rate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("long")
         ).alias("oov_rate"),
     )
+
+
+# --- distance-weighted co-occurrence matrix (GloVe-style X builder) -----------
+
+COOC_W = 5   # context window: token pairs up to 5 positions apart
+# 1/d harmonic weights, FROZEN at 6dp so both engines sum the identical
+# decimal literals (1/3 is not exactly representable; the rounded constant
+# is the published GloVe recipe to working precision)
+COOC_WEIGHTS = {1: "1.000000", 2: "0.500000", 3: "0.333333",
+                4: "0.250000", 5: "0.200000"}
+
+
+@query(
+    "cooccurrence_window_weighted",
+    oracle="WITH " + TOK_CTE + f"""
+, pos AS (
+    SELECT doc_id, unnest(toks) AS t,
+           CAST(generate_subscripts(toks, 1) AS BIGINT) AS p
+    FROM tok
+), pairs AS (
+    SELECT least(a.t, b.t) AS w1, greatest(a.t, b.t) AS w2,
+           b.p - a.p AS d
+    FROM pos a JOIN pos b
+      ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + {COOC_W}
+)
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       SUM(CAST(CASE d {' '.join(f"WHEN {d} THEN '{w}'" for d, w in COOC_WEIGHTS.items())}
+           END AS DECIMAL(7,6))) AS w_sum
+FROM pairs GROUP BY 1, 2
+""",
+)
+def q_cooccurrence_window_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-weighted token co-occurrence counts over a +-{COOC_W}
+    window with harmonic 1/d weighting — the X-matrix builder GloVe-class
+    embedding training consumes (Pennington et al. 2014), and the
+    windowed generalization of ``pmi_collocations`` (adjacent pairs
+    only). Pairs are canonicalized (lexicographic least/greatest) so the
+    matrix is stored upper-triangular.
+
+    Determinism: weights are FROZEN 6dp decimal constants (1/3 rounded
+    once, at authoring time, not per engine), so w_sum is an exact
+    decimal aggregate — combine-order free, no float in the pipeline.
+
+    Plan: pair generation is MAP-ONLY — {COOC_W} shifted zip_with slices
+    of the token array per document (no positional self-join, no
+    postings shuffle); the only exchange is the final (w1, w2) hash
+    aggregate, which is map-combinable and vocabulary-bounded
+    (|V|^2/2 keys max). The oracle states the self-join form the
+    array slices replace. 100-TB: corpus-linear map work; the shuffle
+    carries only partial sums at pair grain."""
+    toks = tokens(F.col("text"))
+
+    def _pair_at(dd: int):
+        return lambda x, y: F.struct(
+            F.least(x, y).alias("w1"),
+            F.greatest(x, y).alias("w2"),
+            F.lit(dd).alias("d"),
+        )
+
+    arrs = []
+    for d in range(1, COOC_W + 1):
+        n = F.greatest(F.size(toks) - d, F.lit(0))
+        arrs.append(
+            F.zip_with(F.slice(toks, 1, n), F.slice(toks, d + 1, n), _pair_at(d))
+        )
+    pairs = _docs(spark, sf_dir).select(
+        F.explode(F.concat(*arrs)).alias("pr")
+    ).select("pr.w1", "pr.w2", "pr.d")
+    weight = F.create_map(
+        *[
+            x
+            for d, w in COOC_WEIGHTS.items()
+            for x in (F.lit(d), F.lit(w).cast("decimal(7,6)"))
+        ]
+    )[F.col("d")]
+    return pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(weight).alias("w_sum"),
+    )

@@ -1173,3 +1173,324 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(h_raw / corr, 8).alias("h"),
         )
     )
+
+
+# --- Markov removal-effect attribution ----------------------------------------
+
+MK_CHANNELS = ("click", "signup", "view")   # transient touch states (sorted:
+                                            # term ORDER is part of the
+                                            # cross-engine contract)
+MK_ITERS = 16   # fixed-point rounds of p = M p + c; with positive absorption
+                # the map is a contraction, so 16 rounds pin far more digits
+                # than the ROUND-10 readout keeps. Both engines evaluate the
+                # IDENTICAL expression tree (same term order, left-assoc),
+                # so no per-round rounding is needed for hash equality.
+
+
+def _mk_matrix_exprs() -> list[str]:
+    """SQL select-list for the one-row chain matrix from ``trans``
+    (prev, next, n). Term order and coalesce placement are mirrored by
+    the Spark builder below — keep in lockstep."""
+    out = []
+    for s in MK_CHANNELS:
+        tot = f"SUM(CASE WHEN prev = '{s}' THEN n END)"
+        for t in MK_CHANNELS:
+            out.append(
+                f"COALESCE(SUM(CASE WHEN prev = '{s}' AND next = '{t}'"
+                f" THEN n END) / CAST({tot} AS DOUBLE), 0.0) AS m_{s}_{t}"
+            )
+        out.append(
+            f"COALESCE(SUM(CASE WHEN prev = '{s}' AND next = 'CONV'"
+            f" THEN n END) / CAST({tot} AS DOUBLE), 0.0) AS conv_{s}"
+        )
+    stot = "SUM(CASE WHEN prev = 'START' THEN n END)"
+    for t in MK_CHANNELS:
+        out.append(
+            f"COALESCE(SUM(CASE WHEN prev = 'START' AND next = '{t}'"
+            f" THEN n END) / CAST({stot} AS DOUBLE), 0.0) AS start_{t}"
+        )
+    out.append(
+        f"COALESCE(SUM(CASE WHEN prev = 'START' AND next = 'CONV'"
+        f" THEN n END) / CAST({stot} AS DOUBLE), 0.0) AS start_conv"
+    )
+    return out
+
+
+def _mk_carry() -> list[str]:
+    return (
+        [f"m_{s}_{t}" for s in MK_CHANNELS for t in MK_CHANNELS]
+        + [f"conv_{s}" for s in MK_CHANNELS]
+        + [f"start_{s}" for s in MK_CHANNELS]
+        + ["start_conv"]
+    )
+
+
+def _mk_p_exprs(k_prev_has_p: bool) -> list[tuple[str, str]]:
+    """(alias, formula) per iterated value: base chain p_<ch> and
+    removal chains p_<ch>_x<r> (state r pinned to 0)."""
+    out = []
+    for ch in MK_CHANNELS:
+        if k_prev_has_p:
+            dot = " + ".join(f"m_{ch}_{t} * p_{t}" for t in MK_CHANNELS)
+            out.append((f"p_{ch}", f"{dot} + conv_{ch}"))
+        else:
+            out.append((f"p_{ch}", f"conv_{ch} * 0.0"))
+        for r in MK_CHANNELS:
+            if r == ch:
+                continue
+            if k_prev_has_p:
+                dot = " + ".join(
+                    f"m_{ch}_{t} * p_{t}_x{r}"
+                    for t in MK_CHANNELS
+                    if t != r
+                )
+                out.append((f"p_{ch}_x{r}", f"{dot} + conv_{ch}"))
+            else:
+                out.append((f"p_{ch}_x{r}", f"conv_{ch} * 0.0"))
+    return out
+
+
+def _mk_iteration_ctes() -> str:
+    ctes = [
+        "it0 AS (SELECT m.*, "
+        + ", ".join(f"{f} AS {a}" for a, f in _mk_p_exprs(False))
+        + " FROM m)"
+    ]
+    for k in range(MK_ITERS):
+        sel = _mk_carry() + [
+            f"({f}) AS {a}" for a, f in _mk_p_exprs(True)
+        ]
+        ctes.append(f"it{k + 1} AS (SELECT {', '.join(sel)} FROM it{k})")
+    return ",\n".join(ctes)
+
+
+def _mk_readout_rows() -> str:
+    base = (
+        " + ".join(f"start_{s} * p_{s}" for s in MK_CHANNELS)
+        + " + start_conv"
+    )
+    rows = []
+    for r in MK_CHANNELS:
+        rem = (
+            " + ".join(
+                f"start_{s} * p_{s}_x{r}" for s in MK_CHANNELS if s != r
+            )
+            + " + start_conv"
+        )
+        rows.append(
+            f"SELECT '{r}' AS channel, {base} AS base_p,"
+            f" {rem} AS removal_p FROM it{MK_ITERS}"
+        )
+    return " UNION ALL ".join(rows)
+
+
+_MK_JOURNEY_SQL = f"""
+users AS (
+    SELECT DISTINCT user_id FROM events
+), fp AS (
+    SELECT user_id, p_us, p_eid FROM (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS p_us,
+               event_id AS p_eid,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+), touch AS (
+    SELECT e.user_id, e.event_type AS channel,
+           CAST(epoch_us(e.ts) AS BIGINT) AS t_us, e.event_id,
+           (fp.user_id IS NOT NULL) AS converted
+    FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+    WHERE e.event_type IN {MK_CHANNELS!r}
+      AND (fp.user_id IS NULL
+           OR (CAST(epoch_us(e.ts) AS BIGINT), e.event_id)
+              < (fp.p_us, fp.p_eid))
+), seq AS (
+    SELECT user_id, channel, converted,
+           LAG(channel) OVER w AS prev_ch,
+           ROW_NUMBER() OVER w AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_t
+    FROM touch
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+), trans AS (
+    SELECT 'START' AS prev, channel AS next, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE rn = 1 GROUP BY 2
+    UNION ALL
+    SELECT prev_ch, channel, CAST(COUNT(*) AS BIGINT)
+    FROM seq WHERE prev_ch IS NOT NULL GROUP BY 1, 2
+    UNION ALL
+    SELECT channel, CASE WHEN converted THEN 'CONV' ELSE 'NULL' END,
+           CAST(COUNT(*) AS BIGINT)
+    FROM seq WHERE rn = n_t GROUP BY 1, 2
+    UNION ALL
+    SELECT 'START', CASE WHEN fp.user_id IS NOT NULL
+                         THEN 'CONV' ELSE 'NULL' END,
+           CAST(COUNT(*) AS BIGINT)
+    FROM users u
+    LEFT JOIN (SELECT DISTINCT user_id FROM touch) t
+           ON t.user_id = u.user_id
+    LEFT JOIN fp ON fp.user_id = u.user_id
+    WHERE t.user_id IS NULL GROUP BY 2
+)
+"""
+
+
+@query(
+    "markov_attribution",
+    oracle="WITH " + _MK_JOURNEY_SQL + f"""
+, m AS (
+    SELECT {", ".join(_mk_matrix_exprs())} FROM trans
+),
+{_mk_iteration_ctes()}
+, ro AS (
+    {_mk_readout_rows()}
+), tot AS (
+    SELECT SUM(base_p - removal_p) AS re_sum FROM ro
+)
+SELECT channel,
+       ROUND(base_p, 10) AS base_conv_p,
+       ROUND(removal_p, 10) AS removal_conv_p,
+       ROUND((base_p - removal_p) / base_p, 10) AS removal_effect,
+       ROUND((base_p - removal_p) / re_sum, 10) AS attribution_share
+FROM ro, tot
+""",
+)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    model next to ``attribution_models``' rule-based first/last touch:
+    per-user journeys (touches before the first purchase) define a
+    first-order chain over {MK_CHANNELS} with absorbing CONV/NULL;
+    a channel's credit is how much the chain's conversion probability
+    drops when that state is removed (pinned to 0 — journeys through it
+    fail), normalized across channels (Anderl et al. 2014's framework).
+
+    Conversion probability solves p = M p + c; both engines iterate the
+    identical {MK_ITERS}-round fixed-point expression (term order pinned
+    by MK_CHANNELS — the SQL text and the Spark expressions are
+    generated from the SAME lists), every matrix entry is ONE
+    correctly-rounded integer-ratio division, so the chains agree
+    bit-for-bit and ROUND 10 at readout is cosmetic. Removal chains
+    reuse the base matrix with the removed state's value pinned — no
+    re-extraction, 3 extra value vectors riding the same iteration.
+
+    100-TB shape: one user_id shuffle builds journeys (lag + boundary
+    rows); the transition table is |states|^2-bounded; the entire
+    fixed-point solve is a ONE-ROW expression chain (map-only, no
+    driver loop, no per-iteration shuffle)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.col("event_id").alias("p_eid"),
+    )
+    w_fp = Window.partitionBy("user_id").orderBy("p_us", "p_eid")
+    fp = (
+        purchases.withColumn("rn", F.row_number().over(w_fp))
+        .where(F.col("rn") == 1)
+        .select("user_id", "p_us", "p_eid")
+    )
+    touch = (
+        ev.where(F.col("event_type").isin(*MK_CHANNELS))
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+        )
+        .join(fp, "user_id", "left")
+        .where(
+            F.col("p_us").isNull()
+            | (F.col("t_us") < F.col("p_us"))
+            | (
+                (F.col("t_us") == F.col("p_us"))
+                & (F.col("event_id") < F.col("p_eid"))
+            )
+        )
+        .select(
+            "user_id",
+            "channel",
+            "t_us",
+            "event_id",
+            F.col("p_us").isNotNull().alias("converted"),
+        )
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    w_cnt = Window.partitionBy("user_id")
+    seq = touch.select(
+        "user_id",
+        "channel",
+        "converted",
+        F.lag("channel").over(w_seq).alias("prev_ch"),
+        F.row_number().over(w_seq).alias("rn"),
+        F.count("*").over(w_cnt).alias("n_t"),
+    )
+    t_start = (
+        seq.where(F.col("rn") == 1)
+        .groupBy(F.col("channel").alias("next"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("START").alias("prev"), "next", "n")
+    )
+    t_mid = (
+        seq.where(F.col("prev_ch").isNotNull())
+        .groupBy(
+            F.col("prev_ch").alias("prev"), F.col("channel").alias("next")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t_end = (
+        seq.where(F.col("rn") == F.col("n_t"))
+        .groupBy(
+            F.col("channel").alias("prev"),
+            F.when(F.col("converted"), "CONV").otherwise("NULL").alias("next"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    users = ev.select("user_id").distinct()
+    no_touch = (
+        users.join(touch.select("user_id").distinct(), "user_id", "left_anti")
+        .join(fp.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
+        .groupBy(
+            F.when(F.col("__c").isNotNull(), "CONV").otherwise("NULL").alias(
+                "next"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("START").alias("prev"), "next", "n")
+    )
+    trans = t_start.unionByName(t_mid).unionByName(t_end).unionByName(no_touch)
+    m = trans.agg(
+        *[F.expr(e) for e in _mk_matrix_exprs()]
+    )
+    it = m.selectExpr("*", *[f"{f} AS {a}" for a, f in _mk_p_exprs(False)])
+    for _ in range(MK_ITERS):
+        it = it.selectExpr(
+            *_mk_carry(), *[f"({f}) AS {a}" for a, f in _mk_p_exprs(True)]
+        )
+    base = (
+        " + ".join(f"start_{s} * p_{s}" for s in MK_CHANNELS) + " + start_conv"
+    )
+    arms = []
+    for r in MK_CHANNELS:
+        rem = (
+            " + ".join(
+                f"start_{s} * p_{s}_x{r}" for s in MK_CHANNELS if s != r
+            )
+            + " + start_conv"
+        )
+        arms.append(
+            f"struct('{r}' AS channel, {base} AS base_p, {rem} AS removal_p)"
+        )
+    ro = it.selectExpr(
+        f"explode(array({', '.join(arms)})) AS r"
+    ).select("r.channel", "r.base_p", "r.removal_p")
+    tot = ro.agg(F.sum(F.col("base_p") - F.col("removal_p")).alias("re_sum"))
+    return ro.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round("base_p", 10).alias("base_conv_p"),
+        F.round("removal_p", 10).alias("removal_conv_p"),
+        F.round(
+            (F.col("base_p") - F.col("removal_p")) / F.col("base_p"), 10
+        ).alias("removal_effect"),
+        F.round(
+            (F.col("base_p") - F.col("removal_p")) / F.col("re_sum"), 10
+        ).alias("attribution_share"),
+    )

@@ -1244,3 +1244,105 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- HITS hubs & authorities (integer-exact unrolled power iteration) ---------
+
+HITS_ROUNDS = 3   # authority updates a1 -> a2 -> a3 (hub refreshes between)
+
+
+@query(
+    "hits_hubs_authorities",
+    oracle="""
+WITH e AS (
+    SELECT DISTINCT o.o_custkey AS c, p.p_brand AS b
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), a1 AS (
+    SELECT b, CAST(COUNT(*) AS HUGEINT) AS a FROM e GROUP BY 1
+), h1 AS (
+    SELECT c, CAST(SUM(a) AS HUGEINT) AS h
+    FROM e JOIN a1 USING (b) GROUP BY 1
+), a2 AS (
+    SELECT b, CAST(SUM(h) AS HUGEINT) AS a
+    FROM e JOIN h1 USING (c) GROUP BY 1
+), h2 AS (
+    SELECT c, CAST(SUM(a) AS HUGEINT) AS h
+    FROM e JOIN a2 USING (b) GROUP BY 1
+), a3 AS (
+    SELECT b, CAST(SUM(h) AS HUGEINT) AS a
+    FROM e JOIN h2 USING (c) GROUP BY 1
+), s AS (
+    SELECT CAST(SUM(a) AS HUGEINT) AS tot FROM a3
+)
+SELECT a3.b AS brand,
+       a1.a AS degree,
+       a3.a AS authority_raw,
+       ROUND(CAST(a3.a AS DOUBLE) / CAST(s.tot AS DOUBLE), 12)
+           AS authority
+FROM a3 JOIN a1 USING (b), s
+""",
+)
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the customer<->brand purchase
+    bipartite graph, {HITS_ROUNDS} authority rounds — the mutually-
+    recursive sibling of ``pagerank_bipartite`` (authority mass flows
+    through hub scores, not a damped random walk). The standard
+    algorithm normalizes each round; because normalization is a
+    POSITIVE SCALAR, the direction of the iterate is unchanged by
+    deferring it — so every intermediate sum here is an exact INTEGER
+    (a_k = (A^T A)^k applied to the all-ones vector), and the single
+    L1 normalization happens at readout: one decimal->double cast and
+    one division, ROUND 12. No per-round float drift, no transcendental
+    — hash-equal across engines by construction.
+
+    Magnitudes: ||a_k||_inf <= (max_brand_deg * max_cust_deg)^k * |C|;
+    brand degree is customer-count bounded and customer degree is
+    brand-vocabulary bounded (<= 25), so 3 rounds fit decimal(38,0)
+    far past 1e9 customers (Spark) / HUGEINT (oracle) — both exact.
+
+    Plan: the hub table (customer grain) shuffles on c, co-partitioned
+    with the edge list across rounds; the authority table is BRAND
+    grain (bounded vocabulary) and rides as a broadcast join into every
+    hub update — per round: one broadcast join + one shuffle-free
+    re-agg on the same c partitioning, then a bounded brand agg.
+    100-TB: per-round cost is one scan of the edge list; nothing
+    iterates at driver side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = e.groupBy("b").agg(
+        F.count("*").cast("decimal(38,0)").alias("a")
+    )
+    deg = a.select("b", F.col("a").cast("long").alias("degree"))
+    for _ in range(HITS_ROUNDS - 1):
+        h = (
+            e.join(F.broadcast(a), "b")
+            .groupBy("c")
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+        )
+        a = (
+            e.join(h, "c")
+            .groupBy("b")
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+        )
+    tot = a.agg(F.sum("a").cast("decimal(38,0)").alias("tot"))
+    return (
+        a.join(F.broadcast(deg), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("b").alias("brand"),
+            "degree",
+            F.col("a").alias("authority_raw"),
+            F.round(
+                F.col("a").cast("double") / F.col("tot").cast("double"), 12
+            ).alias("authority"),
+        )
+    )

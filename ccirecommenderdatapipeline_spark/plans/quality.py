@@ -955,3 +955,91 @@ def q_roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u2x / (2.0 * np_ * nn_), 8).alias("auc"),
         F.round(u2x / (1.0 * np_ * nn_) - 1.0, 8).alias("gini"),
     )
+
+
+# --- character-entropy quality signal ------------------------------------------
+
+ENT_LN_DP = 9    # per-char ln() rounding (libm 1-ulp guard, the KL idiom)
+ENT_C_DP = 12    # per-char contribution rounding before the decimal sum
+
+
+@query(
+    "char_entropy_quality",
+    oracle=f"""
+WITH cs AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(regexp_replace(lower(text),
+               '[^a-z]+', '', 'g'), ''), c -> c <> '') AS chars
+    FROM documents
+), ent AS (
+    SELECT doc_id, lang,
+           CAST(len(chars) AS BIGINT) AS n_alpha,
+           -list_sum(list_transform(list_distinct(chars), c ->
+               CAST(ROUND(
+                   (len(list_filter(chars, x -> x = c))
+                        / CAST(len(chars) AS DOUBLE))
+                   * ROUND(LN(len(list_filter(chars, x -> x = c))
+                              / CAST(len(chars) AS DOUBLE)), {ENT_LN_DP}),
+                   {ENT_C_DP}) AS DECIMAL(18,{ENT_C_DP}))))
+               AS h
+    FROM cs WHERE len(chars) > 0
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 8) AS mean_char_entropy,
+       CAST(MAX(h) AS DECIMAL(18,{ENT_C_DP})) AS max_char_entropy
+FROM ent GROUP BY lang
+""",
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mean/max Shannon character entropy (nats) over the
+    a-z distribution of each document — the cheap gibberish/boilerplate
+    detector corpus filters run next to length and stopword rules (low
+    entropy = repeated characters / template residue; high = encoded
+    noise). Joins ``quality_gopher`` (token-shape rules) and
+    ``repetition_ratios`` (n-gram repeats) as the character-level axis.
+
+    Determinism: entropy is a sum of <= 26 per-character terms; each
+    term rounds its ln() at {ENT_LN_DP}dp (the PSI/KL idiom — a 1-ulp
+    libm difference cannot survive) and the term itself at {ENT_C_DP}dp,
+    then the per-doc sum folds DECIMAL — combine-order free; the only
+    float division (p = c/n) is a single correctly-rounded op.
+
+    Plan & 100-TB shape: explode to char grain, then THREE
+    map-combinable hash aggregates in whole-stage codegen:
+    (doc, char) counts (combine to <= 26 rows per doc map-side),
+    per-doc decimal term sums, per-language rollup. An earlier
+    array-HOF (no-explode) form was 18x slower at 25x — interpreted
+    lambda evaluation priced O(26 x n_chars) per row outside codegen;
+    the oracle keeps that list form (DuckDB executes it natively).
+    The shuffles carry (doc, char) partial counts and one decimal per
+    doc — both tiny relative to the scan."""
+    chars = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", ""), ""),
+        lambda c: c != "",
+    )
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", chars.alias("chars"))
+        .where(F.size("chars") > 0)
+        .select(
+            "doc_id", "lang", F.size("chars").alias("n"),
+            F.explode("chars").alias("c"),
+        )
+    )
+    cnt = base.groupBy("doc_id", "lang", "n", "c").agg(
+        F.count("*").alias("cn")
+    )
+    p = F.col("cn") / F.col("n").cast("double")
+    term = F.round(p * F.round(F.log(p), ENT_LN_DP), ENT_C_DP).cast(
+        f"decimal(18,{ENT_C_DP})"
+    )
+    ent = cnt.groupBy("doc_id", "lang").agg(
+        (-F.sum(term)).cast(f"decimal(18,{ENT_C_DP})").alias("h")
+    )
+    return ent.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum("h").cast("double") / F.count("*"), 8
+        ).alias("mean_char_entropy"),
+        F.max("h").cast(f"decimal(18,{ENT_C_DP})").alias("max_char_entropy"),
+    )

@@ -1945,3 +1945,118 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dx * dx + dy * dy).cast("long").alias("dist2"),
         )
     )
+
+
+# --- Bloom-filter semi-join pushdown (runtime join pruning as data) -----------
+
+BSJ_SEGMENT = "BUILDING"   # dim predicate: customers in this segment ...
+BSJ_NATION_MAX = 5         # ... from nations 0..4 (selective build side)
+BSJ_K = 3                  # salted md5 hash functions, m = 65,536 bits
+
+_BSJ_HEXD = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _bsj_pos_sql(val: str, salt: int) -> str:
+    """16-bit bloom position of ``val``: first 4 hex digits of a salted
+    md5 (same construction as ``bloom_membership``, applied to join keys)."""
+    h = f"md5('j{salt}:' || CAST({val} AS VARCHAR))"
+    return (
+        "("
+        + " + ".join(
+            _BSJ_HEXD.format(h=h, i=i + 1) + f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+@query(
+    "bloom_semi_join_pushdown",
+    oracle=f"""
+WITH dim AS (
+    SELECT c_custkey FROM customer
+    WHERE c_mktsegment = '{BSJ_SEGMENT}' AND c_nationkey < {BSJ_NATION_MAX}
+), bits AS (
+    SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(f"SELECT {_bsj_pos_sql('c_custkey', s)} AS pos FROM dim" for s in range(BSJ_K))}
+    )
+), pruned AS (
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE {" AND ".join(f"{_bsj_pos_sql('o_custkey', s)} IN (SELECT pos FROM bits)" for s in range(BSJ_K))}
+), joined AS (
+    SELECT p.o_totalprice FROM pruned p JOIN dim d ON d.c_custkey = p.o_custkey
+), n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact FROM orders
+)
+SELECT n.n_fact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pruned)  AS n_after_bloom,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM joined)  AS n_joined,
+       (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM joined)
+                                                      AS revenue,
+       ROUND((SELECT COUNT(*) FROM pruned)
+             / CAST(n.n_fact AS DOUBLE), 6)           AS bloom_selectivity
+FROM n
+""",
+)
+def q_bloom_semi_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, materialized as data: build a
+    65,536-bit / {BSJ_K}-hash Bloom filter over a SELECTIVE dim-side key
+    set ('{BSJ_SEGMENT}' customers in nations < {BSJ_NATION_MAX}), prune
+    the orders fact with {BSJ_K} broadcast hash-SEMI-joins on the bit
+    positions BEFORE the exact join, then run the exact join on the
+    survivors — the engine-internal trick (Spark's
+    runtime.bloomFilter.enabled, 'sideways information passing') that
+    this query makes oracle-checkable by replacing the private hash with
+    salted md5 prefixes. The exact join after the filter makes false
+    positives harmless to the RESULT (pinned by the oracle, whose
+    'joined' arm equals a plain join's); the emitted counts
+    (n_fact -> n_after_bloom -> n_joined) and selectivity measure what
+    the filter saved, deterministically.
+
+    100-TB shape: the bit table is bounded at m = 65,536 rows no matter
+    how large the dim set — each pruning pass is a broadcast semi-join
+    evaluated map-side on the fact scan, so the expensive exact-join
+    shuffle moves only bloom_selectivity of the fact. This is the
+    pattern to reach for when the dim side is too big to broadcast as
+    keys but its BITMAP is not."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.where(
+        (F.col("c_mktsegment") == BSJ_SEGMENT)
+        & (F.col("c_nationkey") < BSJ_NATION_MAX)
+    ).select("c_custkey")
+
+    def pos16(key: F.Column, salt: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"j{salt}:"), key.cast("string")))
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+    pruned = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    for s in range(BSJ_K):
+        bits_s = dim.select(
+            pos16(F.col("c_custkey"), s).alias("pos")
+        ).distinct()
+        pruned = pruned.join(
+            F.broadcast(bits_s),
+            pos16(F.col("o_custkey"), s) == F.col("pos"),
+            "left_semi",
+        )
+    joined = pruned.join(F.broadcast(dim), pruned.o_custkey == dim.c_custkey)
+    n_fact = orders.agg(F.count("*").cast("long").alias("n_fact"))
+    n_pruned = pruned.agg(F.count("*").cast("long").alias("n_after_bloom"))
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_joined"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    return (
+        n_fact.crossJoin(F.broadcast(n_pruned))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_fact",
+            "n_after_bloom",
+            "n_joined",
+            "revenue",
+            F.round(
+                F.col("n_after_bloom").cast("double") / F.col("n_fact"), 6
+            ).alias("bloom_selectivity"),
+        )
+    )

@@ -770,3 +770,259 @@ def test_oov_rate_matches_python(spark):
         gn, go, gr = got[lang]
         assert (gn, go) == (n, o)
         assert abs(gr - o / n) < 1e-12
+
+
+def test_hits_matches_python(spark):
+    """Unrolled integer HITS == direct numpy-free power iteration."""
+    from ccirecommenderdatapipeline_spark.plans.graph import (
+        HITS_ROUNDS,
+        q_hits_hubs_authorities,
+    )
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    }
+    brands = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF_SMALL}/part.parquet").collect()
+    }
+    edges = {(orders[r["l_orderkey"]], brands[r["l_partkey"]]) for r in li}
+    by_c: dict = {}
+    by_b: dict = {}
+    for c, b in edges:
+        by_c.setdefault(c, []).append(b)
+        by_b.setdefault(b, []).append(c)
+    h = {c: 1 for c in by_c}
+    a = {}
+    for rnd in range(HITS_ROUNDS):
+        a = {b: sum(h[c] for c in cs) for b, cs in by_b.items()}
+        h = {c: sum(a[b] for b in bs) for c, bs in by_c.items()}
+    tot = sum(a.values())
+    got = {r["brand"]: r for r in q_hits_hubs_authorities(spark, SF_SMALL).collect()}
+    assert set(got) == set(by_b)
+    for b, row in got.items():
+        assert row["degree"] == len(by_b[b])
+        assert int(row["authority_raw"]) == a[b]
+        assert abs(row["authority"] - a[b] / tot) < 1e-10
+
+
+def test_theil_sen_matches_python(spark):
+    """Pair-join median slope == direct O(n^2) python computation."""
+    from ccirecommenderdatapipeline_spark.plans.cci import (
+        TS_SLOPE_DP,
+        TS_WINDOW,
+        q_theil_sen_slope,
+    )
+    from ccirecommenderdatapipeline_spark.sources.prices import prices_view
+
+    rows = prices_view(spark, SF_SMALL).select("symbol", "date", "close_pr").collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["symbol"], []).append((r["date"], float(r["close_pr"])))
+    got = {r["symbol"]: r for r in q_theil_sen_slope(spark, SF_SMALL).collect()}
+    for sym, pts in series.items():
+        pts.sort()
+        ys = [y for _, y in pts][-TS_WINDOW:]
+        slopes = sorted(
+            round((ys[j] - ys[i]) / (j - i), TS_SLOPE_DP)
+            for i in range(len(ys))
+            for j in range(i + 1, len(ys))
+        )
+        r = got[sym]
+        assert r["n_days"] == len(ys)
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["ts_slope"] - slopes[(len(slopes) + 1) // 2 - 1]) < 1e-9
+
+
+def test_cooccurrence_matches_python(spark):
+    """Shifted-slice pair arrays == direct window scan with 1/d weights."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from ccirecommenderdatapipeline_spark.plans.corpus import (
+        COOC_W,
+        COOC_WEIGHTS,
+        q_cooccurrence_window_weighted,
+    )
+
+    docs = _doc_tokens(spark)
+    cnt: Counter = Counter()
+    wsum: dict = {}
+    for toks, _, _ in docs.values():
+        for i in range(len(toks)):
+            for d in range(1, COOC_W + 1):
+                if i + d >= len(toks):
+                    break
+                key = tuple(sorted((toks[i], toks[i + d])))
+                cnt[key] += 1
+                wsum[key] = wsum.get(key, Decimal(0)) + Decimal(
+                    COOC_WEIGHTS[d]
+                )
+    got = {
+        (r["w1"], r["w2"]): (r["n_pairs"], r["w_sum"])
+        for r in q_cooccurrence_window_weighted(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(cnt)
+    for key in cnt:
+        assert got[key][0] == cnt[key]
+        assert got[key][1] == wsum[key]
+
+
+def test_bloom_semi_join_matches_python(spark):
+    """Bloom pruning keeps exactly the positions-hit orders; the exact
+    join result equals an unpruned join (false positives harmless)."""
+    import hashlib
+
+    from ccirecommenderdatapipeline_spark.plans.warehouse import (
+        BSJ_K,
+        BSJ_NATION_MAX,
+        BSJ_SEGMENT,
+        q_bloom_semi_join_pushdown,
+    )
+
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    dim = {
+        r["c_custkey"]
+        for r in cust
+        if r["c_mktsegment"] == BSJ_SEGMENT
+        and r["c_nationkey"] < BSJ_NATION_MAX
+    }
+
+    def pos(v, s):
+        return int(
+            hashlib.md5(f"j{s}:{v}".encode()).hexdigest()[:4], 16
+        )
+
+    bits = [{pos(k, s) for k in dim} for s in range(BSJ_K)]
+    pruned = [
+        r
+        for r in orders
+        if all(pos(r["o_custkey"], s) in bits[s] for s in range(BSJ_K))
+    ]
+    joined = [r for r in pruned if r["o_custkey"] in dim]
+    plain = [r for r in orders if r["o_custkey"] in dim]
+    assert {r["o_orderkey"] for r in joined} == {
+        r["o_orderkey"] for r in plain
+    }  # bloom pruning is lossless for the exact join
+    row = q_bloom_semi_join_pushdown(spark, SF_SMALL).collect()[0]
+    assert row["n_fact"] == len(orders)
+    assert row["n_after_bloom"] == len(pruned)
+    assert row["n_joined"] == len(joined)
+    from decimal import Decimal
+
+    want_rev = sum(
+        Decimal(str(round(r["o_totalprice"], 2))) for r in joined
+    )
+    assert row["revenue"] == want_rev
+
+
+def test_char_entropy_matches_python(spark):
+    """HOF decimal entropy == direct Counter entropy (loose tol covers
+    the rounding schedule)."""
+    import math
+    import re
+    from collections import Counter
+
+    from ccirecommenderdatapipeline_spark.plans.quality import (
+        q_char_entropy_quality,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    per_lang: dict = {}
+    for r in docs:
+        cs = re.sub(r"[^a-z]+", "", r["text"].lower())
+        if not cs:
+            continue
+        cnt = Counter(cs)
+        n = len(cs)
+        h = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        per_lang.setdefault(r["lang"], []).append(h)
+    got = {r["lang"]: r for r in q_char_entropy_quality(spark, SF_SMALL).collect()}
+    assert set(got) == set(per_lang)
+    for lang, hs in per_lang.items():
+        r = got[lang]
+        assert r["n_docs"] == len(hs)
+        assert abs(r["mean_char_entropy"] - sum(hs) / len(hs)) < 1e-6
+        assert abs(float(r["max_char_entropy"]) - max(hs)) < 1e-6
+        assert 0.0 < r["mean_char_entropy"] < math.log(26)
+
+
+def test_markov_attribution_matches_python(spark):
+    """One-row expression-chain fixed point == direct python chain solve."""
+    from ccirecommenderdatapipeline_spark.plans.events import (
+        MK_CHANNELS,
+        MK_ITERS,
+        q_markov_attribution,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    from collections import Counter
+
+    trans: Counter = Counter()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        fp = next(
+            (i for i, r in enumerate(rows) if r["event_type"] == "purchase"),
+            None,
+        )
+        converted = fp is not None
+        pre = rows if fp is None else rows[:fp]
+        touches = [r["event_type"] for r in pre if r["event_type"] in MK_CHANNELS]
+        if not touches:
+            trans[("START", "CONV" if converted else "NULL")] += 1
+            continue
+        trans[("START", touches[0])] += 1
+        for a, b in zip(touches, touches[1:]):
+            trans[(a, b)] += 1
+        trans[(touches[-1], "CONV" if converted else "NULL")] += 1
+
+    def conv_p(removed=None):
+        p = {ch: 0.0 for ch in MK_CHANNELS}
+        m = {}
+        for s in MK_CHANNELS:
+            tot = sum(n for (a, _), n in trans.items() if a == s)
+            for t in list(MK_CHANNELS) + ["CONV"]:
+                m[(s, t)] = trans.get((s, t), 0) / tot if tot else 0.0
+        stot = sum(n for (a, _), n in trans.items() if a == "START")
+        for _ in range(MK_ITERS):
+            p = {
+                ch: sum(
+                    m[(ch, t)] * p[t]
+                    for t in MK_CHANNELS
+                    if t != removed
+                )
+                + m[(ch, "CONV")]
+                for ch in MK_CHANNELS
+            }
+        return (
+            sum(
+                trans.get(("START", s), 0) / stot * p[s]
+                for s in MK_CHANNELS
+                if s != removed
+            )
+            + trans.get(("START", "CONV"), 0) / stot
+        )
+
+    base = conv_p()
+    rem = {r: conv_p(removed=r) for r in MK_CHANNELS}
+    re_sum = sum(base - v for v in rem.values())
+    got = {r["channel"]: r for r in q_markov_attribution(spark, SF_SMALL).collect()}
+    assert set(got) == set(MK_CHANNELS)
+    for ch in MK_CHANNELS:
+        r = got[ch]
+        assert abs(r["base_conv_p"] - base) < 1e-9
+        assert abs(r["removal_conv_p"] - rem[ch]) < 1e-9
+        assert abs(r["removal_effect"] - (base - rem[ch]) / base) < 1e-8
+        assert abs(r["attribution_share"] - (base - rem[ch]) / re_sum) < 1e-8
+    # removing any channel cannot raise conversion probability
+    assert all(rem[ch] <= base + 1e-12 for ch in MK_CHANNELS)
