@@ -156,6 +156,8 @@ HEADLINE = [
     "bloom_semi_join_pushdown",  # runtime-filter join pruning (r8)
     "char_entropy_quality",      # map-only entropy quality gate (r8)
     "markov_attribution",        # removal-effect chain attribution (r8)
+    "join_cardinality_estimate",  # CBO histogram estimate + q-error (r8)
+    "gbdt_boost_round",          # histogram-GBDT boosting rounds (r8)
 ]
 
 

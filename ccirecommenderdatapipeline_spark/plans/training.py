@@ -2015,3 +2015,281 @@ def q_em_gmm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("srxx") / F.col("sr") - mu_new * mu_new), 6
         ).alias("sigma_new"),
     )
+
+
+# --- Two rounds of gradient boosting on histogram stumps ----------------------
+
+GBDT_BINS = 16    # equi-width c_acctbal bins (as decision_stump)
+GBDT_LR = 0.5     # learning rate — DYADIC, so lr * gamma is exact given gamma
+GBDT_T_DP = 12    # per-bin MSE term rounding before the decimal sum
+
+
+@query(
+    "gbdt_boost_round",
+    oracle=f"""
+WITH c AS (
+    SELECT c_acctbal, CAST(c_mktsegment = 'BUILDING' AS INT) AS y
+    FROM customer
+), rng AS (
+    SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer
+), h AS (
+    SELECT LEAST(CAST(FLOOR((c.c_acctbal - r.lo) / (r.hi - r.lo)
+                            * {GBDT_BINS}) AS BIGINT),
+                 {GBDT_BINS - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy
+    FROM c CROSS JOIN rng r GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(sy) AS BIGINT) AS st,
+           CAST(MAX(bin) AS BIGINT) AS mb
+    FROM h
+), pre1 AS (
+    SELECT bin, n, sy,
+           CAST(SUM(n) OVER w AS BIGINT) AS cn,
+           CAST(SUM(sy) OVER w AS BIGINT) AS cs,
+           nt, st, mb
+    FROM h, tot
+    WINDOW w AS (ORDER BY bin)
+), best1 AS (
+    SELECT bin AS thr1,
+           (cs - cn * (st / CAST(nt AS DOUBLE))) / cn AS g1l,
+           -(cs - cn * (st / CAST(nt AS DOUBLE))) / (nt - cn) AS g1r
+    FROM pre1 WHERE bin < mb
+    QUALIFY ROW_NUMBER() OVER (ORDER BY
+        (cs - cn * (st / CAST(nt AS DOUBLE)))
+      * (cs - cn * (st / CAST(nt AS DOUBLE)))
+      * (1.0 / cn + 1.0 / (nt - cn)) DESC, bin) = 1
+), s2 AS (
+    SELECT bin, n, sy, nt, st, mb,
+           (sy - n * (st / CAST(nt AS DOUBLE)))
+         - {GBDT_LR} * n * (CASE WHEN bin <= b1.thr1
+                                 THEN b1.g1l ELSE b1.g1r END) AS s2v
+    FROM pre1, best1 b1
+), pre2 AS (
+    SELECT bin, n, sy, nt, st, mb, s2v,
+           SUM(s2v) OVER (ORDER BY bin) AS cs2,
+           CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn
+    FROM s2
+), s2t AS (
+    SELECT cs2 AS v FROM pre2 WHERE bin = mb
+), best2 AS (
+    SELECT bin AS thr2,
+           cs2 / cn AS g2l,
+           (t.v - cs2) / (nt - cn) AS g2r
+    FROM pre2, s2t t WHERE bin < mb
+    QUALIFY ROW_NUMBER() OVER (ORDER BY
+        cs2 * cs2 / cn + (t.v - cs2) * (t.v - cs2) / (nt - cn) DESC,
+        bin) = 1
+), terms AS (
+    SELECT h.bin, h.n, h.sy, tot.nt, tot.st,
+           st / CAST(nt AS DOUBLE) AS f0,
+           CASE WHEN h.bin <= b1.thr1 THEN b1.g1l ELSE b1.g1r END AS g1s,
+           CASE WHEN h.bin <= b2.thr2 THEN b2.g2l ELSE b2.g2r END AS g2s
+    FROM h, tot, best1 b1, best2 b2
+), mse AS (
+    SELECT
+      SUM(CAST(ROUND(
+          sy * (1.0 - f0 - {GBDT_LR} * g1s) * (1.0 - f0 - {GBDT_LR} * g1s)
+        + (n - sy) * (0.0 - f0 - {GBDT_LR} * g1s)
+                   * (0.0 - f0 - {GBDT_LR} * g1s),
+          {GBDT_T_DP}) AS DECIMAL(28,{GBDT_T_DP}))) AS sse1,
+      SUM(CAST(ROUND(
+          sy * (1.0 - f0 - {GBDT_LR} * g1s - {GBDT_LR} * g2s)
+             * (1.0 - f0 - {GBDT_LR} * g1s - {GBDT_LR} * g2s)
+        + (n - sy) * (0.0 - f0 - {GBDT_LR} * g1s - {GBDT_LR} * g2s)
+                   * (0.0 - f0 - {GBDT_LR} * g1s - {GBDT_LR} * g2s),
+          {GBDT_T_DP}) AS DECIMAL(28,{GBDT_T_DP}))) AS sse2,
+      CAST(MAX(nt) AS BIGINT) AS nt
+    FROM terms
+)
+SELECT 1 AS round, thr1 AS thr_bin,
+       ROUND(g1l, 8) AS gamma_left, ROUND(g1r, 8) AS gamma_right,
+       ROUND(CAST(sse1 AS DOUBLE) / nt, 8) AS train_mse
+FROM best1, mse
+UNION ALL
+SELECT 2, thr2, ROUND(g2l, 8), ROUND(g2r, 8),
+       ROUND(CAST(sse2 AS DOUBLE) / nt, 8)
+FROM best2, mse
+""",
+)
+def q_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO sequential gradient-boosting rounds on histogram regression
+    stumps (squared loss, lr={GBDT_LR}) — the LightGBM/XGBoost training
+    shape end-to-end: F0 = mean label, round 1 fits a stump to the
+    residuals, round 2 fits a second stump to the residuals AFTER
+    shrinkage. The key distributed-systems fact the op demonstrates:
+    because predictions are per-bin constants, EVERY residual quantity
+    aggregates on the bounded histogram — the raw data is scanned
+    exactly once, and both boosting rounds run on {GBDT_BINS} rows.
+    Split score maximizes the SSE-reduction identity
+    S_l^2/n_l + S_r^2/n_r over prefix residual sums; leaf values are
+    the region residual means; train MSE is reported after each round.
+
+    Determinism: round-1 prefix sums are exact int64; round-2 prefix
+    sums are doubles accumulated ALONG THE BIN ORDER (sequential window
+    fold — same order both engines); split scores/leaf values are fixed
+    IEEE trees with ties broken on thr_bin; per-bin MSE terms round at
+    {GBDT_T_DP}dp into a DECIMAL sum (combine-order free); lr is dyadic
+    so shrinkage adds no rounding.
+
+    100-TB shape: one map-combinable histogram agg at bin grain; every
+    later op (splits, gammas, MSE) touches <= {GBDT_BINS} rows. This is
+    why histogram GBDT scales: rounds cost O(bins), not O(rows)."""
+    from ..operators.windows import bounded_window
+
+    cust = load_table(spark, sf_dir, "customer")
+    rng = cust.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    h = (
+        cust.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("c_acctbal") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * GBDT_BINS
+                ).cast("long"),
+                F.lit(GBDT_BINS - 1).cast("long"),
+            ).alias("bin"),
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    tot = h.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sy").cast("long").alias("st"),
+        F.max("bin").cast("long").alias("mb"),
+    )
+    w = bounded_window(
+        "bin",
+        bound=f"histogram prefix: {GBDT_BINS} equi-width bins",
+        queries=("gbdt_boost_round",),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    pre1 = h.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "sy",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("sy").over(w).cast("long").alias("cs"),
+        "nt",
+        "st",
+        "mb",
+    )
+    f0 = F.col("st") / F.col("nt").cast("double")
+    sl = F.col("cs") - F.col("cn") * f0
+    score1 = sl * sl * (
+        1.0 / F.col("cn") + 1.0 / (F.col("nt") - F.col("cn"))
+    )
+    best1 = (
+        pre1.where(F.col("bin") < F.col("mb"))
+        .orderBy(score1.desc(), F.col("bin"))
+        .limit(1)
+        .select(
+            F.col("bin").alias("thr1"),
+            (sl / F.col("cn")).alias("g1l"),
+            (-sl / (F.col("nt") - F.col("cn"))).alias("g1r"),
+        )
+    )
+    s2 = pre1.crossJoin(F.broadcast(best1)).select(
+        "bin",
+        "n",
+        "sy",
+        "nt",
+        "st",
+        "mb",
+        (
+            (F.col("sy") - F.col("n") * f0)
+            - GBDT_LR
+            * F.col("n")
+            * F.when(F.col("bin") <= F.col("thr1"), F.col("g1l")).otherwise(
+                F.col("g1r")
+            )
+        ).alias("s2v"),
+    )
+    pre2 = s2.select(
+        "bin",
+        "n",
+        "sy",
+        "nt",
+        "st",
+        "mb",
+        "s2v",
+        F.sum("s2v").over(w).alias("cs2"),
+        F.sum("n").over(w).cast("long").alias("cn"),
+    )
+    s2t = pre2.where(F.col("bin") == F.col("mb")).select(
+        F.col("cs2").alias("v")
+    )
+    score2 = F.col("cs2") * F.col("cs2") / F.col("cn") + (
+        F.col("v") - F.col("cs2")
+    ) * (F.col("v") - F.col("cs2")) / (F.col("nt") - F.col("cn"))
+    best2 = (
+        pre2.crossJoin(F.broadcast(s2t))
+        .where(F.col("bin") < F.col("mb"))
+        .orderBy(score2.desc(), F.col("bin"))
+        .limit(1)
+        .select(
+            F.col("bin").alias("thr2"),
+            (F.col("cs2") / F.col("cn")).alias("g2l"),
+            (
+                (F.col("v") - F.col("cs2"))
+                / (F.col("nt") - F.col("cn"))
+            ).alias("g2r"),
+        )
+    )
+    terms = (
+        h.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(best1))
+        .crossJoin(F.broadcast(best2))
+        .select(
+            "bin",
+            "n",
+            "sy",
+            "nt",
+            f0.alias("f0"),
+            F.when(F.col("bin") <= F.col("thr1"), F.col("g1l"))
+            .otherwise(F.col("g1r"))
+            .alias("g1s"),
+            F.when(F.col("bin") <= F.col("thr2"), F.col("g2l"))
+            .otherwise(F.col("g2r"))
+            .alias("g2s"),
+        )
+    )
+    r1 = F.lit(1.0) - F.col("f0") - GBDT_LR * F.col("g1s")
+    r0 = F.lit(0.0) - F.col("f0") - GBDT_LR * F.col("g1s")
+    q1 = r1 - GBDT_LR * F.col("g2s")
+    q0 = r0 - GBDT_LR * F.col("g2s")
+    dec = f"decimal(28,{GBDT_T_DP})"
+    mse = terms.agg(
+        F.sum(
+            F.round(F.col("sy") * r1 * r1 + (F.col("n") - F.col("sy")) * r0 * r0, GBDT_T_DP).cast(dec)
+        ).alias("sse1"),
+        F.sum(
+            F.round(F.col("sy") * q1 * q1 + (F.col("n") - F.col("sy")) * q0 * q0, GBDT_T_DP).cast(dec)
+        ).alias("sse2"),
+        F.max("nt").cast("long").alias("nt"),
+    )
+    row1 = best1.crossJoin(F.broadcast(mse)).select(
+        F.lit(1).alias("round"),
+        F.col("thr1").alias("thr_bin"),
+        F.round("g1l", 8).alias("gamma_left"),
+        F.round("g1r", 8).alias("gamma_right"),
+        F.round(F.col("sse1").cast("double") / F.col("nt"), 8).alias(
+            "train_mse"
+        ),
+    )
+    row2 = best2.crossJoin(F.broadcast(mse)).select(
+        F.lit(2).alias("round"),
+        F.col("thr2").alias("thr_bin"),
+        F.round("g2l", 8).alias("gamma_left"),
+        F.round("g2r", 8).alias("gamma_right"),
+        F.round(F.col("sse2").cast("double") / F.col("nt"), 8).alias(
+            "train_mse"
+        ),
+    )
+    return row1.unionByName(row2)

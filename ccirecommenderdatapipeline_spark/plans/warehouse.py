@@ -2060,3 +2060,122 @@ def q_bloom_semi_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bloom_selectivity"),
         )
     )
+
+
+# --- join cardinality estimation from per-bucket histograms -------------------
+
+JCE_BUCKETS = 16   # equi-width buckets over the shared join-key range
+JCE_EST_DP = 6     # per-bucket estimate rounding before the decimal sum
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle=f"""
+WITH rng AS (
+    SELECT MIN(c_custkey) AS lo, MAX(c_custkey) AS hi FROM customer
+), bo AS (
+    SELECT LEAST(CAST(FLOOR((o_custkey - r.lo)
+                 / CAST(r.hi - r.lo + 1 AS DOUBLE) * {JCE_BUCKETS})
+                 AS BIGINT), {JCE_BUCKETS - 1}) AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_a,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_a
+    FROM orders, rng r GROUP BY 1
+), bc AS (
+    SELECT LEAST(CAST(FLOOR((c_custkey - r.lo)
+                 / CAST(r.hi - r.lo + 1 AS DOUBLE) * {JCE_BUCKETS})
+                 AS BIGINT), {JCE_BUCKETS - 1}) AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS d_b
+    FROM customer, rng r GROUP BY 1
+), est AS (
+    SELECT SUM(CAST(ROUND(n_a * n_b
+               / CAST(GREATEST(d_a, d_b) AS DOUBLE), {JCE_EST_DP})
+               AS DECIMAL(28,{JCE_EST_DP}))) AS est_card,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM bo JOIN bc USING (b)
+), act AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS actual_card
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT n_buckets,
+       CAST(est_card AS DOUBLE) AS est_cardinality,
+       actual_card AS actual_cardinality,
+       ROUND(GREATEST(CAST(est_card AS DOUBLE) / actual_card,
+                      actual_card / CAST(est_card AS DOUBLE)), 6)
+           AS q_error
+FROM est, act
+""",
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics as a query: estimate
+    |orders JOIN customer| from per-bucket equi-width histograms using
+    the textbook containment formula sum_b n_a(b) * n_b(b) /
+    max(d_a(b), d_b(b)) (Selinger-style uniform-within-bucket,
+    distinct-value containment), run the ACTUAL join next to it, and
+    report the q-error — the metric the cardinality-estimation
+    literature grades planners on. This is the estimator Spark's own
+    CBO evaluates from ANALYZE TABLE histograms; materializing it as a
+    query makes the estimate itself testable.
+
+    Determinism: bucket stats are exact int64; each bucket's estimate
+    is one fixed double expression rounded at {JCE_EST_DP}dp and summed
+    as DECIMAL (combine-order free); q-error is a fixed readout tree.
+
+    100-TB shape: both histogram arms are map-combinable aggs over
+    {JCE_BUCKETS} keys (distinct-counts shuffle at key grain); the
+    actual-join arm is the only heavy op and exists precisely to grade
+    the estimate — a production planner runs just the cheap arm."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rng = cust.agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    )
+
+    def bucket(key: F.Column) -> F.Column:
+        return F.least(
+            F.floor(
+                (key - F.col("lo"))
+                / (F.col("hi") - F.col("lo") + 1).cast("double")
+                * JCE_BUCKETS
+            ).cast("long"),
+            F.lit(JCE_BUCKETS - 1).cast("long"),
+        )
+
+    bo = (
+        orders.crossJoin(F.broadcast(rng))
+        .groupBy(bucket(F.col("o_custkey")).alias("b"))
+        .agg(
+            F.count("*").cast("long").alias("n_a"),
+            F.count_distinct("o_custkey").cast("long").alias("d_a"),
+        )
+    )
+    bc = (
+        cust.crossJoin(F.broadcast(rng))
+        .groupBy(bucket(F.col("c_custkey")).alias("b"))
+        .agg(
+            F.count("*").cast("long").alias("n_b"),
+            F.count_distinct("c_custkey").cast("long").alias("d_b"),
+        )
+    )
+    est = bo.join(bc, "b").agg(
+        F.sum(
+            F.round(
+                F.col("n_a")
+                * F.col("n_b")
+                / F.greatest("d_a", "d_b").cast("double"),
+                JCE_EST_DP,
+            ).cast(f"decimal(28,{JCE_EST_DP})")
+        ).alias("est_card"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    act = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).agg(F.count("*").cast("long").alias("actual_card"))
+    e = F.col("est_card").cast("double")
+    a = F.col("actual_card")
+    return est.crossJoin(F.broadcast(act)).select(
+        "n_buckets",
+        e.alias("est_cardinality"),
+        a.alias("actual_cardinality"),
+        F.round(F.greatest(e / a, a / e), 6).alias("q_error"),
+    )

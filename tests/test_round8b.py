@@ -1026,3 +1026,110 @@ def test_markov_attribution_matches_python(spark):
         assert abs(r["attribution_share"] - (base - rem[ch]) / re_sum) < 1e-8
     # removing any channel cannot raise conversion probability
     assert all(rem[ch] <= base + 1e-12 for ch in MK_CHANNELS)
+
+
+def test_join_cardinality_estimate_matches_python(spark):
+    """Histogram containment estimate == direct python computation, and
+    the actual count is the true join size."""
+    from ccirecommenderdatapipeline_spark.plans.warehouse import (
+        JCE_BUCKETS,
+        q_join_cardinality_estimate,
+    )
+
+    cust = [
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    ]
+    ords = [
+        r["o_custkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    ]
+    lo, hi = min(cust), max(cust)
+
+    def b(k):
+        return min(int((k - lo) / (hi - lo + 1) * JCE_BUCKETS), JCE_BUCKETS - 1)
+
+    from collections import Counter, defaultdict
+
+    na, nb = Counter(), Counter()
+    da, db = defaultdict(set), defaultdict(set)
+    for k in ords:
+        na[b(k)] += 1
+        da[b(k)].add(k)
+    for k in cust:
+        nb[b(k)] += 1
+        db[b(k)].add(k)
+    est = sum(
+        round(na[x] * nb[x] / max(len(da[x]), len(db[x])), 6)
+        for x in na
+        if x in nb
+    )
+    cs = set(cust)
+    actual = sum(1 for k in ords if k in cs)
+    row = q_join_cardinality_estimate(spark, SF_SMALL).collect()[0]
+    assert row["actual_cardinality"] == actual
+    assert abs(row["est_cardinality"] - est) < 1e-5
+    assert abs(row["q_error"] - max(est / actual, actual / est)) < 1e-5
+    assert row["q_error"] >= 1.0
+
+
+def test_gbdt_boost_round_matches_python(spark):
+    """Histogram boosting == direct row-level two-round boosting."""
+    from ccirecommenderdatapipeline_spark.plans.training import (
+        GBDT_BINS,
+        GBDT_LR,
+        q_gbdt_boost_round,
+    )
+
+    rows = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select(
+        "c_acctbal", "c_mktsegment"
+    ).collect()
+    xs = [r["c_acctbal"] for r in rows]
+    ys = [1.0 if r["c_mktsegment"] == "BUILDING" else 0.0 for r in rows]
+    lo, hi = min(xs), max(xs)
+    bins = [
+        min(int((x - lo) / (hi - lo) * GBDT_BINS), GBDT_BINS - 1) for x in xs
+    ]
+    n = len(ys)
+    f0 = sum(ys) / n
+
+    def fit_stump(resid):
+        best = None
+        for thr in range(max(bins)):
+            left = [r for b, r in zip(bins, resid) if b <= thr]
+            right = [r for b, r in zip(bins, resid) if b > thr]
+            if not left or not right:
+                continue
+            score = sum(left) ** 2 / len(left) + sum(right) ** 2 / len(right)
+            if best is None or score > best[0] + 1e-9:
+                best = (
+                    score,
+                    thr,
+                    sum(left) / len(left),
+                    sum(right) / len(right),
+                )
+        return best[1], best[2], best[3]
+
+    r1 = [y - f0 for y in ys]
+    thr1, g1l, g1r = fit_stump(r1)
+    pred1 = [
+        f0 + GBDT_LR * (g1l if b <= thr1 else g1r) for b in bins
+    ]
+    r2 = [y - p for y, p in zip(ys, pred1)]
+    thr2, g2l, g2r = fit_stump(r2)
+    pred2 = [
+        p + GBDT_LR * (g2l if b <= thr2 else g2r)
+        for p, b in zip(pred1, bins)
+    ]
+    mse1 = sum((y - p) ** 2 for y, p in zip(ys, pred1)) / n
+    mse2 = sum((y - p) ** 2 for y, p in zip(ys, pred2)) / n
+    got = {r["round"]: r for r in q_gbdt_boost_round(spark, SF_SMALL).collect()}
+    assert got[1]["thr_bin"] == thr1
+    assert abs(got[1]["gamma_left"] - g1l) < 1e-6
+    assert abs(got[1]["gamma_right"] - g1r) < 1e-6
+    assert abs(got[1]["train_mse"] - mse1) < 1e-6
+    assert got[2]["thr_bin"] == thr2
+    assert abs(got[2]["gamma_left"] - g2l) < 1e-6
+    assert abs(got[2]["gamma_right"] - g2r) < 1e-6
+    assert abs(got[2]["train_mse"] - mse2) < 1e-6
+    assert got[2]["train_mse"] <= got[1]["train_mse"] + 1e-12  # boosting helps
