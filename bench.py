@@ -158,6 +158,8 @@ HEADLINE = [
     "markov_attribution",        # removal-effect chain attribution (r8)
     "join_cardinality_estimate",  # CBO histogram estimate + q-error (r8)
     "gbdt_boost_round",          # histogram-GBDT boosting rounds (r8)
+    "ks_test",                   # exact-argmax KS drift test (r8)
+    "rank_biased_overlap",       # top-weighted ranker agreement (r8)
 ]
 
 

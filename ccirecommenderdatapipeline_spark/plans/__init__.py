@@ -75,6 +75,7 @@ _NEW_THIS_ROUND: list[str] = [
     "bloom_semi_join_pushdown", "char_entropy_quality",
     "markov_attribution",
     "join_cardinality_estimate", "gbdt_boost_round",
+    "ks_test", "rank_biased_overlap",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND
@@ -89,11 +90,11 @@ _PRIORITY += [
 ]
 
 # (d) next-oldest (round-1) verdicts, trimmed so the window is exactly 50.
-# NOTE (round-8 close): 46 new ops grew (b) past the 50-slot window —
+# NOTE (round-8 close): 48 new ops grew (b) past the 50-slot window —
 # the window is (a)16 + the first 34 of (b) (through `kruskal_wallis`).
-# The 12 newest (b) ops (`roc_auc_eval` .. `gbdt_boost_round`), all
+# The 14 newest (b) ops (`roc_auc_eval` .. `rank_biased_overlap`), all
 # 20 (c) names (r1-green, plans unchanged, locally re-gated this
-# round) and every _BACKFILL name roll to the round-9 rotation; the 12
+# round) and every _BACKFILL name roll to the round-9 rotation; the 14
 # new ones are locally oracle-verified at sf0.001+sf0.01 this round.
 # New first-verdict code out-ranks freshness re-checks, per the
 # standing policy above: every (b) op has NO driver verdict yet, while

@@ -2286,3 +2286,120 @@ def q_cooccurrence_window_weighted(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").cast("long").alias("n_pairs"),
         F.sum(weight).alias("w_sum"),
     )
+
+
+# --- rank-biased overlap between two document rankers -------------------------
+
+RBO_D = 20       # evaluation depth (top-D prefixes)
+RBO_P = 0.5      # persistence — DYADIC, so p^(d-1) is an exact double
+RBO_T_DP = 12    # per-depth term rounding before the decimal sum
+
+
+@query(
+    "rank_biased_overlap",
+    oracle="WITH " + TOK_CTE + f"""
+, sig AS (
+    SELECT doc_id, n_chars,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_terms
+    FROM tok
+), ra AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+    FROM sig QUALIFY r <= {RBO_D}
+), rb AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_terms DESC, doc_id) AS r
+    FROM sig QUALIFY r <= {RBO_D}
+), depths AS (
+    SELECT unnest(range(1, {RBO_D + 1})) AS d
+), xd AS (
+    SELECT d, CAST(COUNT(o.ra_r) AS BIGINT) AS x
+    FROM depths LEFT JOIN (
+        SELECT a.r AS ra_r, b.r AS rb_r
+        FROM ra a JOIN rb b ON b.doc_id = a.doc_id
+    ) o ON o.ra_r <= d AND o.rb_r <= d
+    GROUP BY 1
+)
+SELECT {RBO_D} AS depth,
+       CAST(MAX(CASE WHEN d = {RBO_D} THEN x END) AS BIGINT)
+           AS overlap_at_depth,
+       ROUND((1 - {RBO_P}) * CAST(SUM(CAST(ROUND(
+           POW({RBO_P}, d - 1) * x / CAST(d AS DOUBLE), {RBO_T_DP})
+           AS DECIMAL(18,{RBO_T_DP}))) AS DOUBLE), 8) AS rbo
+FROM xd
+""",
+)
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    document rankers — length (n_chars) vs lexical diversity (distinct
+    tokens): RBO@D = (1-p) * sum_d p^(d-1) * |A_d intersect B_d| / d,
+    the top-weighted agreement metric for comparing rankers whose raw
+    scores are incomparable (complements ``rank_fusion_rrf``, which
+    MERGES rankers; RBO measures how much they agree).
+
+    Determinism: prefix overlaps X_d are exact ints (ties in both
+    rankers break on doc_id); p = {RBO_P} is DYADIC, so p^(d-1) is an
+    exact power of two; each depth term rounds at {RBO_T_DP}dp into a
+    DECIMAL sum (combine-order free); one readout multiply, ROUND 8.
+
+    100-TB shape: each ranker's top-{RBO_D} comes from TakeOrdered
+    (per-partition heaps, no global sort); everything downstream —
+    the join of two {RBO_D}-row lists and the {RBO_D}-depth scan — is
+    constant-size. Comparing rankers over a trillion docs costs two
+    top-K passes."""
+    sig = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias(
+            "n_terms"
+        ),
+    )
+
+    def topd(col: str) -> DataFrame:
+        from ..operators.windows import bounded_window
+
+        top = (
+            sig.orderBy(F.desc(col), F.asc("doc_id"))
+            .limit(RBO_D)
+            .select("doc_id")
+        )
+        # rank within the bounded top-D list: re-derive the order key
+        return sig.join(F.broadcast(top), "doc_id").select(
+            "doc_id",
+            F.row_number()
+            .over(
+                bounded_window(
+                    col,
+                    bound=f"rank over a TakeOrdered top-{RBO_D} result",
+                    queries=("rank_biased_overlap",),
+                ).orderBy(F.desc(col), F.asc("doc_id"))
+            )
+            .alias("r"),
+        )
+
+    ra = topd("n_chars").select(F.col("doc_id"), F.col("r").alias("ra_r"))
+    rb = topd("n_terms").select(F.col("doc_id"), F.col("r").alias("rb_r"))
+    pairs = ra.join(rb, "doc_id").select("ra_r", "rb_r")
+    depths = spark.range(1, RBO_D + 1).select(F.col("id").alias("d"))
+    xd = (
+        depths.join(
+            F.broadcast(pairs),
+            (F.col("ra_r") <= F.col("d")) & (F.col("rb_r") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("ra_r").cast("long").alias("x"))
+    )
+    term = F.round(
+        F.pow(F.lit(float(RBO_P)), F.col("d") - 1)
+        * F.col("x")
+        / F.col("d").cast("double"),
+        RBO_T_DP,
+    ).cast(f"decimal(18,{RBO_T_DP})")
+    return xd.agg(
+        F.lit(RBO_D).alias("depth"),
+        F.max(F.when(F.col("d") == RBO_D, F.col("x")))
+        .cast("long")
+        .alias("overlap_at_depth"),
+        F.round(
+            (1 - RBO_P) * F.sum(term).cast("double"), 8
+        ).alias("rbo"),
+    )

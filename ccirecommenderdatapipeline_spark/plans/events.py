@@ -1494,3 +1494,128 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("base_p") - F.col("removal_p")) / F.col("re_sum"), 10
         ).alias("attribution_share"),
     )
+
+
+# --- Kolmogorov-Smirnov two-sample test (exact integer argmax) ----------------
+
+KS_TYPE_1 = "purchase"
+KS_TYPE_2 = "view"
+KS_BUCKET = 1000   # cents per prefix bucket (bounded metric domain, as MW)
+
+
+@query(
+    "ks_test",
+    oracle=f"""
+WITH s AS (
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+           CAST(event_type = '{KS_TYPE_1}' AS INTEGER) AS s1
+    FROM events
+    WHERE event_type IN ('{KS_TYPE_1}', '{KS_TYPE_2}')
+), grp AS (
+    SELECT vc, CAST(SUM(s1) AS BIGINT) AS c1v,
+           CAST(SUM(1 - s1) AS BIGINT) AS c2v
+    FROM s GROUP BY 1
+), pre AS (
+    SELECT vc,
+           CAST(SUM(c1v) OVER (ORDER BY vc) AS BIGINT) AS c1,
+           CAST(SUM(c2v) OVER (ORDER BY vc) AS BIGINT) AS c2
+    FROM grp
+), tot AS (
+    SELECT CAST(SUM(c1v) AS BIGINT) AS n1, CAST(SUM(c2v) AS BIGINT) AS n2
+    FROM grp
+), arg AS (
+    SELECT vc, ABS(c1 * n2 - c2 * n1) AS num, n1, n2
+    FROM pre, tot
+    QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(c1 * n2 - c2 * n1) DESC, vc)
+            = 1
+)
+SELECT n1, n2, vc AS d_at_cents,
+       ROUND(num / (CAST(n1 AS DOUBLE) * n2), 10) AS d_stat,
+       ROUND(num / (CAST(n1 AS DOUBLE) * n2)
+             * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 8) AS ks_lambda
+FROM arg
+""",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test ('{KS_TYPE_1}' vs
+    '{KS_TYPE_2}' value distributions): D = sup_x |F1(x) - F2(x)| —
+    the distribution-DRIFT test that sees shape changes
+    ``welch_t_test`` (means) and ``mann_whitney_u`` (location shift)
+    cannot. The supremum is computed as an EXACT INTEGER argmax:
+    |F1 - F2| at a value group equals |c1*n2 - c2*n1| / (n1*n2), and
+    the numerator is exact int64 (c <= 1e6 counts x 1e6 sample sizes is
+    long-safe to ~3e9 rows per side; decimal beyond) — so the engines
+    agree on BOTH the max and its location with zero float involvement;
+    the two divisions happen once at readout. Also reports the value
+    (cents) where the gap peaks and the asymptotic lambda =
+    D*sqrt(n1*n2/(n1+n2)).
+
+    Plan: value-group grain, the MW-style bucketed two-phase prefix for
+    both CDFs in one pass, then a TakeOrdered(1) on the bounded
+    value-group table. 100-TB: shuffles only distinct values; the
+    statistic is one row."""
+    from ..operators.windows import bounded_window
+
+    s = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(KS_TYPE_1, KS_TYPE_2))
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            (F.col("event_type") == KS_TYPE_1).cast("int").alias("s1"),
+        )
+    )
+    grp = s.groupBy("vc").agg(
+        F.sum("s1").cast("long").alias("c1v"),
+        F.sum(1 - F.col("s1")).cast("long").alias("c2v"),
+    ).withColumn("bucket", F.floor(F.col("vc") / KS_BUCKET))
+    w_intra = (
+        Window.partitionBy("bucket")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = grp.select(
+        "vc",
+        "bucket",
+        F.sum("c1v").over(w_intra).alias("i1"),
+        F.sum("c2v").over(w_intra).alias("i2"),
+    )
+    btot = grp.groupBy("bucket").agg(
+        F.sum("c1v").cast("long").alias("b1"),
+        F.sum("c2v").cast("long").alias("b2"),
+    )
+    w_b = bounded_window(
+        "bucket",
+        bound=f"bucket totals: value domain / {KS_BUCKET} cents, bounded",
+        queries=("ks_test",),
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    bpre = btot.select(
+        "bucket",
+        F.coalesce(F.sum("b1").over(w_b), F.lit(0)).alias("p1"),
+        F.coalesce(F.sum("b2").over(w_b), F.lit(0)).alias("p2"),
+    )
+    pre = intra.join(F.broadcast(bpre), "bucket").select(
+        "vc",
+        (F.col("p1") + F.col("i1")).cast("long").alias("c1"),
+        (F.col("p2") + F.col("i2")).cast("long").alias("c2"),
+    )
+    tot = grp.agg(
+        F.sum("c1v").cast("long").alias("n1"),
+        F.sum("c2v").cast("long").alias("n2"),
+    )
+    num = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    arg = (
+        pre.crossJoin(F.broadcast(tot))
+        .orderBy(num.desc(), F.col("vc"))
+        .limit(1)
+    )
+    n1d = F.col("n1").cast("double")
+    d = num / (n1d * F.col("n2"))
+    return arg.select(
+        "n1",
+        "n2",
+        F.col("vc").alias("d_at_cents"),
+        F.round(d, 10).alias("d_stat"),
+        F.round(
+            d * F.sqrt(n1d * F.col("n2") / (F.col("n1") + F.col("n2"))), 8
+        ).alias("ks_lambda"),
+    )

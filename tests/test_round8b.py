@@ -1133,3 +1133,63 @@ def test_gbdt_boost_round_matches_python(spark):
     assert abs(got[2]["gamma_right"] - g2r) < 1e-6
     assert abs(got[2]["train_mse"] - mse2) < 1e-6
     assert got[2]["train_mse"] <= got[1]["train_mse"] + 1e-12  # boosting helps
+
+
+def test_ks_test_matches_python(spark):
+    """Integer-argmax KS == direct CDF sweep."""
+    import math
+
+    from ccirecommenderdatapipeline_spark.plans.events import (
+        KS_TYPE_1,
+        KS_TYPE_2,
+        q_ks_test,
+    )
+
+    sample = _event_values(spark, (KS_TYPE_1, KS_TYPE_2))
+    a = sorted(v for t, v in sample if t == KS_TYPE_1)
+    b = sorted(v for t, v in sample if t == KS_TYPE_2)
+    n1, n2 = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    import bisect
+
+    best = (0, None)
+    for v in values:
+        c1 = bisect.bisect_right(a, v)
+        c2 = bisect.bisect_right(b, v)
+        num = abs(c1 * n2 - c2 * n1)
+        if num > best[0]:
+            best = (num, v)
+    d = best[0] / (n1 * n2)
+    lam = d * math.sqrt(n1 * n2 / (n1 + n2))
+    row = q_ks_test(spark, SF_SMALL).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["d_at_cents"] == best[1]
+    assert abs(row["d_stat"] - d) < 1e-10
+    assert abs(row["ks_lambda"] - lam) < 1e-8
+
+
+def test_rank_biased_overlap_matches_python(spark):
+    """RBO over the two rankers == direct prefix-overlap computation."""
+    from ccirecommenderdatapipeline_spark.plans.corpus import (
+        RBO_D,
+        RBO_P,
+        q_rank_biased_overlap,
+    )
+
+    docs = _doc_tokens(spark)
+    meta = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    ra = sorted(docs, key=lambda d: (-meta[d], d))[:RBO_D]
+    rb = sorted(docs, key=lambda d: (-len(set(docs[d][0])), d))[:RBO_D]
+    rbo = 0.0
+    for d in range(1, RBO_D + 1):
+        x = len(set(ra[:d]) & set(rb[:d]))
+        rbo += round(RBO_P ** (d - 1) * x / d, 12)
+    rbo *= 1 - RBO_P
+    row = q_rank_biased_overlap(spark, SF_SMALL).collect()[0]
+    assert row["depth"] == RBO_D
+    assert row["overlap_at_depth"] == len(set(ra) & set(rb))
+    assert abs(row["rbo"] - rbo) < 1e-8
+    assert 0.0 <= row["rbo"] <= 1.0
