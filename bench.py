@@ -160,6 +160,8 @@ HEADLINE = [
     "gbdt_boost_round",          # histogram-GBDT boosting rounds (r8)
     "ks_test",                   # exact-argmax KS drift test (r8)
     "rank_biased_overlap",       # top-weighted ranker agreement (r8)
+    "ohlc_resample_weekly",      # weekly OHLCV downsample bars (r8)
+    "sharpe_sortino_daily",      # risk-adjusted return readout (r8)
 ]
 
 

@@ -76,6 +76,7 @@ _NEW_THIS_ROUND: list[str] = [
     "markov_attribution",
     "join_cardinality_estimate", "gbdt_boost_round",
     "ks_test", "rank_biased_overlap",
+    "ohlc_resample_weekly", "sharpe_sortino_daily",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND
@@ -90,11 +91,11 @@ _PRIORITY += [
 ]
 
 # (d) next-oldest (round-1) verdicts, trimmed so the window is exactly 50.
-# NOTE (round-8 close): 48 new ops grew (b) past the 50-slot window —
+# NOTE (round-8 close): 50 new ops grew (b) past the 50-slot window —
 # the window is (a)16 + the first 34 of (b) (through `kruskal_wallis`).
-# The 14 newest (b) ops (`roc_auc_eval` .. `rank_biased_overlap`), all
+# The 16 newest (b) ops (`roc_auc_eval` .. `sharpe_sortino_daily`), all
 # 20 (c) names (r1-green, plans unchanged, locally re-gated this
-# round) and every _BACKFILL name roll to the round-9 rotation; the 14
+# round) and every _BACKFILL name roll to the round-9 rotation; the 16
 # new ones are locally oracle-verified at sf0.001+sf0.01 this round.
 # New first-verdict code out-ranks freshness re-checks, per the
 # standing policy above: every (b) op has NO driver verdict yet, while

@@ -1222,3 +1222,147 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_slope"
         ),
     )
+
+
+# --- weekly OHLCV resample -----------------------------------------------------
+
+
+@query(
+    "ohlc_resample_weekly",
+    oracle="WITH " + PRICES_ORACLE_CTE + """
+SELECT symbol,
+       CAST(date_trunc('week', date) AS DATE) AS week_start,
+       arg_min(open_pr, date)  AS w_open,
+       MAX(high_pr)            AS w_high,
+       MIN(low_pr)             AS w_low,
+       arg_max(close_pr, date) AS w_close,
+       CAST(SUM(daily_trade_stock) AS BIGINT) AS w_volume,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM prices GROUP BY 1, 2
+""",
+)
+def q_ohlc_resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLCV bars from the daily price view — the canonical
+    time-series DOWNSAMPLE (pandas ``resample('W').ohlc()``, reference
+    daily_function.py's daily bars rolled up a level): open = first
+    trading day's open, close = last day's close (both via argmin/argmax
+    on date — an ORDER-FREE aggregate, unlike first()/last() which
+    depend on row order), high/low = extrema, volume = sum.
+
+    Determinism: min_by/max_by pick EXISTING values keyed by a unique
+    date (one row per (symbol, date) by construction) — no arithmetic,
+    no order dependence; the volume sum is int64. date_trunc('week') is
+    ISO-Monday in both engines.
+
+    100-TB: one map-combinable agg on (symbol, week) — min_by/max_by
+    combine partial states like min/max do, so the rollup is one
+    shuffle of 1-row-per-bar partials. The downsample every charting /
+    backtest layer runs before humans look at anything."""
+    p = prices_view(spark, sf_dir)
+    return p.groupBy(
+        "symbol",
+        F.date_trunc("week", F.col("date")).cast("date").alias("week_start"),
+    ).agg(
+        F.min_by("open_pr", "date").alias("w_open"),
+        F.max("high_pr").alias("w_high"),
+        F.min("low_pr").alias("w_low"),
+        F.max_by("close_pr", "date").alias("w_close"),
+        F.sum("daily_trade_stock").cast("long").alias("w_volume"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+
+
+# --- annualized Sharpe / Sortino from daily returns ----------------------------
+
+SR_R_DP = 8       # per-day simple-return rounding (one double division)
+SR_ANN = 252      # trading days per year (annualization constant)
+
+
+@query(
+    "sharpe_sortino_daily",
+    oracle="WITH " + PRICES_ORACLE_CTE + f"""
+, r AS (
+    SELECT symbol,
+           ROUND(close_pr / LAG(close_pr) OVER
+                 (PARTITION BY symbol ORDER BY date) - 1.0, {SR_R_DP}) AS r
+    FROM prices
+), s AS (
+    SELECT symbol,
+           CAST(COUNT(r) AS BIGINT) AS n,
+           SUM(CAST(r AS DECIMAL(18,{SR_R_DP}))) AS sr,
+           SUM(CAST(r AS DECIMAL(19,{SR_R_DP}))
+               * CAST(r AS DECIMAL(19,{SR_R_DP}))) AS sr2,
+           SUM(CASE WHEN r < 0 THEN CAST(r AS DECIMAL(19,{SR_R_DP}))
+                    * CAST(r AS DECIMAL(19,{SR_R_DP})) END) AS sd2,
+           CAST(SUM(CAST(r < 0 AS INTEGER)) AS BIGINT) AS nd
+    FROM r WHERE r IS NOT NULL GROUP BY 1
+)
+SELECT symbol, n,
+       ROUND(CAST(sr AS DOUBLE) / n, 8) AS mean_r,
+       ROUND(SQRT((CAST(sr2 AS DOUBLE)
+                   - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)
+                  / (n - 1)), 8) AS std_r,
+       ROUND(CAST(sr AS DOUBLE) / n
+             / SQRT((CAST(sr2 AS DOUBLE)
+                     - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)
+                    / (n - 1))
+             * SQRT({SR_ANN}.0), 6) AS sharpe_ann,
+       ROUND(CAST(sr AS DOUBLE) / n
+             / SQRT(CAST(sd2 AS DOUBLE) / n)
+             * SQRT({SR_ANN}.0), 6) AS sortino_ann
+FROM s WHERE n >= 2 AND nd >= 1
+""",
+)
+def q_sharpe_sortino_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios per symbol from daily
+    simple returns — the risk-adjusted readout a strategy report pairs
+    with ``max_drawdown`` and ``ols_trend``: sharpe = mean/std*sqrt(252)
+    (sample std), sortino divides by DOWNSIDE root-mean-square instead
+    (target 0, population form), punishing only losing days.
+
+    Determinism: each day's return is ONE correctly-rounded double
+    division rounded at {SR_R_DP}dp; all moments are exact DECIMAL sums
+    of those rounded returns (and their exact decimal squares) —
+    combine-order free — and the ratios are fixed IEEE readout trees.
+
+    100-TB: one symbol-partitioned lag window (co-partitioned with the
+    price view), then a map-combinable per-symbol agg of four
+    sufficient statistics. Symbols without a losing day or with < 2
+    returns are excluded (stated; sortino undefined)."""
+    w = Window.partitionBy("symbol").orderBy("date")
+    dec = f"decimal(18,{SR_R_DP})"
+    r = prices_view(spark, sf_dir).select(
+        "symbol",
+        F.round(
+            F.col("close_pr") / F.lag("close_pr").over(w) - 1.0, SR_R_DP
+        )
+        .cast(dec)
+        .alias("r"),
+    ).where(F.col("r").isNotNull())
+    s = r.groupBy("symbol").agg(
+        F.count("r").cast("long").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("sr2"),
+        F.sum(
+            F.when(F.col("r") < 0, F.col("r") * F.col("r"))
+        ).alias("sd2"),
+        F.sum((F.col("r") < 0).cast("int")).cast("long").alias("nd"),
+    )
+    n = F.col("n")
+    sr = F.col("sr").cast("double")
+    sr2 = F.col("sr2").cast("double")
+    mean = sr / n
+    var = (sr2 - sr * sr / n) / (n - 1)
+    dstd = F.sqrt(F.col("sd2").cast("double") / n)
+    return s.where((n >= 2) & (F.col("nd") >= 1)).select(
+        "symbol",
+        "n",
+        F.round(mean, 8).alias("mean_r"),
+        F.round(F.sqrt(var), 8).alias("std_r"),
+        F.round(mean / F.sqrt(var) * F.sqrt(F.lit(float(SR_ANN))), 6).alias(
+            "sharpe_ann"
+        ),
+        F.round(mean / dstd * F.sqrt(F.lit(float(SR_ANN))), 6).alias(
+            "sortino_ann"
+        ),
+    )

@@ -1193,3 +1193,82 @@ def test_rank_biased_overlap_matches_python(spark):
     assert row["overlap_at_depth"] == len(set(ra) & set(rb))
     assert abs(row["rbo"] - rbo) < 1e-8
     assert 0.0 <= row["rbo"] <= 1.0
+
+
+def _price_series(spark):
+    from ccirecommenderdatapipeline_spark.sources.prices import prices_view
+
+    rows = prices_view(spark, SF_SMALL).collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["symbol"], []).append(r)
+    for pts in series.values():
+        pts.sort(key=lambda r: r["date"])
+    return series
+
+
+def test_ohlc_resample_matches_python(spark):
+    """min_by/max_by weekly bars == direct first/last-of-week picks."""
+    import datetime
+
+    from ccirecommenderdatapipeline_spark.plans.cci import (
+        q_ohlc_resample_weekly,
+    )
+
+    series = _price_series(spark)
+    want = {}
+    for sym, pts in series.items():
+        weeks: dict = {}
+        for r in pts:
+            ws = r["date"] - datetime.timedelta(days=r["date"].weekday())
+            weeks.setdefault(ws, []).append(r)
+        for ws, rs in weeks.items():
+            want[(sym, ws)] = (
+                rs[0]["open_pr"],
+                max(x["high_pr"] for x in rs),
+                min(x["low_pr"] for x in rs),
+                rs[-1]["close_pr"],
+                sum(x["daily_trade_stock"] for x in rs),
+                len(rs),
+            )
+    got = {
+        (r["symbol"], r["week_start"]): (
+            r["w_open"], r["w_high"], r["w_low"], r["w_close"],
+            r["w_volume"], r["n_days"],
+        )
+        for r in q_ohlc_resample_weekly(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_sharpe_sortino_matches_python(spark):
+    """Decimal-summed moments == direct float computation."""
+    import math
+
+    from ccirecommenderdatapipeline_spark.plans.cci import (
+        SR_ANN,
+        SR_R_DP,
+        q_sharpe_sortino_daily,
+    )
+
+    series = _price_series(spark)
+    got = {r["symbol"]: r for r in q_sharpe_sortino_daily(spark, SF_SMALL).collect()}
+    for sym, pts in series.items():
+        cl = [r["close_pr"] for r in pts]
+        rs = [
+            round(b / a - 1.0, SR_R_DP) for a, b in zip(cl, cl[1:])
+        ]
+        neg = [r for r in rs if r < 0]
+        if len(rs) < 2 or not neg:
+            assert sym not in got
+            continue
+        n = len(rs)
+        mean = sum(rs) / n
+        var = (sum(r * r for r in rs) - sum(rs) ** 2 / n) / (n - 1)
+        dstd = math.sqrt(sum(r * r for r in neg) / n)
+        row = got[sym]
+        assert row["n"] == n
+        assert abs(row["mean_r"] - mean) < 1e-7
+        assert abs(row["std_r"] - math.sqrt(var)) < 1e-7
+        assert abs(row["sharpe_ann"] - mean / math.sqrt(var) * math.sqrt(SR_ANN)) < 1e-4
+        assert abs(row["sortino_ann"] - mean / dstd * math.sqrt(SR_ANN)) < 1e-4
