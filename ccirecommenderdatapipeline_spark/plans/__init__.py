@@ -31,45 +31,23 @@ from . import training  # noqa: E402,F401
 from . import recommender  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only. Round-8 priority window — after
-# this round EVERY registered query has a driver verdict under its
-# current plan:
-# (a) the 16 round-7 ops registered past the r7 window (local
-#     check_oracle green in r7; never driver-verified);
+# the FIRST 50 registered queries only. Round-9 priority window — the
+# r8 verdict's item 1, verbatim: pay down the 54-name driver-verdict
+# debt (new-op volume is deliberately paused this round so the
+# rotation finally catches the tail):
+# (a) the 16 round-8 ops registered past the r8 window (locally
+#     oracle-verified in r8, independently re-verified by the r8
+#     judge; never driver-verified);
 # (b) NEW ops added this round (first verdicts out-rank re-checks) —
-#     kept in a separate list so additions automatically shrink (d);
-# (c) the 20 r1-era names displaced across r5-r7 rotations (every one
+#     kept small on purpose; each addition displaces one (d) name;
+# (c) the 20 r1-era names displaced across r5-r8 rotations (every one
 #     r1-green, plan unchanged since, local-gate green every round);
-# (d) backfill to exactly 50 with the next-oldest driver verdicts
-#     (remaining round-1 rows).
+# (d) backfill with the next-oldest driver verdicts (remaining
+#     round-1 rows), trimmed so the window is exactly 50.
 _PRIORITY = [
-    # (a) round-7 additions never driver-verified
-    "mmr_rerank", "ivm_aggregate_merge", "als_item_step",
-    "stream_hll_merge", "quantile_normalize_sources",
-    "kaplan_meier_survival", "map_mrr_eval", "negative_sampling",
-    "ivm_join_merge", "ols_trend", "bfs_hops", "pmi_collocations",
-    "feature_hashing", "connected_components", "rfm_segmentation",
-    "jl_projection",
-]
-
-# (b) new this round — appended as each op lands so it claims a window
-# slot from the (d) backfill, never from (a)/(c).
-_NEW_THIS_ROUND: list[str] = [
-    "stream_ivm_aggregate", "quantile_sketch_merge", "weighted_median",
-    "vocab_build", "bandit_replay_eval", "sssp_weighted",
-    "changepoint_sse", "walk_forward_eval", "stream_quantile_sketch",
-    "markov_stationary", "kcore_decomposition", "decile_lift_table",
-    "benford_audit", "record_survivorship", "psi_feature_drift",
-    "k_anonymity_audit", "linucb_step", "assortativity_degree",
-    "clustering_coefficient", "link_prediction_jaccard",
-    "isotonic_calibration", "decision_stump",
-    "naive_bayes_classify", "chi2_feature_selection",
-    "acf_lags", "bootstrap_mean_ci",
-    "apriori_triples", "spatial_grid_join", "rank_fusion_rrf",
-    "hll_set_intersection", "mann_whitney_u", "em_gmm_step",
-    "welch_t_test", "kruskal_wallis", "roc_auc_eval",
-    "jaccard_prefix_filter_join", "phrase_search_positions",
-    "oov_rate_eval",
+    # (a) round-8 additions never driver-verified
+    "roc_auc_eval", "jaccard_prefix_filter_join",
+    "phrase_search_positions", "oov_rate_eval",
     "hits_hubs_authorities", "theil_sen_slope",
     "cooccurrence_window_weighted",
     "bloom_semi_join_pushdown", "char_entropy_quality",
@@ -78,6 +56,10 @@ _NEW_THIS_ROUND: list[str] = [
     "ks_test", "rank_biased_overlap",
     "ohlc_resample_weekly", "sharpe_sortino_daily",
 ]
+
+# (b) new this round — appended as each op lands so it claims a window
+# slot from the (d) backfill, never from (a)/(c).
+_NEW_THIS_ROUND: list[str] = []
 
 _PRIORITY += _NEW_THIS_ROUND
 
@@ -90,16 +72,13 @@ _PRIORITY += [
     "coalesce_bfill", "signal_counts", "latest_cci", "proj_rename",
 ]
 
-# (d) next-oldest (round-1) verdicts, trimmed so the window is exactly 50.
-# NOTE (round-8 close): 50 new ops grew (b) past the 50-slot window —
-# the window is (a)16 + the first 34 of (b) (through `kruskal_wallis`).
-# The 16 newest (b) ops (`roc_auc_eval` .. `sharpe_sortino_daily`), all
-# 20 (c) names (r1-green, plans unchanged, locally re-gated this
-# round) and every _BACKFILL name roll to the round-9 rotation; the 16
-# new ones are locally oracle-verified at sf0.001+sf0.01 this round.
-# New first-verdict code out-ranks freshness re-checks, per the
-# standing policy above: every (b) op has NO driver verdict yet, while
-# every displaced name has an r1-green one.
+# (d) the 18 _BACKFILL names (displaced from the r8 window by that
+# round's (b) additions); 50 - 16(a) - len(b) - 20(c) of them fit.
+# NOTE (round-9 open): with (b) empty, the first 14 fit (through
+# `top1_per_group`); the last 4 (`trading_calendar`, `union_dedup`,
+# `upsert_keep_last`, `window_lag_running`) roll to round 10 — after
+# which every registered name has a driver verdict under its current
+# plan, closing the rotation debt tracked since r5.
 _BACKFILL = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "doc_fingerprints", "grouped_multi_agg", "lang_id",
@@ -109,9 +88,9 @@ _BACKFILL = [
     "upsert_keep_last", "window_lag_running",
 ]
 _PRIORITY += _BACKFILL[: max(0, 50 - len(_PRIORITY))]
-# the window is EXACTLY 50 (tests/test_pipeline.py pins it): with (b) at
-# 32 the (c) tail overflows — trim explicitly so nothing is dropped
-# silently; the cut names are enumerated in the NOTE above.
+# the window is EXACTLY 50 (tests/test_pipeline.py pins it) — trim
+# explicitly so nothing is dropped silently; the cut names are
+# enumerated in the NOTE above.
 _PRIORITY = _PRIORITY[:50]
 
 

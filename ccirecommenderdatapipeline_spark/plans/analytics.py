@@ -786,8 +786,9 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan. The true/noisy columns sit side-by-side because this IS the
     calibration view, not the public release.
 
-    Determinism: the uniform u = (h+1)/2^53 is an exact dyadic double
-    (weighted_sample_wr's construction, sampling.py:150); ln is rounded
+    Determinism: the uniform u = 2(h+1)/2^53 = (h+1)/2^52 is an exact
+    dyadic double on (0, 1] (weighted_sample_wr's construction,
+    sampling.py:150); ln is rounded
     at {DP_LN_DP}dp before the scale multiply, noise at {DP_NOISE_DP}dp —
     bit-stable across engines.
 

@@ -153,7 +153,7 @@ WITH w AS (
     FROM documents
 ), keyed AS (
     SELECT doc_id, source, weight,
-           ROUND(ln((h + 1) / CAST(POW(2, 53) AS DOUBLE)) / weight,
+           ROUND(ln((h + 1) / CAST(POW(2, 52) AS DOUBLE)) / weight,
                  {WKEY_DP}) AS sel_key
     FROM w
 ), ranked AS (
@@ -172,9 +172,12 @@ def q_weighted_sample_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to token weight, in ONE distributed pass — the A-ES
     reservoir trick: give every row the key u^(1/w) for deterministic
     md5-uniform u and take the top-K keys. Ranking by ln(u)/w is the
-    monotone-equivalent form (no pow), u = (h+1)/2^53 with h the first 13
-    md5 hex chars (52 bits) — an EXACT dyadic double in (0, 0.5], strictly
-    positive so ln is finite, identical in both engines.
+    monotone-equivalent form (no pow), u = (h+1)/2^52 with h the first 13
+    md5 hex chars (52 bits) — an EXACT dyadic double uniform on (0, 1],
+    strictly positive so ln is finite, identical in both engines. (Before
+    round 9 this divided by 2^53, capping u at 0.5: the 2^(-1/w) factor
+    that introduces into the A-ES key u^(1/w) biased inclusion toward
+    high-weight rows beyond the intended proportionality.)
 
     This is the op a mixture builder uses when "sample by tokens, not by
     docs" must hold per draw (contrast token_budget_selection's prefix
@@ -204,7 +207,7 @@ def q_weighted_sample_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "weight",
         F.round(
-            F.log((F.col("h") + 1) / F.lit(float(2 ** 53))) / F.col("weight"),
+            F.log((F.col("h") + 1) / F.lit(float(2 ** 52))) / F.col("weight"),
             WKEY_DP,
         ).alias("sel_key"),
     )
@@ -264,7 +267,7 @@ WITH reps AS (
         SELECT (('0x' || substr(md5('{BOOT_SEED}'
                     || CAST(o.o_orderkey AS VARCHAR) || ':'
                     || CAST(r.rep AS VARCHAR)), 1, 13))::BIGINT + 1)
-               / CAST(POW(2, 53) AS DOUBLE) AS u
+               / CAST(POW(2, 52) AS DOUBLE) AS u
     ) h
 ), means AS (
     SELECT rep,
@@ -301,8 +304,12 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would need global coordination. The 5/50/95 order statistics
     of the replicate means are the interval.
 
-    Determinism: u = (h+1)/2^53 from 13 md5 hex chars (exact dyadic
-    double, same idiom as ``weighted_sample_wr``); the Poisson inverse-
+    Determinism: u = (h+1)/2^52 from 13 md5 hex chars — h spans
+    [0, 2^52-1], so u is uniform on (0, 1] (exact dyadic double, same
+    hash idiom as ``weighted_sample_wr``; dividing by 2^53, as this
+    query did before round 9, capped u at 0.5 and silently degraded the
+    Poisson(1) ladder to a ~26% Bernoulli — the full ladder is now
+    reachable); the Poisson inverse-
     CDF ladder compares u against shared double literals; replicate
     means divide a DECIMAL-exact weighted sum by an int64 count (one
     IEEE division), and the order statistics rank identical doubles
@@ -337,7 +344,7 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             + 1
         )
-        / F.lit(float(2**53))
+        / F.lit(float(2**52))
     )
     drawn = o.crossJoin(F.broadcast(reps)).select(
         "rep", "o_totalprice", u.alias("u")

@@ -1634,7 +1634,7 @@ BENFORD = {
     "benford_audit",
     oracle=f"""
 WITH cents AS (
-    SELECT CAST(ROUND(o_totalprice, 2) * 100 AS BIGINT) AS c FROM orders
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
 ), digits AS (
     SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
     FROM cents WHERE c > 0
@@ -1664,7 +1664,11 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-digit chi-square terms.
 
     Determinism: the first digit comes from the INTEGER CENTS rendered
-    as a string (both engines print int64 identically) — never from
+    as a string (both engines print int64 identically); cents are
+    ROUND(price*100) to the nearest integer BEFORE the long cast (the
+    mann_whitney_u idiom) — casting `round(price,2)*100` truncates the
+    1-ulp-low product in Spark but rounds it in DuckDB, flipping the
+    leading digit on d*10^k boundaries (ADVICE r8) — and never from
     log10/pow on doubles, whose boundary behavior at exact powers of
     ten is the classic cross-engine trap; the Benford expectations are
     nine precomputed double literals shared by both sides (no
@@ -1674,7 +1678,7 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: one map-side digit projection + a 9-key count agg
     (map-combinable); everything after is 9 rows."""
     o = load_table(spark, sf_dir, "orders").select(
-        (F.round(F.col("o_totalprice"), 2) * 100).cast("long").alias("c")
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
     ).where(F.col("c") > 0)
     agg = o.select(
         F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")

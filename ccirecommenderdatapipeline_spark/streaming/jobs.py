@@ -1220,7 +1220,10 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 2K + #batches + 1 — computed from the log itself and asserted
     against EXACT ranks from the staged data; the oracle pins the
     booleans TRUE. Replay safety: a redelivered batch re-appends the
-    same deterministic sample set keyed by batch_id (dedup on read).
+    same deterministic sample set keyed by (batch_id, per-batch sample
+    ordinal rn/k) — dedup on read removes exactly the replayed rows and
+    can never collapse two legitimately tied sampled values inside one
+    batch (they carry distinct ordinals; ADVICE r8).
 
     100-TB shape: per-batch state is bounded rows/group before any
     write; the log grows with batch count, not event count; the final
@@ -1257,6 +1260,11 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type",
                 "value",
                 F.col("k").alias("wt"),
+                # per-batch sample ordinal (rn/k = 1,2,3..): makes the
+                # log row unique even when k>=2 sampled values tie, so
+                # the replay dedup below removes ONLY redelivered
+                # batches, never legitimate in-batch ties (ADVICE r8)
+                (F.col("rn") / F.col("k")).cast("long").alias("ord"),
                 F.lit(batch_id).cast("long").alias("batch_id"),
             )
             .write.mode("append")
@@ -1277,7 +1285,7 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     log = spark.read.parquet(target).dropDuplicates(
-        ["event_type", "value", "wt", "batch_id"]
+        ["event_type", "ord", "wt", "batch_id"]
     )
     # K = sum over batches of that batch's k; nb = batch count per group
     per_batch = log.groupBy("event_type", "batch_id").agg(

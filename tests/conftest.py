@@ -13,6 +13,14 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_MED = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: whole-registry sweeps (plan-fingerprint drift); minutes, "
+        "not seconds — still part of the default run",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests")

@@ -303,7 +303,7 @@ def test_bootstrap_matches_python(spark):
                 ).hexdigest()[:13],
                 16,
             )
-            u = (h + 1) / 2**53
+            u = (h + 1) / 2**52
             w = len(_BOOT_CDF)
             for k, c in enumerate(_BOOT_CDF):
                 if u < c:

@@ -312,8 +312,8 @@ def test_boilerplate_scrub_roundtrip_and_bounds(spark):
 
 def test_weighted_sample_wr_invariants(spark):
     """A-ES weighted draw: exactly K docs per source, draws densely
-    numbered 1..K in non-increasing key order, keys strictly negative
-    (u in (0, 0.5] so ln(u) < 0), weights positive, and the plan prunes
+    numbered 1..K in non-increasing key order, keys non-positive
+    (u in (0, 1] so ln(u) <= 0), weights positive, and the plan prunes
     with WindowGroupLimit so the shuffle moves top-K rows only."""
     from ccirecommenderdatapipeline_spark.plans.sampling import (
         WSAMPLE_K,
@@ -325,7 +325,7 @@ def test_weighted_sample_wr_invariants(spark):
     rows = df.collect()
     by_src = {}
     for r in rows:
-        assert r["weight"] > 0 and r["sel_key"] < 0
+        assert r["weight"] > 0 and r["sel_key"] <= 0
         by_src.setdefault(r["source"], []).append(r)
     for src, rs in by_src.items():
         rs.sort(key=lambda r: r["draw"])

@@ -206,6 +206,15 @@ def fingerprint(
     if only and os.path.exists(out_path):
         with open(out_path) as f:
             fp = json.load(f)
+        prev_sf = fp.get("__meta__", {}).get("sf_dir")
+        if prev_sf is not None and prev_sf != sf_dir:
+            raise SystemExit(
+                f"--only merge refused: baseline was taken at {prev_sf} "
+                f"but this run is {sf_dir}; plans are SF-dependent "
+                "(broadcast thresholds), so a mixed-SF baseline is "
+                "meaningless. Re-run at the baseline SF or do a full "
+                "refresh."
+            )
     for name, txt, was_skipped, err in _iter_plans(
         spark, sf_dir, run_streaming, only=only
     ):
@@ -216,9 +225,16 @@ def fingerprint(
             fp[name] = {"__error__": 1}
             continue
         fp[name] = {n: txt.count(n) for n in nodes if txt.count(n)}
+    # Physical plans are SF-DEPENDENT by design (static size estimates
+    # cross autoBroadcastJoinThreshold between SFs — e.g. tpch_q7 is
+    # BHJx5 at sf0.001 but SMJx1/BHJx4 at sf0.01+, adjudicated r9 after
+    # the r8 verdict read a cross-SF compare as drift). Record the SF
+    # the baseline was taken at so fingerprint_diff can refuse to
+    # compare apples to oranges.
+    fp["__meta__"] = {"sf_dir": sf_dir}
     with open(out_path, "w") as f:
         json.dump(fp, f, indent=1, sort_keys=True)
-    print(f"wrote {len(fp)} fingerprints to {out_path}")
+    print(f"wrote {len(fp) - 1} fingerprints to {out_path} (sf_dir={sf_dir})")
 
 
 if __name__ == "__main__":

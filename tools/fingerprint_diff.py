@@ -36,10 +36,24 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     with open(BASELINE) as f:
         base = json.load(f)
+    # Plans are SF-dependent (static size estimates cross broadcast
+    # thresholds between SFs — tpch_q7 is BHJx5 at sf0.001 but
+    # SMJx1/BHJx4 at sf0.01+; adjudicated r9). Comparing a run at one
+    # SF against a baseline taken at another reports phantom drift, so
+    # refuse outright.
+    base_sf = base.pop("__meta__", {}).get("sf_dir")
+    if base_sf is not None and base_sf != sf_dir:
+        print(
+            f"REFUSED: baseline {BASELINE} was taken at {base_sf}, this "
+            f"run is {sf_dir}; plans are SF-dependent. Re-run at "
+            f"{base_sf} (phantom drift otherwise — see tpch_q7, r9)."
+        )
+        return 2
     tmp = os.path.join(tempfile.mkdtemp(prefix="fpdiff_"), "fp.json")
     fingerprint(sf_dir, tmp, run_streaming=run_streaming)
     with open(tmp) as f:
         now = json.load(f)
+    now.pop("__meta__", None)
     new = sorted(set(now) - set(base))
     gone = sorted(set(base) - set(now))
     drift = {
