@@ -59,7 +59,9 @@ _PRIORITY = [
 
 # (b) new this round — appended as each op lands so it claims a window
 # slot from the (d) backfill, never from (a)/(c).
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "stream_psi_drift",
+]
 
 _PRIORITY += _NEW_THIS_ROUND
 

@@ -441,7 +441,7 @@ FROM packed
 """
 
 
-@query("corpus_pipeline", oracle=None)
+@query("corpus_pipeline", oracle=None, late_oracle=True)
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus preparation as ONE lazy plan: gopher-style quality
     gates -> repetition filter -> exact dedup (quality_filtered_corpus's

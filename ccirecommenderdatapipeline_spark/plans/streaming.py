@@ -471,3 +471,70 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_quantile_sketch
 
     return stream_quantile_sketch(spark, sf_dir)
+
+
+from .events import PSI_BINS, PSI_C_DP, PSI_LN_DP, PSI_SPLIT_DAY  # noqa: E402
+
+# Streaming PSI oracle: same PSI formula/rounding as psi_feature_drift but
+# with the bin edges FROZEN from the BASE slice only (a streaming monitor
+# cannot see the future's min/max) and out-of-range serving values clamped
+# into the edge bins. Event types with no base-slice rows have no frozen
+# edges and are absent — matching the Spark side's inner join on edges.
+STREAM_PSI_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type, value,
+           CAST(EXTRACT(day FROM ts) <= {PSI_SPLIT_DAY} AS INTEGER) AS is_base
+    FROM events
+), rng AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+    FROM ev WHERE is_base = 1 GROUP BY 1
+), binned AS (
+    SELECT e.event_type, e.is_base,
+           CASE WHEN r.hi = r.lo THEN 0
+                ELSE LEAST(GREATEST(
+                        CAST(FLOOR((e.value - r.lo) / (r.hi - r.lo)
+                                   * {PSI_BINS}) AS BIGINT),
+                        0), {PSI_BINS - 1})
+           END AS bin
+    FROM ev e JOIN rng r ON r.event_type = e.event_type
+), counts AS (
+    SELECT event_type, bin,
+           CAST(COUNT(*) FILTER (WHERE is_base = 1) AS BIGINT) AS c_b,
+           CAST(COUNT(*) FILTER (WHERE is_base = 0) AS BIGINT) AS c_c
+    FROM binned GROUP BY 1, 2
+), grid AS (
+    SELECT t.event_type, b.bin,
+           COALESCE(c.c_b, 0) AS c_b, COALESCE(c.c_c, 0) AS c_c
+    FROM (SELECT DISTINCT event_type FROM rng) t
+    CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = b.bin
+), tots AS (
+    SELECT event_type, CAST(SUM(c_b) AS BIGINT) AS n_b,
+           CAST(SUM(c_c) AS BIGINT) AS n_c
+    FROM grid GROUP BY 1
+), terms AS (
+    SELECT g.event_type, t.n_b, t.n_c,
+           CAST(ROUND(((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE)
+                       - (g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))
+                 * ROUND(ln(((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE))
+                            / ((g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))),
+                         {PSI_LN_DP}), {PSI_C_DP})
+                AS DECIMAL(28,{PSI_C_DP})) AS term
+    FROM grid g JOIN tots t ON t.event_type = g.event_type
+)
+SELECT event_type, n_b AS n_base, n_c AS n_current,
+       ROUND(CAST(SUM(term) AS DOUBLE), 8) AS psi
+FROM terms GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_psi_drift", oracle=STREAM_PSI_ORACLE)
+def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift gate: reference histogram + bin edges frozen
+    from the base slice at train time, serving traffic binned per
+    micro-batch against the frozen edges and additively merged into a
+    versioned histogram view; the readout equals the batch recompute
+    with frozen-edge semantics (see streaming/jobs.py:stream_psi_drift)."""
+    from ..streaming.jobs import stream_psi_drift
+
+    return stream_psi_drift(spark, sf_dir)

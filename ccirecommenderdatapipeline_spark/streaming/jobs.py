@@ -1366,3 +1366,156 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "summary_sublinear"
         ),
     )
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift gate maintained OVER A STREAM —
+    the streaming twin of the batch ``psi_feature_drift`` (the r8 stats
+    family's first streaming member; drift gates ARE the streaming use
+    case for these tests). Train-time setup freezes the reference: bin
+    edges = the BASE slice's (day <= PSI_SPLIT_DAY) per-type min/max,
+    and the reference histogram is materialized once. Serving traffic
+    (the stream, day > PSI_SPLIT_DAY) is binned against the FROZEN
+    edges per micro-batch (out-of-range values clamp into the edge
+    bins, the standard serving-skew behavior a frozen-edge monitor must
+    define) and the per-(type, bin) counts ADDITIVELY merge with the
+    previous view version — the ``stream_ivm_aggregate`` pattern:
+    O(|delta| + |types| x bins) per batch, never rescanning history,
+    and the view is a queryable drift dashboard at every version.
+
+    Replay safety: version v{b} is a deterministic function of v{b-1}
+    and batch b's rows (counts are a commutative monoid), so an
+    at-least-once redelivery overwrites the same bytes — the IVM
+    idempotence argument, not a dedup log.
+
+    Determinism (the KL idiom, shared with the batch op): edges are
+    min/max doubles; bins are a fixed IEEE tree + clamp (identical in
+    DuckDB); the one transcendental is rounded PSI_LN_DP dp per bin,
+    contributions PSI_C_DP dp, and the per-type sum runs as DECIMAL.
+
+    100-TB shape: each batch shuffles only (type, bin) partials
+    (map-combinable, bounded key space); the readout runs on the
+    |types| x PSI_BINS grid. Citing daily_function.py:343-1932 scope:
+    the reference engine has no streaming surface at all — this is the
+    Spark-native extension of its drift-monitoring family."""
+    from ..plans.events import PSI_BINS, PSI_C_DP, PSI_LN_DP, PSI_SPLIT_DAY
+
+    staged = stage_events_dir(spark, sf_dir)
+    ref_all = spark.read.parquet(staged).select(
+        "event_type", "value", F.dayofmonth("ts").alias("dom")
+    )
+    base = ref_all.where(F.col("dom") <= PSI_SPLIT_DAY)
+    edges = base.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+
+    def bin_col() -> F.Column:
+        # clamp(floor((v-lo)/(hi-lo)*B), 0, B-1); degenerate hi==lo -> 0
+        raw = F.floor(
+            (F.col("value") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * PSI_BINS
+        ).cast("long")
+        clamped = F.least(
+            F.greatest(raw, F.lit(0).cast("long")),
+            F.lit(PSI_BINS - 1).cast("long"),
+        )
+        return F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+            clamped
+        )
+
+    def hist(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(edges), "event_type")
+            .select("event_type", bin_col().alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    run_id = uuid.uuid4().hex[:10]
+    view_root = os.path.join(STAGE_ROOT, f"psi_view_{run_id}")
+    ref_hist = hist(base).select(
+        "event_type", "bin", F.col("c").alias("c_b")
+    )
+    ref_hist.persist().count()  # freeze the reference once (train-time)
+
+    schema = spark.read.parquet(staged).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = hist(
+            batch_df.where(F.dayofmonth("ts") > PSI_SPLIT_DAY)
+        ).select("event_type", "bin", F.col("c").alias("c_c"))
+        prev = os.path.join(view_root, f"v{batch_id - 1}")
+        if batch_id > 0 and os.path.exists(os.path.join(prev, "_SUCCESS")):
+            merged = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(delta)
+                .groupBy("event_type", "bin")
+                .agg(F.sum("c_c").cast("long").alias("c_c"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(
+            os.path.join(view_root, f"v{batch_id}")
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(STAGE_ROOT, "ckpt", f"psi_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    versions = [
+        int(d[1:])
+        for d in os.listdir(view_root)
+        if d.startswith("v")
+        and os.path.exists(os.path.join(view_root, d, "_SUCCESS"))
+    ]
+    cur_hist = spark.read.parquet(
+        os.path.join(view_root, f"v{max(versions)}")
+    )
+
+    grid = (
+        edges.select("event_type")
+        .crossJoin(
+            F.broadcast(
+                spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+            )
+        )
+        .join(ref_hist, ["event_type", "bin"], "left")
+        .join(cur_hist, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce(F.col("c_b"), F.lit(0).cast("long")).alias("c_b"),
+            F.coalesce(F.col("c_c"), F.lit(0).cast("long")).alias("c_c"),
+        )
+    )
+    tots = grid.groupBy("event_type").agg(
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.sum("c_c").cast("long").alias("n_c"),
+    )
+    p = (F.col("c_b") + 1) / (F.col("n_b") + PSI_BINS).cast("double")
+    qq = (F.col("c_c") + 1) / (F.col("n_c") + PSI_BINS).cast("double")
+    terms = grid.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        "n_b",
+        "n_c",
+        F.round((p - qq) * F.round(F.log(p / qq), PSI_LN_DP), PSI_C_DP)
+        .cast(f"decimal(28,{PSI_C_DP})")
+        .alias("term"),
+    )
+    return terms.groupBy(
+        F.col("event_type"),
+        F.col("n_b").alias("n_base"),
+        F.col("n_c").alias("n_current"),
+    ).agg(F.round(F.sum("term").cast("double"), 8).alias("psi"))

@@ -23,9 +23,22 @@ SCALES = [
     ("25x", "/tmp/spark_graft_sf2.5"),
 ]
 
+# --perturbed: measure against the token-perturbed replicas built by
+# `replicate_sf.py --perturb` (the non-replica fixture for the
+# similarity-join family — fresh vocab per replica, so output scales
+# linearly instead of quadratically-in-copy-count; VERDICT r8 item 6).
+PERTURBED_SCALES = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("5xP", "/tmp/spark_graft_sf0.5p"),
+    ("25xP", "/tmp/spark_graft_sf2.5p"),
+]
+
 
 def main() -> int:
-    names = sys.argv[1:]
+    global SCALES
+    if "--perturbed" in sys.argv:
+        SCALES = PERTURBED_SCALES
+    names = [a for a in sys.argv[1:] if a != "--perturbed"]
     unknown = [n for n in names if n not in plans.QUERIES]
     if unknown:
         print(f"unknown queries: {unknown}")

@@ -5,7 +5,18 @@ cardinalities (symbols = l_suppkey, users, docs, vectors) scale with N while
 per-key history length stays constant — a pure scale-OUT of the key space,
 which is what a bigger cluster sees.
 
-Usage: python tools/replicate_sf.py [src_sf_dir] [dst_dir] [n]
+``--perturb`` additionally rewrites ``documents.text`` in replica r>0 by
+suffixing EVERY token with ``_r{r}`` (a bijection on the vocabulary): each
+replica becomes a fresh corpus with the same intra-corpus statistics —
+same token-frequency shape, same near-dup pair structure — but ZERO
+token overlap across replicas. This is the non-replica scale fixture for
+the similarity-join family (VERDICT r8 item 6): with exact copies, a
+text self-join's OUTPUT is quadratic in the copy count (every copy of a
+dup cluster pairs with every other), which measures the fixture, not the
+algorithm; with perturbed replicas the true output grows linearly in N
+and the measured runtime isolates candidate-generation scaling.
+
+Usage: python tools/replicate_sf.py [src_sf_dir] [dst_dir] [n] [--perturb]
 """
 
 from __future__ import annotations
@@ -32,9 +43,11 @@ KEYS = {
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf0.5"
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    perturb = "--perturb" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--perturb"]
+    src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    dst = argv[1] if len(argv) > 1 else "/tmp/spark_graft_sf0.5"
+    n = int(argv[2]) if len(argv) > 2 else 5
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for table, keys in KEYS.items():
@@ -49,15 +62,27 @@ def main() -> int:
         cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
         parts = []
         for r in range(n):
-            sel = ", ".join(
-                f"{c} + {r * OFF} AS {c}" if c in keys else c for c in cols
-            )
+            def render(c: str) -> str:
+                if c in keys:
+                    return f"{c} + {r * OFF} AS {c}"
+                if perturb and table == "documents" and c == "text" and r > 0:
+                    # bijective vocab rename per replica: fresh corpus,
+                    # identical intra-corpus statistics, zero
+                    # cross-replica token overlap
+                    return (
+                        "array_to_string(list_transform("
+                        f"string_split(text, ' '), x -> x || '_r{r}'), ' ') "
+                        "AS text"
+                    )
+                return c
+            sel = ", ".join(render(c) for c in cols)
             parts.append(f"SELECT {sel} FROM '{path}'")
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) TO '{out}' (FORMAT PARQUET)"
         )
         rows = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
-        print(f"{table}: {rows} rows ({n}x)")
+        mark = " perturbed" if perturb and table == "documents" else ""
+        print(f"{table}: {rows} rows ({n}x{mark})")
     return 0
 
 
