@@ -82,17 +82,53 @@ def with_cci(prices: DataFrame, n: int = CCI_NDAYS) -> DataFrame:
 
     Output adds close_TP/open_TP/close_sma/open_sma/close_mad/open_mad/
     close_cci/open_cci to the price schema (CCI_SCHEMA).
-    """
+
+    Eval-once staging (r9 bench-tail audit, same fix as
+    bollinger_bands): the window lists and the SMA folds are
+    materialized as projection columns BEFORE the MAD fold references
+    them. ``rolling_mad``'s self-contained form inlines the n-element
+    mean fold into the per-element lambda, so the interpreted HOF
+    re-runs it per element (n^2 = 400 fold steps/row, twice); staging
+    drops that to 2n per row. The MAD's inner mean IS the SMA column
+    (same fold, same gate: for partial windows the SMA is null and the
+    count gate nulls the MAD anyway), and fold order is unchanged, so
+    results stay bit-identical to the DuckDB oracle and the pandas
+    parity tests."""
     df = prices.withColumns({
         "close_TP": (F.col("high_pr") + F.col("low_pr") + F.col("close_pr")) / 3,
         "open_TP": (F.col("high_pr") + F.col("low_pr") + F.col("open_pr")) / 3,
     })
+    w = rolling_window(n)
     df = df.withColumns({
-        "close_sma": rolling_mean("close_TP", n),
-        "open_sma": rolling_mean("open_TP", n),
-        "close_mad": rolling_mad("close_TP", n),
-        "open_mad": rolling_mad("open_TP", n),
+        "_close_xs": F.collect_list("close_TP").over(w),
+        "_open_xs": F.collect_list("open_TP").over(w),
+        "_close_cnt": F.count("close_TP").over(w),
+        "_open_cnt": F.count("open_TP").over(w),
     })
+    df = df.withColumns({
+        "close_sma": F.when(
+            F.col("_close_cnt") >= n, _fold_sum(F.col("_close_xs")) / n
+        ),
+        "open_sma": F.when(
+            F.col("_open_cnt") >= n, _fold_sum(F.col("_open_xs")) / n
+        ),
+    })
+
+    def mad(xs: str, cnt: str, sma: str) -> Column:
+        return F.when(
+            F.col(cnt) >= n,
+            F.aggregate(
+                F.col(xs),
+                F.lit(0.0),
+                lambda acc, x: acc + F.abs(x - F.col(sma)),
+            )
+            / n,
+        )
+
+    df = df.withColumns({
+        "close_mad": mad("_close_xs", "_close_cnt", "close_sma"),
+        "open_mad": mad("_open_xs", "_open_cnt", "open_sma"),
+    }).drop("_close_xs", "_open_xs", "_close_cnt", "_open_cnt")
     def cci(tp_c: str, sma_c: str, mad_c: str) -> Column:
         # guard mad == 0 explicitly: pandas yields inf; we define null (both
         # engines), impossible on real price data.

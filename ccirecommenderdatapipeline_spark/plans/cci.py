@@ -186,31 +186,58 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-window discipline: the stddev is computed from the SAME
     collect_list fold as the SMA (sequential sums over the 20-row window,
     bit-identical across engines; sqrt is IEEE-exact), partial windows null.
-    One symbol shuffle serves all three band columns."""
+    One symbol shuffle serves all three band columns.
+
+    Eval-once staging (r9 bench-tail audit): the mean and sd folds are
+    MATERIALIZED as intermediate projection columns before the columns
+    that reference them. Inlining the mean expression into the variance
+    lambda made the interpreted HOF re-run the 20-element mean fold per
+    ELEMENT (400 fold steps/row), and re-inlining mean/sd into four
+    output columns multiplied it again — CollapseProject keeps a
+    projection boundary when a non-cheap expression is referenced more
+    than once, so each fold now evaluates once per row (8.8s -> ~1s at
+    sf0.01). Fold ORDER is unchanged, so results stay bit-identical to
+    the oracle."""
     ROLL_N = 20  # same window as the CCI SMA/MAD (operators/windows.py)
 
     pr = prices_view(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(ROLL_N - 1), 0)
-    cnt = F.count("*").over(w)
-    lst = F.collect_list("close_pr").over(w)
-    mean = F.aggregate(lst, F.lit(0.0), lambda a, x: a + x) / ROLL_N
-    var = F.aggregate(
-        F.transform(lst, lambda x: (x - mean) * (x - mean)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    ) / ROLL_N
-    sd = F.sqrt(var)
-    full = cnt >= ROLL_N
-    sma_c = F.when(full, mean)
-    sd_c = F.when(full, sd)
-    return pr.select(
+    staged = pr.select(
+        "symbol", "date", "close_pr",
+        F.count("*").over(w).alias("w_cnt"),
+        F.collect_list("close_pr").over(w).alias("lst"),
+    ).select(
+        "symbol", "date", "close_pr", "w_cnt", "lst",
+        (F.aggregate("lst", F.lit(0.0), lambda a, x: a + x) / ROLL_N).alias(
+            "mean_v"
+        ),
+    ).select(
+        "symbol", "date", "close_pr", "w_cnt", "mean_v",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "lst",
+                    lambda x: (x - F.col("mean_v")) * (x - F.col("mean_v")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / ROLL_N
+        ).alias("sd_v"),
+    )
+    full = F.col("w_cnt") >= ROLL_N
+    sma_c = F.when(full, F.col("mean_v"))
+    sd_c = F.when(full, F.col("sd_v"))
+    return staged.select(
         "symbol", "date", "close_pr",
         F.round(sma_c, 6).alias("sma20"),
         F.round(sma_c + 2 * sd_c, 6).alias("upper_band"),
         F.round(sma_c - 2 * sd_c, 6).alias("lower_band"),
         F.when(
-            full & (sd != 0),
-            F.round((F.col("close_pr") - (sma_c - 2 * sd_c)) / (4 * sd_c), 6),
+            full & (F.col("sd_v") != 0),
+            F.round(
+                (F.col("close_pr") - (sma_c - 2 * sd_c)) / (4 * sd_c), 6
+            ),
         ).alias("pct_b"),
     )
 

@@ -68,10 +68,24 @@ def main() -> int:
                 if perturb and table == "documents" and c == "text" and r > 0:
                     # bijective vocab rename per replica: fresh corpus,
                     # identical intra-corpus statistics, zero
-                    # cross-replica token overlap
+                    # cross-replica token overlap. The suffix must be
+                    # PURELY ALPHABETIC and replica-specific: the
+                    # engine's tokenizer strips [^a-z]+ , so a '_r{r}'
+                    # style suffix collapses to the SAME interleaved 'r'
+                    # token in every replica — replicas become exact
+                    # near-dups again and a similarity self-join's
+                    # output explodes quadratically (observed:
+                    # 256 -> 17.9M candidates at 5x).
+                    alpha = ""
+                    k = r
+                    while True:
+                        alpha = chr(ord("a") + k % 26) + alpha
+                        k //= 26
+                        if k == 0:
+                            break
                     return (
                         "array_to_string(list_transform("
-                        f"string_split(text, ' '), x -> x || '_r{r}'), ' ') "
+                        f"string_split(text, ' '), x -> x || 'q{alpha}'), ' ') "
                         "AS text"
                     )
                 return c
