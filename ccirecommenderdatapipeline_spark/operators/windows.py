@@ -67,6 +67,13 @@ def rolling_mad(col: str, n: int) -> Column:
     elements. The inner mean is the same sequential fold as W1, exactly the
     reference's ``np.mean(np.abs(x - np.mean(x)))``
     (daily_function.py:590-591).
+
+    PERF NOTE (r9): this self-contained single-Column form inlines the
+    mean fold into the per-element lambda, so the interpreted HOF
+    re-runs it per element — n^2 fold steps per row. Fine for ad-hoc
+    use; in a pipeline, stage the list and the mean as projection
+    columns first and reference them (see ``with_cci`` below, which no
+    longer calls this helper for exactly that reason).
     """
     w = rolling_window(n)
     xs = F.collect_list(col).over(w)
