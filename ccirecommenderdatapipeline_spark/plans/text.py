@@ -1120,12 +1120,17 @@ def q_jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactly the join a dedup pipeline runs when it must certify "no pair
     above t was missed" (LSH gives recall < 1)."""
     docs = _docs(spark, sf_dir)
+    # persist the shingle arrays: the plan consumes garr THREE times
+    # (prefix generation + both verify sides) and each un-persisted use
+    # re-runs tokenize+ngram over the whole corpus — at 100 TB the gram
+    # table is materialized once as a matter of course (the Vernica
+    # paper's RID-pair stage does the same)
     garr = docs.select(
         "doc_id",
         F.array_distinct(word_ngrams(tokens(F.col("text")), PFJ_N)).alias(
             "grams"
         ),
-    )
+    ).persist()
     sh = garr.select("doc_id", F.explode("grams").alias("g"))
     dfreq = sh.groupBy("g").agg(F.count("*").cast("long").alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "g")
