@@ -468,7 +468,8 @@ def q_upsert_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name AS region, n.n_name AS nation,
        CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                           AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -480,7 +481,12 @@ GROUP BY r.r_name, n.n_name
 def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join star query (TPC-H Q5 shape): fact-to-fact shuffle join on
     orderkey, then broadcast joins up the dimension chain — the plan Catalyst
-    should pick with the dims explicitly broadcast."""
+    should pick with the dims explicitly broadcast.
+
+    Revenue sums as DECIMAL of the per-row 4dp-rounded product
+    (order-free; the raw-double sum's cross-engine drift at 24k
+    rows/group sat within ~3x of the 4dp rounding boundary — same risk
+    class as grouped_multi_agg's r9 sf0.1 flip, fixed preemptively)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -494,7 +500,14 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    ).cast("decimal(18,4)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
         )
     )
 
@@ -510,8 +523,10 @@ SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT)                       AS n_rows,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)     AS n_orders,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                 AS sum_base,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_base,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                           AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc,
        CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_disc,
        100.0 * SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / COUNT(*) AS deep_disc_rate,
        SUM(CAST(l_quantity AS BIGINT)) / COUNT(*)     AS avg_qty
@@ -523,14 +538,29 @@ def q_grouped_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2/A4: the per-strategy grouped multi-agg + derived rate measures
     (daily_function.py:1047-1071). Averages and rates are per-row divisions
     of exact integer/decimal aggregates — partial (map-side) aggregation is
-    native; no engine AVG over money."""
+    native; no engine AVG over money.
+
+    Money sums run as DECIMAL (2dp cast for base price; per-row
+    ROUND(...,4) for the discounted product, which is exactly 4dp as a
+    rational) so they are partial-aggregation-order-free: the raw-double
+    form drifted ~1e-4 between engines over the 2.5M-row groups at
+    sf0.1 — past sum_disc's 4dp rounding boundary — and flipped 3 of 6
+    groups (caught by the r9 sf0.1 oracle sweep; sf0.01 passed on
+    luck). Same idiom as tpch_q10's revenue (tpch.py:495)."""
     li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agged = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("sum_base"),
+        F.round(
+            F.sum(F.round(disc_price, 4).cast("decimal(18,4)")).cast("double"),
+            4,
+        ).alias("sum_disc"),
         F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_deep_disc"),
     )
     return agged.withColumns({
