@@ -316,7 +316,23 @@ def aggregate_strategies(trades: DataFrame, extra_keys: tuple[str, ...] = ()) ->
     ]
     win = F.col("sell_price") > F.col("buy_price")
     lose = F.col("sell_price") < F.col("buy_price")
-    rev_per_day = F.round((F.col("sell_price") - F.col("buy_price")) / F.col("days_held"), 8)
+    # revenue-per-day quantized to 1e-8 by EXACT INTEGER math (r9): the
+    # price diff is exactly 4 decimals, so D = round(diff*1e4) is an
+    # exact int64 and the unit is floor(D*1e4/days + 0.5) — IEEE-safe
+    # (|D*1e4| <= ~1e13, division error < 1e-3 vs >= 1/(2*days) = 8e-3
+    # boundary distance; exact midpoints are dyadic rationals the
+    # division returns exactly, ties rounding toward +inf in every
+    # engine's floor). The previous form rounded the DOUBLE quotient to
+    # 8 decimals — Java BigDecimal(shortest-repr) HALF_UP vs DuckDB's
+    # multiply-based ROUND disagree by one 1e-8 unit on knife-edge
+    # quotients (one trade at sf0.1, symbol 753, flipped the whole
+    # strategy_agg/best_* family; caught by the r9 sf0.1 sweep).
+    rev_diff_units = F.round(
+        (F.col("sell_price") - F.col("buy_price")) * 1e4
+    ).cast("long")
+    rpd_unit = F.floor(
+        rev_diff_units * F.lit(10000) / F.col("days_held") + F.lit(0.5)
+    ).cast("long")
 
     # Scale note: a naive 4x countDistinct here makes Spark expand every
     # trade row 5x before the shuffle (billions of rows at the full 4,860
@@ -354,7 +370,7 @@ def aggregate_strategies(trades: DataFrame, extra_keys: tuple[str, ...] = ()) ->
         # both hash-agg phases in Tungsten codegen (a decimal(38,8)
         # accumulator measured +2.2 s on strategy_agg at sf0.1); the
         # int64 budget is ~9.2e18 vs ~1e17 worst-case unit totals.
-        F.sum(F.round(rev_per_day * 1e8, 0).cast("long")).alias("__sum_rpd"),
+        F.sum(rpd_unit).alias("__sum_rpd"),
         F.sum("days_held").alias("__sum_days"),
         F.sum(F.round(F.col("buy_price") * 1e4, 0).cast("long")).alias("__sum_buy"),
         F.sum(F.round(F.col("sell_price") * 1e2, 0).cast("long")).alias("__sum_sell"),

@@ -226,15 +226,22 @@ def simulate_aggregate_pandas(
                 np.broadcast_to(x_arr, is_m.shape),
                 date_days[abs_pos] - date_days[buy_idx][None, None, None, :],
             )
-            rev_per_day = np.round((sell_price - bp) / days, 8)
-
             # Scale the per-trade money/ratio grids to exact int64 ONCE per
-            # buy threshold (outside the depth loop): buy=4-dec, sell=2-dec,
-            # rev_per_day 8-dec — the np.round only strips <<1 ulp of double
-            # representation error, so these are the exact decimal integers.
+            # buy threshold (outside the depth loop): buy=4-dec, sell=2-dec —
+            # the np.round only strips <<1 ulp of double representation
+            # error, so these are the exact decimal integers.
             bp_units = np.round(bp * 1e4).astype(np.int64)
             sp_units = np.round(sell_price * 1e2).astype(np.int64)
-            rpd_units = np.round(rev_per_day * 1e8).astype(np.int64)
+            # revenue-per-day 1e-8 units by EXACT INTEGER math (r9, same
+            # rule as operators/simulator.py and the oracle): the 4dp
+            # price diff scaled to int64, floor(D*1e4/days + 0.5).
+            # np.round of the double quotient used banker's rounding —
+            # a third tie convention next to Java HALF_UP and DuckDB's
+            # half-away — and knife-edge quotients flipped one unit.
+            d_units = np.round((sell_price - bp) * 1e4).astype(np.int64)
+            rpd_units = np.floor(
+                d_units * 10000 / days + 0.5
+            ).astype(np.int64)
 
             bdays = date_days[buy_idx]
             for label, fsd in depth_bounds:

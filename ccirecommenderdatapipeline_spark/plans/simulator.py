@@ -188,8 +188,11 @@ def _agg_sql(keys: str = "symbol") -> str:
         CAST(COUNT(DISTINCT maturity_date)     AS BIGINT) AS count_maturity_date,
         CAST(SUM(CASE WHEN sell_price > buy_price THEN 1 ELSE 0 END) AS BIGINT) AS count_win,
         CAST(SUM(CASE WHEN sell_price < buy_price THEN 1 ELSE 0 END) AS BIGINT) AS count_lose,
-        CAST(SUM(CAST(ROUND((sell_price - buy_price) / days_held, 8)
-                 AS DECIMAL(38,8))) AS DOUBLE) AS sum_revenue_per_days_held,
+        CAST(SUM(CAST(FLOOR(CAST(ROUND((sell_price - buy_price) * 10000)
+                                 AS BIGINT) * 10000 / days_held + 0.5)
+                      AS DECIMAL(28,0))
+                 * CAST(0.00000001 AS DECIMAL(9,8)))
+             AS DOUBLE) AS sum_revenue_per_days_held,
         CAST(SUM(days_held) AS BIGINT) AS sum_days_held,
         CAST(COUNT(*) AS BIGINT)       AS count_trades,
         CAST(SUM(CAST(buy_price  AS DECIMAL(28,4))) AS DOUBLE) AS total_buy_price,

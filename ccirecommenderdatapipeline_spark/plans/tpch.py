@@ -176,20 +176,33 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unit cost is quantized to EXACT 1e-6 integer units per row BEFORE any
+# MIN (price cents are an exact int64; floor(P*1e4/q + 0.5) is IEEE-safe:
+# |P*1e4| <= ~1e11 so division error < 1e-5 vs >= 1/(2q) = 1e-2 boundary
+# distance, and exact midpoints are dyadic). The previous readout,
+# ROUND(MIN(double_cost), 6), disagreed by one 1e-6 unit between Java's
+# shortest-repr HALF_UP and DuckDB's multiply-based ROUND on knife-edge
+# quotients — 4 parts flipped at sf0.1 (r9 sweep). "Cheapest" now means
+# cheapest at micro-dollar precision, with ties collapsed identically in
+# both engines.
 _MIN_COST_SQL = """
 WITH supply AS (
     SELECT l_partkey, l_suppkey,
-           MIN(l_extendedprice / l_quantity) AS unit_cost
+           MIN(CAST(FLOOR(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * 10000 / l_quantity + 0.5) AS BIGINT))
+               AS unit_cost_units
     FROM lineitem
     WHERE l_quantity > 0
     GROUP BY l_partkey, l_suppkey
 )
 SELECT s.l_partkey                AS p_partkey,
        CAST(MIN(s.l_suppkey) AS BIGINT) AS best_suppkey,
-       ROUND(MIN(s.unit_cost), 6) AS best_unit_cost
+       CAST(MIN(s.unit_cost_units) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+           AS best_unit_cost
 FROM supply s
-WHERE s.unit_cost = (
-    SELECT MIN(s2.unit_cost) FROM supply s2 WHERE s2.l_partkey = s.l_partkey
+WHERE s.unit_cost_units = (
+    SELECT MIN(s2.unit_cost_units) FROM supply s2
+    WHERE s2.l_partkey = s.l_partkey
 )
 GROUP BY s.l_partkey
 """

@@ -138,7 +138,8 @@ WITH snapshot AS (
     FROM lineitem WHERE l_orderkey % 5 = 0
 ), last_change AS (
     SELECT key, op, val FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                     ORDER BY seq DESC, op, val) AS rn
         FROM changes
     ) WHERE rn = 1
 )
@@ -173,7 +174,16 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_linenumber") % 7 == 0, "D").otherwise("U").alias("op"),
         F.round("l_extendedprice", 2).alias("val"),
     )
-    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    # tie-break past seq: the synthetic lineitem carries duplicate
+    # (orderkey, linenumber) pairs (~118k at sf0.1), and two tied
+    # max-seq changes with different payloads made keep-last
+    # engine-arbitrary — 1,131 rows flipped at sf0.1 (r9 sweep; sf0.01
+    # passed only because no tied pair differed in val). (op, val)
+    # completes the total order; fully-identical rows remain
+    # indistinguishable and harmless (SURVEY 4.4 discipline).
+    w = Window.partitionBy("key").orderBy(
+        F.col("seq").desc(), F.asc("op"), F.asc("val")
+    )
     last_change = (
         changes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
