@@ -185,7 +185,8 @@ def q_head_n_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH joined AS (
     SELECT o.o_orderkey, o.o_orderdate, l.l_shipdate, l.l_linenumber, l.l_extendedprice,
            ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
-                              ORDER BY CAST(l.l_shipdate AS DATE), l.l_linenumber) AS rn
+                              ORDER BY CAST(l.l_shipdate AS DATE),
+                                       l.l_linenumber, l.l_extendedprice) AS rn
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
      AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
@@ -210,7 +211,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber", "l_extendedprice",
     )
     j = o.join(li, "o_orderkey").filter(F.col("ship_date") >= F.col("order_date"))
-    w = Window.partitionBy("o_orderkey").orderBy("ship_date", "l_linenumber")
+    # l_extendedprice completes the total order: the synthetic lineitem
+    # carries duplicate (orderkey, linenumber) pairs (see cdc_apply),
+    # so (date, linenumber) alone left first-match engine-arbitrary —
+    # 3 orders flipped at sf0.1 (r9 sweep)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        "ship_date", "l_linenumber", "l_extendedprice"
+    )
     return (
         j.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -1071,7 +1071,8 @@ WITH moves AS (
     FROM lineitem
 ), ordered AS (
     SELECT part,
-           list(delta ORDER BY l_shipdate, l_orderkey, l_linenumber) AS deltas
+           list(delta ORDER BY l_shipdate, l_orderkey, l_linenumber, delta)
+               AS deltas
     FROM moves GROUP BY part
 )
 SELECT part,
@@ -1088,7 +1089,12 @@ def q_inventory_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum decomposition), so no window SUM can express it; it is the
     classic case for the per-key sequential fold (sorted collect_list +
     ``aggregate`` HOF, DuckDB ``list_reduce`` — same association order, see
-    ``ewma_latest``). Integer arithmetic throughout — engine-exact. Scale:
+    ``ewma_latest``). The sort key includes ``delta`` itself on BOTH sides
+    (Spark's array_sort compares the whole struct anyway): the synthetic
+    lineitem has duplicate (orderkey, linenumber) rows with differing
+    quantity (84 at sf0.1), and a clamped fold is order-sensitive when
+    the floor engages between two tied deltas (r9 hardening — latent,
+    never observed). Integer arithmetic throughout — engine-exact. Scale:
     one shuffle on part; each fold's state is one bounded key history, the
     same envelope as the simulator's grouped state."""
     li = load_table(spark, sf_dir, "lineitem")
