@@ -75,3 +75,48 @@ def test_simulator_property_parity(spark, series):
     assert (g["days_held"] == e["days_held"]).all()
     assert (g["sell_date"] == e["sell_date"]).all()
     assert (g["sell_price"] - e["sell_price"]).abs().max() < 1e-6
+
+
+@given(
+    cents=st.integers(min_value=-10_000_000, max_value=10_000_000),
+    days=st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=500, deadline=None)
+def test_rpd_unit_rule_matches_exact_rational_half_up(cents, days):
+    """The r9 revenue-per-day quantization — floor(D*1e4/days + 0.5) on
+    the exact 4dp-diff integer D — must equal true round-half-up (ties
+    toward +inf) of the rational D*1e4/days, for every representable
+    input. This pins the exact-integer rule all three engines share
+    (operators/simulator.py, simulator_pandas.py, the DuckDB oracle)
+    against Fraction arithmetic, INCLUDING the knife-edge midpoints that
+    made the previous ROUND(double, 8) form engine-divergent (one such
+    trade at sf0.1 flipped six strategy_agg rows, r9 sweep)."""
+    import math
+    from fractions import Fraction
+
+    # D in 1e-4 price units; cents/100 keeps the magnitude realistic
+    D = cents * 100  # exact int64, |D*1e4| <= 1e13 (the IEEE-safety bound)
+    got = math.floor(D * 10000 / days + 0.5)          # the engines' rule
+    exact = Fraction(D * 10000, days)
+    want = math.floor(exact + Fraction(1, 2))          # true half-up (+inf ties)
+    assert got == want, (D, days, got, want)
+
+
+@given(
+    cents=st.integers(min_value=-10_000_000, max_value=10_000_000),
+    days=st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_rpd_unit_rule_numpy_path_agrees(cents, days):
+    """The fused Arrow kernel's vectorized form of the same rule
+    (np.floor over float64) must agree with the scalar rule — the IEEE
+    safety argument (division error << 1/(2*days) boundary distance,
+    exact dyadic midpoints) holds for numpy's element-wise ops too."""
+    import math
+
+    import numpy as np
+
+    D = np.int64(cents * 100)
+    got = np.floor(D * 10000 / np.int64(days) + 0.5).astype(np.int64)
+    want = math.floor(int(D) * 10000 / days + 0.5)
+    assert int(got) == want
