@@ -3,6 +3,11 @@ and its DuckDB oracle side by side, compare row count, schema (column-name
 set) and an order-insensitive value multiset.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Note for whole-registry sweeps at sf0.1+: a single 300+-query session can
+die mid-run from accumulated JVM state (observed twice in r9 around query
+~75 and ~280 despite per-query clearCache); chunk the name list across a
+few invocations when sweeping large SFs.
 """
 
 from __future__ import annotations
