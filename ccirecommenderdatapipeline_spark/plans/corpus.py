@@ -2233,8 +2233,8 @@ COOC_WEIGHTS = {1: "1.000000", 2: "0.500000", 3: "0.333333",
       ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + {COOC_W}
 )
 SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       SUM(CAST(CASE d {' '.join(f"WHEN {d} THEN '{w}'" for d, w in COOC_WEIGHTS.items())}
-           END AS DECIMAL(7,6))) AS w_sum
+       CAST(SUM(CAST(CASE d {' '.join(f"WHEN {d} THEN '{w}'" for d, w in COOC_WEIGHTS.items())}
+           END AS DECIMAL(7,6))) AS DOUBLE) AS w_sum
 FROM pairs GROUP BY 1, 2
 """,
 )
@@ -2284,7 +2284,12 @@ def q_cooccurrence_window_weighted(spark: SparkSession, sf_dir: str) -> DataFram
     )[F.col("d")]
     return pairs.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.sum(weight).alias("w_sum"),
+        # the SUM itself is an exact decimal fold (combine-order free);
+        # only the READOUT is flattened to double — Spark decimal(17,6)
+        # vs DuckDB DECIMAL(38,6) hash apart in the driver (r9 verdict
+        # item 1), while the <=15-sig-digit decimal converts to the
+        # identical nearest double in both engines
+        F.sum(weight).cast("double").alias("w_sum"),
     )
 
 

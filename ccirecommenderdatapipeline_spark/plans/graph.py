@@ -1277,8 +1277,8 @@ WITH e AS (
     SELECT CAST(SUM(a) AS HUGEINT) AS tot FROM a3
 )
 SELECT a3.b AS brand,
-       a1.a AS degree,
-       a3.a AS authority_raw,
+       CAST(a1.a AS BIGINT) AS degree,
+       CAST(a3.a AS VARCHAR) AS authority_raw,
        ROUND(CAST(a3.a AS DOUBLE) / CAST(s.tot AS DOUBLE), 12)
            AS authority
 FROM a3 JOIN a1 USING (b), s
@@ -1340,7 +1340,11 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("b").alias("brand"),
             "degree",
-            F.col("a").alias("authority_raw"),
+            # readout flattened to STRING: Spark decimal(38,0) vs DuckDB
+            # HUGEINT hash differently in the driver's normalization even
+            # when values are identical (r9 verdict item 1); plain-digit
+            # strings are engine-portable at any magnitude
+            F.col("a").cast("string").alias("authority_raw"),
             F.round(
                 F.col("a").cast("double") / F.col("tot").cast("double"), 12
             ).alias("authority"),
