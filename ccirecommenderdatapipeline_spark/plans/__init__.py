@@ -31,65 +31,65 @@ from . import training  # noqa: E402,F401
 from . import recommender  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only. Round-9 priority window — the
-# r8 verdict's item 1, verbatim: pay down the 54-name driver-verdict
-# debt (new-op volume is deliberately paused this round so the
-# rotation finally catches the tail):
-# (a) the 16 round-8 ops registered past the r8 window (locally
-#     oracle-verified in r8, independently re-verified by the r8
-#     judge; never driver-verified);
+# the FIRST 50 registered queries only. Round-10 priority window — the
+# r9 verdict's items 1, 2 and 5, in order:
+# (a) the 3 r9 hash-mismatch ops, re-verified after their decimal
+#     readout columns were flattened to portable primitives (r9 verdict
+#     item 1) — these MUST head the window so the fix gets a verdict;
 # (b) NEW ops added this round (first verdicts out-rank re-checks) —
-#     kept small on purpose; each addition displaces one (d) name;
-# (c) the 20 r1-era names displaced across r5-r8 rotations (every one
-#     r1-green, plan unchanged since, local-gate green every round);
-# (d) backfill with the next-oldest driver verdicts (remaining
-#     round-1 rows), trimmed so the window is exactly 50.
+#     each addition displaces one (f) tail name, never (a)/(c)/(d);
+# (c) the 5 names still carrying round-1 driver verdicts — the last of
+#     the rotation debt tracked since r5 (r9 verdict item 2); after
+#     this window every registered name has a post-r1 verdict;
+# (d) names whose PLAN changed in the r9 determinism commits
+#     (47d27d8/62eccc4) after their last driver verdict — the verdict
+#     must catch up to the plan (r9 verdict item 5's freshness rule);
+# (e) all 29 names whose latest driver verdict is round-2 era;
+# (f) tail: the oldest round-3-era verdicts, TPC-H and streaming
+#     families first, trimmed so the window is exactly 50.
 _PRIORITY = [
-    # (a) round-8 additions never driver-verified
-    "roc_auc_eval", "jaccard_prefix_filter_join",
-    "phrase_search_positions", "oov_rate_eval",
-    "hits_hubs_authorities", "theil_sen_slope",
-    "cooccurrence_window_weighted",
-    "bloom_semi_join_pushdown", "char_entropy_quality",
-    "markov_attribution",
-    "join_cardinality_estimate", "gbdt_boost_round",
-    "ks_test", "rank_biased_overlap",
-    "ohlc_resample_weekly", "sharpe_sortino_daily",
+    # (a) r9 hash-red trio, readouts flattened this round
+    "hits_hubs_authorities", "cooccurrence_window_weighted",
+    "char_entropy_quality",
 ]
 
 # (b) new this round — appended as each op lands so it claims a window
-# slot from the (d) backfill, never from (a)/(c).
-_NEW_THIS_ROUND: list[str] = [
-    "stream_psi_drift",
-]
+# slot from the (f) tail, never from (a)/(c)/(d)/(e).
+_NEW_THIS_ROUND: list[str] = []
 
 _PRIORITY += _NEW_THIS_ROUND
 
 _PRIORITY += [
-    # (c) displaced r1-era names (oldest driver verdicts in the registry)
-    "prices", "cci", "buy_signals", "anti_join", "semi_join",
-    "update_join", "cross_grid", "quantile_disc", "regex_json_extract",
-    "json_get_k", "cast_battery", "date_arith", "scalar_minmax",
-    "lookup_join", "filter_conjunctive", "when_otherwise",
-    "coalesce_bfill", "signal_counts", "latest_cci", "proj_rename",
-]
-
-# (d) the 18 _BACKFILL names (displaced from the r8 window by that
-# round's (b) additions); 50 - 16(a) - len(b) - 20(c) of them fit.
-# NOTE (round-9 open): with (b) empty, the first 14 fit (through
-# `top1_per_group`); the last 4 (`trading_calendar`, `union_dedup`,
-# `upsert_keep_last`, `window_lag_running`) roll to round 10 — after
-# which every registered name has a driver verdict under its current
-# plan, closing the rotation debt tracked since r5.
-_BACKFILL = [
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "doc_fingerprints", "grouped_multi_agg", "lang_id",
-    "order_reconciliation", "rollup_counts", "simhash_groups",
-    "sort_limit", "star_join_revenue", "symbol_universe", "text_stats",
+    # (c) the last 5 r1-era names (r9 verdict item 2)
     "top1_per_group", "trading_calendar", "union_dedup",
     "upsert_keep_last", "window_lag_running",
+    # (d) plan changed in r9 after last verdict (r3/r4/r6 verdicts)
+    "min_cost_supplier", "cdc_apply", "inventory_clamped",
+    # (e) the 29 r2-era names (complete list, oldest verdicts left)
+    "asof_join", "broker_balances", "broker_position_pnl",
+    "checkpoint_roundtrip", "coerce_battery", "cube_counts",
+    "dedup_clusters", "dedup_corpus", "embedding_dedup_cosine",
+    "embedding_dedup_lsh", "head_n_per_type", "incremental_merge",
+    "intersect_keys", "knn_brute_force", "latest_partition",
+    "media_catalog", "pivot_status_priority", "rank_battery",
+    "relative_date_window", "salted_agg", "sample_bernoulli",
+    "sample_stratified", "scalar_roundtrips", "sell_decisions",
+    "strategy_agg", "string_battery", "train_test_split",
+    "union_missing_columns", "window_range_frame",
 ]
-_PRIORITY += _BACKFILL[: max(0, 50 - len(_PRIORITY))]
+
+# (f) round-3-era tail: with (b) empty, 13 slots remain and the first
+# 13 below fit (through `stream_stream_join`); each (b) addition rolls
+# one tail name (last first) to round 11. The remaining r3-era names
+# (~34 more) are the round-11 backfill pool.
+_TAIL_R3 = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
+    "stream_tumbling_agg", "stream_dedup_watermark",
+    "stream_stateful_counts", "stream_stream_join",
+    "session_windows", "scd2_dimension", "interval_join_attribution",
+    "sliding_window_agg",
+]
+_PRIORITY += _TAIL_R3[: max(0, 50 - len(_PRIORITY))]
 # the window is EXACTLY 50 (tests/test_pipeline.py pins it) — trim
 # explicitly so nothing is dropped silently; the cut names are
 # enumerated in the NOTE above.
