@@ -2,17 +2,23 @@
 and its DuckDB oracle side by side, compare row count, schema (column-name
 set) and an order-insensitive value multiset.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [--chunk N] [query ...]
 
-Note for whole-registry sweeps at sf0.1+: a single 300+-query session can
-die mid-run from accumulated JVM state (observed twice in r9 around query
-~75 and ~280 despite per-query clearCache); chunk the name list across a
-few invocations when sweeping large SFs.
+Whole-registry sweeps at sf0.1+: a single 300+-query session can die
+mid-run from accumulated JVM state (observed twice in r9 around query
+~75 and ~280 despite per-query clearCache — codegen/class caches live in
+the JVM, so an in-process SparkSession restart does not shed them).
+``--chunk N`` makes the sweep one reproducible command: the parent
+re-invokes this script as a SUBPROCESS per N-query slice, so every chunk
+gets a fresh JVM; output streams through and the exit code is the OR of
+the chunks. ``--chunk 60`` completes the full dual-SF sweep that used to
+be a manual ritual.
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 from collections import Counter
 
@@ -46,9 +52,34 @@ def df_multiset(cols, rows):
     return Counter(tuple(normalize(r[i]) for i in order) for r in rows)
 
 
+def run_chunked(sf_dir: str, names: list[str], chunk: int) -> int:
+    """Sweep ``names`` in fresh-JVM slices of ``chunk`` queries each."""
+    rc = 0
+    for i in range(0, len(names), chunk):
+        part = names[i : i + chunk]
+        print(
+            f"--- chunk {i // chunk + 1}/{(len(names) + chunk - 1) // chunk}"
+            f" ({len(part)} queries) ---",
+            flush=True,
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, *part]
+        )
+        rc |= r.returncode
+    return rc
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(plans.QUERIES)
+    argv = sys.argv[1:]
+    chunk = 0
+    if "--chunk" in argv:
+        i = argv.index("--chunk")
+        chunk = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or list(plans.QUERIES)
+    if chunk:
+        return run_chunked(sf_dir, names, chunk)
     spark = get_spark("check-oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
