@@ -1,0 +1,106 @@
+"""The fold-staging rule as a structural check (VERDICT r9 item 3).
+
+Round 9's costliest perf bug was a fold referenced INSIDE a HOF lambda:
+the interpreted HOF re-runs the fold once per element and per output
+column (n^2 per row) — bollinger_bands went 27.4 s -> 4.7 s once the
+window list and mean were staged as projection columns (commit a9dc780).
+``tools/audit_plans._nested_folds_in_lambda`` now flags the shape on the
+OPTIMIZED plan, which is the only honest place to look: Catalyst's
+CollapseProject re-inlines a naively-staged fold when its column is
+referenced exactly once, silently recreating the n^2 form — staging only
+survives when the staged column has multiple downstream references (the
+cci/bollinger idiom, where the MAD's inner mean IS the SMA output
+column).
+"""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+from audit_plans import _nested_folds_in_lambda  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_detector_fires_on_planted_regression(spark):
+    """The exact shape that regressed: a per-element lambda re-running a
+    fold over the lambda's own input array."""
+    df = spark.range(8).select(
+        F.array(F.col("id"), F.col("id") + 1, F.col("id") + 2).alias("a")
+    )
+    bad = df.select(
+        F.transform(
+            "a",
+            lambda x: x
+            - F.aggregate(
+                "a", F.lit(0).cast("bigint"), lambda acc, y: acc + y
+            ),
+        ).alias("centered")
+    )
+    assert _nested_folds_in_lambda(_plan(bad)), (
+        "detector must flag a fold inside a HOF lambda"
+    )
+
+
+def test_collapse_project_reinlines_single_use_staging(spark):
+    """Document WHY the check runs on the optimized plan: withColumn
+    staging with a single downstream reference is undone by
+    CollapseProject, so the n^2 shape comes back after optimization."""
+    df = spark.range(8).select(
+        F.array(F.col("id"), F.col("id") + 1, F.col("id") + 2).alias("a")
+    )
+    naive = df.withColumn(
+        "s", F.aggregate("a", F.lit(0).cast("bigint"), lambda a_, y: a_ + y)
+    ).select(F.transform("a", lambda x: x - F.col("s")).alias("centered"))
+    assert _nested_folds_in_lambda(_plan(naive)), (
+        "single-reference staging should collapse back to the flagged "
+        "shape — if this stops failing, CollapseProject got smarter and "
+        "the docstring above needs a rewrite"
+    )
+
+
+def test_multi_reference_staging_survives(spark):
+    """The sanctioned idiom: the staged fold column is referenced by more
+    than one output, so CollapseProject keeps the projection barrier and
+    the lambda references a plain attribute."""
+    df = spark.range(8).select(
+        F.array(F.col("id"), F.col("id") + 1, F.col("id") + 2).alias("a")
+    )
+    staged = df.withColumn(
+        "s", F.aggregate("a", F.lit(0).cast("bigint"), lambda a_, y: a_ + y)
+    ).select(
+        "s",
+        F.transform("a", lambda x: x - F.col("s")).alias("centered"),
+    )
+    assert not _nested_folds_in_lambda(_plan(staged))
+
+
+def test_registry_hot_paths_are_staged(spark):
+    """The two queries the r9 fix targeted stay clean (the full-registry
+    sweep runs in tools/audit_plans.py each round)."""
+    from ccirecommenderdatapipeline_spark import plans
+
+    for name in ("cci", "bollinger_bands"):
+        txt = _plan(plans.QUERIES[name](spark, SF_SMALL))
+        assert not _nested_folds_in_lambda(txt), name
+
+
+def test_truncated_filescan_lines_do_not_false_positive():
+    """FileScan's DataFilters argument is length-truncated (unbalanced
+    parens); the scanner must skip such lines instead of swallowing the
+    rest of the plan into a phantom lambda body."""
+    txt = (
+        "+- FileScan parquet [text#1] DataFilters: [(size(filter(split(x, "
+        "lambdafunction(NOT (lambda x_1#6 = \n"
+        "+- Filter (aggregate(a#1, 0, lambdafunction((lambda x + lambda y),"
+        " lambda x, lambda y, false)) > 0)\n"
+    )
+    assert _nested_folds_in_lambda(txt) == []

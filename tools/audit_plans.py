@@ -18,6 +18,13 @@ is a broadcast of a literal/aggregate-sized grid (strategy combos, probe
 grids, scalar counts) — the pattern the simulator mandates — but it is
 COUNTED so a new corpus-sized one shows up in review.
 
+Nested folds: a HOF lambda whose body contains another ``aggregate(`` /
+``reduce(`` re-runs that fold per ELEMENT (interpreted HOFs have no
+common-subexpression elimination across lambda invocations) — n-squared
+per row and per output column; the shape that cost ``bollinger_bands``
+27.4 s before fold staging (r9, commit a9dc780). Flagged unless the query
+is in ``NESTED_FOLD_OK`` with a justification.
+
 Unpartitioned windows: ``Window.orderBy`` without partitioning serializes
 its input into one task — a scale-killer UNLESS the input is a bounded
 aggregate. Bounded uses must go through ``operators.windows.bounded_window``
@@ -42,6 +49,12 @@ from ccirecommenderdatapipeline_spark.session import get_spark
 
 FLAGS = ("CartesianProduct", "BatchEvalPython")
 COUNTED = ("BroadcastNestedLoopJoin", "SortMergeJoin")
+
+# Queries allowed to keep a fold inside a HOF lambda (see
+# _nested_folds_in_lambda). Every entry needs a one-line justification —
+# the only acceptable one is an inner fold over a DIFFERENT, strictly
+# smaller array (nested-array data), never the lambda's own input.
+NESTED_FOLD_OK: dict[str, str] = {}
 
 
 def _is_streaming_wrapped(name: str) -> bool:
@@ -92,6 +105,9 @@ def main(sf_dir: str, run_streaming: bool) -> int:
                 flagged.append((name, f))
         if _has_unpartitioned_window(txt) and name not in BOUNDED_WINDOW_QUERIES:
             flagged.append((name, "unpartitioned Window (not bounded_window)"))
+        if name not in NESTED_FOLD_OK:
+            for snip in _nested_folds_in_lambda(txt):
+                flagged.append((name, f"fold inside HOF lambda (n^2): ...{snip}..."))
         for c in COUNTED:
             counts[c] += 1 if c in txt else 0
     print(f"audited {audited}/{len(plans.QUERIES)} plans")
@@ -110,7 +126,8 @@ def main(sf_dir: str, run_streaming: bool) -> int:
         return 1
     print(
         "no CartesianProduct, no row-at-a-time Python eval, "
-        "no unregistered unpartitioned windows — clean"
+        "no unregistered unpartitioned windows, no folds inside HOF "
+        "lambdas — clean"
     )
     return 0
 
@@ -136,6 +153,55 @@ def _top_level_bracket_groups(s: str) -> list[str]:
         elif depth > 0:
             buf.append(ch)
     return groups
+
+
+def _nested_folds_in_lambda(plan_txt: str) -> list[str]:
+    """Return a snippet per higher-order-function lambda whose BODY contains
+    another fold (``aggregate(``/``reduce(``) — the n-squared shape that
+    burned ``bollinger_bands`` (27.4 s -> 4.7 s once staged) and the CCI
+    rolling MAD in round 9 (commit a9dc780): an interpreted HOF re-runs the
+    inner fold once PER ELEMENT and per output column. The fix is always the
+    same — stage the fold as its own projection column so it evaluates once
+    — so any occurrence is either a regression or belongs in
+    ``NESTED_FOLD_OK`` with a one-line justification.
+
+    Mechanics: in executed-plan text a HOF lambda renders as
+    ``lambdafunction(<body>, lambda args..., false)``; a fold nested in the
+    body renders literally as ``aggregate(`` inside those balanced parens
+    (verified against Spark 4.1 output). The NORMAL form —
+    ``aggregate(arr, init, lambdafunction(...))`` — puts lambdafunction
+    inside aggregate, never the reverse. Scanning is PER LINE: each plan
+    node renders on one line, and ``FileScan``'s DataFilters argument is
+    length-TRUNCATED (unbalanced parens), so a lambda that never closes on
+    its own line is a truncated rendering to skip — the full expression
+    always also appears on the untruncated Filter/Project node line."""
+    hits: list[str] = []
+    for line in plan_txt.splitlines():
+        i = 0
+        while True:
+            i = line.find("lambdafunction(", i)
+            if i < 0:
+                break
+            j = i + len("lambdafunction(")
+            depth = 1
+            while j < len(line) and depth:
+                if line[j] == "(":
+                    depth += 1
+                elif line[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:  # truncated rendering — unjudgeable, skip the line
+                break
+            body = line[i + len("lambdafunction(") : j - 1]
+            for fold in ("aggregate(", "reduce("):
+                k = body.find(fold)
+                if k >= 0:
+                    hits.append(body[max(0, k - 40) : k + 60])
+                    break
+            # resume AFTER this lambda's body so the nested aggregate's own
+            # (legitimate) merge/finish lambdas are not re-reported
+            i = j
+    return hits
 
 
 def _has_unpartitioned_window(plan_txt: str) -> bool:
