@@ -55,7 +55,9 @@ _PRIORITY = [
 
 # (b) new this round — appended as each op lands so it claims a window
 # slot from the (f) tail, never from (a)/(c)/(d)/(e).
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "stream_ks_drift",
+]
 
 _PRIORITY += _NEW_THIS_ROUND
 

@@ -639,6 +639,8 @@ PSI_BINS = 10
 PSI_SPLIT_DAY = 15     # slice boundary: day-of-month <= 15 vs > 15
 PSI_LN_DP = 9          # per-bin ln() rounding (libm 1-ulp guard, KL idiom)
 PSI_C_DP = 12          # per-bin contribution rounding before the decimal sum
+KS_BINS = 20           # binned-KS drift gate: finer than PSI (ECDF sup needs
+                       # resolution; PSI's +1 smoothing prefers fat bins)
 
 
 @query(

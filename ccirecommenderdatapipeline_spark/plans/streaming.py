@@ -528,6 +528,74 @@ FROM terms GROUP BY 1, 2, 3
 """
 
 
+from .events import KS_BINS  # noqa: E402
+
+# Streaming binned-KS oracle: identical frozen-edge binning to the PSI
+# oracle (KS_BINS bins), then the per-type ECDF-gap sup over cumulative
+# bin counts. No transcendental and no rounding: every quotient is one
+# correctly-rounded IEEE division on exact longs and abs/max are exact,
+# so the double readout is engine-identical without a quantization rule.
+STREAM_KS_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type, value,
+           CAST(EXTRACT(day FROM ts) <= {PSI_SPLIT_DAY} AS INTEGER) AS is_base
+    FROM events
+), rng AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+    FROM ev WHERE is_base = 1 GROUP BY 1
+), binned AS (
+    SELECT e.event_type, e.is_base,
+           CASE WHEN r.hi = r.lo THEN 0
+                ELSE LEAST(GREATEST(
+                        CAST(FLOOR((e.value - r.lo) / (r.hi - r.lo)
+                                   * {KS_BINS}) AS BIGINT),
+                        0), {KS_BINS - 1})
+           END AS bin
+    FROM ev e JOIN rng r ON r.event_type = e.event_type
+), counts AS (
+    SELECT event_type, bin,
+           CAST(COUNT(*) FILTER (WHERE is_base = 1) AS BIGINT) AS c_b,
+           CAST(COUNT(*) FILTER (WHERE is_base = 0) AS BIGINT) AS c_c
+    FROM binned GROUP BY 1, 2
+), grid AS (
+    SELECT t.event_type, b.bin,
+           COALESCE(c.c_b, 0) AS c_b, COALESCE(c.c_c, 0) AS c_c
+    FROM (SELECT DISTINCT event_type FROM rng) t
+    CROSS JOIN (SELECT unnest(range({KS_BINS})) AS bin) b
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = b.bin
+), tots AS (
+    SELECT event_type, CAST(SUM(c_b) AS BIGINT) AS n_b,
+           CAST(SUM(c_c) AS BIGINT) AS n_c
+    FROM grid GROUP BY 1
+), cum AS (
+    SELECT event_type, bin,
+           SUM(c_b) OVER (PARTITION BY event_type ORDER BY bin) AS c_b_cum,
+           SUM(c_c) OVER (PARTITION BY event_type ORDER BY bin) AS c_c_cum
+    FROM grid
+)
+SELECT c.event_type, t.n_b AS n_base, t.n_c AS n_current,
+       MAX(CASE WHEN t.n_c > 0 THEN
+               ABS(CAST(c.c_b_cum AS DOUBLE) / t.n_b
+                   - CAST(c.c_c_cum AS DOUBLE) / t.n_c)
+           END) AS ks
+FROM cum c JOIN tots t USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_ks_drift", oracle=STREAM_KS_ORACLE)
+def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming binned two-sample KS drift gate: frozen bin edges +
+    reference histogram from the base slice, serving traffic additively
+    merged per micro-batch into the shared (type, bin) view, readout =
+    per-type sup of the binned ECDF gap (see
+    streaming/jobs.py:stream_ks_drift). Completes the drift-gate pair
+    with ``stream_psi_drift``."""
+    from ..streaming.jobs import stream_ks_drift
+
+    return stream_ks_drift(spark, sf_dir)
+
+
 @query("stream_psi_drift", oracle=STREAM_PSI_ORACLE)
 def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PSI drift gate: reference histogram + bin edges frozen

@@ -1368,37 +1368,21 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index drift gate maintained OVER A STREAM —
-    the streaming twin of the batch ``psi_feature_drift`` (the r8 stats
-    family's first streaming member; drift gates ARE the streaming use
-    case for these tests). Train-time setup freezes the reference: bin
-    edges = the BASE slice's (day <= PSI_SPLIT_DAY) per-type min/max,
-    and the reference histogram is materialized once. Serving traffic
-    (the stream, day > PSI_SPLIT_DAY) is binned against the FROZEN
-    edges per micro-batch (out-of-range values clamp into the edge
-    bins, the standard serving-skew behavior a frozen-edge monitor must
-    define) and the per-(type, bin) counts ADDITIVELY merge with the
-    previous view version — the ``stream_ivm_aggregate`` pattern:
-    O(|delta| + |types| x bins) per batch, never rescanning history,
-    and the view is a queryable drift dashboard at every version.
-
-    Replay safety: version v{b} is a deterministic function of v{b-1}
-    and batch b's rows (counts are a commutative monoid), so an
-    at-least-once redelivery overwrites the same bytes — the IVM
-    idempotence argument, not a dedup log.
-
-    Determinism (the KL idiom, shared with the batch op): edges are
-    min/max doubles; bins are a fixed IEEE tree + clamp (identical in
-    DuckDB); the one transcendental is rounded PSI_LN_DP dp per bin,
-    contributions PSI_C_DP dp, and the per-type sum runs as DECIMAL.
-
-    100-TB shape: each batch shuffles only (type, bin) partials
-    (map-combinable, bounded key space); the readout runs on the
-    |types| x PSI_BINS grid. Citing daily_function.py:343-1932 scope:
-    the reference engine has no streaming surface at all — this is the
-    Spark-native extension of its drift-monitoring family."""
-    from ..plans.events import PSI_BINS, PSI_C_DP, PSI_LN_DP, PSI_SPLIT_DAY
+def _frozen_edge_stream_hist(
+    spark: SparkSession, sf_dir: str, n_bins: int, tag: str
+) -> DataFrame:
+    """Shared train/serve machinery for frozen-edge streaming drift gates
+    (``stream_psi_drift``, ``stream_ks_drift``): freeze per-type
+    ``[lo, hi]`` edges and the reference histogram from the BASE slice
+    (day <= PSI_SPLIT_DAY) at train time, stream the serving slice
+    through an additively-merged versioned (type, bin) count view (the
+    ``stream_ivm_aggregate`` pattern — O(|delta| + |types| x bins) per
+    batch, replay-idempotent because counts are a commutative monoid),
+    and return the zero-filled |types| x n_bins grid with base/current
+    counts ``(event_type, bin, c_b, c_c)``. Out-of-range serving values
+    clamp into the edge bins — the standard serving-skew behavior a
+    frozen-edge monitor must define."""
+    from ..plans.events import PSI_SPLIT_DAY
 
     staged = stage_events_dir(spark, sf_dir)
     ref_all = spark.read.parquet(staged).select(
@@ -1414,11 +1398,11 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = F.floor(
             (F.col("value") - F.col("lo"))
             / (F.col("hi") - F.col("lo"))
-            * PSI_BINS
+            * n_bins
         ).cast("long")
         clamped = F.least(
             F.greatest(raw, F.lit(0).cast("long")),
-            F.lit(PSI_BINS - 1).cast("long"),
+            F.lit(n_bins - 1).cast("long"),
         )
         return F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
             clamped
@@ -1433,7 +1417,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     run_id = uuid.uuid4().hex[:10]
-    view_root = os.path.join(STAGE_ROOT, f"psi_view_{run_id}")
+    view_root = os.path.join(STAGE_ROOT, f"{tag}_view_{run_id}")
     ref_hist = hist(base).select(
         "event_type", "bin", F.col("c").alias("c_b")
     )
@@ -1469,7 +1453,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join(STAGE_ROOT, "ckpt", f"psi_{run_id}"),
+            os.path.join(STAGE_ROOT, "ckpt", f"{tag}_{run_id}"),
         )
         .start()
     )
@@ -1484,11 +1468,11 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(view_root, f"v{max(versions)}")
     )
 
-    grid = (
+    return (
         edges.select("event_type")
         .crossJoin(
             F.broadcast(
-                spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+                spark.range(n_bins).select(F.col("id").cast("long").alias("bin"))
             )
         )
         .join(ref_hist, ["event_type", "bin"], "left")
@@ -1500,6 +1484,101 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c_c"), F.lit(0).cast("long")).alias("c_c"),
         )
     )
+
+
+def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift gate OVER A STREAM —
+    ``stream_psi_drift``'s distribution-shape sibling (PSI weights mass
+    ratios; KS reads the worst-case ECDF gap), completing the drift-gate
+    pair a serving monitor runs side by side. Train-time setup freezes
+    per-type bin edges and the reference histogram from the base slice;
+    serving traffic streams through the shared additive (type, bin)
+    count view; the readout is the BINNED KS statistic
+    ``max_bin |cumsum(c_b)/n_b - cumsum(c_c)/n_c|`` over KS_BINS frozen
+    bins (a lower bound of the exact KS — the streaming-honest variant:
+    exact two-sample KS needs the full serving ECDF, which no bounded-
+    state monitor can hold; the batch ``ks_test`` covers the exact
+    form).
+
+    Determinism: counts are exact longs; each quotient is one correctly-
+    rounded IEEE division, the difference/abs/max are exact IEEE ops in
+    a fixed expression tree — identical in Spark and DuckDB, so the ks
+    readout needs NO rounding (no transcendental anywhere, unlike PSI's
+    ln). Types with no serving rows read NULL ks (CASE-guarded on both
+    engines) rather than 0/0.
+
+    100-TB shape: inherits the helper's per-batch O(|delta| + |types| x
+    KS_BINS) cost; the readout's cumulative window is partitioned per
+    type over exactly KS_BINS rows."""
+    from pyspark.sql import Window
+
+    from ..plans.events import KS_BINS
+
+    grid = _frozen_edge_stream_hist(spark, sf_dir, KS_BINS, "ks")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "event_type",
+        F.sum("c_b").over(w).alias("c_b_cum"),
+        F.sum("c_c").over(w).alias("c_c_cum"),
+    )
+    tots = grid.groupBy("event_type").agg(
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.sum("c_c").cast("long").alias("n_c"),
+    )
+    gap = F.abs(
+        F.col("c_b_cum").cast("double") / F.col("n_b")
+        - F.col("c_c_cum").cast("double") / F.col("n_c")
+    )
+    diffs = cum.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        "n_b",
+        "n_c",
+        F.when(F.col("n_c") > 0, gap).alias("gap"),
+    )
+    return diffs.groupBy(
+        F.col("event_type"),
+        F.col("n_b").alias("n_base"),
+        F.col("n_c").alias("n_current"),
+    ).agg(F.max("gap").alias("ks"))
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift gate maintained OVER A STREAM —
+    the streaming twin of the batch ``psi_feature_drift`` (the r8 stats
+    family's first streaming member; drift gates ARE the streaming use
+    case for these tests). Train-time setup freezes the reference: bin
+    edges = the BASE slice's (day <= PSI_SPLIT_DAY) per-type min/max,
+    and the reference histogram is materialized once. Serving traffic
+    (the stream, day > PSI_SPLIT_DAY) is binned against the FROZEN
+    edges per micro-batch (out-of-range values clamp into the edge
+    bins, the standard serving-skew behavior a frozen-edge monitor must
+    define) and the per-(type, bin) counts ADDITIVELY merge with the
+    previous view version — the ``stream_ivm_aggregate`` pattern:
+    O(|delta| + |types| x bins) per batch, never rescanning history,
+    and the view is a queryable drift dashboard at every version.
+
+    Replay safety: version v{b} is a deterministic function of v{b-1}
+    and batch b's rows (counts are a commutative monoid), so an
+    at-least-once redelivery overwrites the same bytes — the IVM
+    idempotence argument, not a dedup log.
+
+    Determinism (the KL idiom, shared with the batch op): edges are
+    min/max doubles; bins are a fixed IEEE tree + clamp (identical in
+    DuckDB); the one transcendental is rounded PSI_LN_DP dp per bin,
+    contributions PSI_C_DP dp, and the per-type sum runs as DECIMAL.
+
+    100-TB shape: each batch shuffles only (type, bin) partials
+    (map-combinable, bounded key space); the readout runs on the
+    |types| x PSI_BINS grid. Citing daily_function.py:343-1932 scope:
+    the reference engine has no streaming surface at all — this is the
+    Spark-native extension of its drift-monitoring family."""
+    from ..plans.events import PSI_BINS, PSI_C_DP, PSI_LN_DP
+
+    grid = _frozen_edge_stream_hist(spark, sf_dir, PSI_BINS, "psi")
     tots = grid.groupBy("event_type").agg(
         F.sum("c_b").cast("long").alias("n_b"),
         F.sum("c_c").cast("long").alias("n_c"),
