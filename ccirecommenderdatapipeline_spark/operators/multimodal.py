@@ -3,10 +3,12 @@
 Media lives in DataFrames as an opaque ``binary`` payload column plus a
 typed metadata struct; decode / feature-extract / frame-sample run as
 Arrow-batched ``mapInPandas`` stages. The container ships no image/audio
-codecs, so the REAL decode path is a clearly-marked stub
-(``decode_image_real`` raises NotImplementedError); everything around it —
-schemas, partitioning, UDF signatures, multi-row batch shapes, deterministic
-fake features — is real and tested.
+codec LIBRARIES, so ``decode_image_real`` tries PIL first and falls back
+to pure-Python BMP/PPM decoders (the codec-less interchange formats);
+unrecognized magics raise ``ValueError`` — a data error, not a stub.
+Schemas, partitioning, UDF signatures, multi-row batch shapes, and the
+deterministic fake features used by the oracle-checked queries are all
+real and tested.
 
 Scale notes (100 TB of media): payloads never pass through Python row-wise —
 mapInPandas moves Arrow record batches; ``repartition(media_id)`` bounds the
@@ -56,13 +58,132 @@ FRAMES_SCHEMA = T.StructType([
 ])
 
 
-def decode_image_real(payload: bytes) -> object:
-    """STUB — the container has no image codec (no PIL/opencv). On a real
-    cluster this would decode to an ndarray; the Spark-side plumbing around
-    it is identical either way."""
-    raise NotImplementedError(
-        "image codec not available in this environment; use fake_features()"
+def decode_image_real(payload: bytes) -> dict:
+    """Decode an image payload to raw top-down row-major RGB bytes.
+
+    Tries PIL first (absent in this container, present on a real
+    cluster); otherwise pure-Python decoders cover the codec-less
+    fixture formats: BMP (24-bit uncompressed BI_RGB — the plain
+    interchange subset) and PPM (P6 binary / P3 ASCII). Returns
+    ``{"width", "height", "mode": "RGB", "pixels": bytes}`` so the
+    mapInPandas stages downstream see one shape regardless of which
+    decoder ran. Raises ``ValueError`` on an unrecognized magic — a
+    data error, no longer a missing-capability stub."""
+    try:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return {
+            "width": img.width,
+            "height": img.height,
+            "mode": "RGB",
+            "pixels": img.tobytes(),
+        }
+    except ImportError:
+        pass
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
+    if payload[:2] in (b"P6", b"P3"):
+        return _decode_ppm(payload)
+    raise ValueError(
+        f"unsupported image format (magic={payload[:2]!r}); without PIL "
+        "the supported formats are 24-bit BMP and PPM"
     )
+
+
+def _decode_bmp24(payload: bytes) -> dict:
+    """24-bit uncompressed (BI_RGB) BMP: little-endian header, rows padded
+    to 4 bytes, stored bottom-up in BGR order — normalized here to
+    top-down RGB."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        row = bytearray(
+            payload[data_off + src * stride : data_off + src * stride + width * 3]
+        )
+        if len(row) != width * 3:
+            raise ValueError("truncated BMP pixel data")
+        row[0::3], row[2::3] = row[2::3], row[0::3]  # BGR -> RGB
+        rows.append(bytes(row))
+    return {
+        "width": width,
+        "height": height,
+        "mode": "RGB",
+        "pixels": b"".join(rows),
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """PPM P6 (binary) / P3 (ASCII), maxval <= 255, with ``#`` comments."""
+    magic = payload[:2]
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    if magic == b"P6":
+        pos += 1  # exactly one whitespace byte after maxval
+        pixels = payload[pos : pos + width * height * 3]
+        if len(pixels) != width * height * 3:
+            raise ValueError("truncated PPM pixel data")
+    else:  # P3: whitespace-separated ASCII samples
+        samples = payload[pos:].split()
+        if len(samples) < width * height * 3:
+            raise ValueError("truncated PPM pixel data")
+        pixels = bytes(int(s) for s in samples[: width * height * 3])
+    return {"width": width, "height": height, "mode": "RGB", "pixels": pixels}
+
+
+def encode_bmp24(width: int, height: int, rgb: bytes) -> bytes:
+    """Inverse of ``_decode_bmp24`` for fixture synthesis: pack top-down
+    RGB bytes into a standard bottom-up 24-bit BI_RGB BMP."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    stride = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - width * 3)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray(rgb[r * width * 3 : (r + 1) * width * 3])
+        row[0::3], row[2::3] = row[2::3], row[0::3]  # RGB -> BGR
+        body += row + pad
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(body)
 
 
 def fake_features(payload: bytes) -> list[float]:

@@ -17,9 +17,113 @@ from ccirecommenderdatapipeline_spark.operators.multimodal import (
 from tests.conftest import SF_SMALL
 
 
-def test_real_codec_is_clearly_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_unknown_magic_is_a_data_error():
+    # PNG needs a real codec (zlib inflate); without PIL the decoder
+    # reports a typed data error, not a missing-capability stub
+    with pytest.raises(ValueError, match="unsupported image format"):
         decode_image_real(b"\x89PNG")
+
+
+def _checker_rgb(width: int, height: int) -> bytes:
+    """Deterministic RGB test pattern (per-pixel distinct channels)."""
+    return bytes(
+        c
+        for y in range(height)
+        for x in range(width)
+        for c in ((x * 7 + y) % 256, (y * 11 + x) % 256, (x * y) % 256)
+    )
+
+
+def test_bmp_roundtrip_real_decoder():
+    from ccirecommenderdatapipeline_spark.operators.multimodal import (
+        decode_image_real,
+        encode_bmp24,
+    )
+
+    # non-multiple-of-4 width exercises row padding; bottom-up storage
+    # exercises the row flip; BGR storage exercises the channel swap
+    w, h = 5, 3
+    rgb = _checker_rgb(w, h)
+    img = decode_image_real(encode_bmp24(w, h, rgb))
+    assert (img["width"], img["height"], img["mode"]) == (w, h, "RGB")
+    assert img["pixels"] == rgb
+
+
+def test_ppm_p6_and_p3_decode():
+    from ccirecommenderdatapipeline_spark.operators.multimodal import (
+        decode_image_real,
+    )
+
+    w, h = 4, 2
+    rgb = _checker_rgb(w, h)
+    p6 = b"P6\n# comment\n%d %d\n255\n" % (w, h) + rgb
+    img = decode_image_real(p6)
+    assert (img["width"], img["height"]) == (w, h) and img["pixels"] == rgb
+    p3 = (b"P3\n%d %d\n255\n" % (w, h)) + " ".join(str(b) for b in rgb).encode()
+    img3 = decode_image_real(p3)
+    assert img3["pixels"] == rgb
+
+
+def test_real_decoder_through_spark_map_in_pandas(spark):
+    """The real decode path driven through the same Arrow-batched
+    mapInPandas shape the fake-feature stages use: synthesize BMP
+    payloads per row, decode on executors, emit geometry + pixel hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    from ccirecommenderdatapipeline_spark.operators.multimodal import (
+        encode_bmp24,
+    )
+
+    rows = []
+    for mid in range(6):
+        w, h = 3 + mid, 2 + mid % 3
+        rgb = _checker_rgb(w, h)
+        rows.append((mid, encode_bmp24(w, h, rgb), hashlib.md5(rgb).hexdigest()))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, want_hash string"
+    )
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_hash", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the REAL decoder, by module reference — fine here because tests
+        # run from the repo cwd (the registered queries inline instead,
+        # for the foreign-cwd driver contract; see extract_features)
+        from ccirecommenderdatapipeline_spark.operators.multimodal import (
+            decode_image_real,
+        )
+
+        for pdf in batches:
+            decoded = [
+                (d["width"], d["height"], d["pixels"])
+                for d in (decode_image_real(bytes(p)) for p in pdf["payload"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "pixel_hash": [hashlib.md5(d[2]).hexdigest() for d in decoded],
+            })
+
+    got = (
+        df.repartition(2, "media_id")
+        .mapInPandas(run, out_schema)
+        .join(df.select("media_id", "want_hash"), "media_id")
+        .select("media_id", "width", "pixel_hash", "want_hash")
+        .collect()
+    )
+    assert len(got) == 6
+    for r in got:
+        assert r.pixel_hash == r.want_hash, r.media_id
+        assert r.width == 3 + r.media_id
 
 
 def test_features_deterministic_and_shaped(spark):
