@@ -65,8 +65,12 @@ _PRIORITY += [
     # (c) the last 5 r1-era names (r9 verdict item 2)
     "top1_per_group", "trading_calendar", "union_dedup",
     "upsert_keep_last", "window_lag_running",
-    # (d) plan changed in r9 after last verdict (r3/r4/r6 verdicts)
+    # (d) plan changed after last verdict: r9 determinism commits
+    # (r3/r4/r6 verdicts) plus the two r10 decimal-readout-idiom edits
+    # (ADVICE r9 item 2; r9 verdicts, values identical at test SFs but
+    # the freshness rule wants the verdict to follow the plan)
     "min_cost_supplier", "cdc_apply", "inventory_clamped",
+    "grouped_multi_agg", "star_join_revenue",
     # (e) the 29 r2-era names (complete list, oldest verdicts left)
     "asof_join", "broker_balances", "broker_position_pnl",
     "checkpoint_roundtrip", "coerce_battery", "cube_counts",
@@ -80,10 +84,14 @@ _PRIORITY += [
     "union_missing_columns", "window_range_frame",
 ]
 
-# (f) round-3-era tail: with (b) empty, 13 slots remain and the first
-# 13 below fit (through `stream_stream_join`); each (b) addition rolls
-# one tail name (last first) to round 11. The remaining r3-era names
-# (~34 more) are the round-11 backfill pool.
+# (f) round-3-era tail: groups (a)-(e) total 43 names
+# (3 + 1 + 5 + 5 + 29), so 7 slots remain and the first 7 below fit
+# (through `stream_dedup_watermark`); the other 6 (`stream_stateful_
+# counts`, `stream_stream_join`, `session_windows`, `scd2_dimension`,
+# `interval_join_attribution`, `sliding_window_agg`) roll to round 11
+# along with the remaining ~34 r3-era names (the r11 backfill pool).
+# Count verified by the assertion below — NOT by hand (the r9 and r10
+# drafts of this NOTE both miscounted by hand).
 _TAIL_R3 = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
     "stream_tumbling_agg", "stream_dedup_watermark",
@@ -94,7 +102,12 @@ _TAIL_R3 = [
 _PRIORITY += _TAIL_R3[: max(0, 50 - len(_PRIORITY))]
 # the window is EXACTLY 50 (tests/test_pipeline.py pins it) — trim
 # explicitly so nothing is dropped silently; the cut names are
-# enumerated in the NOTE above.
+# enumerated in the NOTE above, and the assertion forces that NOTE to
+# be rewritten whenever a (b)/(d) addition shifts the cut line.
+assert _PRIORITY[49] == "stream_dedup_watermark", (
+    "window tail moved — update the (f) NOTE's enumeration of rolled "
+    f"names (slot 50 is now {_PRIORITY[49]!r})"
+)
 _PRIORITY = _PRIORITY[:50]
 
 

@@ -468,8 +468,8 @@ def q_upsert_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name AS region, n.n_name AS nation,
        CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
-                           AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -500,14 +500,15 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
-            F.round(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-                    ).cast("decimal(18,4)")
-                ).cast("double"),
-                4,
-            ).alias("revenue"),
+            # simulator readout idiom (operators/simulator.py:397): the
+            # DECIMAL sum casts to double ONCE (correctly rounded,
+            # engine-identical); re-ROUNDing the double reintroduces the
+            # HALF_UP-vs-multiply knife edge past 2^53 (ADVICE r9)
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
         )
     )
 
@@ -523,10 +524,10 @@ SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT)                       AS n_rows,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)     AS n_orders,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_base,
-       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
-                           AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
        CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_disc,
        100.0 * SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / COUNT(*) AS deep_disc_rate,
        SUM(CAST(l_quantity AS BIGINT)) / COUNT(*)     AS avg_qty
@@ -553,14 +554,12 @@ def q_grouped_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
-            2,
-        ).alias("sum_base"),
-        F.round(
-            F.sum(F.round(disc_price, 4).cast("decimal(18,4)")).cast("double"),
-            4,
-        ).alias("sum_disc"),
+        # one decimal->double cast, no re-ROUND of the double: see
+        # star_join_revenue's readout comment (ADVICE r9)
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("sum_base"),
+        F.sum(F.round(disc_price, 4).cast("decimal(18,4)"))
+        .cast("double").alias("sum_disc"),
         F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_deep_disc"),
     )
     return agged.withColumns({

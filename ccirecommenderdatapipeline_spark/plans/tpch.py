@@ -216,9 +216,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     already covered by top1_per_group/A7). Catalyst decorrelates the
     subquery into an aggregate+join on the correlation key, so the executed
     plan is a co-partitioned hash join over the supply CTE — no per-row
-    subquery execution survives. Unit costs divide identically in IEEE
-    double on both engines, so the equality predicate selects identical
-    rows. (Nested correlation to the outermost scope is not yet supported
+    subquery execution survives. Unit costs are quantized to EXACT 1e-6
+    integer units per row before any MIN (see _MIN_COST_SQL's comment):
+    "cheapest" means cheapest at micro-dollar precision, so ties and the
+    readout collapse identically in both engines by construction — the
+    former ROUND(double, 6) readout hit engine-divergent midpoints (r9
+    sf0.1 sweep). (Nested correlation to the outermost scope is not yet supported
     by Spark's analyzer, hence the GROUP BY tie-break rather than a
     second-level subquery.)"""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")

@@ -1570,6 +1570,13 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max doubles; bins are a fixed IEEE tree + clamp (identical in
     DuckDB); the one transcendental is rounded PSI_LN_DP dp per bin,
     contributions PSI_C_DP dp, and the per-type sum runs as DECIMAL.
+    Residual knife edge (ADVICE r9, accepted): rounding ln() at
+    PSI_LN_DP is Spark BigDecimal HALF_UP vs DuckDB multiply-based
+    ROUND, and JVM-vs-libm ln can differ by 1 ulp — dp-rounding only
+    absorbs that OFF the 5e-10 boundary. Unlike rev_per_day/min_cost
+    there is no exact-integer rule for a transcendental; the exposure
+    is one count-determined ln per (type, bin), monitored by the
+    sweep. ``stream_ks_drift`` is the transcendental-free gate.
 
     100-TB shape: each batch shuffles only (type, bin) partials
     (map-combinable, bounded key space); the readout runs on the
