@@ -869,7 +869,9 @@ def test_cooccurrence_matches_python(spark):
     assert set(got) == set(cnt)
     for key in cnt:
         assert got[key][0] == cnt[key]
-        assert got[key][1] == wsum[key]
+        # readout contract since r10: the exact decimal sum is flattened
+        # to its nearest double (engine-portable); compare at that type
+        assert got[key][1] == float(wsum[key])
 
 
 def test_bloom_semi_join_matches_python(spark):
