@@ -93,6 +93,19 @@ def test_registry_hot_paths_are_staged(spark):
         assert not _nested_folds_in_lambda(txt), name
 
 
+def test_decimal_readout_allowlist_is_registered_and_justified():
+    """DECIMAL_READOUT_OK (the r9 hash-red class tripwire) must only name
+    registered queries, each with a non-empty justification; the registry
+    sweep itself runs in tools/audit_plans.py each round."""
+    from audit_plans import DECIMAL_READOUT_OK
+
+    from ccirecommenderdatapipeline_spark import plans
+
+    for name, why in DECIMAL_READOUT_OK.items():
+        assert name in plans.QUERIES, name
+        assert why.strip(), name
+
+
 def test_truncated_filescan_lines_do_not_false_positive():
     """FileScan's DataFilters argument is length-truncated (unbalanced
     parens); the scanner must skip such lines instead of swallowing the

@@ -25,6 +25,11 @@ per row and per output column; the shape that cost ``bollinger_bands``
 27.4 s before fold staging (r9, commit a9dc780). Flagged unless the query
 is in ``NESTED_FOLD_OK`` with a justification.
 
+Decimal readouts: any query whose OUTPUT schema contains a DecimalType
+column is flagged unless allowlisted in ``DECIMAL_READOUT_OK`` — the r9
+driver hash-mismatch class (exact decimal math belongs INSIDE the plan;
+readout columns flatten to double/long/string on both engines).
+
 Unpartitioned windows: ``Window.orderBy`` without partitioning serializes
 its input into one task — a scale-killer UNLESS the input is a bounded
 aggregate. Bounded uses must go through ``operators.windows.bounded_window``
@@ -56,6 +61,20 @@ COUNTED = ("BroadcastNestedLoopJoin", "SortMergeJoin")
 # smaller array (nested-array data), never the lambda's own input.
 NESTED_FOLD_OK: dict[str, str] = {}
 
+# Queries allowed to emit a DECIMAL-typed OUTPUT column. Decimal readouts
+# are the class behind round 9's three driver hash-mismatches (rows/schema
+# green, hash red, bit-exact locally): Spark decimals and DuckDB
+# DECIMAL/HUGEINT normalize differently in external fetch paths even when
+# values are identical. The rule since r10: exact decimal math stays
+# INTERNAL; every readout column is flattened to double/long/string on
+# both engines. Every entry here needs a one-line justification.
+DECIMAL_READOUT_OK: dict[str, str] = {
+    "bloom_semi_join_pushdown": (
+        "driver-green r9 precedent: same-scale(2) money decimal on both "
+        "engines; left stable rather than churning a green verdict"
+    ),
+}
+
 
 def _is_streaming_wrapped(name: str) -> bool:
     """stream_* plan functions execute availableNow micro-batch jobs (and
@@ -65,19 +84,27 @@ def _is_streaming_wrapped(name: str) -> bool:
 
 
 def _iter_plans(spark, sf_dir: str, run_streaming: bool, only=None):
-    """Yield (name, plan_text | None, skipped: bool, err: str | None)."""
+    """Yield (name, plan_text | None, decimal_cols, skipped, err)."""
+    from pyspark.sql.types import DecimalType
+
     for name, fn in plans.QUERIES.items():
         if only is not None and name not in only:
             continue
         if _is_streaming_wrapped(name) and not run_streaming:
-            yield name, None, True, None
+            yield name, None, [], True, None
             continue
         try:
-            txt = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            df = fn(spark, sf_dir)
+            txt = df._jdf.queryExecution().executedPlan().toString()
+            dec_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, DecimalType)
+            ]
         except Exception as exc:  # streaming-only plans can't batch-build
-            yield name, None, False, type(exc).__name__
+            yield name, None, [], False, type(exc).__name__
             continue
-        yield name, txt, False, None
+        yield name, txt, dec_cols, False, None
         spark.catalog.clearCache()
 
 
@@ -92,7 +119,9 @@ def main(sf_dir: str, run_streaming: bool) -> int:
     errors: list[str] = []
     skipped: list[str] = []
     audited = 0
-    for name, txt, was_skipped, err in _iter_plans(spark, sf_dir, run_streaming):
+    for name, txt, dec_cols, was_skipped, err in _iter_plans(
+        spark, sf_dir, run_streaming
+    ):
         if was_skipped:
             skipped.append(name)
             continue
@@ -100,6 +129,11 @@ def main(sf_dir: str, run_streaming: bool) -> int:
             errors.append(f"{name}: {err}")
             continue
         audited += 1
+        if dec_cols and name not in DECIMAL_READOUT_OK:
+            flagged.append(
+                (name, f"DECIMAL readout columns {dec_cols} (r9 hash-red "
+                       "class — flatten to double/long/string)")
+            )
         for f in FLAGS:
             if f in txt:
                 flagged.append((name, f))
@@ -127,7 +161,7 @@ def main(sf_dir: str, run_streaming: bool) -> int:
     print(
         "no CartesianProduct, no row-at-a-time Python eval, "
         "no unregistered unpartitioned windows, no folds inside HOF "
-        "lambdas — clean"
+        "lambdas, no unlisted DECIMAL readouts — clean"
     )
     return 0
 
@@ -281,7 +315,7 @@ def fingerprint(
                 "meaningless. Re-run at the baseline SF or do a full "
                 "refresh."
             )
-    for name, txt, was_skipped, err in _iter_plans(
+    for name, txt, _dec_cols, was_skipped, err in _iter_plans(
         spark, sf_dir, run_streaming, only=only
     ):
         if was_skipped:
