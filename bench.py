@@ -176,6 +176,7 @@ HEADLINE = [
     "sharpe_sortino_daily",      # risk-adjusted return readout (r8)
     # --- round 9 ---
     "stream_psi_drift",          # streaming frozen-edge PSI gate (r9)
+    "stream_ks_drift",           # streaming binned-KS gate (r10)
 ]
 
 
