@@ -2,7 +2,7 @@
 and its DuckDB oracle side by side, compare row count, schema (column-name
 set) and an order-insensitive value multiset.
 
-Usage: python tools/check_oracle.py [sf_dir] [--chunk N] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [--chunk N] [--dump] [query ...]
 
 Whole-registry sweeps at sf0.1+: a single 300+-query session can die
 mid-run from accumulated JVM state (observed twice in r9 around query
@@ -69,15 +69,55 @@ def run_chunked(sf_dir: str, names: list[str], chunk: int) -> int:
     return rc
 
 
+def dump_rows(sf_dir: str, names: list[str]) -> int:
+    """Adjudication mode (``--dump``): print every result row from BOTH
+    engines with full repr and Python type per column, sorted — the
+    one-command evidence artifact when an external hash verdict disagrees
+    with the local multiset gate (the r9 decimal-readout episode), so the
+    divergence can be attributed to values vs fetch-path normalization."""
+    spark = get_spark("check-oracle-dump")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in names:
+        sdf = plans.QUERIES[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = sorted(
+            tuple(r) for r in sdf.select(*sorted(scols)).collect()
+        )
+        print(f"=== {name} [spark] cols={sorted(scols)}")
+        for r in srows:
+            print("  " + " | ".join(f"{type(v).__name__}:{v!r}" for v in r))
+        if name not in plans.ORACLES:
+            print(f"=== {name} [oracle] (rows-only query, no oracle)")
+            continue
+        rel = con.execute(plans.ORACLES[name])
+        dcols = [d[0] for d in rel.description]
+        order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        drows = sorted(tuple(r[i] for i in order) for r in rel.fetchall())
+        print(f"=== {name} [oracle] cols={sorted(dcols)}")
+        for r in drows:
+            print("  " + " | ".join(f"{type(v).__name__}:{v!r}" for v in r))
+        print(f"=== {name} rows equal: {srows == drows}")
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     argv = sys.argv[1:]
     chunk = 0
+    dump = "--dump" in argv
+    argv = [a for a in argv if a != "--dump"]
     if "--chunk" in argv:
         i = argv.index("--chunk")
         chunk = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     names = argv[1:] or list(plans.QUERIES)
+    if dump:
+        return dump_rows(sf_dir, names)
     if chunk:
         return run_chunked(sf_dir, names, chunk)
     spark = get_spark("check-oracle")
