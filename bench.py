@@ -177,6 +177,7 @@ HEADLINE = [
     # --- round 9 ---
     "stream_psi_drift",          # streaming frozen-edge PSI gate (r9)
     "stream_ks_drift",           # streaming binned-KS gate (r10)
+    "dedup_exact_substring",     # verbatim duplicated-span extraction (r10)
 ]
 
 

@@ -57,6 +57,7 @@ _PRIORITY = [
 # slot from the (f) tail, never from (a)/(c)/(d)/(e).
 _NEW_THIS_ROUND: list[str] = [
     "stream_ks_drift",
+    "dedup_exact_substring",
 ]
 
 _PRIORITY += _NEW_THIS_ROUND
@@ -84,14 +85,15 @@ _PRIORITY += [
     "union_missing_columns", "window_range_frame",
 ]
 
-# (f) round-3-era tail: groups (a)-(e) total 43 names
-# (3 + 1 + 5 + 5 + 29), so 7 slots remain and the first 7 below fit
-# (through `stream_dedup_watermark`); the other 6 (`stream_stateful_
-# counts`, `stream_stream_join`, `session_windows`, `scd2_dimension`,
-# `interval_join_attribution`, `sliding_window_agg`) roll to round 11
-# along with the remaining ~34 r3-era names (the r11 backfill pool).
-# Count verified by the assertion below — NOT by hand (the r9 and r10
-# drafts of this NOTE both miscounted by hand).
+# (f) round-3-era tail: groups (a)-(e) total 44 names
+# (3 + 2 + 5 + 5 + 29), so 6 slots remain and the first 6 below fit
+# (through `stream_tumbling_agg`); the other 7 (`stream_dedup_
+# watermark`, `stream_stateful_counts`, `stream_stream_join`,
+# `session_windows`, `scd2_dimension`, `interval_join_attribution`,
+# `sliding_window_agg`) roll to round 11 along with the remaining ~34
+# r3-era names (the r11 backfill pool). Count verified by the
+# assertion below — NOT by hand (the r9 and r10 drafts of this NOTE
+# both miscounted by hand).
 _TAIL_R3 = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
     "stream_tumbling_agg", "stream_dedup_watermark",
@@ -104,7 +106,7 @@ _PRIORITY += _TAIL_R3[: max(0, 50 - len(_PRIORITY))]
 # explicitly so nothing is dropped silently; the cut names are
 # enumerated in the NOTE above, and the assertion forces that NOTE to
 # be rewritten whenever a (b)/(d) addition shifts the cut line.
-assert _PRIORITY[49] == "stream_dedup_watermark", (
+assert _PRIORITY[49] == "stream_tumbling_agg", (
     "window tail moved — update the (f) NOTE's enumeration of rolled "
     f"names (slot 50 is now {_PRIORITY[49]!r})"
 )

@@ -1055,6 +1055,122 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact duplicated-substring span extraction (Lee et al. 2022) -----------
+
+ESUB_K = 8        # shingle length (tokens): the duplicate-detection grain
+ESUB_SPAN_MIN = 12  # emit only maximal spans of >= this many tokens
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+WITH {TOK_CTE},
+base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= {ESUB_K}),
+pg AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS p,
+           array_to_string(toks[i:i+{ESUB_K - 1}], ' ') AS g
+    FROM base, LATERAL unnest(range(1, len(toks) - {ESUB_K} + 2)) AS t(i)
+),
+dup AS (SELECT g FROM pg GROUP BY g HAVING COUNT(*) > 1),
+hits AS (SELECT doc_id, p FROM pg JOIN dup USING (g)),
+isl AS (
+    SELECT doc_id, p,
+           SUM(CASE WHEN prev IS NULL OR p - prev > 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY p) AS island
+    FROM (SELECT doc_id, p,
+                 LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+          FROM hits)
+)
+SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) - MIN(p) + {ESUB_K} AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+HAVING MAX(p) - MIN(p) + {ESUB_K} >= {ESUB_SPAN_MIN}
+""",
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans — the dedup family member the
+    near-dup ops (MinHash/SimHash/Jaccard/containment) cannot express:
+    the maximal token ranges of each document that appear VERBATIM
+    elsewhere in the corpus (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — their suffix-array ExactSubstr,
+    re-expressed relationally at shingle grain). Emits one row per
+    maximal duplicated span of >= {ESUB_SPAN_MIN} tokens:
+    (doc_id, span_start, span_len) — the ranges a training pipeline cuts
+    out of documents rather than dropping whole near-dup docs.
+
+    Relational re-expression: every {ESUB_K}-token shingle with its
+    position; shingles with corpus frequency > 1 are "duplicated"; a
+    maximal RUN of consecutive duplicated positions p..q covers tokens
+    p..q+{ESUB_K}-1 (the island-merge identity). A span of L >= 2K-1
+    duplicated tokens is found regardless of alignment; the K-grain
+    quantizes shorter overhangs — the standard shingle-vs-suffix-array
+    tradeoff, deterministic on both engines. All-integer end to end: no
+    hash, no float, no tie-break needed (positions are unique per doc).
+
+    100-TB shape: the gram count is the one corpus-sized shuffle and is
+    MAP-COMBINABLE (exact counts); the duplicate filter returns only
+    repeated grams, so the add-back is a gram-keyed semi join (both
+    sides corpus-sized — correctly a shuffle join, not broadcast); the
+    island merge is a per-doc window bounded by document length. A
+    suffix array would need a global sort of every suffix; this plan
+    never sorts anything wider than one document's hit list."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") >= ESUB_K
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - ESUB_K + 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("p"),
+                    F.concat_ws(" ", F.slice("toks", i, ESUB_K)).alias("g"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.p", "s.g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    # two projections (lag, then running sum of the break flag): window
+    # functions can't nest, and both ride the SAME doc_id sort — one
+    # exchange, two Window nodes over it
+    flagged = hits.select(
+        "doc_id", "p", F.lag("p").over(w).alias("prev")
+    ).select(
+        "doc_id",
+        "p",
+        F.when(
+            F.col("prev").isNull() | (F.col("p") - F.col("prev") > 1), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    isl = flagged.select(
+        "doc_id",
+        "p",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") - F.min("p") + ESUB_K).alias("span_len"),
+        )
+        .where(F.col("span_len") >= ESUB_SPAN_MIN)
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
 # --- 9. prefix-filtering set-similarity join (exact, all-pairs-free) ---------
 
 PFJ_N = 5      # word 5-grams: sparser sets than the trigram ops, so the

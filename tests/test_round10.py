@@ -1,4 +1,5 @@
-"""Round-10 additions: streaming binned-KS drift gate."""
+"""Round-10 additions: streaming binned-KS drift gate, exact-substring
+span extraction."""
 
 from __future__ import annotations
 
@@ -7,6 +8,55 @@ import math
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
+
+
+def _alpha(i: int) -> str:
+    """Distinct pure-alpha token (the tokenizer strips digits)."""
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(ord("a") + r) + s
+    return "q" + s
+
+
+def test_exact_substring_spans_hand_corpus(spark, tmp_path):
+    """Span semantics pinned on a hand-built corpus: a 16-token run
+    shared verbatim by two documents (different offsets) yields exactly
+    one maximal span per doc at the right start/length; a unique doc
+    and a sub-threshold (< SPAN_MIN) shared run yield nothing."""
+    from ccirecommenderdatapipeline_spark.plans.text import (
+        ESUB_K,
+        ESUB_SPAN_MIN,
+        q_dedup_exact_substring,
+    )
+
+    assert (ESUB_K, ESUB_SPAN_MIN) == (8, 12)  # expectations below assume
+    shared = [_alpha(100 + i) for i in range(16)]
+    short = [_alpha(700 + i) for i in range(ESUB_SPAN_MIN - 2)]  # 10 < 12
+    docs = {
+        1: [_alpha(i) for i in range(4)] + shared + [_alpha(200 + i) for i in range(10)],
+        2: [_alpha(300 + i) for i in range(6)] + shared + [_alpha(400 + i) for i in range(3)],
+        3: [_alpha(500 + i) for i in range(25)],
+        4: [_alpha(600 + i) for i in range(5)] + short + [_alpha(800 + i) for i in range(5)],
+        5: [_alpha(900 + i) for i in range(5)] + short + [_alpha(950 + i) for i in range(5)],
+    }
+    rows = [
+        (did, " ".join(toks), "en", "test", len(" ".join(toks)))
+        for did, toks in docs.items()
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_len"])
+        for r in q_dedup_exact_substring(spark, str(tmp_path)).collect()
+    }
+    # doc 1: shared at tokens 5..20 -> one span, start 5, len 16
+    # doc 2: shared at tokens 7..22 -> one span, start 7, len 16
+    # doc 3: unique; docs 4/5: shared run of 10 < SPAN_MIN -> nothing
+    assert got == {1: (5, 16), 2: (7, 16)}
 
 
 def test_stream_ks_drift_matches_python(spark):
