@@ -1114,7 +1114,12 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     island merge is a per-doc window bounded by document length. A
     suffix array would need a global sort of every suffix; this plan
     never sorts anything wider than one document's hit list."""
-    d = _docs(spark, sf_dir)
+    return exact_substring_spans(_docs(spark, sf_dir))
+
+
+def exact_substring_spans(d: DataFrame) -> DataFrame:
+    """The dedup_exact_substring pipeline over any (doc_id, text) frame —
+    factored out so property tests can drive it with in-memory corpora."""
     toks = tokens(F.col("text"))
     base = d.select("doc_id", toks.alias("toks")).where(
         F.size("toks") >= ESUB_K

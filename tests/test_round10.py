@@ -59,6 +59,74 @@ def test_exact_substring_spans_hand_corpus(spark, tmp_path):
     assert got == {1: (5, 16), 2: (7, 16)}
 
 
+def test_exact_substring_spans_property(spark):
+    """Hypothesis: on random small-vocab corpora (collision-rich), the
+    Spark pipeline's spans equal a brute-force Python reference of the
+    declared semantics (corpus-frequency>1 K-shingles, island-merged,
+    length-filtered)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ccirecommenderdatapipeline_spark.plans.text import (
+        ESUB_K,
+        ESUB_SPAN_MIN,
+        exact_substring_spans,
+    )
+
+    vocab = [_alpha(i) for i in range(6)]  # tiny vocab forces repeats
+    corpus_st = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+
+    def reference(docs: list[list[str]]) -> set[tuple[int, int, int]]:
+        grams: Counter = Counter()
+        pos: dict[int, list[int]] = {}
+        for did, toks in enumerate(docs):
+            for p in range(1, len(toks) - ESUB_K + 2):
+                grams[" ".join(toks[p - 1 : p - 1 + ESUB_K])] += 1
+        for did, toks in enumerate(docs):
+            pos[did] = [
+                p
+                for p in range(1, len(toks) - ESUB_K + 2)
+                if grams[" ".join(toks[p - 1 : p - 1 + ESUB_K])] > 1
+            ]
+        spans = set()
+        for did, ps in pos.items():
+            run: list[int] = []
+            for p in ps + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    ln = run[-1] - run[0] + ESUB_K
+                    if ln >= ESUB_SPAN_MIN:
+                        spans.add((did, run[0], ln))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        return spans
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpus_st)
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["span_start"], r["span_len"])
+            for r in exact_substring_spans(df).collect()
+        }
+        assert got == reference(docs), docs
+
+    check()
+
+
 def test_stream_ks_drift_matches_python(spark):
     """The streaming-maintained binned KS (frozen base-slice edges,
     additive per-batch histogram merge) must equal a brute-force
