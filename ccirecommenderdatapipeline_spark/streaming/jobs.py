@@ -79,6 +79,43 @@ def tumbling_agg_plan(events: DataFrame) -> DataFrame:
     )
 
 
+# Streaming STATE partition count — a deployment sizing knob, not a
+# semantic: a stateful operator materializes one state-store instance
+# (RocksDB/HDFS dir, checkpoint files, task) per shuffle partition PER
+# micro-batch, so partition count should track state VOLUME. The batch
+# side's 32 is right for the scan-heavy work, but this fixture's
+# streaming state is kilobytes — at 32 partitions the stream-stream
+# outer join spent 3x its runtime on empty state-store instances
+# (33.6 s -> 10.9 s at 8, identical results; every streaming op here is
+# partition-count-invariant BY DESIGN and oracle-checked). On a real
+# cluster this is exactly the knob you size per job — results never
+# depend on it.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+class state_sized:
+    """Context manager: run a streaming job with state-sized shuffle
+    partitioning, restoring the session default afterwards. Safe here
+    because jobs run sequentially per session; a concurrent harness would
+    set this per-job via its scheduler instead."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def run_to_memory(
     plan: DataFrame,
     output_mode: str = "complete",
@@ -88,15 +125,16 @@ def run_to_memory(
     sink; blocks until all staged data is processed and returns the result
     table as a batch DataFrame."""
     name = f"strm_{uuid.uuid4().hex[:10]}"
-    q = (
-        plan.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint or os.path.join(STAGE_ROOT, "ckpt", name))
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized(plan.sparkSession):
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint or os.path.join(STAGE_ROOT, "ckpt", name))
+            .start()
+        )
+        q.awaitTermination()
     return plan.sparkSession.table(name)
 
 
@@ -177,14 +215,15 @@ def stateful_user_counts(spark: SparkSession, staged_dir: str, checkpoint: str) 
         for row in batch_df.collect():
             final[row["user_id"]] = row["n_events"]
 
-    q = (
-        counts.writeStream.foreachBatch(capture)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized(counts.sparkSession):
+        q = (
+            counts.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()
     return final
 
 
@@ -304,14 +343,15 @@ def stateful_cci_stream(spark: SparkSession, staged_dir: str, checkpoint: str):
     def capture(batch_df, batch_id):
         collected.extend(batch_df.collect())
 
-    q = (
-        plan.writeStream.foreachBatch(capture)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized(plan.sparkSession):
+        q = (
+            plan.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()
     return collected
 
 
@@ -497,13 +537,14 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sdf = events_stream(spark, staged, maxFilesPerTrigger=2)
         doubled = sdf.unionByName(sdf)  # at-least-once: every row twice
-        q = (
-            doubled.writeStream.foreachBatch(upsert_foreach_batch(target))
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with state_sized(spark):
+            q = (
+                doubled.writeStream.foreachBatch(upsert_foreach_batch(target))
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         final = read_upsert_target(spark, target, key="event_id")
         return (
             final.groupBy("event_type")
