@@ -1113,7 +1113,14 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides corpus-sized — correctly a shuffle join, not broadcast); the
     island merge is a per-doc window bounded by document length. A
     suffix array would need a global sort of every suffix; this plan
-    never sorts anything wider than one document's hit list."""
+    never sorts anything wider than one document's hit list. At 100 TB
+    the one knob to turn: key the count/join on xxhash64(gram) instead
+    of the ~50-byte gram string (shuffle bytes ~6x smaller; collision
+    false-positive probability ~ n²/2^64 — negligible but no longer
+    EXACT, and not DuckDB-reproducible, which is why the oracle-checked
+    form keeps the exact string key). Skewed hub grams (boilerplate)
+    are AQE skew-join territory; the count side is map-combined either
+    way."""
     return exact_substring_spans(_docs(spark, sf_dir))
 
 
