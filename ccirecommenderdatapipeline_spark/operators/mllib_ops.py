@@ -16,13 +16,23 @@ SEED = 42
 
 
 def tfidf_features(docs: DataFrame, n_features: int = 1 << 12) -> DataFrame:
-    """Tokenizer -> HashingTF -> IDF; emits per-doc sparse-vector summary
-    stats (nnz, l2 norm, max weight) as plain doubles."""
-    from pyspark.ml.feature import HashingTF, IDF, Tokenizer
+    """RegexTokenizer -> HashingTF -> IDF; emits per-doc sparse-vector
+    summary stats (nnz, l2 norm, max weight) as plain doubles.
+
+    RegexTokenizer (pattern ``\\s+``, minTokenLength=1) rather than the
+    plain Tokenizer: Java's ``split("\\s")`` keeps interior empty tokens
+    on consecutive whitespace, so its token COUNT is not restatable as
+    SQL; the regex form's count is exactly
+    ``len(list_filter(string_split_regex(text,'\\s+'), t -> len(t)>=1))``
+    in DuckDB — which is what makes ``ml_tfidf``'s n_words column
+    oracle-checkable (verified 0 mismatches at sf0.001/0.01/0.1)."""
+    from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
 
     from pyspark.ml.functions import vector_to_array
 
-    tok = Tokenizer(inputCol="text", outputCol="words")
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="words", pattern=r"\s+", toLowercase=True
+    )
     tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=n_features)
     words = tok.transform(docs.select("doc_id", "text"))
     tfed = tf.transform(words)
@@ -95,6 +105,28 @@ def kmeans_embeddings(emb: DataFrame, k: int = 10) -> DataFrame:
             (F.col("count") / F.col("cluster_size")).alias("purity"),
         )
     )
+
+
+def kmeans_inertia(emb: DataFrame, k: int = 10) -> tuple[float, float]:
+    """(trainingCost after 1 iteration, after 20) with the same seed/init —
+    the Lloyd-descent invariant cost20 <= cost1 that ml_kmeans_clusters
+    pins as a boolean. Two scalar summary reads, a bounded control-flow
+    probe (the graph.py:501 class), not a data collect."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(array_to_vector(F.col("embedding")).alias("features"))
+    cost1 = (
+        KMeans(k=k, seed=SEED, maxIter=1, featuresCol="features")
+        .fit(vecs)
+        .summary.trainingCost
+    )
+    cost20 = (
+        KMeans(k=k, seed=SEED, maxIter=20, featuresCol="features")
+        .fit(vecs)
+        .summary.trainingCost
+    )
+    return cost1, cost20
 
 
 def logreg_label_accuracy(emb: DataFrame) -> DataFrame:

@@ -68,7 +68,14 @@ def decode_image_real(payload: bytes) -> dict:
     ``{"width", "height", "mode": "RGB", "pixels": bytes}`` so the
     mapInPandas stages downstream see one shape regardless of which
     decoder ran. Raises ``ValueError`` on an unrecognized magic — a
-    data error, no longer a missing-capability stub."""
+    data error, no longer a missing-capability stub.
+
+    The PIL attempt falls through on ANY failure, not just ImportError:
+    on a Pillow-equipped cluster an unrecognized format raises
+    ``PIL.UnidentifiedImageError`` (an OSError), and the contract is
+    that unknown magics surface as the documented ValueError from the
+    magic dispatch below, with the BMP/PPM fallback still reachable for
+    formats PIL rejects (ADVICE r10 item 1)."""
     try:
         import io
 
@@ -81,7 +88,7 @@ def decode_image_real(payload: bytes) -> dict:
             "mode": "RGB",
             "pixels": img.tobytes(),
         }
-    except ImportError:
+    except Exception:
         pass
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)

@@ -47,18 +47,17 @@ def test_registry_contract_integrity():
     assert len(in_registry) == 50, (
         f"_PRIORITY covers {len(in_registry)} of the 50 driver slots"
     )
-    # rows-only set is exactly the documented non-SQL MLlib stages, and
-    # every one carries a registered skip reason (VERDICT r8 item 4)
+    # rows-only class retired r11 (VERDICT r10 item 2): the 4 MLlib
+    # wrappers now carry statistic-level oracles, so EVERY registered
+    # query is oracle-backed and any future oracle=None registration
+    # must re-justify itself here
     from ccirecommenderdatapipeline_spark.plans.registry import (
         ROWS_ONLY_REASONS,
     )
 
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {
-        "ml_tfidf", "ml_minhash_lsh", "ml_kmeans_clusters", "ml_logreg_accuracy"
-    }
+    assert rows_only == set()
     assert rows_only == set(ROWS_ONLY_REASONS)
-    assert all(len(r) > 40 for r in ROWS_ONLY_REASONS.values())
     # the driver window must contain only oracle-bearing names — a
     # rows-only op in the window surfaces as a phantom `err: no_oracle`
     # CORRECTNESS row (seen r06; structurally excluded since r9)

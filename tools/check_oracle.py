@@ -81,11 +81,18 @@ def dump_rows(sf_dir: str, names: list[str]) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # None-safe sort: raw tuple sort raises TypeError the moment a column
+    # mixes NULL and non-NULL (stream_ks_drift's NULL ks, left-join
+    # outputs) — exactly the rows this tool exists to dump (ADVICE r10
+    # item 2). Applied identically to both engines so the sorted-list
+    # equality below still means multiset equality.
+    none_safe = lambda t: tuple((v is None, repr(v)) for v in t)  # noqa: E731
     for name in names:
         sdf = plans.QUERIES[name](spark, sf_dir)
         scols = sdf.columns
         srows = sorted(
-            tuple(r) for r in sdf.select(*sorted(scols)).collect()
+            (tuple(r) for r in sdf.select(*sorted(scols)).collect()),
+            key=none_safe,
         )
         print(f"=== {name} [spark] cols={sorted(scols)}")
         for r in srows:
@@ -96,7 +103,10 @@ def dump_rows(sf_dir: str, names: list[str]) -> int:
         rel = con.execute(plans.ORACLES[name])
         dcols = [d[0] for d in rel.description]
         order = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        drows = sorted(tuple(r[i] for i in order) for r in rel.fetchall())
+        drows = sorted(
+            (tuple(r[i] for i in order) for r in rel.fetchall()),
+            key=none_safe,
+        )
         print(f"=== {name} [oracle] cols={sorted(dcols)}")
         for r in drows:
             print("  " + " | ".join(f"{type(v).__name__}:{v!r}" for v in r))
