@@ -246,3 +246,19 @@ def bounded_window(
     for q in queries:
         BOUNDED_WINDOW_QUERIES.setdefault(q, bound)
     return Window.orderBy(*order_cols)
+
+
+def bounded_global_window(*, bound: str, queries: tuple[str, ...] = ()):
+    """The unordered sibling of :func:`bounded_window`: a whole-relation
+    aggregate window (``Window.partitionBy()`` with no keys) over an
+    input PROVEN bounded — e.g. summing a 10-row decile table into every
+    row. Same contract: ``bound`` documents why the cardinality is safe,
+    ``queries`` registers the carriers so tools/audit_plans.py can keep
+    the invariant that an unregistered unpartitioned window is always an
+    ACCIDENT. Added so no plan ever builds a raw ``Window.partitionBy()``
+    inline and rides on another window's registration (VERDICT r10
+    item 5: decile_lift_table passed the audit only because its wcum
+    window registered it)."""
+    for q in queries:
+        BOUNDED_WINDOW_QUERIES.setdefault(q, bound)
+    return Window.partitionBy()

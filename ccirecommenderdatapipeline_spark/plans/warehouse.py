@@ -1565,7 +1565,7 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: one customer-grain scan feeds the rank; the responder
     flag is a broadcast-able semi-join on the distinct URGENT customer
     set; everything after the decile aggregate is 10 rows."""
-    from ..operators.windows import bounded_window
+    from ..operators.windows import bounded_global_window, bounded_window
     from .training import two_phase_rank
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
@@ -1605,7 +1605,10 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound=f"decile aggregate: exactly {LIFT_NDECILES} rows",
         queries=("decile_lift_table",),
     ).rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
+    wall = bounded_global_window(
+        bound=f"decile aggregate: exactly {LIFT_NDECILES} rows",
+        queries=("decile_lift_table",),
+    )
     cum = agg.select(
         "decile",
         "n_cust",

@@ -117,3 +117,44 @@ def test_truncated_filescan_lines_do_not_false_positive():
         " lambda x, lambda y, false)) > 0)\n"
     )
     assert _nested_folds_in_lambda(txt) == []
+
+
+def test_detector_fires_on_raw_global_window(spark):
+    """An inline ``Window.partitionBy()`` (whole-relation aggregate
+    window, no partition and no order spec) must trip
+    _has_unpartitioned_window — the shape VERDICT r10 item 5 found riding
+    on another window's registration in decile_lift_table."""
+    from pyspark.sql import Window
+
+    from audit_plans import _has_unpartitioned_window
+
+    df = spark.range(8).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    bad = df.select(
+        "id", F.sum("id").over(Window.partitionBy()).alias("tot")
+    )
+    assert _has_unpartitioned_window(_plan(bad))
+    ok = df.select(
+        "id", F.sum("id").over(Window.partitionBy("k")).alias("tot")
+    )
+    assert not _has_unpartitioned_window(_plan(ok))
+
+
+def test_bounded_global_window_registers_its_query():
+    """bounded_global_window must enroll its carriers in
+    BOUNDED_WINDOW_QUERIES exactly like bounded_window, so each global
+    window in a plan is covered by its OWN registration."""
+    from ccirecommenderdatapipeline_spark.operators.windows import (
+        BOUNDED_WINDOW_QUERIES,
+        bounded_global_window,
+    )
+
+    spec = bounded_global_window(
+        bound="test: 1-row aggregate", queries=("__audit_test_only__",)
+    )
+    try:
+        assert BOUNDED_WINDOW_QUERIES["__audit_test_only__"] == (
+            "test: 1-row aggregate"
+        )
+    finally:
+        BOUNDED_WINDOW_QUERIES.pop("__audit_test_only__", None)
+    assert spec is not None

@@ -85,7 +85,10 @@ def test_incremental_foreach_batch_upsert_equals_oneshot(spark):
 def test_stateful_counts_across_microbatches(spark):
     staged = stage_events_dir(spark, SF_SMALL, n_files=4)
     ckpt = tempfile.mkdtemp()
-    got = stateful_user_counts(spark, staged, ckpt)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in stateful_user_counts(spark, staged, ckpt).collect()
+    }
     expected = {
         r["user_id"]: r["n"]
         for r in load_table(spark, SF_SMALL, "events")
@@ -98,8 +101,6 @@ def test_stateful_cci_stream_equals_batch(spark):
     """T6 as true streaming: the stateful rolling-CCI operator over 3
     date-ordered micro-batches must equal the batch CCI computation row for
     row (state carries the 19-row lookback across batch boundaries)."""
-    import pandas as pd
-
     from ccirecommenderdatapipeline_spark.plans.cci import cci_view
     from ccirecommenderdatapipeline_spark.streaming.jobs import (
         stage_price_batches,
@@ -107,8 +108,11 @@ def test_stateful_cci_stream_equals_batch(spark):
     )
 
     staged = stage_price_batches(spark, SF_SMALL, n_batches=3)
-    rows = stateful_cci_stream(spark, staged, tempfile.mkdtemp())
-    got = pd.DataFrame([r.asDict() for r in rows]).sort_values(["symbol", "date"])
+    got = (
+        stateful_cci_stream(spark, staged, tempfile.mkdtemp())
+        .toPandas()
+        .sort_values(["symbol", "date"])
+    )
     exp = (
         cci_view(spark, SF_SMALL)
         .select("symbol", "date", "open_cci", "close_cci")
