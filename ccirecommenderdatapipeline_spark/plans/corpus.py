@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..operators.windows import bounded_window
 from pyspark.storagelevel import StorageLevel
 
+from ..operators.lnq import LN_UNIT_SCALE, LN_UNIT_SCALE_F, ln_units, ln_units_sql
 from ..operators.text import tokens, word_ngrams
 from ..sources.tables import load_table
 from .registry import query
@@ -1087,8 +1088,14 @@ def q_cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Per-source KL divergence vs the corpus term distribution ----------------
 
-KL_LN_DP = 9     # per-term ln() rounding (libm 1-ulp guard, cf. training.LOGP_DP)
-KL_C_DP = 12     # per-term contribution rounding before the decimal-exact sum
+# per-term ln() is quantized to integer nano-nats (operators/lnq.py): the
+# contribution p*ln(p/q) = c_st*units / (src_n*1e9) has an exact integer
+# numerator, so the per-source sum needs no contribution rounding and no
+# decimal-cast machinery (r11 ln-quantization rule).
+_KL_LNU_SQL_ARG = "((s.c_st / st2.src_n) / (gt.c_g / t.n))"
+
+
+_kl_lnu = ln_units_sql(_KL_LNU_SQL_ARG)
 
 
 @query(
@@ -1106,10 +1113,8 @@ terms AS (
     SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_g FROM st GROUP BY 1
 ), tot AS (SELECT CAST(SUM(c_g) AS BIGINT) AS n FROM g),
 contrib AS (
-    SELECT s.source,
-           CAST(ROUND((s.c_st / st2.src_n)
-                 * ROUND(ln((s.c_st / st2.src_n) / (gt.c_g / t.n)), {KL_LN_DP}),
-                 {KL_C_DP}) AS DECIMAL(28,{KL_C_DP})) AS c
+    SELECT s.source, st2.src_n,
+           CAST(s.c_st AS HUGEINT) * {_kl_lnu} AS prod
     FROM st s
     JOIN src_tot st2 USING (source)
     JOIN g gt USING (term)
@@ -1117,8 +1122,9 @@ contrib AS (
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_terms,
-       ROUND(CAST(SUM(c) AS DOUBLE), 8) AS kl_nats
-FROM contrib GROUP BY source
+       ROUND(CAST(SUM(prod) AS DOUBLE) / CAST(src_n AS DOUBLE)
+             / {LN_UNIT_SCALE}.0, 8) AS kl_nats
+FROM contrib GROUP BY source, src_n
 """,
 )
 def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,11 +1135,12 @@ def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-source aggregate). KL(p_source || q_corpus) = sum_t p ln(p/q),
     finite by construction since every source term has corpus support.
 
-    Determinism: p and q are exact int/int divisions on bit-identical
-    doubles; the one transcendental (ln) is rounded per term at
-    {KL_LN_DP}dp before use, the per-term contribution at {KL_C_DP}dp,
-    and the sum runs as DECIMAL — order-independent, so the cross-engine
-    hash is stable (same contract as the bigram-LM NLL).
+    Determinism (r11 ln-quantization rule, operators/lnq.py): p and q
+    are exact int/int divisions on bit-identical doubles; ln(p/q) is
+    quantized to integer nano-nats, making each contribution's numerator
+    c_st*units an exact integer — the per-source sum is associative
+    integer math and the single readout division+round runs on
+    bit-identical doubles in both engines.
 
     100-TB shape: one (source, term) count agg (map-combinable), tiny
     broadcast totals, then a per-source sum — the shuffle carries the
@@ -1157,14 +1164,24 @@ def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "source",
-            F.round(p * F.round(F.log(p / q), KL_LN_DP), KL_C_DP)
-            .cast(f"decimal(28,{KL_C_DP})")
-            .alias("c"),
+            "src_n",
+            (F.col("c_st").cast("decimal(38,0)") * ln_units(p / q)).alias(
+                "prod"
+            ),
         )
     )
-    return contrib.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_terms"),
-        F.round(F.sum("c").cast("double"), 8).alias("kl_nats"),
+    return (
+        contrib.groupBy("source", "src_n")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(
+                F.sum("prod").cast("double")
+                / F.col("src_n").cast("double")
+                / F.lit(LN_UNIT_SCALE_F),
+                8,
+            ).alias("kl_nats"),
+        )
+        .drop("src_n")
     )
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.lnq import LN_UNIT_SCALE, LN_UNIT_SCALE_F, ln_units, ln_units_sql
 from ..sources.tables import load_table
 from .registry import query
 
@@ -637,10 +638,14 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PSI_BINS = 10
 PSI_SPLIT_DAY = 15     # slice boundary: day-of-month <= 15 vs > 15
-PSI_LN_DP = 9          # per-bin ln() rounding (libm 1-ulp guard, KL idiom)
-PSI_C_DP = 12          # per-bin contribution rounding before the decimal sum
 KS_BINS = 20           # binned-KS drift gate: finer than PSI (ECDF sup needs
                        # resolution; PSI's +1 smoothing prefers fat bins)
+
+# nano-nat quantization of ln(p/q) for the PSI oracle (operators/lnq.py)
+_PSI_LNU_SQL = ln_units_sql(
+    f"((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE))"
+    f" / ((g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))"
+)
 
 
 @query(
@@ -675,16 +680,16 @@ WITH ev AS (
     FROM grid GROUP BY 1
 ), terms AS (
     SELECT g.event_type, t.n_b, t.n_c,
-           CAST(ROUND(((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE)
-                       - (g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))
-                 * ROUND(ln(((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE))
-                            / ((g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))),
-                         {PSI_LN_DP}), {PSI_C_DP})
-                AS DECIMAL(28,{PSI_C_DP})) AS term
+           CAST((g.c_b + 1) * (t.n_c + {PSI_BINS})
+                - (g.c_c + 1) * (t.n_b + {PSI_BINS}) AS HUGEINT)
+             * {_PSI_LNU_SQL} AS prod
     FROM grid g JOIN tots t ON t.event_type = g.event_type
 )
 SELECT event_type, n_b AS n_base, n_c AS n_current,
-       ROUND(CAST(SUM(term) AS DOUBLE), 8) AS psi
+       ROUND(CAST(SUM(prod) AS DOUBLE)
+             / (CAST(n_b + {PSI_BINS} AS DOUBLE)
+                * CAST(n_c + {PSI_BINS} AS DOUBLE))
+             / {LN_UNIT_SCALE}.0, 8) AS psi
 FROM terms GROUP BY 1, 2, 3
 """,
 )
@@ -699,9 +704,12 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism (the KL idiom): bin edges are a fixed IEEE tree on
     min/max doubles (identical floor both engines); shares are exact-int
-    ratios; the one transcendental is rounded {PSI_LN_DP}dp per bin, the
-    contribution {PSI_C_DP}dp, and the per-type sum runs as DECIMAL —
-    order-independent.
+    ratios; the one transcendental is quantized to integer nano-nats
+    (operators/lnq.py), and everything downstream is exact integer math:
+    (p-q) over the shared denominator (n_b+B)(n_c+B) is an integer
+    numerator, so psi = SUM(num*units) / denom / 1e9 with an
+    order-independent integer sum and one final bit-identical double
+    division+round per group.
 
     100-TB shape: one scan builds (type, slice, bin) counts
     (map-combinable, bounded key space = |types| x {PSI_BINS} x 2);
@@ -754,13 +762,18 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("c_b") + 1) / (F.col("n_b") + PSI_BINS).cast("double")
     q = (F.col("c_c") + 1) / (F.col("n_c") + PSI_BINS).cast("double")
+    # exact integer numerator of (p - q) over the shared denominator
+    # (n_b+B)(n_c+B); the whole per-type sum is then exact integer math
+    # (prod widened to decimal/HUGEINT: num*units can pass 2^63)
+    num = (
+        (F.col("c_b") + 1) * (F.col("n_c") + PSI_BINS)
+        - (F.col("c_c") + 1) * (F.col("n_b") + PSI_BINS)
+    ).cast("decimal(38,0)")
     terms = grid.join(F.broadcast(tots), "event_type").select(
         "event_type",
         "n_b",
         "n_c",
-        F.round((p - q) * F.round(F.log(p / q), PSI_LN_DP), PSI_C_DP)
-        .cast(f"decimal(28,{PSI_C_DP})")
-        .alias("term"),
+        (num * ln_units(p / q)).alias("prod"),
     )
     return (
         terms.groupBy(
@@ -768,7 +781,17 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").alias("n_base"),
             F.col("n_c").alias("n_current"),
         )
-        .agg(F.round(F.sum("term").cast("double"), 8).alias("psi"))
+        .agg(
+            F.round(
+                F.sum("prod").cast("double")
+                / (
+                    (F.col("n_base") + PSI_BINS).cast("double")
+                    * (F.col("n_current") + PSI_BINS).cast("double")
+                )
+                / F.lit(LN_UNIT_SCALE_F),
+                8,
+            ).alias("psi")
+        )
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.lnq import LN_UNIT_SCALE, LN_UNIT_SCALE_F, ln_units, ln_units_sql
 from ..operators.text import STOPWORDS, tokens, word_ngrams
 from ..sources.tables import load_table
 from .registry import query
@@ -959,8 +960,14 @@ def q_roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- character-entropy quality signal ------------------------------------------
 
-ENT_LN_DP = 9    # per-char ln() rounding (libm 1-ulp guard, the KL idiom)
-ENT_C_DP = 12    # per-char contribution rounding before the decimal sum
+# per-char ln(p) quantized to integer nano-nats (operators/lnq.py, the
+# r11 ln-quantization rule): the per-doc entropy numerator sum(cn*units)
+# is exact integer math; the per-doc entropy is then itself quantized to
+# nano-nats (one bit-identical double division+round) so the per-LANG
+# mean/max aggregate over varying doc lengths stays exact-integer too.
+_ENT_LNU_SQL = ln_units_sql(
+    "len(list_filter(chars, x -> x = c)) / CAST(len(chars) AS DOUBLE)"
+)
 
 
 @query(
@@ -974,19 +981,16 @@ WITH cs AS (
 ), ent AS (
     SELECT doc_id, lang,
            CAST(len(chars) AS BIGINT) AS n_alpha,
-           -list_sum(list_transform(list_distinct(chars), c ->
-               CAST(ROUND(
-                   (len(list_filter(chars, x -> x = c))
-                        / CAST(len(chars) AS DOUBLE))
-                   * ROUND(LN(len(list_filter(chars, x -> x = c))
-                              / CAST(len(chars) AS DOUBLE)), {ENT_LN_DP}),
-                   {ENT_C_DP}) AS DECIMAL(18,{ENT_C_DP}))))
-               AS h
+           CAST(ROUND(-CAST(list_sum(list_transform(list_distinct(chars),
+                    c -> len(list_filter(chars, x -> x = c))
+                         * {_ENT_LNU_SQL})) AS DOUBLE)
+                / CAST(len(chars) AS DOUBLE)) AS BIGINT) AS h_units
     FROM cs WHERE len(chars) > 0
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 8) AS mean_char_entropy,
-       CAST(MAX(h) AS DOUBLE) AS max_char_entropy
+       ROUND(CAST(SUM(h_units) AS DOUBLE) / COUNT(*)
+             / {LN_UNIT_SCALE}.0, 8) AS mean_char_entropy,
+       CAST(MAX(h_units) AS DOUBLE) / {LN_UNIT_SCALE}.0 AS max_char_entropy
 FROM ent GROUP BY lang
 """,
 )
@@ -998,11 +1002,12 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise). Joins ``quality_gopher`` (token-shape rules) and
     ``repetition_ratios`` (n-gram repeats) as the character-level axis.
 
-    Determinism: entropy is a sum of <= 26 per-character terms; each
-    term rounds its ln() at {ENT_LN_DP}dp (the PSI/KL idiom — a 1-ulp
-    libm difference cannot survive) and the term itself at {ENT_C_DP}dp,
-    then the per-doc sum folds DECIMAL — combine-order free; the only
-    float division (p = c/n) is a single correctly-rounded op.
+    Determinism (r11 ln-quantization rule, operators/lnq.py): entropy
+    is a sum of <= 26 per-character terms; each ln(p) is quantized to
+    integer nano-nats, the per-doc numerator sum(cn*units) is exact
+    integer math, and the per-doc entropy is itself quantized to
+    nano-nat units via one bit-identical double division+round —
+    combine-order free at every level, no decimal machinery.
 
     Plan & 100-TB shape: explode to char grain, then THREE
     map-combinable hash aggregates in whole-stage codegen:
@@ -1030,20 +1035,29 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cn")
     )
     p = F.col("cn") / F.col("n").cast("double")
-    term = F.round(p * F.round(F.log(p), ENT_LN_DP), ENT_C_DP).cast(
-        f"decimal(18,{ENT_C_DP})"
-    )
-    ent = cnt.groupBy("doc_id", "lang").agg(
-        (-F.sum(term)).cast(f"decimal(18,{ENT_C_DP})").alias("h")
+    ent = cnt.groupBy("doc_id", "lang", "n").agg(
+        F.sum(F.col("cn") * ln_units(p)).alias("num")
+    ).select(
+        "doc_id",
+        "lang",
+        F.round(
+            -F.col("num").cast("double") / F.col("n").cast("double"), 0
+        )
+        .cast("long")
+        .alias("h_units"),
     )
     return ent.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.round(
-            F.sum("h").cast("double") / F.count("*"), 8
+            F.sum("h_units").cast("double")
+            / F.count("*")
+            / F.lit(LN_UNIT_SCALE_F),
+            8,
         ).alias("mean_char_entropy"),
-        # readout flattened: a decimal(18,12) column hashes apart across
-        # engines in the driver's normalization even when bit-identical
-        # (r9 verdict item 1); the <=13-sig-digit entropy (max ln 26
-        # ~ 3.26) converts to the identical nearest double on both sides
-        F.max("h").cast("double").alias("max_char_entropy"),
+        # integer-unit readout: MAX over exact bigints, one final
+        # division by the unit scale — identical nearest double both
+        # engines (the r9 decimal-flatten rule satisfied by construction)
+        (F.max("h_units").cast("double") / F.lit(LN_UNIT_SCALE_F)).alias(
+            "max_char_entropy"
+        ),
     )

@@ -137,7 +137,7 @@ WSAMPLE_K = 10     # docs drawn per source (policy constant — user's draw size
 WSAMPLE_SEED = "w7:"
 # ln() is the one transcendental in the key; round it so a <=1-ulp libm
 # difference between Java Math.log and DuckDB's log cannot flip a rank
-# (same contract as training.LOGP_DP; margin ~1e-14 vs a 5e-10 boundary)
+# (the pre-r11 dp-rounding contract; margin ~1e-14 vs a 5e-10 boundary)
 WKEY_DP = 9
 
 

@@ -473,13 +473,20 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_quantile_sketch(spark, sf_dir)
 
 
-from .events import PSI_BINS, PSI_C_DP, PSI_LN_DP, PSI_SPLIT_DAY  # noqa: E402
+from .events import PSI_BINS, PSI_SPLIT_DAY  # noqa: E402
+from ..operators.lnq import LN_UNIT_SCALE, ln_units_sql  # noqa: E402
 
-# Streaming PSI oracle: same PSI formula/rounding as psi_feature_drift but
+# Streaming PSI oracle: same PSI formula/quantization as psi_feature_drift
+# (integer nano-nat units, operators/lnq.py) but
 # with the bin edges FROZEN from the BASE slice only (a streaming monitor
 # cannot see the future's min/max) and out-of-range serving values clamped
 # into the edge bins. Event types with no base-slice rows have no frozen
 # edges and are absent — matching the Spark side's inner join on edges.
+_psi_lnu = ln_units_sql(
+    f"((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE))"
+    f" / ((g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))"
+)
+
 STREAM_PSI_ORACLE = f"""
 WITH ev AS (
     SELECT event_type, value,
@@ -514,16 +521,16 @@ WITH ev AS (
     FROM grid GROUP BY 1
 ), terms AS (
     SELECT g.event_type, t.n_b, t.n_c,
-           CAST(ROUND(((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE)
-                       - (g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))
-                 * ROUND(ln(((g.c_b + 1) / CAST(t.n_b + {PSI_BINS} AS DOUBLE))
-                            / ((g.c_c + 1) / CAST(t.n_c + {PSI_BINS} AS DOUBLE))),
-                         {PSI_LN_DP}), {PSI_C_DP})
-                AS DECIMAL(28,{PSI_C_DP})) AS term
+           CAST((g.c_b + 1) * (t.n_c + {PSI_BINS})
+                - (g.c_c + 1) * (t.n_b + {PSI_BINS}) AS HUGEINT)
+             * {_psi_lnu} AS prod
     FROM grid g JOIN tots t ON t.event_type = g.event_type
 )
 SELECT event_type, n_b AS n_base, n_c AS n_current,
-       ROUND(CAST(SUM(term) AS DOUBLE), 8) AS psi
+       ROUND(CAST(SUM(prod) AS DOUBLE)
+             / (CAST(n_b + {PSI_BINS} AS DOUBLE)
+                * CAST(n_c + {PSI_BINS} AS DOUBLE))
+             / {LN_UNIT_SCALE}.0, 8) AS psi
 FROM terms GROUP BY 1, 2, 3
 """
 

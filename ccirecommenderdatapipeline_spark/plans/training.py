@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from ..operators.windows import bounded_window
 from pyspark.storagelevel import StorageLevel
 
+from ..operators.lnq import LN_UNIT_SCALE, LN_UNIT_SCALE_F, ln_units, ln_units_sql
 from ..operators.text import tokens
 from ..operators.vectors import assign_to_centroids, cosine, normalized_vectors
 from ..sources.tables import load_table
@@ -35,7 +36,6 @@ SHUFFLE_SEED = "s42:"   # seed prefix baked into the shuffle key
 MIX_SEED = "mix:"       # seed prefix for remainder-doc selection
 RANK_HEX_CHARS = 2      # md5-prefix chars -> 16**2 = 256 two-phase rank buckets
 RANK_BUCKETS = 16 ** RANK_HEX_CHARS
-LOGP_DP = 6             # per-bigram ln() rounding (see module docstring)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,6 +291,9 @@ tok AS (
 """
 
 
+_ppl_lnu = ln_units_sql("(c2.c2 + 1.0) / (c1.c1 + vocab.v)")
+
+
 @query(
     "bigram_perplexity",
     oracle=f"""
@@ -309,8 +312,8 @@ big AS (
     SELECT CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS v
     FROM (SELECT UNNEST(toks) AS tok FROM tok) t
 ), scored AS (
-    SELECT b.doc_id, b.pos,
-           ROUND(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v)), {LOGP_DP}) AS logp
+    SELECT b.doc_id,
+           {_ppl_lnu} AS logp_units
     FROM big b
     JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
     JOIN c1 ON b.w1 = c1.w1
@@ -318,9 +321,8 @@ big AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                       list(logp ORDER BY pos)),
-                          (a, b) -> a + b) / COUNT(*), 4) AS avg_nll
+       ROUND(-CAST(SUM(logp_units) AS DOUBLE) / COUNT(*)
+             / {LN_UNIT_SCALE}.0, 4) AS avg_nll
 FROM scored
 GROUP BY doc_id
 """,
@@ -329,13 +331,16 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average negative log-likelihood under an add-one-smoothed
     corpus bigram LM — the classic cheap perplexity proxy for quality
     filtering (high avg_nll = unusual text). P(w2|w1) = (c(w1,w2)+1) /
-    (c(w1)+V). Every bigram's logp is rounded to {LOGP_DP} dp BEFORE the
-    position-ordered sequential fold, so both engines sum identical doubles
-    in identical order (a ≤1-ulp libm ln() difference cannot reach the
-    hash). Scale shape: bigram counts are map-combinable hash aggs; the
-    count join shuffles on (w1, w2); V is a broadcast one-row agg; the
-    per-doc re-agg collects at most one struct per bigram of one document
-    (bounded by doc length)."""
+    (c(w1)+V). Every bigram's logp is quantized to integer nano-nats
+    (operators/lnq.py, the r11 ln-quantization rule), so the per-doc sum
+    is exact ASSOCIATIVE integer math — the former position-ordered
+    collect_list/array_sort fold is gone entirely (integer addition
+    commutes; a <=1-ulp libm ln() difference is confined to the one
+    quantization boundary per bigram). Scale shape: bigram counts are
+    map-combinable hash aggs; the count join shuffles on (w1, w2); V is
+    a broadcast one-row agg; the per-doc re-agg is a plain SUM — no
+    per-doc struct list is ever materialized (the r11 replan also
+    removed that memory term)."""
     d = _docs(spark, sf_dir)
     # tokenize ONCE: vocab (all docs) and the bigram generator (docs with
     # >= 2 tokens) share the persisted token table instead of re-running the
@@ -371,22 +376,17 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            "pos",
-            F.round(
-                F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))),
-                LOGP_DP,
-            ).alias("logp"),
+            ln_units(
+                (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+            ).alias("logp_units"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(
-            -F.aggregate(
-                F.array_sort(F.collect_list(F.struct("pos", "logp"))),
-                F.lit(0.0),
-                lambda a, x: a + x["logp"],
-            )
-            / F.count("*"),
+            -F.sum("logp_units").cast("double")
+            / F.count("*")
+            / F.lit(LN_UNIT_SCALE_F),
             4,
         ).alias("avg_nll"),
     )

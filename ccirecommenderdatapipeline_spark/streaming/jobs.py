@@ -1611,24 +1611,24 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once redelivery overwrites the same bytes — the IVM
     idempotence argument, not a dedup log.
 
-    Determinism (the KL idiom, shared with the batch op): edges are
-    min/max doubles; bins are a fixed IEEE tree + clamp (identical in
-    DuckDB); the one transcendental is rounded PSI_LN_DP dp per bin,
-    contributions PSI_C_DP dp, and the per-type sum runs as DECIMAL.
-    Residual knife edge (ADVICE r9, accepted): rounding ln() at
-    PSI_LN_DP is Spark BigDecimal HALF_UP vs DuckDB multiply-based
-    ROUND, and JVM-vs-libm ln can differ by 1 ulp — dp-rounding only
-    absorbs that OFF the 5e-10 boundary. Unlike rev_per_day/min_cost
-    there is no exact-integer rule for a transcendental; the exposure
-    is one count-determined ln per (type, bin), monitored by the
-    sweep. ``stream_ks_drift`` is the transcendental-free gate.
+    Determinism (shared with the batch op, r11 ln-quantization rule):
+    edges are min/max doubles; bins are a fixed IEEE tree + clamp
+    (identical in DuckDB); the one transcendental is quantized to
+    integer nano-nats (operators/lnq.py) and the whole per-type sum is
+    exact integer math over the shared denominator (n_b+B)(n_c+B) —
+    one bit-identical double division+round per group at readout. The
+    residual exposure is a single quantization boundary per ln (JVM vs
+    libm 1 ulp AT a half-integer of ln*1e9), structurally the minimum
+    for a transcendental; ``stream_ks_drift`` is the
+    transcendental-free gate.
 
     100-TB shape: each batch shuffles only (type, bin) partials
     (map-combinable, bounded key space); the readout runs on the
     |types| x PSI_BINS grid. Citing daily_function.py:343-1932 scope:
     the reference engine has no streaming surface at all — this is the
     Spark-native extension of its drift-monitoring family."""
-    from ..plans.events import PSI_BINS, PSI_C_DP, PSI_LN_DP
+    from ..plans.events import PSI_BINS
+    from ..operators.lnq import LN_UNIT_SCALE_F, ln_units
 
     grid = _frozen_edge_stream_hist(spark, sf_dir, PSI_BINS, "psi")
     tots = grid.groupBy("event_type").agg(
@@ -1637,16 +1637,28 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("c_b") + 1) / (F.col("n_b") + PSI_BINS).cast("double")
     qq = (F.col("c_c") + 1) / (F.col("n_c") + PSI_BINS).cast("double")
+    num = (
+        (F.col("c_b") + 1) * (F.col("n_c") + PSI_BINS)
+        - (F.col("c_c") + 1) * (F.col("n_b") + PSI_BINS)
+    ).cast("decimal(38,0)")
     terms = grid.join(F.broadcast(tots), "event_type").select(
         "event_type",
         "n_b",
         "n_c",
-        F.round((p - qq) * F.round(F.log(p / qq), PSI_LN_DP), PSI_C_DP)
-        .cast(f"decimal(28,{PSI_C_DP})")
-        .alias("term"),
+        (num * ln_units(p / qq)).alias("prod"),
     )
     return terms.groupBy(
         F.col("event_type"),
         F.col("n_b").alias("n_base"),
         F.col("n_c").alias("n_current"),
-    ).agg(F.round(F.sum("term").cast("double"), 8).alias("psi"))
+    ).agg(
+        F.round(
+            F.sum("prod").cast("double")
+            / (
+                (F.col("n_base") + PSI_BINS).cast("double")
+                * (F.col("n_current") + PSI_BINS).cast("double")
+            )
+            / F.lit(LN_UNIT_SCALE_F),
+            8,
+        ).alias("psi")
+    )

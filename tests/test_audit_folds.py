@@ -158,3 +158,28 @@ def test_bounded_global_window_registers_its_query():
     finally:
         BOUNDED_WINDOW_QUERIES.pop("__audit_test_only__", None)
     assert spec is not None
+
+
+def test_detector_fires_on_rounded_raw_ln(spark):
+    """``round(ln(x), dp>0)`` (the pre-r11 transcendental idiom) must
+    trip _rounded_raw_ln; the sanctioned nano-nat form
+    (operators/lnq.ln_units) must not."""
+    from audit_plans import _rounded_raw_ln
+
+    from ccirecommenderdatapipeline_spark.operators.lnq import ln_units
+
+    df = spark.range(5).select((F.col("id") + 1.0).alias("x"))
+    bad = df.select(F.round(F.log("x"), 9).alias("y"))
+    assert _rounded_raw_ln(_plan(bad))
+    good = df.select(ln_units(F.col("x")).alias("y"))
+    assert _rounded_raw_ln(_plan(good)) == []
+
+
+def test_ln_readout_allowlist_is_registered_and_justified():
+    from audit_plans import LN_READOUT_OK
+
+    from ccirecommenderdatapipeline_spark import plans
+
+    for name, why in LN_READOUT_OK.items():
+        assert name in plans.QUERIES, name
+        assert why.strip(), name

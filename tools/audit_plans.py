@@ -75,6 +75,44 @@ DECIMAL_READOUT_OK: dict[str, str] = {
     ),
 }
 
+# Queries allowed to keep a dp>0 rounding of a raw ln() in their plan.
+# The r11 rule (operators/lnq.py): transcendentals feeding readouts are
+# quantized to integer nano-nats (`round(ln(x) * 1e9, 0)` -> bigint) so
+# all downstream math is exact; `round(ln(x), dp)` keeps DOUBLE
+# intermediates whose summation needs per-site decimal machinery and
+# carries the same midpoint knife-edge in a less auditable form. The
+# drift/LM core (psi x2, KL, perplexity, entropy) was converted in r11;
+# the entries below share the old guarded idiom — each names its
+# conversion round or the reason the shape is not a readout sum.
+LN_READOUT_OK: dict[str, str] = {
+    "naive_bayes_classify": (
+        "per-token logp rounded NB_LN_DP into a per-doc decimal argmax — "
+        "same guarded idiom, green r8; conversion scheduled r12"
+    ),
+    "logreg_gd_step": (
+        "loss term ln(sigmoid) rounded GD_LN_DP into a decimal sum — "
+        "green r9; conversion scheduled r12"
+    ),
+    "info_gain_features": (
+        "entropy terms rounded IG_LN_DP into decimal sums — green r7; "
+        "conversion scheduled r12"
+    ),
+    "dp_noisy_counts": (
+        "ln feeds the seeded Laplace noise VALUE (a per-row transform, "
+        "not a cross-row sum); dp-rounding is the documented determinism "
+        "contract for the noise column — green r7"
+    ),
+    "kaplan_meier_survival": (
+        "ln(1 - d/n) rounded KM_LN_DP into the cumulative decimal sum — "
+        "green r8; conversion scheduled r12"
+    ),
+    "weighted_sample_wr": (
+        "ln feeds a per-row SELECTION KEY (Efraimidis-Spirakis order "
+        "statistic), not a readout sum; dp-rounding only breaks "
+        "cross-engine ties identically — green r7"
+    ),
+}
+
 
 def _is_streaming_wrapped(name: str) -> bool:
     """stream_* plan functions execute availableNow micro-batch jobs (and
@@ -142,6 +180,12 @@ def main(sf_dir: str, run_streaming: bool) -> int:
         if name not in NESTED_FOLD_OK:
             for snip in _nested_folds_in_lambda(txt):
                 flagged.append((name, f"fold inside HOF lambda (n^2): ...{snip}..."))
+        if name not in LN_READOUT_OK:
+            for snip in _rounded_raw_ln(txt):
+                flagged.append(
+                    (name, f"dp>0 rounding of raw ln (use operators/lnq."
+                           f"ln_units integer-unit quantization): {snip}")
+                )
         for c in COUNTED:
             counts[c] += 1 if c in txt else 0
     print(f"audited {audited}/{len(plans.QUERIES)} plans")
@@ -161,7 +205,8 @@ def main(sf_dir: str, run_streaming: bool) -> int:
     print(
         "no CartesianProduct, no row-at-a-time Python eval, "
         "no unregistered unpartitioned windows, no folds inside HOF "
-        "lambdas, no unlisted DECIMAL readouts — clean"
+        "lambdas, no unlisted DECIMAL readouts, no unlisted dp>0 "
+        "raw-ln roundings — clean"
     )
     return 0
 
@@ -235,6 +280,45 @@ def _nested_folds_in_lambda(plan_txt: str) -> list[str]:
             # resume AFTER this lambda's body so the nested aggregate's own
             # (legitimate) merge/finish lambdas are not re-reported
             i = j
+    return hits
+
+
+def _rounded_raw_ln(plan_txt: str) -> list[str]:
+    """Occurrences of ``round(ln(<expr>), dp)`` with dp > 0 — the
+    pre-r11 transcendental-readout idiom (see LN_READOUT_OK). The
+    sanctioned form renders as ``round((ln(<expr>) * 1.0E9), 0)``: the
+    scale multiply sits INSIDE round's first argument and dp is 0, so it
+    never matches. Balanced-paren scan per line; truncated plan lines
+    (FileScan argument cutoffs) are skipped like _nested_folds_in_lambda
+    skips them."""
+    import re
+
+    hits: list[str] = []
+    for line in plan_txt.splitlines():
+        i = 0
+        while True:
+            j = line.find("round(ln(", i)
+            if j < 0:
+                break
+            k = j + len("round(")  # start of "ln(...)"
+            depth = 0
+            m = k
+            closed = False
+            while m < len(line):
+                if line[m] == "(":
+                    depth += 1
+                elif line[m] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        closed = True
+                        break
+                m += 1
+            if not closed:
+                break  # truncated line — unbalanced, skip the rest
+            tail = re.match(r",\s*(\d+)\)", line[m + 1:])
+            if tail and int(tail.group(1)) > 0:
+                hits.append(line[j : m + 1 + tail.end()])
+            i = m + 1
     return hits
 
 
