@@ -54,7 +54,11 @@ _PRIORITY = [
 
 # (b) new this round — appended as each op lands so it claims a window
 # slot from the (e) tail, never from (a)/(c)/(d).
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    # first-ever driver verdict: registered unconditionally once the
+    # vendored protobuf wire shim landed (VERDICT r10 item 3)
+    "stream_tws_user_stats",
+]
 
 _PRIORITY += _NEW_THIS_ROUND
 
@@ -76,9 +80,9 @@ _PRIORITY += [
     "tumbling_window_agg", "unpivot_measures", "vector_centroids",
 ]
 
-# (e) round-4-era tail: groups (a)-(d) total 44 names (4 + 0 + 7 + 33),
-# so 6 slots remain and the first 6 below fit (through `tpch_q10`); the
-# other 2 listed (`tpch_q11`, `tpch_q12`) roll to round 12 along with
+# (e) round-4-era tail: groups (a)-(d) total 45 names (4 + 1 + 7 + 33),
+# so 5 slots remain and the first 5 below fit (through `tpch_q9`); the
+# other 3 listed (`tpch_q10`, `tpch_q11`, `tpch_q12`) roll to round 12 along with
 # the remaining r4-era names (the r12 backfill pool). Count verified by
 # the assertion below — NOT by hand (the r9 and r10 drafts of this NOTE
 # both miscounted by hand).
@@ -93,7 +97,7 @@ _PRIORITY += _TAIL_R4[: max(0, 50 - len(_PRIORITY))]
 # be rewritten whenever a (b) addition shifts the cut line. Slice-based
 # (never a bare [49] index) so a short list fails with THIS message,
 # not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["tpch_q10"], (
+assert _PRIORITY[49:50] == ["tpch_q9"], (
     "window tail moved — update the (e) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

@@ -580,6 +580,10 @@ def tws_user_stats(spark: SparkSession, staged_dir: str, checkpoint: str) -> Dat
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql import types as T
 
+    from .protobuf_compat import ensure_protobuf
+
+    ensure_protobuf(spark)  # native protobuf or the vendored wire shim
+
     sdf = events_stream(spark, staged_dir, maxFilesPerTrigger=1).select(
         "user_id",
         (F.round("value", 6).cast("decimal(18,6)") * 1_000_000)
@@ -635,7 +639,24 @@ def tws_user_stats(spark: SparkSession, staged_dir: str, checkpoint: str) -> Dat
         outputMode="Update",
         timeMode="None",
     )
-    log = run_to_memory(updates, output_mode="append", checkpoint=checkpoint)
+    # TWS state lives in MULTIPLE column families, which only the RocksDB
+    # provider supports (the HDFS-backed default raises
+    # STATE_STORE_MULTIPLE_COLUMN_FAMILIES); scoped to this query's run,
+    # previous provider restored after
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        log = run_to_memory(updates, output_mode="append", checkpoint=checkpoint)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     # totals are monotone per user -> the final state is the max row
     w_last = F.struct("n_events", "sum_value_micros", "max_ts_us")
     return (

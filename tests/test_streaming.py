@@ -131,15 +131,18 @@ def test_stateful_cci_stream_equals_batch(spark):
 def test_tws_user_stats_matches_batch(spark):
     """transformWithStateInPandas running per-user stats == batch GROUP BY.
 
-    Skips where google.protobuf is absent (the TWS Python worker runs a
-    protobuf-RPC state server); the operator itself is exercised on any
-    real cluster via the import-gated registered query."""
-    import pytest
-
-    pytest.importorskip("google.protobuf")
+    Runs everywhere since r11: ensure_protobuf() (called inside the
+    registered query) prefers a native google.protobuf and otherwise
+    ships the vendored pure-Python wire shim to driver and workers —
+    the last pytest skip in the suite is gone."""
     from ccirecommenderdatapipeline_spark.streaming.jobs import (
         stream_tws_user_stats,
     )
+    from ccirecommenderdatapipeline_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    ensure_protobuf(spark)
     from ccirecommenderdatapipeline_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
