@@ -178,6 +178,8 @@ HEADLINE = [
     "stream_psi_drift",          # streaming frozen-edge PSI gate (r9)
     "stream_ks_drift",           # streaming binned-KS gate (r10)
     "dedup_exact_substring",     # verbatim duplicated-span extraction (r10)
+    # --- round 11 ---
+    "stream_tws_user_stats",     # transformWithStateInPandas via wire shim (r11)
 ]
 
 
