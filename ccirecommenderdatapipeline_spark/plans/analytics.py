@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from ..operators.windows import bounded_window
 
+from ..operators.lnq import LN_UNIT_SCALE, LN_UNIT_SCALE_F, ln_units, ln_units_sql
 from ..operators.text import tokens
 from ..sources.prices import PRICES_ORACLE_CTE, prices_view
 from ..sources.tables import load_table
@@ -834,8 +835,11 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Kaplan-Meier survival: time to repeat purchase ---------------------------
 
-KM_LN_DP = 9   # per-step ln(1 - d/n) rounding
-KM_C_DP = 12   # per-step contribution rounding before the decimal cumsum
+# per-step ln(1 - d/n) quantized to integer nano-nats (operators/lnq.py,
+# r11 rule): the cumulative log-sum is exact integer math; exp runs once
+# per row on bit-identical doubles (one residual transcendental boundary
+# per readout, the structural minimum)
+_KM_LNU_SQL = ln_units_sql("1.0 - d / CAST(n_risk AS DOUBLE)")
 
 
 @query(
@@ -864,13 +868,12 @@ WITH seq AS (
     FROM agg
 ), steps AS (
     SELECT t, d, n_risk,
-           CAST(ROUND(ROUND(ln(1.0 - d / CAST(n_risk AS DOUBLE)),
-                            {KM_LN_DP}), {KM_C_DP})
-                AS DECIMAL(28,{KM_C_DP})) AS lnc
+           {_KM_LNU_SQL} AS lnu
     FROM risk WHERE d > 0 AND d < n_risk
 )
 SELECT t, d, n_risk,
-       ROUND(exp(CAST(SUM(lnc) OVER (ORDER BY t) AS DOUBLE)), 8) AS survival
+       ROUND(exp(CAST(SUM(lnu) OVER (ORDER BY t) AS DOUBLE)
+                 / {LN_UNIT_SCALE}.0), 8) AS survival
 FROM steps
 """,
 )
@@ -884,10 +887,10 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 - d_i/n_i) with n_i the at-risk count (a DESC cumulative count
     over the time axis).
 
-    Determinism: the product runs in LOG space — ln(1 - d/n) of exact
-    int ratios, rounded at {KM_LN_DP}dp, accumulated as a
-    DECIMAL(28,{KM_C_DP}) running sum, exp'd once per row and rounded
-    at 8dp (the bigram-LM NLL contract, cumulatively). The two windows
+    Determinism (r11 ln-quantization rule): the product runs in LOG
+    space — ln(1 - d/n) of exact int ratios quantized to integer
+    nano-nats, accumulated as an exact BIGINT running sum, exp'd once
+    per row on bit-identical doubles and rounded at 8dp. The two windows
     order the EVENT-TIME axis — bounded by the calendar span, never by
     customers (the subject agg collapses first).
 
@@ -933,15 +936,9 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "d",
         "n_risk",
-        F.round(
-            F.round(
-                F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double")),
-                KM_LN_DP,
-            ),
-            KM_C_DP,
-        )
-        .cast(f"decimal(28,{KM_C_DP})")
-        .alias("lnc"),
+        ln_units(
+            F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double")
+        ).alias("lnu"),
     )
     wu = bounded_window(
         "t",
@@ -952,7 +949,13 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "d",
         "n_risk",
-        F.round(F.exp(F.sum("lnc").over(wu).cast("double")), 8).alias("survival"),
+        F.round(
+            F.exp(
+                F.sum("lnu").over(wu).cast("double")
+                / F.lit(LN_UNIT_SCALE_F)
+            ),
+            8,
+        ).alias("survival"),
     )
 
 

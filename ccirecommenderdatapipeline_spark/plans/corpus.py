@@ -1455,8 +1455,13 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Multinomial naive Bayes language classifier ----------------------------
 
 NB_MIN_DF = 3    # train-split document frequency floor for the vocabulary
-NB_LN_DP = 9     # per-token ln() rounding (libm 1-ulp guard, KL idiom)
-NB_C_DP = 12     # per-term contribution rounding before the decimal sum
+# class-prior and token-likelihood ln() quantized to integer nano-nats
+# (operators/lnq.py, r11 rule): every class score is exact integer math
+# (HUGEINT/decimal38 sums), so the argmax needs no contribution rounding
+_NB_PRIOR_LNU = ln_units_sql("p.docs / CAST(t.nd AS DOUBLE)")
+_NB_TOKEN_LNU = ln_units_sql(
+    "(COALESCE(m.c, 0) + 1) / CAST(ct.n_l + vs.v AS DOUBLE)"
+)
 
 
 @query(
@@ -1488,8 +1493,7 @@ split AS (
     SELECT CAST(SUM(docs) AS BIGINT) AS nd FROM prior
 ), classes AS (
     SELECT p.lang,
-           CAST(ROUND(ln(p.docs / CAST(t.nd AS DOUBLE)), {NB_LN_DP})
-                AS DECIMAL(28,{NB_C_DP})) AS logprior
+           CAST({_NB_PRIOR_LNU} AS HUGEINT) AS logprior
     FROM prior p CROSS JOIN ptot t
 ), test_cnt AS (
     SELECT x.doc_id, x.tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -1498,9 +1502,7 @@ split AS (
     ) x JOIN vocab v ON v.tok = x.tok GROUP BY 1, 2
 ), terms AS (
     SELECT tc.doc_id, c.lang,
-           CAST(ROUND(tc.cnt * ROUND(ln((COALESCE(m.c, 0) + 1)
-                    / CAST(ct.n_l + vs.v AS DOUBLE)), {NB_LN_DP}), {NB_C_DP})
-                AS DECIMAL(28,{NB_C_DP})) AS term
+           CAST(tc.cnt AS HUGEINT) * {_NB_TOKEN_LNU} AS term
     FROM test_cnt tc
     CROSS JOIN classes c
     LEFT JOIN model m ON m.lang = c.lang AND m.tok = tc.tok
@@ -1510,8 +1512,7 @@ split AS (
     SELECT doc_id, lang, SUM(term) AS ll FROM terms GROUP BY 1, 2
 ), scored AS (
     SELECT s.doc_id, s.lang AS lang_actual, c.lang AS cand,
-           c.logprior + COALESCE(d.ll, CAST(0 AS DECIMAL(28,{NB_C_DP})))
-               AS score
+           c.logprior + COALESCE(d.ll, CAST(0 AS HUGEINT)) AS score
     FROM split s
     CROSS JOIN classes c
     LEFT JOIN docscore d ON d.doc_id = s.doc_id AND d.lang = c.lang
@@ -1534,11 +1535,12 @@ def q_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     split — emitted as the confusion matrix (actual x predicted doc
     counts), the eval artifact every classifier pipeline materializes.
 
-    Determinism (the KL idiom): the two transcendentals (class prior and
-    token likelihood ln) are rounded {NB_LN_DP}dp; each doc-token-class
-    contribution is count x rounded-ln rounded {NB_C_DP}dp and summed as
-    DECIMAL, so the per-doc score is combine-order-free and the argmax
-    (ties broken by class name) is engine-exact.
+    Determinism (r11 ln-quantization rule): the two transcendentals
+    (class prior and token likelihood ln) are quantized to integer
+    nano-nats; each doc-token-class contribution count x units and the
+    per-doc score are exact integer sums (HUGEINT / decimal38), so the
+    argmax (ties broken by class name) is engine-exact with no
+    contribution rounding at all.
 
     100-TB shape: the model is a (class x vocab-token) aggregate —
     df-thresholded, so it broadcasts into the scoring join; test docs
@@ -1576,8 +1578,8 @@ def q_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ptot = prior.agg(F.sum("docs").cast("long").alias("nd"))
     classes = prior.crossJoin(F.broadcast(ptot)).select(
         "lang",
-        F.round(F.log(F.col("docs") / F.col("nd").cast("double")), NB_LN_DP)
-        .cast(f"decimal(28,{NB_C_DP})")
+        ln_units(F.col("docs") / F.col("nd").cast("double"))
+        .cast("decimal(38,0)")
         .alias("logprior"),
     )
     test_cnt = (
@@ -1597,19 +1599,13 @@ def q_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(
-                F.col("cnt")
-                * F.round(
-                    F.log(
-                        (F.coalesce(F.col("c"), F.lit(0)) + 1)
-                        / (F.col("n_l") + F.col("v")).cast("double")
-                    ),
-                    NB_LN_DP,
-                ),
-                NB_C_DP,
-            )
-            .cast(f"decimal(28,{NB_C_DP})")
-            .alias("term"),
+            (
+                F.col("cnt").cast("decimal(38,0)")
+                * ln_units(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("n_l") + F.col("v")).cast("double")
+                )
+            ).alias("term"),
         )
     )
     docscore = terms.groupBy("doc_id", "lang").agg(F.sum("term").alias("ll"))
@@ -1630,9 +1626,7 @@ def q_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("cand"),
             (
                 F.col("logprior")
-                + F.coalesce(
-                    F.col("ll"), F.lit(0).cast(f"decimal(28,{NB_C_DP})")
-                )
+                + F.coalesce(F.col("ll"), F.lit(0).cast("decimal(38,0)"))
             ).alias("score"),
         )
     )

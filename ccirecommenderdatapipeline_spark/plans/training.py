@@ -733,8 +733,12 @@ GD_W = {"bias": 0.05, "f_acctbal": -0.4, "f_nation": 0.2}  # frozen w_t
 GD_LR = 0.5          # learning rate for the reported w_{t+1}
 GD_Z_DP = 9          # logit rounding before exp (libm-input pinning)
 GD_SIG_DP = 10       # sigmoid rounding after exp (1-ulp libm guard)
-GD_LN_DP = 9         # per-row ln() rounding inside the NLL
-GD_C_DP = 12         # per-row contribution rounding before the decimal sum
+GD_C_DP = 12         # per-row GRADIENT contribution rounding (no ln there)
+# NLL ln() quantized to integer nano-nats (operators/lnq.py, r11 rule):
+# with y in {0,1} each row's NLL is exactly one ln term, so the per-batch
+# NLL numerator is an exact BIGINT sum
+_GD_SIG_LNU = ln_units_sql("sig")
+_GD_1MSIG_LNU = ln_units_sql("1.0 - sig")
 
 
 @query(
@@ -752,13 +756,12 @@ WITH f AS (
     SELECT *, ROUND(1.0 / (1.0 + exp(-zz)), {GD_SIG_DP}) AS sig FROM z
 ), e AS (
     SELECT f_acctbal, f_nation, sig - y AS err,
-           CAST(ROUND(-(y * ROUND(ln(sig), {GD_LN_DP})
-                        + (1 - y) * ROUND(ln(1.0 - sig), {GD_LN_DP})),
-                      {GD_C_DP}) AS DECIMAL(28,{GD_C_DP})) AS nll_c
+           -(y * {_GD_SIG_LNU} + (1 - y) * {_GD_1MSIG_LNU}) AS nll_u
     FROM s
 ), tot AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(nll_c) AS DOUBLE) / COUNT(*), 8) AS mean_nll
+           ROUND(CAST(SUM(nll_u) AS DOUBLE) / COUNT(*)
+                 / {LN_UNIT_SCALE}.0, 8) AS mean_nll
     FROM e
 ), g AS (
     SELECT 'bias' AS feature,
@@ -800,9 +803,10 @@ def q_logreg_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism contract (cf. ``corpus_drift_kl``): the logit is a fixed
     left-to-right double expression rounded at {GD_Z_DP}dp BEFORE exp so
     both engines hand libm the identical double; sigmoid is re-rounded at
-    {GD_SIG_DP}dp after (1-ulp guard); ln for the NLL at {GD_LN_DP}dp;
-    every per-row contribution at {GD_C_DP}dp then summed as
-    DECIMAL(28,{GD_C_DP}) — order-independent, so the gradient is
+    {GD_SIG_DP}dp after (1-ulp guard); the NLL ln is quantized to
+    integer nano-nats (r11 rule) so the NLL numerator is an exact BIGINT
+    sum; gradient contributions (no transcendental) round at {GD_C_DP}dp
+    into DECIMAL(28,{GD_C_DP}) — order-independent, so the gradient is
     bit-stable under any partitioning.
 
     100-TB shape: one customer scan; ``stack`` unpivots each row to its J
@@ -832,20 +836,22 @@ def q_logreg_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_acctbal",
         "f_nation",
         (F.col("sig") - F.col("y")).alias("err"),
-        F.round(
+        (
             -(
-                F.col("y") * F.round(F.log("sig"), GD_LN_DP)
+                F.col("y") * ln_units(F.col("sig"))
                 + (F.lit(1) - F.col("y"))
-                * F.round(F.log(F.lit(1.0) - F.col("sig")), GD_LN_DP)
-            ),
-            GD_C_DP,
-        )
-        .cast(dec)
-        .alias("nll_c"),
+                * ln_units(F.lit(1.0) - F.col("sig"))
+            )
+        ).alias("nll_u"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = e.agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.sum("nll_c").cast("double") / F.count("*"), 8).alias("mean_nll"),
+        F.round(
+            F.sum("nll_u").cast("double")
+            / F.count("*")
+            / F.lit(LN_UNIT_SCALE_F),
+            8,
+        ).alias("mean_nll"),
     )
     unpiv = e.select(
         F.expr(
@@ -1277,8 +1283,12 @@ def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Information-gain feature ranking ----------------------------------------
 
-IG_LN_DP = 9     # per-term ln() rounding
-IG_C_DP = 12     # per-term contribution rounding before the decimal sum
+# entropy ln() quantized to integer nano-nats (operators/lnq.py, r11
+# rule): both entropies share the denominator n (every feature covers
+# every customer), so H(y), H(y|x) and their DIFFERENCE are exact
+# integer numerators over n*1e9 — no contribution rounding anywhere
+_IG_COND_LNU = ln_units_sql("cxy.c / CAST(cx.nx AS DOUBLE)")
+_IG_Y_LNU = ln_units_sql("c / CAST(t.n AS DOUBLE)")
 
 
 @query(
@@ -1304,9 +1314,7 @@ WITH f AS (
     SELECT feature, CAST(SUM(nx) AS BIGINT) AS n FROM cx GROUP BY 1
 ), hyx AS (
     SELECT cxy.feature,
-           SUM(CAST(ROUND(-(cxy.c / CAST(nt.n AS DOUBLE))
-                 * ROUND(ln(cxy.c / CAST(cx.nx AS DOUBLE)), {IG_LN_DP}),
-                 {IG_C_DP}) AS DECIMAL(28,{IG_C_DP}))) AS h_cond,
+           SUM(CAST(-cxy.c AS HUGEINT) * {_IG_COND_LNU}) AS num_cond,
            CAST(MAX(nt.n) AS BIGINT) AS n
     FROM cxy
     JOIN cx ON cx.feature = cxy.feature AND cx.x = cxy.x
@@ -1317,16 +1325,16 @@ WITH f AS (
 ), cy AS (
     SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1
 ), hy AS (
-    SELECT SUM(CAST(ROUND(-(c / CAST(t.n AS DOUBLE))
-                 * ROUND(ln(c / CAST(t.n AS DOUBLE)), {IG_LN_DP}),
-                 {IG_C_DP}) AS DECIMAL(28,{IG_C_DP}))) AS h_y
+    SELECT SUM(CAST(-c AS HUGEINT) * {_IG_Y_LNU}) AS num_y
     FROM cy CROSS JOIN (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cy) t
 )
 SELECT hyx.feature, nv.n_values,
-       ROUND(CAST(hy.h_y AS DOUBLE), 8) AS h_y,
-       ROUND(CAST(hyx.h_cond AS DOUBLE), 8) AS h_y_given_x,
-       ROUND(CAST(hy.h_y AS DOUBLE) - CAST(hyx.h_cond AS DOUBLE), 8)
-           AS info_gain
+       ROUND(CAST(hy.num_y AS DOUBLE) / CAST(hyx.n AS DOUBLE)
+             / {LN_UNIT_SCALE}.0, 8) AS h_y,
+       ROUND(CAST(hyx.num_cond AS DOUBLE) / CAST(hyx.n AS DOUBLE)
+             / {LN_UNIT_SCALE}.0, 8) AS h_y_given_x,
+       ROUND(CAST(hy.num_y - hyx.num_cond AS DOUBLE) / CAST(hyx.n AS DOUBLE)
+             / {LN_UNIT_SCALE}.0, 8) AS info_gain
 FROM hyx JOIN nv ON nv.feature = hyx.feature CROSS JOIN hy
 """,
 )
@@ -1340,10 +1348,11 @@ def q_info_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans. Reports per-feature cardinality so the reader can spot
     cardinality-biased IG (the known ID3 pathology LOO encoding avoids).
 
-    Determinism: all probabilities are exact int/int divisions; ln is
-    rounded at {IG_LN_DP}dp before the multiply, each term at {IG_C_DP}dp,
-    and both entropies are DECIMAL sums — order-independent (the
-    ``corpus_drift_kl`` contract).
+    Determinism (r11 ln-quantization rule): all probabilities are exact
+    int/int divisions; ln is quantized to integer nano-nats, both
+    entropy numerators are exact integer sums over the shared
+    denominator n, and IG's numerator is their exact integer DIFFERENCE
+    — one bit-identical double division+round per readout column.
 
     100-TB shape: one scan -> (feature, x, y) map-combinable counts
     (key bounded by the summed feature cardinalities), then agg over the
@@ -1367,37 +1376,45 @@ def q_info_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cxy = u.groupBy("feature", "x", "y").agg(F.count("*").cast("long").alias("c"))
     cx = cxy.groupBy("feature", "x").agg(F.sum("c").cast("long").alias("nx"))
     nt = cx.groupBy("feature").agg(F.sum("nx").cast("long").alias("n"))
-    dec = f"decimal(28,{IG_C_DP})"
-    term = F.round(
-        -(F.col("c") / F.col("n").cast("double"))
-        * F.round(F.log(F.col("c") / F.col("nx").cast("double")), IG_LN_DP),
-        IG_C_DP,
-    ).cast(dec)
+    term = (-F.col("c")).cast("decimal(38,0)") * ln_units(
+        F.col("c") / F.col("nx").cast("double")
+    )
     hyx = (
         cxy.join(cx, ["feature", "x"])
         .join(F.broadcast(nt), "feature")
         .groupBy("feature")
-        .agg(F.sum(term).alias("h_cond"), F.max("n").cast("long").alias("n"))
+        .agg(F.sum(term).alias("num_cond"), F.max("n").cast("long").alias("n"))
     )
     nv = cx.groupBy("feature").agg(F.count("*").cast("long").alias("n_values"))
     cy = f.groupBy("y").agg(F.count("*").cast("long").alias("c"))
     tot = cy.agg(F.sum("c").cast("long").alias("n"))
-    hterm = F.round(
-        -(F.col("c") / F.col("n").cast("double"))
-        * F.round(F.log(F.col("c") / F.col("n").cast("double")), IG_LN_DP),
-        IG_C_DP,
-    ).cast(dec)
-    hy = cy.crossJoin(F.broadcast(tot)).agg(F.sum(hterm).alias("h_y"))
+    hterm = (-F.col("c")).cast("decimal(38,0)") * ln_units(
+        F.col("c") / F.col("n").cast("double")
+    )
+    hy = cy.crossJoin(F.broadcast(tot)).agg(F.sum(hterm).alias("num_y"))
     return (
         hyx.join(F.broadcast(nv), "feature")
         .crossJoin(F.broadcast(hy))
         .select(
             "feature",
             "n_values",
-            F.round(F.col("h_y").cast("double"), 8).alias("h_y"),
-            F.round(F.col("h_cond").cast("double"), 8).alias("h_y_given_x"),
             F.round(
-                F.col("h_y").cast("double") - F.col("h_cond").cast("double"), 8
+                F.col("num_y").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(LN_UNIT_SCALE_F),
+                8,
+            ).alias("h_y"),
+            F.round(
+                F.col("num_cond").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(LN_UNIT_SCALE_F),
+                8,
+            ).alias("h_y_given_x"),
+            F.round(
+                (F.col("num_y") - F.col("num_cond")).cast("double")
+                / F.col("n").cast("double")
+                / F.lit(LN_UNIT_SCALE_F),
+                8,
             ).alias("info_gain"),
         )
     )

@@ -53,14 +53,19 @@ def ensure_protobuf(spark) -> str:
     otherwise wire the vendored shim into this driver and the session's
     Python workers and return "shim"."""
     try:
+        import google.protobuf as _gpb
         from google.protobuf import descriptor  # noqa: F401
 
-        return "native"
+        # a shim already importable in THIS process (e.g. a test put the
+        # vendor dir on sys.path) is NOT a native runtime — workers still
+        # need the zip + env delivery below, so only short-circuit when
+        # the import resolved outside the vendor tree
+        if not getattr(_gpb, "__file__", "").startswith(_VENDOR):
+            return "native"
     except ImportError:
-        pass
-    if _VENDOR not in sys.path:
-        sys.path.insert(0, _VENDOR)
-    from google.protobuf import descriptor  # noqa: F401  (validates shim)
+        if _VENDOR not in sys.path:
+            sys.path.insert(0, _VENDOR)
+        from google.protobuf import descriptor  # noqa: F401  (validates shim)
 
     sc = spark.sparkContext
     app_id = sc.applicationId

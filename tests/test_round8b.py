@@ -148,16 +148,22 @@ def _py_tokens(text: str) -> list:
 
 def test_naive_bayes_matches_python(spark):
     """Distributed NB confusion matrix == a from-scratch Python NB with
-    the same split, vocab floor, smoothing and rounding schedule."""
+    the same split, vocab floor, smoothing and nano-nat quantization
+    (operators/lnq.py, the r11 schedule: scores are exact integer
+    sums of round(ln(p)*1e9) units)."""
     import math
     from collections import Counter
-    from decimal import Decimal
 
+    from ccirecommenderdatapipeline_spark.operators.lnq import LN_UNIT_SCALE
     from ccirecommenderdatapipeline_spark.plans.corpus import (
-        NB_LN_DP,
         NB_MIN_DF,
         q_naive_bayes_classify,
     )
+
+    def lnu(x: float) -> int:
+        # round-half-away-from-zero of ln(x)*1e9, matching both engines
+        v = math.log(x) * LN_UNIT_SCALE
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
         "doc_id", "lang", "text"
@@ -180,18 +186,15 @@ def test_naive_bayes_matches_python(spark):
     nd = sum(prior.values())
     v = len(vocab)
     confusion: Counter = Counter()
-    q = Decimal(10) ** -12
     for lang_actual, toks in test:
         cnt = Counter(t for t in toks if t in vocab)
         best = None
         for lang in sorted(prior):
-            s = Decimal(str(round(math.log(prior[lang] / nd), NB_LN_DP))).quantize(q)
+            s = lnu(prior[lang] / nd)
             for t, c in cnt.items():
-                ln = round(
-                    math.log((model.get((lang, t), 0) + 1) / (ctot[lang] + v)),
-                    NB_LN_DP,
+                s += c * lnu(
+                    (model.get((lang, t), 0) + 1) / (ctot[lang] + v)
                 )
-                s += Decimal(str(round(c * ln, 12))).quantize(q)
             if best is None or s > best[0]:
                 best = (s, lang)
         confusion[(lang_actual, best[1])] += 1

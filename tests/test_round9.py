@@ -13,10 +13,9 @@ def test_stream_psi_drift_matches_python(spark):
     """The streaming-maintained PSI (frozen base-slice edges, additive
     per-batch histogram merge) must equal a brute-force single-pass
     recompute with the same frozen-edge semantics."""
+    from ccirecommenderdatapipeline_spark.operators.lnq import LN_UNIT_SCALE
     from ccirecommenderdatapipeline_spark.plans.events import (
         PSI_BINS,
-        PSI_C_DP,
-        PSI_LN_DP,
         PSI_SPLIT_DAY,
     )
     from ccirecommenderdatapipeline_spark.streaming.jobs import (
@@ -55,9 +54,16 @@ def test_stream_psi_drift_matches_python(spark):
         n_b, n_c = sum(c_b), sum(c_c)
         psi = 0.0
         for k in range(PSI_BINS):
+            # r11 nano-nat replay: exact integer numerator over the
+            # shared denominator (n_b+B)(n_c+B)
             p = (c_b[k] + 1) / (n_b + PSI_BINS)
             q = (c_c[k] + 1) / (n_c + PSI_BINS)
-            psi += round((p - q) * round(math.log(p / q), PSI_LN_DP), PSI_C_DP)
+            v = math.log(p / q) * LN_UNIT_SCALE
+            u = int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+            num = (c_b[k] + 1) * (n_c + PSI_BINS) - (c_c[k] + 1) * (n_b + PSI_BINS)
+            psi += (
+                num * u / ((n_b + PSI_BINS) * (n_c + PSI_BINS)) / LN_UNIT_SCALE
+            )
         row = got[et]
         assert row["n_base"] == n_b and row["n_current"] == n_c, et
         assert abs(row["psi"] - psi) < 1e-7, (et, row["psi"], psi)

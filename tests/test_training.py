@@ -131,14 +131,16 @@ def test_bigram_nll_matches_pure_python_replay(spark):
         c1[w1] += c
     vocab = len({t for ts in toks.values() for t in ts})
     assert set(got) == set(bigrams)
+    # r11 nano-nat replay: integer unit sum, order-free
+    from ccirecommenderdatapipeline_spark.operators.lnq import LN_UNIT_SCALE
+
+    def lnu(x: float) -> int:
+        v = math.log(x) * LN_UNIT_SCALE
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
     for d, bgs in bigrams.items():
-        logps = [
-            round(math.log((c2[bg] + 1.0) / (c1[bg[0]] + vocab)), 6) for bg in bgs
-        ]
-        acc = 0.0
-        for lp in logps:
-            acc += lp
-        want = round(-acc / len(bgs), 4)
+        acc = sum(lnu((c2[bg] + 1.0) / (c1[bg[0]] + vocab)) for bg in bgs)
+        want = round(-acc / len(bgs) / LN_UNIT_SCALE, 4)
         assert got[d] == (len(bgs), want)
 
 

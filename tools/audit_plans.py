@@ -85,26 +85,15 @@ DECIMAL_READOUT_OK: dict[str, str] = {
 # the entries below share the old guarded idiom — each names its
 # conversion round or the reason the shape is not a readout sum.
 LN_READOUT_OK: dict[str, str] = {
-    "naive_bayes_classify": (
-        "per-token logp rounded NB_LN_DP into a per-doc decimal argmax — "
-        "same guarded idiom, green r8; conversion scheduled r12"
-    ),
-    "logreg_gd_step": (
-        "loss term ln(sigmoid) rounded GD_LN_DP into a decimal sum — "
-        "green r9; conversion scheduled r12"
-    ),
-    "info_gain_features": (
-        "entropy terms rounded IG_LN_DP into decimal sums — green r7; "
-        "conversion scheduled r12"
-    ),
+    # the sum-class entries (NB/GD/IG/KM) were converted to ln_units in
+    # r11 itself; only the two per-row-value usages remain — in both, ln
+    # produces a VALUE or KEY for one row, never a cross-row sum, so the
+    # integer-unit rule buys nothing and dp-rounding is the documented
+    # determinism contract
     "dp_noisy_counts": (
         "ln feeds the seeded Laplace noise VALUE (a per-row transform, "
         "not a cross-row sum); dp-rounding is the documented determinism "
         "contract for the noise column — green r7"
-    ),
-    "kaplan_meier_survival": (
-        "ln(1 - d/n) rounded KM_LN_DP into the cumulative decimal sum — "
-        "green r8; conversion scheduled r12"
     ),
     "weighted_sample_wr": (
         "ln feeds a per-row SELECTION KEY (Efraimidis-Spirakis order "
