@@ -39,10 +39,45 @@ def make_source():
         def __init__(self, start: int, end: int, accounts: int):
             self.start, self.end, self.accounts = start, end, accounts
 
+    class _TokenBucket:
+        """Per-partition token bucket (SURVEY OP9 / hankook_api.py:105's
+        20 req/s limiter): continuous refill, sleeps the reader when
+        empty. One token = one simulated REST request (one symbol page).
+        On a cluster each partition throttles independently, exactly like
+        the reference's per-process limiter — size ``max_rps`` x
+        partition count to the API's global budget (the connector knob a
+        real deployment tunes alongside n_partitions)."""
+
+        def __init__(self, rate: float, burst: float):
+            import time
+
+            self._time = time.monotonic
+            self._sleep = time.sleep
+            self.rate = float(rate)
+            self.capacity = max(1.0, float(burst))
+            self.tokens = self.capacity
+            self.t = self._time()
+
+        def acquire(self, n: float = 1.0) -> None:
+            while True:
+                now = self._time()
+                self.tokens = min(
+                    self.capacity, self.tokens + (now - self.t) * self.rate
+                )
+                self.t = now
+                if self.tokens >= n:
+                    self.tokens -= n
+                    return
+                self._sleep(min(0.05, (n - self.tokens) / self.rate))
+
     class BrokerBalancesReader(DataSourceReader):
         def __init__(self, options):
             self.n_symbols = int(options.get("n_symbols", 100))
             self.n_accounts = int(options.get("n_accounts", 2))
+            # 0 = unthrottled (fixture default); a live deployment sets
+            # the API budget here, e.g. .option("max_rps", 20)
+            self.max_rps = float(options.get("max_rps", 0))
+            self.burst = float(options.get("burst", self.max_rps))
 
         def partitions(self):
             step = max(1, self.n_symbols // n_parts)
@@ -54,7 +89,14 @@ def make_source():
         def read(self, partition):
             # deterministic balance records; formulas mirrored verbatim in
             # the DuckDB oracle (plans/broker.py)
+            bucket = (
+                _TokenBucket(self.max_rps, self.burst)
+                if self.max_rps > 0
+                else None
+            )
             for suppkey in range(partition.start, partition.end):
+                if bucket is not None:
+                    bucket.acquire()  # one request per symbol page
                 for account_id in range(1, partition.accounts + 1):
                     hold_qty = (suppkey * 7 + account_id * 13) % 100
                     avg_buy = ((suppkey * 131 + account_id * 17) % 9000) / 100.0 + 10.0

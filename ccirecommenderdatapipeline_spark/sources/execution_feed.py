@@ -43,11 +43,37 @@ def make_stream_source():
         def __init__(self, options):
             self.total = int(options.get("total", 1000))
             self.batch = int(options.get("batch", 137))
+            # SURVEY OP9: one token per poll (one simulated REST page per
+            # micro-batch fetch); 0 = unthrottled fixture default. The
+            # simple stream reader runs driver-side, so the bucket lives
+            # across read() calls — the per-process limiter shape of
+            # hankook_api.py:105.
+            self.max_rps = float(options.get("max_rps", 0))
+            self._bucket_state: list | None = None  # [tokens, last_t]
 
         def initialOffset(self) -> dict:
             return {"next_id": 0}
 
+        def _throttle(self) -> None:
+            if self.max_rps <= 0:
+                return
+            import time
+
+            if self._bucket_state is None:
+                # burst of 1: the first poll is free, later polls pace
+                self._bucket_state = [1.0, time.monotonic()]
+            tokens, last = self._bucket_state
+            while True:
+                now = time.monotonic()
+                tokens = min(1.0, tokens + (now - last) * self.max_rps)
+                last = now
+                if tokens >= 1.0:
+                    self._bucket_state = [tokens - 1.0, last]
+                    return
+                time.sleep(min(0.05, (1.0 - tokens) / self.max_rps))
+
         def read(self, start: dict):
+            self._throttle()
             lo = start["next_id"]
             hi = min(lo + self.batch, self.total)
             return gen_rows(lo, hi), {"next_id": hi}
