@@ -26,8 +26,18 @@ The residual exposure is exactly one quantization boundary per ln call
 — ln(x)*1e9 within 1 ulp of a half-integer — the same quantum the old
 ROUND(ln, 9) idiom had, now in one audited helper instead of seven
 bespoke variants. tools/audit_plans.py flags any plan still containing
-a dp>0 rounding of a raw ln (LN_READOUT_OK lists the sites scheduled
-for conversion).
+a dp>0 rounding of a raw ln (LN_READOUT_OK lists the per-row value/key
+exceptions).
+
+Why ln and not exp: this rule exists because ln values get SUMMED
+ACROSS ROWS (KL/PSI/NLL/entropy are log-space additions), so a double
+intermediate forces per-site decimal machinery or ordered folds. The
+repo's exp sites (sigmoid scores, the KM survival readout, GMM
+responsibilities) are per-row READOUTS that are never summed — for
+them, the established round-input-before-exp / round-output-after
+idiom (GD_Z_DP/GD_SIG_DP etc.) carries exactly the same one-boundary
+residual as integer units would, with nothing downstream to keep
+exact, so they stay as they are.
 """
 
 from __future__ import annotations
