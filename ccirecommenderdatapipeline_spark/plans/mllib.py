@@ -22,6 +22,7 @@ is part of the beyond-reference training-data surface (SURVEY §2 extras).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.mllib_ops import (
     kmeans_embeddings,
@@ -136,10 +137,21 @@ def q_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     production dedup path at 100 TB is the banded LSH itself
     (dedup_minhash_lsh) whose candidate generation never goes all-pairs."""
     docs2 = with_recrawl(load_table(spark, sf_dir, "documents"))
-    ne = docs2.select(
-        "doc_id",
-        F.array_distinct(word_ngrams(tokens(F.col("text")), 3)).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    # persisted: the tokenize+trigram pass feeds ~6 consumers (the
+    # inverted-index arm, sizes, the CountVectorizer fit AND transform,
+    # the injected-count filter) — without the persist each one re-runs
+    # the regex pipeline over the corpus (the distinctive_terms audit
+    # lesson; measured 6.4 s -> see BENCH_FULL after this change)
+    ne = (
+        docs2.select(
+            "doc_id",
+            F.array_distinct(
+                word_ngrams(tokens(F.col("text")), 3)
+            ).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     expl = ne.select("doc_id", F.explode("grams").alias("g"))
     r1 = expl.select(F.col("doc_id").alias("doc_a"), "g")
