@@ -53,16 +53,34 @@ def tfidf_features(docs: DataFrame, n_features: int = 1 << 12) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs_with_grams: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    docs_with_grams: DataFrame,
+    threshold: float = 0.5,
+    vocab_size: int | None = None,
+) -> DataFrame:
     """ml.feature.MinHashLSH near-dup pairs over binary shingle vectors —
     the library counterpart of the HOF MinHash in operators/text.py (tests
     assert both catch the same injected duplicates). Input: (doc_id, grams
-    array<string>) with non-empty grams."""
+    array<string>) with non-empty grams.
+
+    ``vocab_size`` MUST cover every distinct gram: CountVectorizer's
+    default cap (2^18) silently drops rare grams once the vocabulary
+    exceeds it, which re-weights the key jaccard distance and breaks the
+    "LSH pairs are a subset of exact-jaccard pairs" invariant at larger
+    corpora (ADVICE r11 item 4). When None, one count-distinct pass over
+    the grams derives it with 2x headroom (floored at the 2^18 default)."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
-    cv = CountVectorizer(inputCol="grams", outputCol="features", binary=True).fit(
-        docs_with_grams
-    )
+    if vocab_size is None:
+        n_grams = (
+            docs_with_grams.select(F.explode("grams").alias("g"))
+            .agg(F.countDistinct("g"))
+            .first()[0]
+        )
+        vocab_size = max(1 << 18, 2 * int(n_grams or 0))
+    cv = CountVectorizer(
+        inputCol="grams", outputCol="features", binary=True, vocabSize=vocab_size
+    ).fit(docs_with_grams)
     feat = cv.transform(docs_with_grams).filter(
         F.size("grams") > 0  # MinHashLSH requires >=1 non-zero entry
     )
@@ -79,16 +97,28 @@ def minhash_lsh_pairs(docs_with_grams: DataFrame, threshold: float = 0.5) -> Dat
     )
 
 
-def kmeans_embeddings(emb: DataFrame, k: int = 10) -> DataFrame:
-    """KMeans over the embedding column; emits per-cluster size and the
-    majority fixture label with its share (clustering quality signal)."""
+def kmeans_fit(emb: DataFrame, k: int = 10, max_iter: int = 20):
+    """Fit KMeans(seed=SEED, maxIter=max_iter) on the embedding column;
+    returns (model, vecs). maxIter=20 is Spark's own default, pinned
+    explicitly so callers can reuse ONE fitted model for both the cluster
+    assignment and the converged-cost probe (ADVICE r11 item 5: the old
+    separate inertia helper re-fit the same model twice more at
+    plan-construction time)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = emb.select(
         "vec_id", "label", array_to_vector(F.col("embedding")).alias("features")
     )
-    model = KMeans(k=k, seed=SEED, featuresCol="features").fit(vecs)
+    model = KMeans(k=k, seed=SEED, maxIter=max_iter, featuresCol="features").fit(vecs)
+    return model, vecs
+
+
+def kmeans_embeddings(emb: DataFrame, k: int = 10, fitted=None) -> DataFrame:
+    """KMeans over the embedding column; emits per-cluster size and the
+    majority fixture label with its share (clustering quality signal).
+    Pass ``fitted=(model, vecs)`` from kmeans_fit to reuse a model."""
+    model, vecs = fitted if fitted is not None else kmeans_fit(emb, k)
     pred = model.transform(vecs)
     counts = pred.groupBy("prediction", "label").count()
     from pyspark.sql import Window
@@ -107,26 +137,20 @@ def kmeans_embeddings(emb: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
-def kmeans_inertia(emb: DataFrame, k: int = 10) -> tuple[float, float]:
-    """(trainingCost after 1 iteration, after 20) with the same seed/init —
-    the Lloyd-descent invariant cost20 <= cost1 that ml_kmeans_clusters
-    pins as a boolean. Two scalar summary reads, a bounded control-flow
-    probe (the graph.py:501 class), not a data collect."""
+def kmeans_cost1(vecs, k: int = 10) -> float:
+    """trainingCost after exactly 1 Lloyd iteration (same seed/init as
+    kmeans_fit) — the other half of the descent invariant cost20 <= cost1
+    that ml_kmeans_clusters pins as a boolean. One scalar summary read, a
+    bounded control-flow probe (the graph.py:501 class), not a data
+    collect; cost20 comes from the caller's already-fitted maxIter=20
+    model, so the probe adds ONE extra fit, not two."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    vecs = emb.select(array_to_vector(F.col("embedding")).alias("features"))
-    cost1 = (
+    return (
         KMeans(k=k, seed=SEED, maxIter=1, featuresCol="features")
         .fit(vecs)
         .summary.trainingCost
     )
-    cost20 = (
-        KMeans(k=k, seed=SEED, maxIter=20, featuresCol="features")
-        .fit(vecs)
-        .summary.trainingCost
-    )
-    return cost1, cost20
 
 
 def logreg_label_accuracy(emb: DataFrame) -> DataFrame:

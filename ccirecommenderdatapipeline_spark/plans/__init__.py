@@ -31,64 +31,55 @@ from . import training  # noqa: E402,F401
 from . import recommender  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only. Round-11 priority window — the
-# r10 verdict's items 1 and 2, in order:
-# (a) the 4 MLlib wrappers, upgraded this round from rows-only to
-#     statistic-level oracles (r10 verdict item 2) — first cross-engine
-#     verdicts ever for these names, so they head the window;
-# (b) NEW ops added this round (first verdicts out-rank re-checks) —
-#     each addition displaces one (e) tail name, never (a)/(c)/(d);
-# (c) the 7 streaming/SCD names rolled from the r10 window's (f) tail
-#     (enumerated in the r10 NOTE; r10 verdict item 1);
-# (d) the 33 remaining round-3-era names — after this window no verdict
-#     is older than r4;
-# (e) tail: the oldest round-4-era verdicts, TPC-H first (they exercise
-#     SURVEY's W6/J5 core), trimmed so the window is exactly 50. The
-#     r12 backfill pool is the rest of the 47 r4-era names
-#     (tools/verdict_age.py prints the authoritative list).
+# the FIRST 50 registered queries only. Round-12 priority window — the
+# r11 verdict's item 1 ("clear the entire freshness backlog in one
+# window") plus this round's own replans, in order:
+# (a) the 6 names whose plans changed in r11 under the nano-nat ln
+#     conversion (commits 90f08a1/6f4b148) with no driver verdict since
+#     — replans out-rank everything (a stale verdict on a changed plan
+#     is worse than an old verdict on an unchanged one);
+# (b) names replanned THIS round (r12): ml_minhash_lsh (derived
+#     vocabSize + eager verdict fold + unpersist — ADVICE r11 items 4/5,
+#     VERDICT item 8) and ml_kmeans_clusters (single shared maxIter=20
+#     fit — ADVICE r11 item 5); psi_feature_drift / stream_psi_drift
+#     (decimal-widened PSI numerator, ADVICE r11 item 2) are already in
+#     (a). Any NEW op added this round also lands here, displacing the
+#     (c) tail from the back (zorder_layout first);
+# (c) all 42 remaining r4-era names (tools/verdict_age.py r04 row) —
+#     after this window NO name's newest driver verdict predates r6 and
+#     none predates its last plan change, which ends the freshness
+#     backlog (VERDICT r11 item 1's "done" condition; the
+#     test_fingerprints freshness gate keeps it ended).
 _PRIORITY = [
-    # (a) MLlib wrappers, oracle-backed for the first time this round
-    "ml_tfidf", "ml_minhash_lsh", "ml_kmeans_clusters",
-    "ml_logreg_accuracy",
+    # (a) r11 nano-nat replans, oldest stale verdict first
+    "bigram_perplexity", "corpus_drift_kl", "psi_feature_drift",
+    "stream_psi_drift", "char_entropy_quality", "stream_ks_drift",
+    # (b) r12 replans
+    "ml_minhash_lsh", "ml_kmeans_clusters",
 ]
 
-# (b) new this round — appended as each op lands so it claims a window
-# slot from the (e) tail, never from (a)/(c)/(d).
-_NEW_THIS_ROUND: list[str] = [
-    # first-ever driver verdict: registered unconditionally once the
-    # vendored protobuf wire shim landed (VERDICT r10 item 3)
-    "stream_tws_user_stats",
-]
+# (b) new-this-round additions — appended as each op lands so it claims
+# a window slot from the END of the (c) tail, never from (a)/(b)/(c)-head.
+_NEW_THIS_ROUND: list[str] = []
 
 _PRIORITY += _NEW_THIS_ROUND
 
-_PRIORITY += [
-    # (c) the 7 names rolled from the r10 tail
-    "stream_dedup_watermark", "stream_stateful_counts",
-    "stream_stream_join", "session_windows", "scd2_dimension",
-    "interval_join_attribution", "sliding_window_agg",
-    # (d) the 33 remaining r3-era names (oldest driver verdicts left)
-    "array_agg_ops", "bm25_search", "contamination_check", "corpus_mix",
-    "csv_roundtrip", "funnel_analysis", "gap_fill_daily",
-    "grouping_sets_agg", "heavy_hitters", "hierarchy_rollup",
-    "hierarchy_walk", "jsonl_roundtrip", "lateral_topk", "map_json_ops",
-    "media_features", "media_frame_sample", "orc_roundtrip",
-    "percentile_battery", "pii_scrub", "posexplode_tokens",
-    "quality_filtered_corpus", "quality_gopher", "repetition_ratios",
-    "retention_cohorts", "rollup_multires", "session_window_builtin",
-    "sketch_accuracy", "tfidf_sql", "token_histogram", "trades_sim",
-    "tumbling_window_agg", "unpivot_measures", "vector_centroids",
-]
-
-# (e) round-4-era tail: groups (a)-(d) total 45 names (4 + 1 + 7 + 33),
-# so 5 slots remain and the first 5 below fit (through `tpch_q9`); the
-# other 3 listed (`tpch_q10`, `tpch_q11`, `tpch_q12`) roll to round 12 along with
-# the remaining r4-era names (the r12 backfill pool). Count verified by
-# the assertion below — NOT by hand (the r9 and r10 drafts of this NOTE
-# both miscounted by hand).
+# (c) the 42 r4-era names — the whole remaining backlog fits because
+# (a)+(b) is 8 and 8 + 42 = 50 exactly (assertion below, never by hand).
 _TAIL_R4 = [
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q11", "tpch_q12",
+    "anomaly_mad", "best_return_depth3", "bollinger_bands",
+    "cluster_margin", "collated_grouping", "corpus_pipeline",
+    "data_profile", "dedup_incremental", "doc_chunking",
+    "dpp_partitioned_join", "entity_resolution", "ewma_latest",
+    "linear_interpolate", "max_drawdown", "media_dedup",
+    "order_ledger_roundtrip", "pagerank_bipartite",
+    "range_interval_window", "rank_battery2", "rsi_simple",
+    "salted_join", "sequence_packing", "stream_execution_feed",
+    "stream_merge_upsert", "stream_static_join", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q20", "tpch_q21", "tpch_q22", "udtf_chunker",
+    "variant_json_stats", "vwap_monthly", "winnowing_dedup",
+    "xml_extract", "zorder_layout",
 ]
 _PRIORITY += _TAIL_R4[: max(0, 50 - len(_PRIORITY))]
 # the window is EXACTLY 50 (tests/test_pipeline.py pins it) — trim
@@ -97,8 +88,8 @@ _PRIORITY += _TAIL_R4[: max(0, 50 - len(_PRIORITY))]
 # be rewritten whenever a (b) addition shifts the cut line. Slice-based
 # (never a bare [49] index) so a short list fails with THIS message,
 # not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["tpch_q9"], (
-    "window tail moved — update the (e) NOTE's enumeration of rolled "
+assert _PRIORITY[49:50] == ["zorder_layout"], (
+    "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"
 )

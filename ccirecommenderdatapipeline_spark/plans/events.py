@@ -680,8 +680,8 @@ WITH ev AS (
     FROM grid GROUP BY 1
 ), terms AS (
     SELECT g.event_type, t.n_b, t.n_c,
-           CAST((g.c_b + 1) * (t.n_c + {PSI_BINS})
-                - (g.c_c + 1) * (t.n_b + {PSI_BINS}) AS HUGEINT)
+           (CAST(g.c_b + 1 AS HUGEINT) * CAST(t.n_c + {PSI_BINS} AS HUGEINT)
+                - CAST(g.c_c + 1 AS HUGEINT) * CAST(t.n_b + {PSI_BINS} AS HUGEINT))
              * {_PSI_LNU_SQL} AS prod
     FROM grid g JOIN tots t ON t.event_type = g.event_type
 )
@@ -763,12 +763,17 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (F.col("c_b") + 1) / (F.col("n_b") + PSI_BINS).cast("double")
     q = (F.col("c_c") + 1) / (F.col("n_c") + PSI_BINS).cast("double")
     # exact integer numerator of (p - q) over the shared denominator
-    # (n_b+B)(n_c+B); the whole per-type sum is then exact integer math
-    # (prod widened to decimal/HUGEINT: num*units can pass 2^63)
+    # (n_b+B)(n_c+B); the whole per-type sum is then exact integer math.
+    # Each OPERAND is widened to decimal(19,0) BEFORE the multiply so the
+    # products land in decimal(38,0) — long*long would silently wrap past
+    # 2^63 under non-ANSI Spark while DuckDB errors (ADVICE r11 item 2:
+    # per-type counts near 3e9 at 100 TB put (c+1)*(n+B) past 9.2e18).
     num = (
-        (F.col("c_b") + 1) * (F.col("n_c") + PSI_BINS)
-        - (F.col("c_c") + 1) * (F.col("n_b") + PSI_BINS)
-    ).cast("decimal(38,0)")
+        (F.col("c_b") + 1).cast("decimal(19,0)")
+        * (F.col("n_c") + PSI_BINS).cast("decimal(19,0)")
+        - (F.col("c_c") + 1).cast("decimal(19,0)")
+        * (F.col("n_b") + PSI_BINS).cast("decimal(19,0)")
+    )
     terms = grid.join(F.broadcast(tots), "event_type").select(
         "event_type",
         "n_b",

@@ -514,8 +514,8 @@ WITH ev AS (
     FROM grid GROUP BY 1
 ), terms AS (
     SELECT g.event_type, t.n_b, t.n_c,
-           CAST((g.c_b + 1) * (t.n_c + {PSI_BINS})
-                - (g.c_c + 1) * (t.n_b + {PSI_BINS}) AS HUGEINT)
+           (CAST(g.c_b + 1 AS HUGEINT) * CAST(t.n_c + {PSI_BINS} AS HUGEINT)
+                - CAST(g.c_c + 1 AS HUGEINT) * CAST(t.n_b + {PSI_BINS} AS HUGEINT))
              * {_psi_lnu} AS prod
     FROM grid g JOIN tots t ON t.event_type = g.event_type
 )

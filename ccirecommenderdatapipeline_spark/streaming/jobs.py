@@ -1658,10 +1658,16 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("c_b") + 1) / (F.col("n_b") + PSI_BINS).cast("double")
     qq = (F.col("c_c") + 1) / (F.col("n_c") + PSI_BINS).cast("double")
+    # operands widened to decimal(19,0) BEFORE the multiply (products land
+    # in decimal(38,0)) — long*long silently wraps past 2^63 under
+    # non-ANSI Spark at 100-TB counts (ADVICE r11 item 2); mirrors the
+    # batch psi_feature_drift numerator in plans/events.py.
     num = (
-        (F.col("c_b") + 1) * (F.col("n_c") + PSI_BINS)
-        - (F.col("c_c") + 1) * (F.col("n_b") + PSI_BINS)
-    ).cast("decimal(38,0)")
+        (F.col("c_b") + 1).cast("decimal(19,0)")
+        * (F.col("n_c") + PSI_BINS).cast("decimal(19,0)")
+        - (F.col("c_c") + 1).cast("decimal(19,0)")
+        * (F.col("n_b") + PSI_BINS).cast("decimal(19,0)")
+    )
     terms = grid.join(F.broadcast(tots), "event_type").select(
         "event_type",
         "n_b",
