@@ -70,12 +70,16 @@ def decode_image_real(payload: bytes) -> dict:
     decoder ran. Raises ``ValueError`` on an unrecognized magic — a
     data error, no longer a missing-capability stub.
 
-    The PIL attempt falls through on ANY failure, not just ImportError:
-    on a Pillow-equipped cluster an unrecognized format raises
-    ``PIL.UnidentifiedImageError`` (an OSError), and the contract is
-    that unknown magics surface as the documented ValueError from the
+    The PIL attempt falls through on decode-path failures, not just
+    ImportError: on a Pillow-equipped cluster an unrecognized format
+    raises ``PIL.UnidentifiedImageError`` (an OSError), and the contract
+    is that unknown magics surface as the documented ValueError from the
     magic dispatch below, with the BMP/PPM fallback still reachable for
-    formats PIL rejects (ADVICE r10 item 1)."""
+    formats PIL rejects (ADVICE r10 item 1). The catch is scoped to
+    (ImportError, OSError, ValueError) — PIL's documented data-error
+    surface — so decoder bugs, MemoryError on a decompression bomb, and
+    KeyboardInterrupt still propagate instead of being silently
+    swallowed (VERDICT r11 item 3)."""
     try:
         import io
 
@@ -88,7 +92,7 @@ def decode_image_real(payload: bytes) -> dict:
             "mode": "RGB",
             "pixels": img.tobytes(),
         }
-    except Exception:
+    except (ImportError, OSError, ValueError):
         pass
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)

@@ -30,14 +30,29 @@ _VENDOR = os.path.join(
 _SHIPPED_SESSIONS: set[str] = set()
 
 
+# pkgutil-style namespace __init__, generated ONLY into the worker zip:
+# the vendor tree itself ships google/ as a PEP 420 namespace portion
+# (no __init__.py, exactly like real protobuf wheels) so putting _VENDOR
+# on a path never shadows other google.* portions — but Python 3.11's
+# zipimport cannot import PEP 420 portions from a zip, so the zip's
+# google/ carries this extend_path stub, which MERGES filesystem
+# portions (e.g. a worker's google.cloud) instead of hiding them
+# (ADVICE r11 item 3).
+_NS_INIT = (
+    "from pkgutil import extend_path\n"
+    "__path__ = extend_path(__path__, __name__)\n"
+)
+
+
 def _shim_zip_path() -> str:
     """Build (once) a zip of the shim with ``google/`` at its root, so the
     zip path itself can sit on worker sys.path."""
-    out = os.path.join("/tmp", "ccirdp_protobuf_shim.zip")
+    out = os.path.join("/tmp", "ccirdp_protobuf_shim_nsv2.zip")
     if os.path.exists(out):
         return out
     tmp = out + f".{os.getpid()}.part"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("google/__init__.py", _NS_INIT)
         for root, _dirs, files in os.walk(_VENDOR):
             for fn in sorted(files):
                 if not fn.endswith(".py"):
@@ -76,13 +91,16 @@ def ensure_protobuf(spark) -> str:
         # separate long-lived process that does NOT receive python
         # includes — it builds PYTHONPATH from the python function's
         # envVars, which classic PySpark snapshots from sc.environment
-        # at UDF creation, so extend that (and os.environ for any JVM
-        # spawned later)
-        for envmap in (sc.environment, os.environ):
-            prev = envmap.get("PYTHONPATH", "")
-            if _VENDOR not in prev.split(os.pathsep):
-                envmap["PYTHONPATH"] = (
-                    _VENDOR + os.pathsep + prev if prev else _VENDOR
-                )
+        # at UDF creation. sc.environment is the UDF-env channel and is
+        # session-scoped; os.environ is deliberately NOT touched (ADVICE
+        # r11 item 3 — a process-global mutation outlives the session
+        # and leaks into unrelated subprocesses). _VENDOR is a PEP 420
+        # namespace portion, so even on the worker path it merges with,
+        # never shadows, other google.* packages.
+        prev = sc.environment.get("PYTHONPATH", "")
+        if _VENDOR not in prev.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = (
+                _VENDOR + os.pathsep + prev if prev else _VENDOR
+            )
         _SHIPPED_SESSIONS.add(app_id)
     return "shim"

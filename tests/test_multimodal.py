@@ -9,6 +9,7 @@ import pytest
 from ccirecommenderdatapipeline_spark import plans
 from ccirecommenderdatapipeline_spark.operators.multimodal import (
     FEATURE_DIM,
+    encode_bmp24,
     FRAME_BYTES,
     FRAME_STRIDE,
     decode_image_real,
@@ -22,6 +23,45 @@ def test_unknown_magic_is_a_data_error():
     # reports a typed data error, not a missing-capability stub
     with pytest.raises(ValueError, match="unsupported image format"):
         decode_image_real(b"\x89PNG")
+
+
+def _with_fake_pil(monkeypatch, exc: BaseException):
+    """Install a fake PIL whose Image.open raises ``exc`` — PIL is absent
+    in this container, so this is the only way to drive the except arm."""
+    import sys
+    import types as _types
+
+    pil = _types.ModuleType("PIL")
+    image_mod = _types.ModuleType("PIL.Image")
+
+    def _open(_fp):
+        raise exc
+
+    image_mod.open = _open
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_pil_oserror_falls_through_to_builtin_decoders(monkeypatch):
+    """VERDICT r11 item 3: a PIL data error (UnidentifiedImageError is an
+    OSError) must fall through to the BMP/PPM decoders, so a format PIL
+    rejects still decodes."""
+    _with_fake_pil(monkeypatch, OSError("cannot identify image file"))
+    out = decode_image_real(encode_bmp24(4, 3, _checker_rgb(4, 3)))
+    assert (out["width"], out["height"]) == (4, 3)
+
+
+def test_pil_non_data_errors_propagate(monkeypatch):
+    """...but non-data failures must NOT be swallowed: interrupts and
+    resource exhaustion inside PIL surface to the caller instead of
+    being misreported as an unsupported format."""
+    _with_fake_pil(monkeypatch, KeyboardInterrupt())
+    with pytest.raises(KeyboardInterrupt):
+        decode_image_real(encode_bmp24(2, 2, _checker_rgb(2, 2)))
+    _with_fake_pil(monkeypatch, MemoryError("decompression bomb"))
+    with pytest.raises(MemoryError):
+        decode_image_real(encode_bmp24(2, 2, _checker_rgb(2, 2)))
 
 
 def _checker_rgb(width: int, height: int) -> bytes:

@@ -99,3 +99,82 @@ def test_unknown_fields_are_skipped():
     r = sm.StateResponse()
     r.ParseFromString(payload)
     assert r.statusCode == 5
+
+
+def _run_fresh(code: str):
+    """Run code in a fresh interpreter so sys.modules['google'] from other
+    tests can't mask path-resolution behavior."""
+    import subprocess
+
+    return subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+
+
+def _fake_portion(tmp_path):
+    """A sibling filesystem google.* portion (stands in for e.g.
+    google.cloud on a cluster that lacks protobuf but carries other
+    google libs)."""
+    pkg = tmp_path / "site" / "google" / "fakecloud"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("Y = 7\n")
+    return str(tmp_path / "site")
+
+
+def test_vendor_tree_is_pep420_portion_and_does_not_shadow(tmp_path):
+    """ADVICE r11 item 3: the vendor tree ships google/ WITHOUT an
+    __init__.py (a PEP 420 portion, like real protobuf wheels), so
+    prepending _VENDOR to a path merges with — never hides — other
+    google.* portions."""
+    site = _fake_portion(tmp_path)
+    out = _run_fresh(
+        f"import sys\n"
+        f"sys.path.insert(0, {site!r})\n"
+        f"sys.path.insert(0, {VENDOR!r})\n"
+        f"from google.protobuf import _shim_runtime\n"
+        f"import google.fakecloud\n"
+        f"print(google.fakecloud.Y)\n"
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "7"
+
+
+def test_worker_zip_merges_filesystem_google_portions(tmp_path):
+    """The addPyFile zip cannot use PEP 420 (Python 3.11 zipimport limit),
+    so its generated google/__init__.py is a pkgutil extend_path stub —
+    a worker whose sys.path leads with the zip still resolves filesystem
+    google.* portions."""
+    from ccirecommenderdatapipeline_spark.streaming.protobuf_compat import (
+        _shim_zip_path,
+    )
+
+    site = _fake_portion(tmp_path)
+    zpath = _shim_zip_path()
+    out = _run_fresh(
+        f"import sys\n"
+        f"sys.path.insert(0, {site!r})\n"
+        f"sys.path.insert(0, {zpath!r})\n"
+        f"from google.protobuf import _shim_runtime\n"
+        f"import google, google.fakecloud\n"
+        f"assert google.__file__ and 'zip' in google.__file__.lower()\n"
+        f"print(google.fakecloud.Y)\n"
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "7"
+
+
+def test_ensure_protobuf_does_not_mutate_process_env(spark):
+    """The PYTHONPATH delivery is scoped to sc.environment (the UDF env
+    channel); os.environ must stay untouched (ADVICE r11 item 3)."""
+    import os
+
+    from ccirecommenderdatapipeline_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    before = os.environ.get("PYTHONPATH")
+    mode = ensure_protobuf(spark)
+    assert os.environ.get("PYTHONPATH") == before
+    if mode == "shim":
+        env_pp = spark.sparkContext.environment.get("PYTHONPATH", "")
+        assert VENDOR in env_pp.split(os.pathsep)
