@@ -62,3 +62,83 @@ def test_no_physical_plan_drift(spark, tmp_path):
     # audit_plans --fingerprint --only as part of landing)
     missing = sorted(set(now) - set(base))
     assert not missing, f"queries with no fingerprint baseline: {missing}"
+
+
+def test_freshness_gate_no_orphaned_verdicts():
+    """VERDICT r11 item 6: a driver verdict must never silently predate
+    the plan it vouches for. Every registered name's CURRENT fingerprint
+    must equal the one its newest driver verdict attached to
+    (VERIFIED_FINGERPRINTS.json), unless the name is queued in the next
+    driver window (plans._PRIORITY). Fast — pure JSON, no Spark."""
+    from freshness_gate import _load, stale_names
+
+    from ccirecommenderdatapipeline_spark.plans import QUERIES, _PRIORITY
+
+    stale = stale_names(
+        _load(os.path.join(ROOT, "PLAN_FINGERPRINTS.json")),
+        _load(os.path.join(ROOT, "VERIFIED_FINGERPRINTS.json")),
+        _PRIORITY,
+        list(QUERIES),
+    )
+    assert not stale, (
+        "replanned (or never-verified) without queueing for a driver "
+        f"verdict — add to plans/__init__.py _PRIORITY: {stale}"
+    )
+
+
+def test_freshness_gate_trips_on_planted_regression():
+    """The gate must actually fire: change one non-queued name's
+    fingerprint (and separately, add a never-verified name) and assert
+    both surface as stale; the same change IN the window is exempt."""
+    from freshness_gate import _load, stale_names
+
+    current = _load(os.path.join(ROOT, "PLAN_FINGERPRINTS.json"))
+    verified = _load(os.path.join(ROOT, "VERIFIED_FINGERPRINTS.json"))
+    from ccirecommenderdatapipeline_spark.plans import QUERIES, _PRIORITY
+
+    victim = next(n for n in QUERIES if n not in _PRIORITY)
+    planted = dict(current)
+    planted[victim] = {**(current.get(victim) or {}), "Exchange": 999}
+    planted["brand_new_op"] = {"Scan parquet": 1}
+    registry = list(QUERIES) + ["brand_new_op"]
+
+    stale = stale_names(planted, verified, _PRIORITY, registry)
+    assert victim in stale and "brand_new_op" in stale
+
+    exempted = stale_names(
+        planted, verified, list(_PRIORITY) + [victim, "brand_new_op"], registry
+    )
+    assert victim not in exempted and "brand_new_op" not in exempted
+
+
+def test_freshness_gate_refresh_advances_only_green(tmp_path, monkeypatch):
+    """--refresh advances verified fingerprints for green verdict rows
+    only; red/errored names keep their old snapshot."""
+    import freshness_gate as fg
+
+    cur = {"a": {"Exchange": 2}, "b": {"Exchange": 3}, "c": {"Exchange": 4}}
+    ver = {"__meta__": {}, "a": {"Exchange": 1}, "b": {"Exchange": 1},
+           "c": {"Exchange": 1}}
+    rows = {
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True,
+              "err": None},
+        "b": {"rows_match": True, "schema_match": True, "hash_match": False,
+              "err": None},
+        "c": {"rows_match": None, "schema_match": None, "hash_match": None,
+              "err": "boom"},
+    }
+    cur_p, ver_p, rows_p = (
+        tmp_path / "cur.json", tmp_path / "ver.json", tmp_path / "rows.json"
+    )
+    import json as _json
+    cur_p.write_text(_json.dumps(cur))
+    ver_p.write_text(_json.dumps(ver))
+    rows_p.write_text(_json.dumps(rows))
+    monkeypatch.setattr(fg, "CURRENT", str(cur_p))
+    monkeypatch.setattr(fg, "VERIFIED", str(ver_p))
+    fg.refresh(str(rows_p))
+    out = _json.loads(ver_p.read_text())
+    assert out["a"] == {"Exchange": 2}          # green -> advanced
+    assert out["b"] == {"Exchange": 1}          # hash red -> kept
+    assert out["c"] == {"Exchange": 1}          # errored -> kept
+    assert out["__meta__"]["last_refresh"] == "rows.json"
