@@ -112,18 +112,27 @@ FROM ids
 )
 def q_stream_execution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 as a REAL custom streaming source: the execution-report feed read
-    through offset-tracked micro-batches (137 records per chunk). Each
-    trigger(availableNow) run consumes the reader's next prefetched chunk,
+    through offset-tracked micro-batches (373 records per page). Each
+    trigger(availableNow) run consumes the reader's next prefetched page,
     so the feed is drained by REPEATED runs over ONE checkpoint — exactly
     the reference's cron-scheduled incremental model (T1/T2, app.py:98-109)
     — and committed offsets guarantee each record is delivered exactly once
-    across runs. The accumulated stream must be cell-exact against the
-    oracle.
+    across runs (373·2 + 254 = three incremental runs: first, middle, and
+    short final page). The accumulated stream must be cell-exact against
+    the oracle.
 
     Scale shape: each micro-batch is APPENDED to a parquet staging table by
     the executors (the exactly-once sink discipline — S8); the returned
     DataFrame is a scan of that table. No row ever crosses the driver —
-    drain detection reads only the run's numInputRows progress metric."""
+    drain detection reads only the run's numInputRows progress metric: a
+    run that delivers fewer rows than a full page means the reader hit the
+    end of the feed (the standard REST-pagination short-page signal,
+    hankook_api.py:336-395's CTX_AREA loop), so no extra empty-run probe
+    is paid; records arriving later are picked up by the next cron run,
+    which is the reference's incremental model anyway. Each query startup
+    is a fixed ~1.4 s cost, so run count — not row count — dominates at
+    fixture scale; at production scale the page size is the API's, and
+    the same short-page predicate terminates the drain loop."""
     import tempfile
 
     from ..sources.execution_feed import register as register_feed
@@ -131,6 +140,7 @@ def q_stream_execution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_feed(spark)
     checkpoint = tempfile.mkdtemp(prefix="exec_feed_ckpt_")
     staging = tempfile.mkdtemp(prefix="exec_feed_stage_")
+    page = 373
 
     def stage(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(staging)
@@ -139,7 +149,7 @@ def q_stream_execution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             spark.readStream.format("execution_feed")
             .option("total", TOTAL_EXECS)
-            .option("batch", 137)
+            .option("batch", page)
             .load()
             .writeStream.foreachBatch(stage)
             .trigger(availableNow=True)
@@ -147,7 +157,7 @@ def q_stream_execution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        if sum(p["numInputRows"] for p in q.recentProgress) == 0:
+        if sum(p["numInputRows"] for p in q.recentProgress) < page:
             break
     return spark.read.schema(
         "exec_id BIGINT, order_no BIGINT, exec_qty BIGINT, exec_price DOUBLE"

@@ -1455,9 +1455,12 @@ def _frozen_edge_stream_hist(
         "event_type", "value", F.dayofmonth("ts").alias("dom")
     )
     base = ref_all.where(F.col("dom") <= PSI_SPLIT_DAY)
+    # persisted: every foreachBatch hist() broadcast-joins edges, and
+    # broadcast reuse does NOT cross micro-batches — without the persist
+    # each batch re-scans the staged parquet for the min/max agg
     edges = base.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
-    )
+    ).persist()
 
     def bin_col() -> F.Column:
         # clamp(floor((v-lo)/(hi-lo)*B), 0, B-1); degenerate hi==lo -> 0
