@@ -1,0 +1,86 @@
+"""Load-drift adjudicator: isolated canary timings for bench comparisons.
+
+Every cross-round bench delta needs the same question answered first: did
+the PLANS get slower, or did the BOX? (r10: feature_hashing; r11:
+bootstrap_mean_ci; r12: a host move added a ~1.2x sweep-level factor AND
+a registry reorder shifted the sweep's cold-start onto different
+queries — see PLANS.md "Load adjudication".) This encodes the
+adjudication protocol those rounds ran by hand:
+
+  - a fixed set of PLAN-STABLE canaries (fingerprint-pinned since r10,
+    spanning the cost spectrum: a scan-agg, a window-heavy simulator
+    readout, a custom-sink roundtrip);
+  - one fresh session, each canary warmed once then timed N times
+    back-to-back (same-session repetitions remove JVM/session noise);
+  - 1-minute loadavg bookends, because external load is the usual culprit
+    and invisible in `ps` inside the container.
+
+Reading the output: if canary minima are at-or-below their recorded sweep
+times while the sweep total rose, the delta is load — cite this line and
+keep the latest artifacts (repo policy, commit 26bb260). If a canary's
+MINIMUM rose >30% on an idle box (loadavg bookends low), suspect a real
+regression and bisect with tools/bench_compare.py.
+
+Usage: python tools/bench_canary.py [sf_dir] [n_reps]
+Prints ONE JSON line: {"canaries": {name: {"runs": [...], "min": s}},
+"loadavg": [before, after], "sf_dir": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# plan-stable since r10 (fingerprint-pinned), cheap-to-moderate, spread
+# across subsystems so a single hot cache line can't mask drift
+CANARIES = ["tpch_q1", "best_win", "order_ledger_roundtrip"]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    load_before = os.getloadavg()[0]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("bench-canary")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import ccirecommenderdatapipeline_spark.plans as plans
+
+    out: dict[str, dict] = {}
+    for name in CANARIES:
+        fn = plans.QUERIES[name]
+        fn(spark, sf_dir).count()  # warm (session + code paths)
+        spark.catalog.clearCache()
+        runs = []
+        for _ in range(n_reps):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        out[name] = {"runs": runs, "min": min(runs)}
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "canaries": out,
+                "loadavg": [round(load_before, 2), round(os.getloadavg()[0], 2)],
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
