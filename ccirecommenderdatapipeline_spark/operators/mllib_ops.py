@@ -53,6 +53,15 @@ def tfidf_features(docs: DataFrame, n_features: int = 1 << 12) -> DataFrame:
     )
 
 
+def derived_vocab_size(n_grams: int | None) -> int:
+    """The one headroom rule for CountVectorizer vocab sizing: 2x the
+    measured distinct-gram count, floored at the 2^18 library default.
+    Kept as THE single definition — ADVICE r11 item 4 traced a silent
+    correctness dependency to the default cap, and a caller re-deriving
+    its own formula could drift from the helper's on one path only."""
+    return max(1 << 18, 2 * int(n_grams or 0))
+
+
 def minhash_lsh_pairs(
     docs_with_grams: DataFrame,
     threshold: float = 0.5,
@@ -77,7 +86,7 @@ def minhash_lsh_pairs(
             .agg(F.countDistinct("g"))
             .first()[0]
         )
-        vocab_size = max(1 << 18, 2 * int(n_grams or 0))
+        vocab_size = derived_vocab_size(n_grams)
     cv = CountVectorizer(
         inputCol="grams", outputCol="features", binary=True, vocabSize=vocab_size
     ).fit(docs_with_grams)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.mllib_ops import (
+    derived_vocab_size,
     kmeans_cost1,
     kmeans_embeddings,
     kmeans_fit,
@@ -206,7 +207,7 @@ def q_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
 
-    lsh = minhash_lsh_pairs(ne, vocab_size=max(1 << 18, 2 * n_grams))
+    lsh = minhash_lsh_pairs(ne, vocab_size=derived_vocab_size(n_grams))
 
     # both sides are distinct by construction (approxSimilarityJoin
     # dedups id pairs; true_pairs is a groupBy result), so one

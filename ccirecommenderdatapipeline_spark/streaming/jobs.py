@@ -1537,6 +1537,15 @@ def _frozen_edge_stream_hist(
         os.path.join(view_root, f"v{max(versions)}")
     )
 
+    # the persists existed to serve the per-batch foreachBatch joins; the
+    # stream is drained, so release them before returning (the ml_minhash
+    # r12 policy: no cached partitions outlive the query in a 50-query
+    # driver run). The readout below recomputes each ONCE at
+    # materialization — two bounded aggs over the 4-file staging, priced
+    # far below a leaked cache held for the rest of the process.
+    edges.unpersist()
+    ref_hist.unpersist()
+
     return (
         edges.select("event_type")
         .crossJoin(

@@ -53,12 +53,20 @@ def stale_names(
 ) -> list[str]:
     """Names whose current fingerprint is newer than their newest driver
     verdict and which are not queued for the next window. A name missing
-    from ``verified`` (never verified) is stale unless queued — new ops
-    must claim a window slot the round they land."""
+    from ``verified`` (never verified) OR from ``current`` (never
+    baselined) is stale unless queued — new ops must claim a window slot
+    the round they land (membership is checked explicitly: a name absent
+    from BOTH dicts would otherwise compare None == None and slip the
+    fast gate until the slow Spark baseline check ran)."""
     return sorted(
         n
         for n in registry
-        if current.get(n) != verified.get(n) and n not in priority
+        if (
+            n not in current
+            or n not in verified
+            or current[n] != verified[n]
+        )
+        and n not in priority
     )
 
 
@@ -73,8 +81,45 @@ def is_green(row: dict) -> bool:
     return all(c is not False for c in checks) and any(c for c in checks)
 
 
+def _fingerprints_at_verdict(correctness_path: str) -> dict | None:
+    """PLAN_FINGERPRINTS.json as of the commit that last touched the
+    CORRECTNESS file — the snapshot the driver's verdicts actually
+    attached to. Stamping from the WORKING-TREE fingerprints instead
+    would silently bless any replan that landed between the driver run
+    and ``--refresh`` (the verdict vouches for the old plan, not the
+    new one). Returns None when git can't resolve it (untracked file,
+    no repo) — callers fall back to the working tree with a warning."""
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", ROOT, "log", "-n", "1", "--format=%H", "--",
+             os.path.abspath(correctness_path)],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if not commit:
+            return None
+        blob = subprocess.run(
+            ["git", "-C", ROOT, "show", f"{commit}:PLAN_FINGERPRINTS.json"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        d = json.loads(blob)
+        d.pop("__meta__", None)
+        return d
+    except (subprocess.CalledProcessError, OSError, json.JSONDecodeError):
+        return None
+
+
 def refresh(correctness_path: str) -> int:
-    current = _load(CURRENT)
+    current = _fingerprints_at_verdict(correctness_path)
+    if current is None:
+        print(
+            "WARNING: CORRECTNESS file not resolvable in git — stamping "
+            "from working-tree PLAN_FINGERPRINTS.json; any replan since "
+            "the driver run would be silently blessed. Run --refresh "
+            "before replanning."
+        )
+        current = _load(CURRENT)
     with open(VERIFIED) as f:
         verified = json.load(f)
     meta = verified.pop("__meta__", {})
