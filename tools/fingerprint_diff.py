@@ -65,6 +65,13 @@ def main() -> int:
         and not (
             "__streaming_skipped__" in base[n] or "__streaming_skipped__" in now[n]
         )
+        # likewise the eager-local-result marker (audit_plans
+        # EAGER_LOCAL_RESULT): a {} baseline vs the marker is a mode
+        # difference, not plan drift
+        and not (
+            "__eager_local_result__" in base[n]
+            or "__eager_local_result__" in now[n]
+        )
     }
     if new:
         print(f"new queries (no baseline yet): {new}")
