@@ -193,11 +193,25 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     full = "--full" in sys.argv
     argv = [a for a in sys.argv[1:] if a != "--full"]
-    sf_dir = argv[0] if argv else os.environ.get(
-        "SPARK_GRAFT_SF_DIR",
-        "/root/testdata/sf0.01" if full else "/root/testdata/sf0.1",
-    )
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    if argv:
+        sf_dir = argv[0]
+    elif full:
+        # --full's tail audit is only cross-round comparable at its
+        # documented sf0.01; honoring the driver's headline env var here
+        # silently rewrote BENCH_FULL.json at the wrong scale
+        sf_dir = "/root/testdata/sf0.01"
+        if os.environ.get("SPARK_GRAFT_SF_DIR"):
+            print(
+                "note: --full ignores SPARK_GRAFT_SF_DIR and runs at "
+                f"{sf_dir}; pass a dir argument to override",
+                file=sys.stderr,
+            )
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:  # path contains 'sf' not followed by a number
+        sf = -1.0
     spark = get_spark("bench")
     names = list(plans.QUERIES) if full else [
         n for n in HEADLINE if n in plans.QUERIES

@@ -52,6 +52,18 @@ def df_multiset(cols, rows):
     return Counter(tuple(normalize(r[i]) for i in order) for r in rows)
 
 
+def duck_connect(sf_dir: str):
+    """One DuckDB connection with the testdata tables registered as views
+    — the single definition shared by the gate and the dump adjudicator
+    so a table/schema change cannot diverge them."""
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
 def run_chunked(sf_dir: str, names: list[str], chunk: int) -> int:
     """Sweep ``names`` in fresh-JVM slices of ``chunk`` queries each."""
     rc = 0
@@ -76,17 +88,14 @@ def dump_rows(sf_dir: str, names: list[str]) -> int:
     with the local multiset gate (the r9 decimal-readout episode), so the
     divergence can be attributed to values vs fetch-path normalization."""
     spark = get_spark("check-oracle-dump")
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duck_connect(sf_dir)
     # None-safe sort: raw tuple sort raises TypeError the moment a column
     # mixes NULL and non-NULL (stream_ks_drift's NULL ks, left-join
     # outputs) — exactly the rows this tool exists to dump (ADVICE r10
     # item 2). Applied identically to both engines so the sorted-list
     # equality below still means multiset equality.
     none_safe = lambda t: tuple((v is None, repr(v)) for v in t)  # noqa: E731
+    mismatched = 0
     for name in names:
         sdf = plans.QUERIES[name](spark, sf_dir)
         scols = sdf.columns
@@ -110,9 +119,13 @@ def dump_rows(sf_dir: str, names: list[str]) -> int:
         print(f"=== {name} [oracle] cols={sorted(dcols)}")
         for r in drows:
             print("  " + " | ".join(f"{type(v).__name__}:{v!r}" for v in r))
-        print(f"=== {name} rows equal: {srows == drows}")
+        equal = srows == drows
+        mismatched += 0 if equal else 1
+        print(f"=== {name} rows equal: {equal}")
     spark.stop()
-    return 0
+    # exit code mirrors the main gate so scripted callers can trust it —
+    # a dumped mismatch was previously only visible by eyeballing stdout
+    return 1 if mismatched else 0
 
 
 def main() -> int:
@@ -122,8 +135,19 @@ def main() -> int:
     argv = [a for a in argv if a != "--dump"]
     if "--chunk" in argv:
         i = argv.index("--chunk")
-        chunk = int(argv[i + 1])
+        try:
+            chunk = int(argv[i + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("--chunk needs an integer slice size, e.g. --chunk 70")
         argv = argv[:i] + argv[i + 2 :]
+    if dump and chunk:
+        # --dump used to silently discard --chunk and run every name in
+        # ONE JVM — reintroducing the mid-run JVM-death mode chunking
+        # exists to prevent. Refuse loudly instead.
+        raise SystemExit(
+            "--dump is a small-adjudication mode and ignores --chunk; "
+            "dump a handful of names per invocation instead"
+        )
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     names = argv[1:] or list(plans.QUERIES)
     if dump:
@@ -131,17 +155,18 @@ def main() -> int:
     if chunk:
         return run_chunked(sf_dir, names, chunk)
     spark = get_spark("check-oracle")
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duck_connect(sf_dir)
     failures = 0
     for name in names:
         fn = plans.QUERIES[name]
-        sdf = fn(get_spark("check-oracle"), sf_dir)
+        sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        # drop persisted intermediates as soon as the Spark side is
+        # collected so a full-registry sweep doesn't accumulate cached
+        # partitions (ADVICE r4) — placed BEFORE the rows-only continue,
+        # which used to skip the hygiene entirely
+        spark.catalog.clearCache()
         if name not in plans.ORACLES:
             print(f"[rows-only] {name}: {len(srows)} rows, cols={scols}")
             continue
@@ -170,9 +195,6 @@ def main() -> int:
             print(f"[ok] {name}: {len(srows)} rows")
         else:
             failures += 1
-        # drop persisted intermediates so a full-registry sweep doesn't
-        # accumulate cached partitions (ADVICE r4)
-        sdf.sparkSession.catalog.clearCache()
     spark.stop()
     return 1 if failures else 0
 

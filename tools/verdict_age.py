@@ -28,8 +28,19 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__))
     )
     latest: dict[str, tuple[int, bool]] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        rnd = int(os.path.basename(path)[13:-5])
+    # sort by PARSED round number, not filename: lexicographic order
+    # mis-ranks unpadded or 3-digit rounds (r9 > r10, r100 < r11) and a
+    # suffixed experiment file would crash int() — skip those with a note
+    import re
+
+    dated = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        if not m:
+            print(f"note: skipping non-round file {os.path.basename(path)}")
+            continue
+        dated.append((int(m.group(1)), path))
+    for rnd, path in sorted(dated):
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -64,8 +75,7 @@ def main() -> int:
     print(f"never-verified ({len(never)}): {' '.join(sorted(never))}")
     if red:
         print(f"LAST VERDICT NOT GREEN ({len(red)}): {', '.join(sorted(red))}")
-    stale = [n for n, (r, _) in latest.items() if n in plans.QUERIES]
-    oldest = min((latest[n][0] for n in stale), default=0)
+    oldest = min(buckets, default=0)
     print(
         f"window-planning head for next round: the {len(buckets.get(oldest, []))}"
         f" r{oldest}-era names above, then never-verified"
