@@ -53,6 +53,16 @@ def query(
             raise ValueError(
                 f"query {name!r} has BOTH an oracle and a rows_only_reason"
             )
+        if late_oracle and (oracle is not None or rows_only_reason):
+            # late_oracle used to bypass both guards above: combined with
+            # rows_only_reason it recorded the query rows-only AND later
+            # attached an oracle — the contradictory state the BOTH-check
+            # exists to prevent
+            raise ValueError(
+                f"query {name!r}: late_oracle means the oracle is attached "
+                "after definition — it cannot be combined with an inline "
+                "oracle or a rows_only_reason"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -26,12 +26,24 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def get_spark(app_name: str = "ccirecommenderdatapipeline-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with scale-aware defaults."""
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    Master resolution: $SPARK_GRAFT_MASTER wins (so `--master yarn`
+    deployments export it and the builder does not silently pin the job
+    to the driver node with a hardcoded local[]), else local[$CPUS].
+    NB getOrCreate(): if a session already exists in this process, its
+    conf wins and this call's app_name/shuffle_partitions are ignored —
+    Spark semantics, relied on by the shared-session test fixture."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    sp = (
+        DEFAULT_SHUFFLE_PARTITIONS
+        if shuffle_partitions is None
+        else shuffle_partitions
+    )
     return (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -42,11 +42,21 @@ def main() -> int:
         with open(os.path.join(OUT_DIR, f"{name}.txt"), "w") as fh:
             fh.write(txt)
         pushed = sorted(set(re.findall(r"PushedFilters: \[([^\]]*)\]", txt)) - {""})
+
+        # count ONLY the numbered operator-detail headers ("(n) Op"):
+        # formatted explain prints every operator twice (tree + detail),
+        # so naive substring counts were ~2x, and bare 'Exchange' also
+        # matched BroadcastExchange/ReusedExchange — conflating broadcast
+        # traffic with real shuffles, the one distinction this audit
+        # line exists to surface
+        def op(pat: str) -> int:
+            return len(re.findall(rf"^\(\d+\) {pat}\b", txt, re.M))
+
         print(
-            f"{name:32s} exch={txt.count('Exchange'):2d} "
-            f"bhj={txt.count('BroadcastHashJoin')} smj={txt.count('SortMergeJoin')} "
-            f"bnlj={txt.count('BroadcastNestedLoopJoin')} "
-            f"scans={txt.count('Scan parquet')} "
+            f"{name:32s} exch={op('Exchange'):2d} "
+            f"bhj={op('BroadcastHashJoin')} smj={op('SortMergeJoin')} "
+            f"bnlj={op('BroadcastNestedLoopJoin')} "
+            f"scans={op('Scan parquet')} "
             f"pushed={'y' if pushed else '-'}"
         )
     return 0

@@ -23,6 +23,19 @@ SCALES = [
     ("25x", "/tmp/spark_graft_sf2.5"),
 ]
 
+
+def _require_dirs(scales) -> None:
+    """Fail BEFORE starting Spark if a replica dir is missing (/tmp is
+    wiped on reboot): a missing 25x path used to surface as an
+    AnalysisException after minutes of measurement, discarding every
+    timing already taken."""
+    missing = [d for _, d in scales if not os.path.isdir(d)]
+    if missing:
+        raise SystemExit(
+            f"missing replica dirs {missing} — rebuild with "
+            "tools/replicate_sf.py (see SCALING.md methodology)"
+        )
+
 # --perturbed: measure against the token-perturbed replicas built by
 # `replicate_sf.py --perturb` (the non-replica fixture for the
 # similarity-join family — fresh vocab per replica, so output scales
@@ -43,6 +56,7 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {unknown}")
         return 1
+    _require_dirs(SCALES)
     spark = get_spark("scaling")
     # warm-ups (JVM + Python worker pool), same as bench.py
     plans.QUERIES["cci"](spark, SCALES[0][1]).write.format("noop").mode(

@@ -6,11 +6,18 @@ per-key history length stays constant — a pure scale-OUT of the key space,
 which is what a bigger cluster sees.
 
 ``--perturb`` additionally rewrites ``documents.text`` in replica r>0 by
-suffixing EVERY token with ``_r{r}`` (a bijection on the vocabulary): each
+suffixing every non-empty token with a replica-specific alphabetic tag
+(a bijection on the vocabulary): each
 replica becomes a fresh corpus with the same intra-corpus statistics —
 same token-frequency shape, same near-dup pair structure — but ZERO
-token overlap across replicas. This is the non-replica scale fixture for
-the similarity-join family (VERDICT r8 item 6): with exact copies, a
+token overlap across replicas — and rewrites ``embeddings.embedding``
+in replica r>0 by a per-replica deterministic PERMUTATION of the 64
+dimensions (an orthogonal transform: intra-replica distances and
+cosines are EXACTLY preserved, cross-replica similarity is destroyed
+for zero-mean-ish vectors), so the vector half of the similarity-join
+family gets the same fresh-corpus treatment as the text half. This is
+the non-replica scale fixture for the similarity-join family (VERDICT
+r8 item 6): with exact copies, a
 text self-join's OUTPUT is quadratic in the copy count (every copy of a
 dup cluster pairs with every other), which measures the fixture, not the
 algorithm; with perturbed replicas the true output grows linearly in N
@@ -22,6 +29,7 @@ Usage: python tools/replicate_sf.py [src_sf_dir] [dst_dir] [n] [--perturb]
 from __future__ import annotations
 
 import os
+import random
 import sys
 
 import duckdb
@@ -60,6 +68,17 @@ def main() -> int:
             print(f"{table}: copied")
             continue
         cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
+        # the disjoint-key contract silently breaks if any source key
+        # reaches OFF (replica 0's top keys collide with replica 1's
+        # bottom): refuse rather than produce a fixture whose per-key
+        # cardinality quietly stops being constant
+        for k in keys:
+            mx = con.execute(f"SELECT max({k}) FROM '{path}'").fetchone()[0]
+            if mx is not None and mx >= OFF:
+                raise SystemExit(
+                    f"{table}.{k} max {mx} >= offset {OFF}: replicas would "
+                    "collide. Raise OFF for this source scale."
+                )
         parts = []
         for r in range(n):
             def render(c: str) -> str:
@@ -85,9 +104,25 @@ def main() -> int:
                             break
                     return (
                         "array_to_string(list_transform("
-                        f"string_split(text, ' '), x -> x || 'q{alpha}'), ' ') "
+                        # empty tokens (double spaces/newlines) must stay
+                        # empty: '' || suffix would inject a NEW bare
+                        # high-frequency token per replica, breaking the
+                        # identical-intra-corpus-statistics contract
+                        f"string_split(text, ' '), "
+                        f"x -> CASE WHEN x = '' THEN x ELSE x || 'q{alpha}' END), ' ') "
                         "AS text"
                     )
+                if perturb and table == "embeddings" and c == "embedding" and r > 0:
+                    # per-replica deterministic dimension permutation
+                    # (orthogonal: intra-replica geometry exact,
+                    # cross-replica cosine collapses toward the vectors'
+                    # mean component — near zero for this fixture)
+                    dim = con.execute(
+                        f"SELECT len(embedding) FROM '{path}' LIMIT 1"
+                    ).fetchone()[0]
+                    perm = list(range(1, dim + 1))
+                    random.Random(r).shuffle(perm)
+                    return f"list_select(embedding, {perm}) AS embedding"
                 return c
             sel = ", ".join(render(c) for c in cols)
             parts.append(f"SELECT {sel} FROM '{path}'")
@@ -95,7 +130,11 @@ def main() -> int:
             f"COPY ({' UNION ALL '.join(parts)}) TO '{out}' (FORMAT PARQUET)"
         )
         rows = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
-        mark = " perturbed" if perturb and table == "documents" else ""
+        mark = (
+            " perturbed"
+            if perturb and table in ("documents", "embeddings")
+            else ""
+        )
         print(f"{table}: {rows} rows ({n}x{mark})")
     return 0
 

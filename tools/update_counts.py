@@ -39,19 +39,26 @@ def main() -> int:
     changed = 0
     readme = os.path.join(ROOT, "README.md")
     cov = os.path.join(ROOT, "COVERAGE.md")
-    for path, rx, repl in (
+    targets = (
         (readme, README_RE, f"the {q} registered queries ({o} with DuckDB"),
         (
             cov,
             COVERAGE_RE,
             f"Totals: {q} registered queries — {o} oracle-backed, {r} rows-only",
         ),
-    ):
+    )
+    # two-phase: match EVERY file before writing ANY, so a reworded count
+    # line in the second file can't leave the first already rewritten and
+    # the two docs disagreeing
+    staged = []
+    for path, rx, repl in targets:
         src = open(path).read()
         new, n = rx.subn(repl, src)
         if n != 1:
             print(f"ERROR: expected exactly 1 count line in {path}, found {n}")
             return 1
+        staged.append((path, src, new))
+    for path, src, new in staged:
         if new != src:
             open(path, "w").write(new)
             changed += 1
