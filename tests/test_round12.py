@@ -129,3 +129,90 @@ def test_refresh_stamps_verdict_time_fingerprints_from_git(tmp_path, monkeypatch
     assert out["a"] == {"Exchange": 1}
     # and the replan is therefore still visible as stale unless queued
     assert fg.stale_names({"a": {"Exchange": 9}}, {"a": out["a"]}, [], ["a"]) == ["a"]
+
+
+# --- oracle-gate comparison kernel (check_oracle.normalize/df_multiset) -----
+# Every correctness verdict flows through this kernel; it had no direct
+# tests. Pins: full-precision float repr, NaN equality, -0.0/0.0
+# distinction, date/datetime isoformat, nested-collection normalization,
+# and column-order insensitivity.
+
+
+def _co():
+    import os, sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import check_oracle
+    return check_oracle
+
+
+def test_multiset_compare_is_column_order_insensitive():
+    co = _co()
+    a = co.df_multiset(["x", "y"], [(1, "a"), (2, "b")])
+    b = co.df_multiset(["y", "x"], [("a", 1), ("b", 2)])
+    assert a == b
+
+
+def test_normalize_floats_full_precision_and_nan():
+    co = _co()
+    # full repr: 0.1 + 0.2 must NOT equal 0.3 (the gate exists to surface
+    # FP drift, not hide it behind rounding)
+    assert co.normalize(0.1 + 0.2) != co.normalize(0.3)
+    # NaN compares equal to itself through the string sentinel
+    assert co.normalize(float("nan")) == co.normalize(float("nan"))
+    # -0.0 and 0.0 are DISTINCT under repr — a sign-of-zero divergence
+    # between engines is reported, not swallowed (documented behavior)
+    assert co.normalize(-0.0) != co.normalize(0.0)
+
+
+def test_normalize_temporal_and_nested():
+    import datetime
+
+    co = _co()
+    d = datetime.date(2026, 8, 16)
+    ts = datetime.datetime(2026, 8, 16, 12, 30, 45)
+    assert co.normalize(d) == "2026-08-16"
+    assert co.normalize(ts) == "2026-08-16T12:30:45"
+    # Spark returns lists, DuckDB tuples — both normalize to tuples,
+    # recursively (array<float> embeddings, array<struct> packs)
+    assert co.normalize([1.5, [2.5, 3.5]]) == co.normalize((1.5, (2.5, 3.5)))
+
+
+def test_multiset_compare_counts_duplicates():
+    co = _co()
+    a = co.df_multiset(["x"], [(1,), (1,), (2,)])
+    b = co.df_multiset(["x"], [(1,), (2,), (2,)])
+    assert a != b  # same set, different multiplicities
+
+
+def test_multiset_compare_hypothesis_roundtrip():
+    """Property: any row permutation + column permutation of the same
+    data compares equal; changing any single cell compares unequal."""
+    from hypothesis import given, settings, strategies as st
+
+    co = _co()
+    cell = st.one_of(
+        st.integers(-5, 5),
+        st.floats(allow_nan=False, width=64),
+        st.text(max_size=3),
+        st.none(),
+    )
+    rows = st.lists(st.tuples(cell, cell), min_size=1, max_size=6)
+
+    @settings(max_examples=50, deadline=None)
+    @given(rows=rows, seed=st.integers(0, 2**16))
+    def prop(rows, seed):
+        import random
+
+        rng = random.Random(seed)
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        assert co.df_multiset(["a", "b"], rows) == co.df_multiset(
+            ["a", "b"], shuffled
+        )
+        flipped = [("b", "a")[i] for i in range(2)]
+        swapped = [(r[1], r[0]) for r in rows]
+        assert co.df_multiset(["a", "b"], rows) == co.df_multiset(
+            flipped, swapped
+        )
+
+    prop()
