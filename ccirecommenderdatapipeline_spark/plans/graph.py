@@ -421,6 +421,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    # sym served only the (eager) expansion loop; the returned plan reads
+    # the final checkpoint — release the cache (the _cluster_labels /
+    # ml_minhash discipline: no construction-only persist outlives return)
+    sym.unpersist()
     return visited.select("node", F.col("hop").cast("int").alias("hops"))
 
 
@@ -604,6 +608,9 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
         .localCheckpoint(eager=True)
     )
+    # ob fed only the (now-materialized) edge build — release it; nodes
+    # stays persisted because the RETURNED plan reads it
+    ob.unpersist()
     nodes = (
         edges.select(F.col("u").alias("brand"))
         .unionByName(edges.select(F.col("v").alias("brand")))
@@ -859,6 +866,9 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
         .localCheckpoint(eager=True)
     )
+    # ob fed only the (now-materialized) edge build; the peel loop and the
+    # in-loop return read checkpoints — release before peeling
+    ob.unpersist()
     n_edges = e.count()
     for _ in range(KCORE_MAX_ROUNDS):
         deg = (
