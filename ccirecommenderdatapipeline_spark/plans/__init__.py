@@ -31,64 +31,57 @@ from . import training  # noqa: E402,F401
 from . import recommender  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only. Round-12 priority window — the
-# r11 verdict's item 1 ("clear the entire freshness backlog in one
-# window") plus this round's own replans, in order:
-# (a) the 6 names whose plans changed in r11 under the nano-nat ln
-#     conversion (commits 90f08a1/6f4b148) with no driver verdict since
-#     — replans out-rank everything (a stale verdict on a changed plan
-#     is worse than an old verdict on an unchanged one);
-# (b) names replanned THIS round (r12): ml_minhash_lsh (derived
-#     vocabSize + eager verdict fold + unpersist — ADVICE r11 items 4/5,
-#     VERDICT item 8) and ml_kmeans_clusters (single shared maxIter=20
-#     fit — ADVICE r11 item 5); psi_feature_drift / stream_psi_drift
-#     (decimal-widened PSI numerator, ADVICE r11 item 2) are already in
-#     (a). Any NEW op added this round also lands here, displacing the
-#     (c) tail from the back (zorder_layout first);
-# (c) all 42 remaining r4-era names (tools/verdict_age.py r04 row) —
-#     after this window NO name's newest driver verdict predates r6 and
-#     none predates its last plan change, which ends the freshness
-#     backlog (VERDICT r11 item 1's "done" condition; the
-#     test_fingerprints freshness gate keeps it ended).
-_PRIORITY = [
-    # (a) r11 nano-nat replans, oldest stale verdict first
-    "bigram_perplexity", "corpus_drift_kl", "psi_feature_drift",
-    "stream_psi_drift", "char_entropy_quality", "stream_ks_drift",
-    # (b) r12 replans
-    "ml_minhash_lsh", "ml_kmeans_clusters",
-]
-
-# (b) new-this-round additions — appended as each op lands so it claims
-# a window slot from the END of the (c) tail, never from (a)/(b)/(c)-head.
+# the FIRST 50 registered queries only. Round-13 priority window — the
+# steady-state verdict rotation (VERDICT r12 item 1), in order:
+# (a) names replanned THIS round (r13) — replans out-rank everything
+#     (a stale verdict on a changed plan is worse than an old verdict
+#     on an unchanged one). Any NEW op added this round also lands
+#     here, displacing the (c) tail from the back (conformal_calibration
+#     first);
+# (b) all 38 r6-era names (tools/verdict_age.py r06 row) — the oldest
+#     verdicts in the registry;
+# (c) the 12 alphabetically-first r7-era names fill the remaining
+#     slots. After this window no name's verdict predates r7, keeping
+#     the rotation's ~6-round re-verification latency (the freshness
+#     gate in tests/test_fingerprints.py keeps replans queued).
 _NEW_THIS_ROUND: list[str] = []
 
-_PRIORITY += _NEW_THIS_ROUND
+_PRIORITY = list(_NEW_THIS_ROUND)
 
-# (c) the 42 r4-era names — the whole remaining backlog fits because
-# (a)+(b) is 8 and 8 + 42 = 50 exactly (assertion below, never by hand).
-_TAIL_R4 = [
-    "anomaly_mad", "best_return_depth3", "bollinger_bands",
-    "cluster_margin", "collated_grouping", "corpus_pipeline",
-    "data_profile", "dedup_incremental", "doc_chunking",
-    "dpp_partitioned_join", "entity_resolution", "ewma_latest",
-    "linear_interpolate", "max_drawdown", "media_dedup",
-    "order_ledger_roundtrip", "pagerank_bipartite",
-    "range_interval_window", "rank_battery2", "rsi_simple",
-    "salted_join", "sequence_packing", "stream_execution_feed",
-    "stream_merge_upsert", "stream_static_join", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q20", "tpch_q21", "tpch_q22", "udtf_chunker",
-    "variant_json_stats", "vwap_monthly", "winnowing_dedup",
-    "xml_extract", "zorder_layout",
+# (b) the 38 r6-era names
+_PRIORITY += [
+    "attribution_models", "bigram_lm", "bpe_merge_pairs", "cogroup_asof",
+    "compaction_plan", "constraint_checks", "corpus_datasheet",
+    "cross_modal_dedup", "cusum_drift", "dedup_containment",
+    "dedup_simhash_hamming", "distinctive_terms", "embedding_quantize",
+    "entity_resolution_qgram", "event_transitions",
+    "explode_outer_battery", "histogram_equiwidth", "hll_distinct",
+    "interval_merge", "key_skew_profile", "kmeans_lloyd_step",
+    "media_resize", "mixture_resample", "null_ordering_battery",
+    "null_safe_join", "param_sql_revenue", "quality_logreg_score",
+    "rolling_correlation", "scd2_point_in_time", "schema_evolution_read",
+    "seasonality_dow", "semantic_dedup", "stats_correlation",
+    "stream_session_agg", "tpch_q19", "training_order_shuffle",
+    "training_pipeline", "winsorize_clip",
 ]
-_PRIORITY += _TAIL_R4[: max(0, 50 - len(_PRIORITY))]
+
+# (c) r7-era fill — 12 slots when (a) is empty; each (a) addition rolls
+# one name off this tail (conformal_calibration first).
+_TAIL_R7 = [
+    "ab_test_zscore", "ann_recall_eval", "best_return",
+    "best_return_full_grid", "best_return_per_days_held", "best_win",
+    "bloom_membership", "boilerplate_ngram_scrub",
+    "brand_transition_matrix", "buy_candidates", "cms_term_freq",
+    "conformal_calibration",
+]
+_PRIORITY += _TAIL_R7[: max(0, 50 - len(_PRIORITY))]
 # the window is EXACTLY 50 (tests/test_pipeline.py pins it) — trim
 # explicitly so nothing is dropped silently; the cut names are
 # enumerated in the NOTE above, and the assertion forces that NOTE to
-# be rewritten whenever a (b) addition shifts the cut line. Slice-based
+# be rewritten whenever an (a) addition shifts the cut line. Slice-based
 # (never a bare [49] index) so a short list fails with THIS message,
 # not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["zorder_layout"], (
+assert _PRIORITY[49:50] == ["conformal_calibration"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"
