@@ -36,15 +36,31 @@ from . import recommender  # noqa: E402,F401
 # (a) names replanned THIS round (r13) — replans out-rank everything
 #     (a stale verdict on a changed plan is worse than an old verdict
 #     on an unchanged one). Any NEW op added this round also lands
-#     here, displacing the (c) tail from the back (conformal_calibration
-#     first);
+#     here, displacing the (c) tail from the back (rolled so far:
+#     conformal_calibration, cms_term_freq, buy_candidates);
 # (b) all 38 r6-era names (tools/verdict_age.py r06 row) — the oldest
 #     verdicts in the registry;
 # (c) the 12 alphabetically-first r7-era names fill the remaining
 #     slots. After this window no name's verdict predates r7, keeping
 #     the rotation's ~6-round re-verification latency (the freshness
 #     gate in tests/test_fingerprints.py keeps replans queued).
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    # r13: fingerprint representation moved from the blind
+    # __eager_local_result__ marker to the real pre-fold subtree
+    # (ADVICE r12 item 3); plan semantics unchanged (verified r12), but
+    # the gate can't distinguish representation from replan, so take a
+    # fresh verdict.
+    "ml_minhash_lsh",
+    # r13: the committed r12 baseline for these two was captured BETWEEN
+    # the persist rework (a6e2fc1) and the unpersist-before-return fix
+    # (cff50d8) and never re-captured, so it pinned a plan shape that no
+    # longer existed at r12 close (21 exchanges / 2 InMemoryTableScans
+    # vs the real 15 / 0). The r12 driver verdict executed the CURRENT
+    # plan, but a hand-stamp can't be distinguished from blessing a real
+    # replan — take fresh verdicts instead (PLANS.md r13 note).
+    "stream_psi_drift",
+    "stream_ks_drift",
+]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
 
@@ -66,7 +82,7 @@ _PRIORITY += [
 ]
 
 # (c) r7-era fill — 12 slots when (a) is empty; each (a) addition rolls
-# one name off this tail (conformal_calibration first).
+# one name off this tail (back first).
 _TAIL_R7 = [
     "ab_test_zscore", "ann_recall_eval", "best_return",
     "best_return_full_grid", "best_return_per_days_held", "best_win",
@@ -81,7 +97,7 @@ _PRIORITY += _TAIL_R7[: max(0, 50 - len(_PRIORITY))]
 # be rewritten whenever an (a) addition shifts the cut line. Slice-based
 # (never a bare [49] index) so a short list fails with THIS message,
 # not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["conformal_calibration"], (
+assert _PRIORITY[49:50] == ["brand_transition_matrix"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

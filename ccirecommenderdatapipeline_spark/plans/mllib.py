@@ -148,7 +148,63 @@ def q_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions leak across the 50-query driver run), and the old five
     separate scalar combines + exceptAll (24 exchanges, the registry's
     worst) fold into one probe pass + one full-outer-join pass (item 8).
-    The returned plan is a 1-row local relation of the pinned verdicts."""
+    The returned plan is a 1-row local relation of the pinned verdicts.
+
+    CONTRACT (VERDICT r12 item 5, pinned by tests/test_mllib.py):
+    building this query RUNS the probe pass, both fits, and the verdict
+    join — the full multi-second job — before any action on the returned
+    DataFrame. A lazy thunk is not reachable: the verdict counts ARE the
+    returned relation's values, and estimator ``fit()`` is eager by
+    MLlib contract. Plan-drift duty lives on the PRE-FOLD subtree
+    (``ml_minhash_lsh_prefold``), which tools/audit_plans.py fingerprints
+    without paying the verdict join (ADVICE r12 item 3)."""
+    verdicts_df, ne, n_inj = _ml_lsh_build(spark, sf_dir)
+    verdicts = verdicts_df.first()
+    ne.unpersist()
+    n_true = int(verdicts["n_true"])
+    n_lsh = int(verdicts["n_lsh"])
+    n_only_lsh = int(verdicts["n_only_lsh"])
+    n_inj_found = int(verdicts["n_inj_found"])
+
+    return spark.createDataFrame(
+        [
+            (
+                n_true,
+                n_inj,
+                n_only_lsh == 0,
+                n_inj_found == n_inj,
+                (n_lsh - n_only_lsh) >= 0.9 * n_true,
+            )
+        ],
+        schema=(
+            "n_true_pairs bigint, n_injected_pairs bigint, "
+            "lsh_subset_of_true boolean, injected_all_found boolean, "
+            "recall_ge_090 boolean"
+        ),
+    )
+
+
+def ml_minhash_lsh_prefold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy pre-collect subtree of ``q_ml_minhash_lsh`` — everything
+    up to but NOT including the verdict ``.first()`` (the all-pairs
+    full-outer join is built, not executed). Building it still pays the
+    bounded probe pass and the two MLlib fits (eager by contract),
+    i.e. seconds, not the verdict join's minutes. Exists so the plan
+    fingerprint / freshness gate sees the query's real structure and
+    literals instead of a blind 1-row local relation (ADVICE r12
+    item 3); tools/audit_plans.py routes the fingerprint here and marks
+    the entry ``__prefold__``."""
+    verdicts_df, ne, _ = _ml_lsh_build(spark, sf_dir)
+    # the persist stays visible in the subtree's plan (InMemoryTableScan
+    # counts are structural signal); audit_plans clears the cache after
+    # rendering each plan
+    return verdicts_df
+
+
+def _ml_lsh_build(spark: SparkSession, sf_dir: str):
+    """Shared construction for q_ml_minhash_lsh and its prefold view:
+    returns (lazy verdict-agg DataFrame, the persisted gram table to
+    unpersist after execution, injected-pair count)."""
     docs2 = with_recrawl(load_table(spark, sf_dir, "documents"))
     # persisted: the tokenize+trigram pass feeds ~5 consumers (the
     # inverted-index arm, sizes, the CountVectorizer fit AND transform,
@@ -223,42 +279,17 @@ def q_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("inj_found"),
     )
     tp_m = true_pairs.select("doc_a", "doc_b", F.lit(1).alias("in_true"))
-    verdicts = (
-        lsh_m.join(tp_m, ["doc_a", "doc_b"], "full_outer")
-        .agg(
-            F.count("in_true").alias("n_true"),
-            F.count("in_lsh").alias("n_lsh"),
-            F.count(
-                F.when(
-                    F.col("in_lsh").isNotNull() & F.col("in_true").isNull(), 1
-                )
-            ).alias("n_only_lsh"),
-            F.coalesce(F.sum("inj_found"), F.lit(0)).alias("n_inj_found"),
-        )
-        .first()
-    )
-    ne.unpersist()
-    n_true = int(verdicts["n_true"])
-    n_lsh = int(verdicts["n_lsh"])
-    n_only_lsh = int(verdicts["n_only_lsh"])
-    n_inj_found = int(verdicts["n_inj_found"])
-
-    return spark.createDataFrame(
-        [
-            (
-                n_true,
-                n_inj,
-                n_only_lsh == 0,
-                n_inj_found == n_inj,
-                (n_lsh - n_only_lsh) >= 0.9 * n_true,
+    verdicts_df = lsh_m.join(tp_m, ["doc_a", "doc_b"], "full_outer").agg(
+        F.count("in_true").alias("n_true"),
+        F.count("in_lsh").alias("n_lsh"),
+        F.count(
+            F.when(
+                F.col("in_lsh").isNotNull() & F.col("in_true").isNull(), 1
             )
-        ],
-        schema=(
-            "n_true_pairs bigint, n_injected_pairs bigint, "
-            "lsh_subset_of_true boolean, injected_all_found boolean, "
-            "recall_ge_090 boolean"
-        ),
+        ).alias("n_only_lsh"),
+        F.coalesce(F.sum("inj_found"), F.lit(0)).alias("n_inj_found"),
     )
+    return verdicts_df, ne, n_inj
 
 
 @query(
@@ -281,7 +312,14 @@ def q_ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-cluster purity detail stays on the operator
     (operators/mllib_ops.kmeans_embeddings) pinned by tests/test_mllib.py
     — fixture labels are not spatial clusters, so purity is a data
-    property, not an oracle-stable value."""
+    property, not an oracle-stable value.
+
+    CONTRACT (VERDICT r12 item 5, pinned by tests/test_mllib.py):
+    building this query RUNS two full KMeans fits (maxIter=20 and
+    maxIter=1) before any action on the returned DataFrame — estimator
+    ``fit()`` is eager by MLlib contract, and the converged-cost boolean
+    is baked into the returned projection as a literal. The returned
+    plan itself (the cluster-count agg) stays lazy."""
     emb = load_table(spark, sf_dir, "embeddings")
     # ONE maxIter=20 fit serves both the cluster assignment and the
     # converged cost; only cost1 needs its own (maxIter=1) fit — two fits

@@ -142,3 +142,76 @@ def test_freshness_gate_refresh_advances_only_green(tmp_path, monkeypatch):
     assert out["b"] == {"Exchange": 1}          # hash red -> kept
     assert out["c"] == {"Exchange": 1}          # errored -> kept
     assert out["__meta__"]["last_refresh"] == "rows.json"
+
+
+def test_canonical_hash_normalizes_session_variance():
+    """The literal hash must be stable across SparkSessions (exprIds
+    restart and shift with registry build order; staging paths are
+    mkdtemp-random) while remaining sensitive to literal-only changes —
+    the r11 nano-nat class the structural counts cannot see."""
+    from audit_plans import canonical_hash
+
+    a = (
+        "*(1) Project [n_name#1, (n_nationkey#0 + 7) AS k#4]\n"
+        "+- FileScan parquet [n_nationkey#0,n_name#1] Location: "
+        "InMemoryFileIndex(1 paths)[file:/root/testdata/sf0.01/nation.parquet]"
+    )
+    # same plan, later session: shifted exprIds, different fixture path
+    b = (
+        "*(1) Project [n_name#9, (n_nationkey#8 + 7) AS k#12]\n"
+        "+- FileScan parquet [n_nationkey#8,n_name#9] Location: "
+        "InMemoryFileIndex(1 paths)[file:/tmp/fp_stage_x8ab/nation.parquet]"
+    )
+    # literal-only replan: 7 -> 8
+    c = a.replace("+ 7", "+ 8")
+    # exprId BINDING change: ordinal renumbering preserves which
+    # references resolve to the same definition, so x+x and x+y hash
+    # differently even though a blind #-strip would conflate them
+    d1 = "Project [(price#3 + price#3) AS two_x#7]"
+    d2 = "Project [(price#3 + price#4) AS two_x#7]"
+    assert canonical_hash(a) == canonical_hash(b)
+    assert canonical_hash(a) != canonical_hash(c)
+    assert canonical_hash(d1) != canonical_hash(d2)
+
+
+def test_freshness_gate_trips_on_literal_only_drift():
+    """VERDICT r12 item 2's done condition: a fingerprint whose node
+    counts are unchanged but whose __lit_md5__ moved (a constant-only
+    replan) must surface as stale unless queued."""
+    from freshness_gate import stale_names
+
+    verified = {"q": {"Exchange": 2, "__lit_md5__": "aaaaaaaaaaaa"}}
+    planted = {"q": {"Exchange": 2, "__lit_md5__": "bbbbbbbbbbbb"}}
+    assert stale_names(planted, verified, [], ["q"]) == ["q"]
+    assert stale_names(planted, verified, ["q"], ["q"]) == []
+
+
+def test_freshness_gate_adopt_migrates_only_matching(tmp_path, monkeypatch):
+    """--adopt copies new fingerprint dimensions into VERIFIED only for
+    names whose previously-recorded dimensions match; a real replan
+    (old dimensions differ) is left stale."""
+    import json as _json
+
+    import freshness_gate as fg
+
+    cur = {
+        "same": {"Exchange": 2, "__lit_md5__": "abc"},
+        "replanned": {"Exchange": 5, "__lit_md5__": "def"},
+        "marker": {"Exchange": 1, "__prefold__": 1, "__lit_md5__": "ghi"},
+    }
+    ver = {
+        "__meta__": {},
+        "same": {"Exchange": 2},
+        "replanned": {"Exchange": 2},
+        "marker": {"__eager_local_result__": 1},
+    }
+    cur_p, ver_p = tmp_path / "cur.json", tmp_path / "ver.json"
+    cur_p.write_text(_json.dumps({**cur, "__meta__": {"sf_dir": "x"}}))
+    ver_p.write_text(_json.dumps(ver))
+    monkeypatch.setattr(fg, "CURRENT", str(cur_p))
+    monkeypatch.setattr(fg, "VERIFIED", str(ver_p))
+    fg.adopt()
+    out = _json.loads(ver_p.read_text())
+    assert out["same"] == cur["same"]            # schema migration
+    assert out["replanned"] == {"Exchange": 2}   # real replan -> untouched
+    assert out["marker"] == {"__eager_local_result__": 1}  # repr change -> untouched

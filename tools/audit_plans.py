@@ -111,39 +111,65 @@ def _is_streaming_wrapped(name: str) -> bool:
 
 
 # Queries whose RETURNED plan is an eagerly-computed 1-row local relation
-# (the r12 ml_minhash_lsh verdict fold): the fingerprint carries zero
-# structural information, and merely BUILDING the query executes its full
-# multi-second job. Skipped with a distinct marker so the fingerprint
-# refresh doesn't burn the execution; their regression duty lives in the
-# oracle booleans + their test files (documented per-query in PLANS.md).
-EAGER_LOCAL_RESULT = frozenset({"ml_minhash_lsh"})
+# (the r12 ml_minhash_lsh verdict fold): the returned fingerprint carries
+# zero structural information, and merely BUILDING the query executes its
+# full multi-second job. Instead of a blanket skip (which permanently
+# blinded the freshness gate to replans — ADVICE r12 item 3), each entry
+# maps to a PRE-FOLD builder: the lazy subtree up to but not including
+# the eager verdict collect. Building it still pays the MLlib-eager fits
+# and the bounded probe pass (seconds), not the all-pairs verdict join
+# (the multi-second part), and its plan text carries the query's real
+# structure + literals, so drift is visible again. Entries are marked
+# "__prefold__": 1 in the fingerprint file so readers know what the
+# counts describe.
+def _prefold_builders():
+    from ccirecommenderdatapipeline_spark.plans.mllib import (
+        ml_minhash_lsh_prefold,
+    )
+
+    return {"ml_minhash_lsh": ml_minhash_lsh_prefold}
 
 
 def _iter_plans(spark, sf_dir: str, run_streaming: bool, only=None):
-    """Yield (name, plan_text | None, decimal_cols, skipped, err)."""
+    """Yield (name, plan_text | None, decimal_cols, skipped, err).
+
+    Yields (name, executed_txt | None, analyzed_txt | None, decimal_cols,
+    skipped, err). ``skipped`` is True for streaming-wrapped queries in
+    default mode and the string ``"prefold"`` for eager-local-result
+    queries, whose yielded texts are the PRE-FOLD subtree's plans (see
+    _prefold_builders). The executed text feeds node counts and the flag
+    scanners; the ANALYZED text feeds canonical_hash — it carries every
+    user-written literal and hint but predates the optimizer/physical
+    stages whose rendering is session-history-sensitive (distinct-agg
+    grouping-id assignment in Expand, cache substitution, DataFilters
+    length-truncation cut points)."""
     from pyspark.sql.types import DecimalType
 
+    prefold = _prefold_builders()
     for name, fn in plans.QUERIES.items():
         if only is not None and name not in only:
             continue
         if _is_streaming_wrapped(name) and not run_streaming:
-            yield name, None, [], True, None
-            continue
-        if name in EAGER_LOCAL_RESULT:
-            yield name, None, [], "eager_local", None
+            yield name, None, None, [], True, None
             continue
         try:
-            df = fn(spark, sf_dir)
-            txt = df._jdf.queryExecution().executedPlan().toString()
+            df = prefold[name](spark, sf_dir) if name in prefold else fn(
+                spark, sf_dir
+            )
+            qe = df._jdf.queryExecution()
+            txt = qe.executedPlan().toString()
+            analyzed = qe.analyzed().toString()
             dec_cols = [
                 f.name
                 for f in df.schema.fields
                 if isinstance(f.dataType, DecimalType)
             ]
         except Exception as exc:  # streaming-only plans can't batch-build
-            yield name, None, [], False, type(exc).__name__
+            yield name, None, None, [], False, type(exc).__name__
             continue
-        yield name, txt, dec_cols, False, None
+        yield name, txt, analyzed, dec_cols, (
+            "prefold" if name in prefold else False
+        ), None
         spark.catalog.clearCache()
 
 
@@ -159,11 +185,13 @@ def main(sf_dir: str, run_streaming: bool) -> int:
     skipped: list[str] = []
     eager_skipped: list[str] = []
     audited = 0
-    for name, txt, dec_cols, was_skipped, err in _iter_plans(
+    for name, txt, _analyzed, dec_cols, was_skipped, err in _iter_plans(
         spark, sf_dir, run_streaming
     ):
-        if was_skipped:
-            (eager_skipped if was_skipped == "eager_local" else skipped).append(name)
+        if was_skipped == "prefold":
+            eager_skipped.append(name)  # audited below, on the prefold text
+        elif was_skipped:
+            skipped.append(name)
             continue
         if err is not None:
             errors.append(f"{name}: {err}")
@@ -195,9 +223,9 @@ def main(sf_dir: str, run_streaming: bool) -> int:
         print(f"  {c}: {n} queries (informational)")
     if eager_skipped:
         print(
-            f"  skipped {len(eager_skipped)} eager-local-result queries "
-            f"(returned plan is a 1-row local relation; regression duty "
-            f"is oracle booleans — see PLANS.md): {eager_skipped}"
+            f"  audited {len(eager_skipped)} eager-local-result queries "
+            f"on their PRE-FOLD subtree (returned plan is a 1-row local "
+            f"relation; see _prefold_builders): {eager_skipped}"
         )
     if skipped:
         print(
@@ -360,6 +388,70 @@ def _has_unpartitioned_window(plan_txt: str) -> bool:
     return False
 
 
+def canonical_hash(plan_txt: str) -> str:
+    """Literal-sensitive plan hash (VERDICT r12 item 2) — md5 of the
+    ANALYZED-plan text with the per-session variance sources normalized
+    out:
+
+    - expression IDs (``name#123``) renumbered by order of first
+      appearance (``#e0``, ``#e1``, ...) — they restart per SparkSession
+      and shift with registry build order, but their equality STRUCTURE
+      (which references bind to which definition) is preserved;
+    - filesystem paths under the fixture root and /tmp (streaming
+      staging/checkpoint dirs with mkdtemp-random names) collapsed to
+      ``<path>``;
+    - ``[plan_id=N]`` tags dropped — the counter is session-global, so
+      it shifts with everything built before the query (measured:
+      182/326 executed plans differed across two sessions on this token
+      alone);
+    - lambda-variable name counters (``lambda x_55#123`` — the numeric
+      suffix is a session-global NamedLambdaVariable counter) dropped;
+      binding structure survives in the renumbered exprId. Only the
+      ``lambda ``-prefixed form is rewritten, so real column names
+      ending in digits (``lo_10``) keep their literal identity;
+    - JVM object identity suffixes (``UnsafeArrayData@bde43db9``)
+      dropped;
+    - generated hex identifier suffixes (``inputCol_af65dd3779fc`` —
+      MLlib Identifiable uids; ``strm_ee6003ed45`` — the streaming
+      wrappers' per-run temp-view names) dropped: 10+ hex chars after
+      an underscore never occur in hand-written column names here, and
+      literal hex CONSTANTS in expressions render as function args, not
+      ``_hex`` identifier tails.
+
+    The ANALYZED plan (not optimized/executed) is the hash source: it
+    still carries every user-written literal, hint, and shape — a
+    constant-only replan (the r11 nano-nat class, invisible to the
+    structural node counts) moves it and trips the freshness gate
+    automatically — but it predates the stages whose RENDERING is
+    session-history-sensitive even for an identical query: the
+    distinct-aggregate rewrite assigns Expand grouping ids in an order
+    that varies with prior session work (measured: data_profile /
+    assortativity_degree hashed differently under pytest, --only mode,
+    and the full loop), cache substitution splices InMemoryRelation
+    depending on what happens to be persisted, and FileScan DataFilters
+    length-truncate at cut points that shift with upstream counter
+    widths. Structural/physical drift stays covered by the node counts
+    next to the hash. The 12-hex-digit truncation keeps the JSON
+    diffable; collision odds across ~10^3 plan versions are ~10^-8."""
+    import hashlib
+    import re
+
+    txt = re.sub(r"\[plan_id=\d+\]", "[plan_id=<n>]", plan_txt)
+    txt = re.sub(r"\blambda ([A-Za-z]+)_\d+#", r"lambda \1_<n>#", txt)
+    txt = re.sub(r"@[0-9a-f]{7,}\b", "@<addr>", txt)
+    txt = re.sub(r"_[0-9a-f]{10,16}\b", "_<uid>", txt)
+    txt = re.sub(
+        r"(?:file:)?/(?:root/testdata|tmp)/[^\s\],)]*", "<path>", txt
+    )
+    ids: dict[str, str] = {}
+    txt = re.sub(
+        r"#(\d+)",
+        lambda m: ids.setdefault(m.group(1), f"#e{len(ids)}"),
+        txt,
+    )
+    return hashlib.md5(txt.encode()).hexdigest()[:12]
+
+
 def fingerprint(
     sf_dir: str = "/root/testdata/sf0.01",
     out_path: str = "PLAN_FINGERPRINTS.json",
@@ -407,20 +499,28 @@ def fingerprint(
                 "meaningless. Re-run at the baseline SF or do a full "
                 "refresh."
             )
-    for name, txt, _dec_cols, was_skipped, err in _iter_plans(
+    for name, txt, analyzed, _dec_cols, was_skipped, err in _iter_plans(
         spark, sf_dir, run_streaming, only=only
     ):
-        if was_skipped:
-            fp[name] = (
-                {"__eager_local_result__": 1}
-                if was_skipped == "eager_local"
-                else {"__streaming_skipped__": 1}
-            )
+        if was_skipped and was_skipped != "prefold":
+            fp[name] = {"__streaming_skipped__": 1}
             continue
         if err is not None:
             fp[name] = {"__error__": 1}
             continue
-        fp[name] = {n: txt.count(n) for n in nodes if txt.count(n)}
+        ent: dict = {n: txt.count(n) for n in nodes if txt.count(n)}
+        if was_skipped == "prefold":
+            # the counts/hash describe the PRE-FOLD subtree (the lazy
+            # plan up to the eager verdict collect), not the returned
+            # 1-row local relation — see _prefold_builders
+            ent["__prefold__"] = 1
+        # literal-sensitive hash alongside the structural counts — the
+        # dimension that catches constant-only replans (VERDICT r12
+        # item 2; migration path: tools/freshness_gate.py --adopt).
+        # Hashed from the ANALYZED plan, not the executed one — see
+        # canonical_hash's docstring for why.
+        ent["__lit_md5__"] = canonical_hash(analyzed)
+        fp[name] = ent
     # Physical plans are SF-DEPENDENT by design (static size estimates
     # cross autoBroadcastJoinThreshold between SFs — e.g. tpch_q7 is
     # BHJx5 at sf0.001 but SMJx1/BHJx4 at sf0.01+, adjudicated r9 after

@@ -36,8 +36,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # plan-stable since r10 (fingerprint-pinned), cheap-to-moderate, spread
-# across subsystems so a single hot cache line can't mask drift
-CANARIES = ["tpch_q1", "best_win", "order_ledger_roundtrip"]
+# across subsystems so a single hot cache line can't mask drift; r13
+# adds the two largest unexplained r12 sweep ratios (VERDICT r12 item 7)
+# so their post-host-move isolated baselines are on record — any future
+# >30% isolated rise in them is a signal, not host archaeology
+CANARIES = [
+    "tpch_q1", "best_win", "order_ledger_roundtrip",
+    "semantic_dedup", "dedup_simhash_hamming",
+]
 
 
 def main() -> int:
@@ -45,15 +51,18 @@ def main() -> int:
     n_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     load_before = os.getloadavg()[0]
 
-    from pyspark.sql import SparkSession
+    # the SAME session builder the bench sweep uses (ADVICE r12 item 1:
+    # a canary timed under a different master/shuffle config than the
+    # sweep it adjudicates can itself misattribute a delta); get_spark
+    # honors SPARK_GRAFT_CPUS / SPARK_GRAFT_MASTER
+    from ccirecommenderdatapipeline_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .appName("bench-canary")
-        .getOrCreate()
-    )
+    spark = get_spark("bench-canary")
     spark.sparkContext.setLogLevel("ERROR")
+    session_conf = {
+        "master": spark.sparkContext.master,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
     import ccirecommenderdatapipeline_spark.plans as plans
 
     out: dict[str, dict] = {}
@@ -76,6 +85,9 @@ def main() -> int:
                 "canaries": out,
                 "loadavg": [round(load_before, 2), round(os.getloadavg()[0], 2)],
                 "sf_dir": sf_dir,
+                # so a reader can SEE a config mismatch vs the sweep
+                # being adjudicated (ADVICE r12 item 1)
+                "session": session_conf,
             }
         )
     )

@@ -65,9 +65,10 @@ def main() -> int:
         and not (
             "__streaming_skipped__" in base[n] or "__streaming_skipped__" in now[n]
         )
-        # likewise the eager-local-result marker (audit_plans
-        # EAGER_LOCAL_RESULT): a {} baseline vs the marker is a mode
-        # difference, not plan drift
+        # likewise the legacy eager-local-result marker vs the prefold
+        # fingerprint that replaced it (audit_plans _prefold_builders,
+        # r13): a marker baseline vs real counts is a representation
+        # migration, not plan drift
         and not (
             "__eager_local_result__" in base[n]
             or "__eager_local_result__" in now[n]

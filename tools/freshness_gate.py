@@ -19,15 +19,16 @@ it — the failure mode that accumulated 48 stale names across rounds
   the current PLAN_FINGERPRINTS.json entry (red/errored names keep the
   old snapshot — their newest verdict is still the old one).
 
-Known limit (inherited from the fingerprint design): fingerprints are
-STRUCTURAL node counts, so a literal-only replan (e.g. the r11 nano-nat
-constant change) does not move them and stays a manual queueing duty —
-the gate catches the structural class, which is what the backlog was
-made of.
+Since r13 the fingerprints carry ``__lit_md5__`` — a literal-sensitive
+canonicalized-plan hash (tools/audit_plans.canonical_hash) alongside the
+structural node counts — so a literal-only replan (the r11 nano-nat
+constant class, the gate's former documented blind spot) now moves the
+fingerprint and trips the gate automatically.
 
 Usage:
     python tools/freshness_gate.py                # report (exit 1 if stale)
     python tools/freshness_gate.py --refresh CORRECTNESS_r12.json
+    python tools/freshness_gate.py --adopt        # schema migration, see adopt()
 """
 
 from __future__ import annotations
@@ -92,6 +93,24 @@ def _fingerprints_at_verdict(correctness_path: str) -> dict | None:
     import subprocess
 
     try:
+        dirty = subprocess.run(
+            ["git", "-C", ROOT, "status", "--porcelain", "--",
+             os.path.abspath(correctness_path)],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if dirty:
+            # tracked-but-modified: the working-tree verdict rows are
+            # NEWER than the commit whose fingerprint snapshot we're
+            # about to stamp from — a confusing silent mismatch (ADVICE
+            # r12 item 2). Conservative direction (false-stale), but say
+            # so out loud.
+            print(
+                f"WARNING: {os.path.basename(correctness_path)} has "
+                "uncommitted changes; stamping green rows with the "
+                "fingerprint snapshot of its LAST COMMIT, which may "
+                "predate the working-tree verdicts. Commit the driver "
+                "artifacts first for an exact stamp."
+            )
         commit = subprocess.run(
             ["git", "-C", ROOT, "log", "-n", "1", "--format=%H", "--",
              os.path.abspath(correctness_path)],
@@ -142,6 +161,51 @@ def refresh(correctness_path: str) -> int:
     return 0
 
 
+# Dimensions added to the fingerprint schema AFTER verdicts were first
+# recorded; --adopt migrates them into VERIFIED without a re-verdict.
+NEW_DIMS = frozenset({"__lit_md5__"})
+
+
+def adopt() -> int:
+    """One-time migration when the fingerprint schema gains a dimension
+    (r13: ``__lit_md5__``): for every name whose CURRENT fingerprint
+    equals its verified one on all previously-recorded dimensions, adopt
+    the full current entry (new dimensions included) into
+    VERIFIED_FINGERPRINTS.json.
+
+    Sound ONLY at a drift-clean tree — run it BEFORE any replanning, at
+    the state the round-close verdict certified (fingerprint_diff exit 0
+    on the old dimensions), so the adopted hash describes exactly the
+    plan the newest verdict executed. A name whose old dimensions
+    mismatch is left alone (it is a real replan, not a schema migration
+    — the gate must keep flagging it until queued)."""
+    current = _load(CURRENT)
+    with open(VERIFIED) as f:
+        verified = json.load(f)
+    meta = verified.pop("__meta__", {})
+    adopted, left = [], []
+    for name, cur in current.items():
+        old_dims = {k: v for k, v in cur.items() if k not in NEW_DIMS}
+        if name not in verified:
+            continue  # never verified — stays a queueing duty
+        if verified[name] == old_dims and verified[name] != cur:
+            verified[name] = cur
+            adopted.append(name)
+        elif verified[name] != cur:
+            left.append(name)
+    out = {"__meta__": meta}
+    out.update({k: verified[k] for k in sorted(verified)})
+    with open(VERIFIED, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"adopted new fingerprint dimensions for {len(adopted)} names")
+    if left:
+        print(
+            f"left alone (old dimensions differ — real replans, must be "
+            f"queued): {left}"
+        )
+    return 0
+
+
 def report() -> int:
     sys.path.insert(0, ROOT)
     from ccirecommenderdatapipeline_spark.plans import QUERIES, _PRIORITY
@@ -157,4 +221,6 @@ def report() -> int:
 if __name__ == "__main__":
     if "--refresh" in sys.argv:
         raise SystemExit(refresh(sys.argv[sys.argv.index("--refresh") + 1]))
+    if "--adopt" in sys.argv:
+        raise SystemExit(adopt())
     raise SystemExit(report())

@@ -11,10 +11,11 @@ suffixing every non-empty token with a replica-specific alphabetic tag
 replica becomes a fresh corpus with the same intra-corpus statistics —
 same token-frequency shape, same near-dup pair structure — but ZERO
 token overlap across replicas — and rewrites ``embeddings.embedding``
-in replica r>0 by a per-replica deterministic PERMUTATION of the 64
-dimensions (an orthogonal transform: intra-replica distances and
-cosines are EXACTLY preserved, cross-replica similarity is destroyed
-for zero-mean-ish vectors), so the vector half of the similarity-join
+in replica r>0 by a per-replica deterministic SIGNED PERMUTATION of the
+64 dimensions (an orthogonal transform: intra-replica distances and
+cosines are EXACTLY preserved, cross-replica similarity is destroyed —
+the sign flips cover the vectors a bare permutation would nearly fix,
+ADVICE r12 item 4), so the vector half of the similarity-join
 family gets the same fresh-corpus treatment as the text half. This is
 the non-replica scale fixture for the similarity-join family (VERDICT
 r8 item 6): with exact copies, a
@@ -113,16 +114,32 @@ def main() -> int:
                         "AS text"
                     )
                 if perturb and table == "embeddings" and c == "embedding" and r > 0:
-                    # per-replica deterministic dimension permutation
-                    # (orthogonal: intra-replica geometry exact,
-                    # cross-replica cosine collapses toward the vectors'
-                    # mean component — near zero for this fixture)
+                    # per-replica deterministic signed dimension
+                    # permutation (orthogonal: intra-replica geometry
+                    # exact). A bare permutation destroys cross-replica
+                    # cosine only for zero-mean-ish vectors — a vector
+                    # with near-uniform or symmetric components is a
+                    # near-fixed-point of any permutation (ADVICE r12
+                    # item 4) — so additionally flip the sign of a
+                    # per-replica deterministic ~half of the dimensions:
+                    # still exactly distance-preserving (IEEE negation
+                    # is exact), and constant-vector fixed points are
+                    # gone (their image anti-correlates on the flipped
+                    # coordinates).
                     dim = con.execute(
                         f"SELECT len(embedding) FROM '{path}' LIMIT 1"
                     ).fetchone()[0]
+                    rng = random.Random(r)
                     perm = list(range(1, dim + 1))
-                    random.Random(r).shuffle(perm)
-                    return f"list_select(embedding, {perm}) AS embedding"
+                    rng.shuffle(perm)
+                    signs = [rng.random() < 0.5 for _ in range(dim)]
+                    if not any(signs):  # degenerate draw: force one flip
+                        signs[0] = True
+                    elems = ", ".join(
+                        f"-embedding[{p}]" if s else f"embedding[{p}]"
+                        for p, s in zip(perm, signs)
+                    )
+                    return f"CAST([{elems}] AS FLOAT[]) AS embedding"
                 return c
             sel = ", ".join(render(c) for c in cols)
             parts.append(f"SELECT {sel} FROM '{path}'")
