@@ -67,6 +67,13 @@ def main() -> int:
     spark.range(64).withColumn("g", F.col("id") % 32).groupBy("g").applyInPandas(
         lambda p: p, "id long, g long"
     ).write.format("noop").mode("overwrite").save()
+    # streaming-engine warm-up, same as bench.py (r13): without it the
+    # FIRST stream_* cell absorbs ~1-5 s of state-store/micro-batch
+    # class loading and reads as anti-scaling vs the later cells
+    if any(n.startswith("stream_") for n in names):
+        plans.QUERIES["stream_dedup_watermark"](
+            spark, SCALES[0][1]
+        ).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
     for name in names:
         cells = []
