@@ -60,6 +60,12 @@ _NEW_THIS_ROUND: list[str] = [
     # replan — take fresh verdicts instead (PLANS.md r13 note).
     "stream_psi_drift",
     "stream_ks_drift",
+    # r13 replan: markov_stationary's 20 eager localCheckpoint jobs
+    # replaced by one lazy nested-HOF fold over the single-row
+    # vocabulary-bounded matrix (plans/recommender.py) — 11.2 s -> 2.4 s
+    # at sf0.1, same IEEE fold-order contract (oracle green at sf0.001 +
+    # sf0.01 locally); queue for a fresh driver verdict.
+    "markov_stationary",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -82,7 +88,9 @@ _PRIORITY += [
 ]
 
 # (c) r7-era fill — 12 slots when (a) is empty; each (a) addition rolls
-# one name off this tail (back first).
+# one name off this tail (back first). With (a) at 4 names the tail
+# keeps 8 slots: brand_transition_matrix, buy_candidates, cms_term_freq
+# and conformal_calibration roll to the r14 window head.
 _TAIL_R7 = [
     "ab_test_zscore", "ann_recall_eval", "best_return",
     "best_return_full_grid", "best_return_per_days_held", "best_win",
@@ -97,7 +105,7 @@ _PRIORITY += _TAIL_R7[: max(0, 50 - len(_PRIORITY))]
 # be rewritten whenever an (a) addition shifts the cut line. Slice-based
 # (never a bare [49] index) so a short list fails with THIS message,
 # not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["brand_transition_matrix"], (
+assert _PRIORITY[49:50] == ["boilerplate_ngram_scrub"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

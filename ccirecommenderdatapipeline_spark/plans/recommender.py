@@ -1611,17 +1611,29 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-exact floats WITHOUT rounding between iterations: each new
     component is a SEQUENTIAL LEFT FOLD of its terms ordered by source
-    brand — Spark folds ``array_sort(collect_list(struct(from, term)))``
-    with the ``F.aggregate`` HOF, DuckDB folds ``list(term ORDER BY
-    from)`` with ``list_sum`` — the same W2/rolling-MAD determinism
-    contract (operators/windows.py), so after 20 matrix-vector products
-    both engines hold bit-identical doubles and ONE final round(8)
-    suffices. Terms are ``v * cnt / tot`` with exact-int cnt/tot — a
-    fixed IEEE tree.
+    brand — Spark folds the brand_from-sorted entry list with the
+    ``F.aggregate`` HOF, DuckDB folds ``list(term ORDER BY from)`` with
+    ``list_sum`` — the same W2/rolling-MAD determinism contract
+    (operators/windows.py), so after 20 matrix-vector products both
+    engines hold bit-identical doubles and ONE final round(8) suffices.
+    Terms are ``v * cnt / tot`` (double * long / long, left-assoc) with
+    exact-int cnt/tot — a fixed IEEE tree.
 
-    100-TB shape: the matrix is vocabulary-bounded (|V|^2 rows max) and
-    broadcast; each iteration is one bounded-key aggregate — the fact
-    table is scanned once to build the counts, never again."""
+    100-TB shape: the fact table is scanned ONCE to build the
+    vocabulary-bounded transition counts (|V|^2 rows max — TPC-H has 25
+    brands); the counts reduce to a single row and ALL 20 power
+    iterations run lazily inside one nested higher-order-function fold
+    over that row — one job, zero per-iteration shuffles or
+    checkpoints. (The r12 shape ran 20 eager localCheckpoint jobs for
+    the same 625-entry matrix — ~10 s of pure job overhead at sf0.1.)
+    A join-keyed iteration only wins when the state space itself
+    exceeds one executor's memory, which a brand vocabulary never does.
+
+    Join-vs-fold parity note: an inner join drops a target brand whose
+    every source is absent from the current vector, while a naive fold
+    would emit 0.0 for it — so each step keeps only entries with a
+    non-empty term list (``size(tl) > 0``), reproducing the oracle's
+    join semantics exactly."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
@@ -1649,42 +1661,102 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand_from", "brand_to")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    states = tr0.select(F.col("brand_from").alias("brand")).distinct()
-    tr = (
-        tr0.join(
-            F.broadcast(states.select(F.col("brand").alias("brand_to"))),
-            "brand_to",
-        )
-        .withColumn(
-            "tot",
-            F.sum("cnt").over(Window.partitionBy("brand_from")).cast("long"),
-        )
-        .localCheckpoint(eager=True)
+    # one-row reduce: the whole vocabulary-bounded matrix as a sorted
+    # entry list (struct sort is lexicographic, so brand_from leads —
+    # the fold-order key the determinism contract needs)
+    row = tr0.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("brand_from", "brand_to", "cnt"))
+        ).alias("m0")
     )
-    n_states = states.count()
-    v = states.select(
-        "brand", (F.lit(1.0) / F.lit(n_states)).alias("val")
-    ).localCheckpoint(eager=True)
-    for _ in range(MARKOV_ITERS):
-        terms = tr.join(
-            F.broadcast(v), tr.brand_from == v.brand
-        ).select(
-            F.col("brand_to"),
-            F.col("brand_from"),
-            (F.col("val") * F.col("cnt") / F.col("tot")).alias("term"),
-        )
-        v = (
-            terms.groupBy(F.col("brand_to").alias("brand"))
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("brand_from", "term"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["term"],
-                ).alias("val")
+
+    def _let(val, body):
+        # bind an expression ONCE as a lambda variable; without this,
+        # project-collapsing inlines each alias into every downstream
+        # reference and the nested fold re-evaluates the whole matrix
+        # derivation per target per iteration (measured: minutes)
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    def step(vm, m, reach):
+        # one matrix-vector product: for each reachable target, fold its
+        # sources' terms in brand_from order (filter preserves the m
+        # sort); keep join semantics — targets with no live source drop
+        # out rather than becoming 0.0
+        return F.map_from_entries(
+            F.transform(
+                F.filter(
+                    F.transform(
+                        reach,
+                        lambda k: F.struct(
+                            k.alias("brand"),
+                            F.filter(
+                                m,
+                                lambda e: (e["brand_to"] == k)
+                                & F.map_contains_key(vm, e["brand_from"]),
+                            ).alias("tl"),
+                        ),
+                    ),
+                    lambda s: F.size(s["tl"]) > 0,
+                ),
+                lambda s: F.struct(
+                    s["brand"].alias("key"),
+                    F.aggregate(
+                        s["tl"],
+                        F.lit(0.0),
+                        lambda a, e: a
+                        + F.element_at(vm, e["brand_from"]) * e["cnt"] / e["tot"],
+                    ).alias("value"),
+                ),
             )
-            .localCheckpoint(eager=True)
         )
-    return v.select("brand", F.round("val", 8).alias("pi"))
+
+    def _iterate(m0):
+        # states = brands with outgoing mass; restrict targets to states
+        # so rows stay stochastic; attach each entry's exact row total
+        # (sum over the RESTRICTED row, matching the oracle's tr CTE);
+        # then run all MARKOV_ITERS matrix-vector products as one fold
+        states = F.array_sort(
+            F.array_distinct(F.transform(m0, lambda e: e["brand_from"]))
+        )
+        return _let(states, lambda st: _let(
+            F.filter(m0, lambda e: F.array_contains(st, e["brand_to"])),
+            lambda mr: _let(
+                F.transform(
+                    mr,
+                    lambda e: F.struct(
+                        e["brand_from"].alias("brand_from"),
+                        e["brand_to"].alias("brand_to"),
+                        e["cnt"].alias("cnt"),
+                        F.aggregate(
+                            F.filter(
+                                mr,
+                                lambda x: x["brand_from"] == e["brand_from"],
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a + x["cnt"],
+                        ).alias("tot"),
+                    ),
+                ),
+                lambda m: _let(
+                    F.array_sort(
+                        F.array_distinct(F.transform(m, lambda e: e["brand_to"]))
+                    ),
+                    lambda reach: F.aggregate(
+                        F.sequence(F.lit(1), F.lit(MARKOV_ITERS)),
+                        F.map_from_arrays(
+                            st,
+                            F.transform(st, lambda _: F.lit(1.0) / F.size(st)),
+                        ),
+                        lambda vm, _i: step(vm, m, reach),
+                    ),
+                ),
+            ),
+        ))
+
+    final = row.select(_iterate(F.col("m0")).alias("vm"))
+    return final.select(F.explode("vm").alias("brand", "val")).select(
+        "brand", F.round("val", 8).alias("pi")
+    )
 
 
 # --- LinUCB half-step (contextual bandit sufficient statistics) --------------
