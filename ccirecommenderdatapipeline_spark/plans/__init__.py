@@ -66,6 +66,13 @@ _NEW_THIS_ROUND: list[str] = [
     # at sf0.1, same IEEE fold-order contract (oracle green at sf0.001 +
     # sf0.01 locally); queue for a fresh driver verdict.
     "markov_stationary",
+    # r13 replan: _cov_view gains a fan-out-before-generator repartition
+    # (plans/vectors.py) — the N*D^2 cross-moment explode no longer runs
+    # on a single file split; cov 17.0 s -> 7.1 s, pca 11.7 s -> 7.9 s
+    # in identical fresh sessions at sf0.1 (oracle green at sf0.001 +
+    # sf0.01 locally). Both consumers' plans changed; fresh verdicts.
+    "embedding_covariance",
+    "pca_power_iteration",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -88,9 +95,10 @@ _PRIORITY += [
 ]
 
 # (c) r7-era fill — 12 slots when (a) is empty; each (a) addition rolls
-# one name off this tail (back first). With (a) at 4 names the tail
-# keeps 8 slots: brand_transition_matrix, buy_candidates, cms_term_freq
-# and conformal_calibration roll to the r14 window head.
+# one name off this tail (back first). With (a) at 6 names the tail
+# keeps 6 slots: bloom_membership, boilerplate_ngram_scrub,
+# brand_transition_matrix, buy_candidates, cms_term_freq and
+# conformal_calibration roll to the r14 window head.
 _TAIL_R7 = [
     "ab_test_zscore", "ann_recall_eval", "best_return",
     "best_return_full_grid", "best_return_per_days_held", "best_win",
@@ -105,7 +113,7 @@ _PRIORITY += _TAIL_R7[: max(0, 50 - len(_PRIORITY))]
 # be rewritten whenever an (a) addition shifts the cut line. Slice-based
 # (never a bare [49] index) so a short list fails with THIS message,
 # not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["boilerplate_ngram_scrub"], (
+assert _PRIORITY[49:50] == ["best_win"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"
