@@ -73,6 +73,21 @@ _NEW_THIS_ROUND: list[str] = [
     # sf0.01 locally). Both consumers' plans changed; fresh verdicts.
     "embedding_covariance",
     "pca_power_iteration",
+    # r13 replan: fan_out (sources/tables.py) before the shingle /
+    # fingerprint / signature passes — the documents table is one file
+    # split at test SFs, so these generator-amplified stages ran on one
+    # core. Identical-session A/B at sf0.1: winnowing 7.9->4.6,
+    # minhash 7.1->4.0, simhash 7.9->3.4, corpus 14.2->7.2,
+    # exact_substring 6.4->2.1 s. Oracle green at sf0.001 + sf0.01.
+    # dedup_clusters/dedup_corpus share the change via _cluster_labels,
+    # whose localCheckpoint truncates their fingerprints' view of it —
+    # queued explicitly since the gate can't see that replan.
+    "winnowing_dedup",
+    "dedup_minhash_lsh",
+    "dedup_simhash_hamming",
+    "dedup_clusters",
+    "dedup_corpus",
+    "dedup_exact_substring",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -82,7 +97,8 @@ _PRIORITY += [
     "attribution_models", "bigram_lm", "bpe_merge_pairs", "cogroup_asof",
     "compaction_plan", "constraint_checks", "corpus_datasheet",
     "cross_modal_dedup", "cusum_drift", "dedup_containment",
-    "dedup_simhash_hamming", "distinctive_terms", "embedding_quantize",
+    # (dedup_simhash_hamming moved up into the (a) replan queue in r13)
+    "distinctive_terms", "embedding_quantize",
     "entity_resolution_qgram", "event_transitions",
     "explode_outer_battery", "histogram_equiwidth", "hll_distinct",
     "interval_merge", "key_skew_profile", "kmeans_lloyd_step",
@@ -95,10 +111,12 @@ _PRIORITY += [
 ]
 
 # (c) r7-era fill — 12 slots when (a) is empty; each (a) addition rolls
-# one name off this tail (back first). With (a) at 6 names the tail
-# keeps 6 slots: bloom_membership, boilerplate_ngram_scrub,
-# brand_transition_matrix, buy_candidates, cms_term_freq and
-# conformal_calibration roll to the r14 window head.
+# one name off this tail (back first). With (a) at 12 names (one of
+# them, dedup_simhash_hamming, promoted OUT of the r6 block, which now
+# counts 37) the tail keeps 1 slot: ab_test_zscore stays; the other
+# eleven r7 names roll to the r14 window head (the replan queue takes
+# absolute priority — a changed plan with a stale verdict is worse
+# than an unchanged plan with an old one).
 _TAIL_R7 = [
     "ab_test_zscore", "ann_recall_eval", "best_return",
     "best_return_full_grid", "best_return_per_days_held", "best_win",
@@ -113,7 +131,7 @@ _PRIORITY += _TAIL_R7[: max(0, 50 - len(_PRIORITY))]
 # be rewritten whenever an (a) addition shifts the cut line. Slice-based
 # (never a bare [49] index) so a short list fails with THIS message,
 # not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["best_win"], (
+assert _PRIORITY[49:50] == ["ab_test_zscore"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

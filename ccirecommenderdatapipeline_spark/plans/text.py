@@ -30,7 +30,7 @@ from ..operators.text import (
     with_recrawl,
     word_ngrams,
 )
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .registry import query
 
 DF_CAP = 50          # document-frequency cap for shingle blocking (anti-skew)
@@ -343,7 +343,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching-component fraction. The band join shuffles on (band_idx,
     band_key) — md5 keys are uniform, so bucket sizes stay balanced at
     scale; signatures are fixed 12-slot arrays, O(1) state per doc."""
-    docs2 = with_recrawl(_docs(spark, sf_dir))
+    docs2 = fan_out(with_recrawl(_docs(spark, sf_dir)), "doc_id")
     sigs = _shingled(docs2).select(
         "doc_id", minhash_signature(F.col("grams")).alias("sig")
     )
@@ -504,7 +504,7 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape (band-bucket equi-join + bit-count verify) is unchanged;
     bucket population is hash-uniform so the cap only trims adversarial
     hubs."""
-    docs2 = with_recrawl(_docs(spark, sf_dir))
+    docs2 = fan_out(with_recrawl(_docs(spark, sf_dir)), "doc_id")
     fp = docs2.select("doc_id", simhash16_int(tokens(F.col("text"))).alias("fp"))
     bands = fp.select(
         "doc_id",
@@ -658,7 +658,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans). Persist the edge list once and localCheckpoint the labels per
     iteration, exactly Spark's prescribed pattern for iterative graph
     algorithms; at scale this is one shuffle join per iteration."""
-    docs2 = with_recrawl(_docs(spark, sf_dir))
+    docs2 = fan_out(with_recrawl(_docs(spark, sf_dir)), "doc_id")
     sigs = _shingled(docs2).select(
         "doc_id", minhash_signature(F.col("grams")).alias("sig")
     )
@@ -792,7 +792,7 @@ def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp. Oversized buckets (> {WINNOW_DF_CAP} docs) are stop-fingerprints,
     dropped before expansion, so no bucket explodes on boilerplate text;
     never all-pairs."""
-    docs2 = with_recrawl(_docs(spark, sf_dir))
+    docs2 = fan_out(with_recrawl(_docs(spark, sf_dir)), "doc_id")
     # substring with a per-element start index needs the expr form (the
     # python substring() binds scalar start/len only)
     hashed = docs2.select(
@@ -1121,7 +1121,7 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     form keeps the exact string key). Skewed hub grams (boilerplate)
     are AQE skew-join territory; the count side is map-combined either
     way."""
-    return exact_substring_spans(_docs(spark, sf_dir))
+    return exact_substring_spans(fan_out(_docs(spark, sf_dir), "doc_id"))
 
 
 def exact_substring_spans(d: DataFrame) -> DataFrame:

@@ -18,7 +18,7 @@ from ..operators.vectors import (
     normalized_vectors,
     topk_per_query,
 )
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .registry import query
 
 N_PROBES = 3         # centroids probed per query
@@ -904,15 +904,9 @@ def _cov_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fan-out-before-generator: the pairs explode multiplies each vector
     # row by D(D+1)/2, so the generator stage's parallelism must come
-    # from the VECTOR count, not the file split count — a small
-    # embeddings file is one split, and the whole N*D^2 cross-moment
-    # pass then runs on one core (measured 15.5 s -> 5.3 s cold at
-    # sf0.1). Explicit numPartitions so AQE doesn't coalesce the tiny
-    # pre-explode shuffle back to one partition; shuffling N skinny rows
-    # is negligible next to the D^2-amplified work they fan out to.
-    vecs = vecs.repartition(
-        spark.sparkContext.defaultParallelism, F.col("vec_id")
-    )
+    # from the VECTOR count, not the file split count (measured
+    # 15.5 s -> 5.3 s cold at sf0.1; policy in sources/tables.fan_out)
+    vecs = fan_out(vecs, "vec_id")
     nn = vecs.agg(F.count("*").cast("long").alias("n"))
     di = vecs.select("vec_id", F.posexplode("v").alias("i", "vi"))
     means = di.groupBy("i").agg(

@@ -43,3 +43,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Explicit pre-generator repartition: decouple a fan-out stage's
+    parallelism from the input's file-split count.
+
+    Use ONLY in front of work that AMPLIFIES each input row — a
+    row-multiplying generator (explode x hundreds: shingles, band keys,
+    cross-moment pairs) or heavy per-row compute (a minhash/rolling-hash
+    signature pass). There the one-pass shuffle of N skinny rows is
+    negligible next to the amplified work it distributes, at ANY scale;
+    for plain per-row maps the input splits already provide scale-out
+    parallelism and this would be a pure extra shuffle — don't.
+
+    The partition count is EXPLICIT (defaultParallelism) because AQE
+    coalesces a small keyed `repartition(col)` back to one partition,
+    which is exactly the failure mode this exists to fix: every test-SF
+    table is one parquet split, so an un-fanned generator stage runs the
+    whole corpus on one core (measured on embedding_covariance: the
+    N*D^2 decimal cross-moment pass, 17.0 s -> 7.1 s at sf0.1; see
+    PLANS.md round-13 replans)."""
+    spark = df.sparkSession
+    from pyspark.sql import functions as F
+
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
