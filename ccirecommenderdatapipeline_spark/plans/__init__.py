@@ -88,6 +88,10 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_clusters",
     "dedup_corpus",
     "dedup_exact_substring",
+    # r13 replan: fan_out before the BOOT_B md5 rep fan-out — orders is
+    # one split, so all N*B draws ran on one core (10.5 -> 4.2 s sf0.1;
+    # oracle green both SFs).
+    "bootstrap_mean_ci",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -111,12 +115,12 @@ _PRIORITY += [
 ]
 
 # (c) r7-era fill — 12 slots when (a) is empty; each (a) addition rolls
-# one name off this tail (back first). With (a) at 12 names (one of
+# one name off this tail (back first). With (a) at 13 names (one of
 # them, dedup_simhash_hamming, promoted OUT of the r6 block, which now
-# counts 37) the tail keeps 1 slot: ab_test_zscore stays; the other
-# eleven r7 names roll to the r14 window head (the replan queue takes
-# absolute priority — a changed plan with a stale verdict is worse
-# than an unchanged plan with an old one).
+# counts 37) the tail keeps 0 slots: ALL twelve r7 names roll to the
+# r14 window head (the replan queue takes absolute priority — a
+# changed plan with a stale verdict is worse than an unchanged plan
+# with an old one).
 _TAIL_R7 = [
     "ab_test_zscore", "ann_recall_eval", "best_return",
     "best_return_full_grid", "best_return_per_days_held", "best_win",
@@ -131,7 +135,7 @@ _PRIORITY += _TAIL_R7[: max(0, 50 - len(_PRIORITY))]
 # be rewritten whenever an (a) addition shifts the cut line. Slice-based
 # (never a bare [49] index) so a short list fails with THIS message,
 # not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["ab_test_zscore"], (
+assert _PRIORITY[49:50] == ["winsorize_clip"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .registry import query
 
 KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth multiplicative hashing
@@ -322,7 +322,13 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BOOT_B}-row aggregate (bounded_window)."""
     from ..operators.windows import bounded_window
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # fan_out: the rep fan-out multiplies each order row by BOOT_B md5
+    # draws, and orders is one file split at test SFs (policy in
+    # sources/tables.fan_out)
+    o = fan_out(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+    )
     reps = spark.range(1, BOOT_B + 1).select(F.col("id").cast("long").alias("rep"))
     u = (
         (
