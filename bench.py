@@ -195,6 +195,8 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
+    global _LOAD_START
+    _LOAD_START = round(os.getloadavg()[0], 2)
     full = "--full" in sys.argv
     argv = [a for a in sys.argv[1:] if a != "--full"]
     if argv:
@@ -272,6 +274,17 @@ def main() -> None:
         # (cold-start and cache-adjacency context) next to it — VERDICT
         # r12 item 3's second half
         "order": names,
+        # adjudication context (PLANS.md "bench re-baseline after the
+        # replans"): detached sweeps (`nohup ... &`) measured
+        # applyInPandas simulator cells up to 10x their attached-run
+        # values while isolated canaries were at record — so every
+        # artifact records HOW it ran. `attached_stdout` False + an
+        # outsized simulator-family cell = re-run attached before
+        # suspecting the plans. loadavg bookends catch the other
+        # known factor (sustained-occupancy start state).
+        "attached_stdout": sys.stdout.isatty(),
+        "loadavg_start": _LOAD_START,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     out_file = "BENCH_FULL.json" if full else "BENCH_LOCAL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
