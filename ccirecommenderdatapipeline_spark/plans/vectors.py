@@ -986,12 +986,22 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored = cov.filter(F.col("i") < F.col("j")).select(
         F.col("j").alias("i"), F.col("i").alias("j"), "cov"
     )
-    full_c = cov.unionByName(mirrored)
+    # persist the TINY intermediates (full_c: D² rows, v1: D rows) not
+    # for data reuse — ReusedExchange already dedupes at execution — but
+    # to TRUNCATE the analyzed plan at cache boundaries: each downstream
+    # reference to full_c/v1 otherwise inlines the whole covariance
+    # subtree, and the final plan carried 80 parquet scans / 244
+    # exchanges whose OPTIMIZE+CODEGEN time dominated the query (13.2 s
+    # plain vs 5.2 s persisted at sf0.01, identical 64-row output —
+    # plan-size cost, which is why the cell was BIGGER at sf0.01 than
+    # at sf0.1). Complements the r12 pagerank negative result: persist
+    # for plan size, never for intra-execution data reuse.
+    full_c = cov.unionByName(mirrored).persist(StorageLevel.MEMORY_AND_DISK)
     w = full_c.groupBy("i").agg(F.sum("cov").alias("wi"))
     nrm = w.agg(F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("nv"))
     v1 = w.crossJoin(F.broadcast(nrm)).select(
         "i", F.round(F.col("wi") / F.col("nv"), 10).alias("v1i")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     v1j = v1.select(F.col("i").alias("j"), "v1i")
     v2 = (
         full_c.join(F.broadcast(v1j), "j")
