@@ -275,13 +275,14 @@ def main() -> None:
         # r12 item 3's second half
         "order": names,
         # adjudication context (PLANS.md "bench re-baseline after the
-        # replans"): detached sweeps (`nohup ... &`) measured
-        # applyInPandas simulator cells up to 10x their attached-run
-        # values while isolated canaries were at record — so every
-        # artifact records HOW it ran. `attached_stdout` False + an
-        # outsized simulator-family cell = re-run attached before
-        # suspecting the plans. loadavg bookends catch the other
-        # known factor (sustained-occupancy start state).
+        # replans"): the applyInPandas simulator cells are multi-modal
+        # in sweep context on shared hosts (best_return measured
+        # 6.8-37.8 s across identical-code sweeps while isolated
+        # canaries sat at record), and neither attachment nor
+        # loadavg-at-start fully explains which mode a sweep lands in —
+        # so every artifact records both, and per-cell regression
+        # claims for that family go through tools/bench_canary.py
+        # (best_win) instead of sweep cells.
         "attached_stdout": sys.stdout.isatty(),
         "loadavg_start": _LOAD_START,
         "loadavg_end": round(os.getloadavg()[0], 2),
