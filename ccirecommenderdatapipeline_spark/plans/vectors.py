@@ -955,15 +955,25 @@ full_c AS (
     UNION ALL
     SELECT j AS i, i AS j, cov FROM cov0 WHERE i < j
 ), w AS (
-    SELECT i, SUM(cov) AS wi FROM full_c GROUP BY i
-), nrm AS (SELECT sqrt(SUM(wi * wi)) AS nv FROM w),
-v1 AS (SELECT i, ROUND(wi / nv, 10) AS v1i FROM w, nrm),
+    SELECT i, CAST(SUM(CAST(cov AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS wi_dec
+    FROM full_c GROUP BY i
+), nrm AS (
+    SELECT sqrt(CAST(SUM(wi_dec * wi_dec) AS DOUBLE)) AS nv FROM w
+),
+v1 AS (
+    SELECT i, ROUND(CAST(wi_dec AS DOUBLE) / nv, 10) AS v1i FROM w, nrm
+),
 v2 AS (
-    SELECT c.i, ROUND(SUM(c.cov * v.v1i), 10) AS v2i
+    SELECT c.i,
+           ROUND(CAST(SUM(CAST(c.cov AS DECIMAL(18,8))
+                          * CAST(v.v1i AS DECIMAL(16,10))) AS DOUBLE),
+                 10) AS v2i
     FROM full_c c JOIN v1 v ON v.i = c.j
     GROUP BY c.i
 ), ray AS (
-    SELECT ROUND(SUM(v1.v1i * v2.v2i), 6) AS rayleigh
+    SELECT ROUND(CAST(SUM(CAST(v1.v1i AS DECIMAL(16,10))
+                          * CAST(v2.v2i AS DECIMAL(16,10))) AS DOUBLE),
+                 6) AS rayleigh
     FROM v1 JOIN v2 ON v1.i = v2.i
 )
 SELECT v1.i, ROUND(v1.v1i, 6) AS v1_coord, ROUND(v2.v2i, 6) AS v2_coord,
@@ -979,9 +989,11 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     drives PCA whitening decisions. Matvecs are equi-joins on the dimension
     index over the D²-row mirrored matrix (D a model constant, NOT corpus
     -sized: this whole query runs on the D(D+1)/2 aggregate, so iterating
-    k steps costs k tiny jobs however big the corpus). Intermediates are
-    rounded to 10dp on both engines so the cross-engine values stay
-    hash-identical through the division and second matvec."""
+    k steps costs k tiny jobs however big the corpus). Every reduction
+    sums decimals (cov is exactly 8dp, v1i/v2i exactly 10dp), so the
+    sums are associativity-exact on both engines regardless of reduction
+    order; intermediates are rounded to 10dp so the division and second
+    matvec stay hash-identical cross-engine."""
     cov = q_embedding_covariance(spark, sf_dir)
     mirrored = cov.filter(F.col("i") < F.col("j")).select(
         F.col("j").alias("i"), F.col("i").alias("j"), "cov"
@@ -996,23 +1008,58 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan-size cost, which is why the cell was BIGGER at sf0.01 than
     # at sf0.1). Complements the r12 pagerank negative result: persist
     # for plan size, never for intra-execution data reuse.
+    # Both persists here are for PLAN SIZE (see note above), released by
+    # the standard session clearCache contract (tools/check_oracle.py
+    # clears between queries; bench.py deliberately keeps them warm) —
+    # the same contract _cov_view documents; entries are D²/D rows, so a
+    # long multi-sf session accumulates only trivial cache (ADVICE r13).
     full_c = cov.unionByName(mirrored).persist(StorageLevel.MEMORY_AND_DISK)
-    w = full_c.groupBy("i").agg(F.sum("cov").alias("wi"))
-    nrm = w.agg(F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("nv"))
+    # Associativity-exact reductions (ADVICE r13): cov is exactly 8dp and
+    # v1i/v2i exactly 10dp, so every sum here runs over decimals (exact,
+    # order-independent) — the same decimal-exact-moment pattern as
+    # _cov_view — then casts back to double immediately, keeping the
+    # output schema and all downstream IEEE arithmetic unchanged. The
+    # previous double sums relied on reduction order staying stable
+    # under upstream partitioning changes for the 10dp rounds to agree
+    # cross-engine; now they cannot disagree by construction.
+    cov_dec = F.col("cov").cast("decimal(18,8)")
+    w = full_c.groupBy("i").agg(
+        F.sum(cov_dec).cast("decimal(18,8)").alias("wi_dec")
+    )
+    nrm = w.agg(
+        F.sqrt(
+            F.sum(F.col("wi_dec") * F.col("wi_dec")).cast("double")
+        ).alias("nv")
+    )
     v1 = w.crossJoin(F.broadcast(nrm)).select(
-        "i", F.round(F.col("wi") / F.col("nv"), 10).alias("v1i")
+        "i",
+        F.round(F.col("wi_dec").cast("double") / F.col("nv"), 10).alias("v1i"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     v1j = v1.select(F.col("i").alias("j"), "v1i")
     v2 = (
         full_c.join(F.broadcast(v1j), "j")
         .groupBy("i")
-        .agg(F.round(F.sum(F.col("cov") * F.col("v1i")), 10).alias("v2i"))
+        .agg(
+            F.round(
+                F.sum(cov_dec * F.col("v1i").cast("decimal(16,10)"))
+                .cast("double"),
+                10,
+            ).alias("v2i")
+        )
     )
     # v1/v2 are D-row vectors (D a model constant) — broadcast both sides
     # of the recombine joins so no D-row table ever sort-merge-shuffles
     ray = (
         v1.join(F.broadcast(v2), "i")
-        .agg(F.round(F.sum(F.col("v1i") * F.col("v2i")), 6).alias("rayleigh"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("v1i").cast("decimal(16,10)")
+                    * F.col("v2i").cast("decimal(16,10)")
+                ).cast("double"),
+                6,
+            ).alias("rayleigh")
+        )
     )
     return (
         v1.join(F.broadcast(v2), "i")
