@@ -34,6 +34,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ccirecommenderdatapipeline_spark import plans  # noqa: E402
 from ccirecommenderdatapipeline_spark.session import get_spark  # noqa: E402
 
+# 1-minute loadavg at sweep start; module-level default so references
+# outside main() (imports, run_once-only callers) never hit NameError
+# (ADVICE r13 item 1).
+_LOAD_START: float | None = None
+
+# Committed-artifact load gate (VERDICT r13 item 3): a sweep started on a
+# busy box measures the BOX, not the plans — r12 committed 301.7 s over a
+# same-code 255.0 s run because "latest run wins" had no idle-ness
+# condition. A run with loadavg_start above this threshold is marked
+# contaminated and may NOT overwrite a clean committed artifact; it still
+# prints its full payload to stdout for the log.
+LOAD_GATE = 1.0
+
 # Headline queries: the flagship pipeline stages + the north-star
 # training-data operators at the same scale factor.
 HEADLINE = [
@@ -187,6 +200,33 @@ HEADLINE = [
 ]
 
 
+def _may_write_artifact(payload: dict, out_path: str) -> bool:
+    """Load gate on the COMMITTED artifact (VERDICT r13 item 3): a
+    contaminated run may not replace a clean one. A contaminated prior
+    may be replaced (most recent wins among equals), so a never-idle box
+    still converges on the newest run; the full payload always goes to
+    stdout either way."""
+    if not payload["contaminated"] or not os.path.exists(out_path):
+        return True
+    with open(out_path) as f:
+        prior = json.load(f)
+    prior_clean = (
+        not prior.get("contaminated", False)
+        and (prior.get("loadavg_start") or 0.0) <= LOAD_GATE
+    )
+    if prior_clean:
+        print(
+            f"load gate: loadavg_start {payload['loadavg_start']} > "
+            f"{LOAD_GATE}; keeping prior clean "
+            f"{os.path.basename(out_path)} (loadavg_start "
+            f"{prior.get('loadavg_start')}) — rerun on an idle box to "
+            "refresh the committed artifact",
+            file=sys.stderr,
+        )
+        return False
+    return True
+
+
 def run_once(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = plans.QUERIES[name](spark, sf_dir)
@@ -286,11 +326,17 @@ def main() -> None:
         "attached_stdout": sys.stdout.isatty(),
         "loadavg_start": _LOAD_START,
         "loadavg_end": round(os.getloadavg()[0], 2),
+        # cross-round readers: compare only uncontaminated artifacts;
+        # a contaminated cell says "box", not "plans" (VERDICT r13 item 3)
+        "contaminated": _LOAD_START > LOAD_GATE,
     }
     out_file = "BENCH_FULL.json" if full else "BENCH_LOCAL.json"
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           out_file), "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), out_file
+    )
+    if _may_write_artifact(payload, out_path):
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
     # full detail as a NON-final line for the log / humans ...
     print(json.dumps(payload))
     # ... and a compact FINAL line (total + 10 slowest) that always fits
@@ -306,6 +352,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "full_timings": out_file,
+        # the driver records THIS line as BENCH_r{N}.json, so the load
+        # verdict must travel with it (VERDICT r13 item 3)
+        "loadavg_start": _LOAD_START,
+        "contaminated": payload["contaminated"],
     }))
     spark.stop()
 

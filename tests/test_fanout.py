@@ -40,6 +40,19 @@ def test_fan_out_defeats_aqe_coalescing(spark):
     )
     # same rows, key-complete — the shuffle must be a pure repartition
     assert fanned.count() == docs.count()
+    # getNumPartitions() above reflects the STATIC shuffle partitioning;
+    # AQE's coalesce decision only shows in the EXECUTED plan (ADVICE
+    # r13 item 4). Run a real action and count the partitions rows were
+    # actually in: a regression to an un-sized repartition(col) gets
+    # AQE-coalesced back to ONE executed partition on this tiny input.
+    executed = (
+        fanned.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert executed > 1, (
+        f"fan_out executed in {executed} partition(s) — AQE coalesced "
+        "the fan-out shuffle, so the generator stage it feeds runs "
+        "single-core despite the static partitioning looking right"
+    )
 
 
 def test_markov_stationary_constructs_lazily(spark):

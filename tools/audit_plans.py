@@ -30,6 +30,12 @@ column is flagged unless allowlisted in ``DECIMAL_READOUT_OK`` — the r9
 driver hash-mismatch class (exact decimal math belongs INSIDE the plan;
 readout columns flatten to double/long/string on both engines).
 
+Plan size: any plan whose EXECUTABLE node count (AQE-unwrapped, truncated
+at InMemoryTableScan) exceeds ``PLAN_NODE_BUDGET`` is flagged — the
+many-reference inlined-subtree shape whose OPTIMIZE+CODEGEN cost
+dominated pca_power_iteration in r13 (982 nodes vs 30 fixed; see
+``_executable_nodes``).
+
 Unpartitioned windows: ``Window.orderBy`` without partitioning serializes
 its input into one task — a scale-killer UNLESS the input is a bounded
 aggregate. Bounded uses must go through ``operators.windows.bounded_window``
@@ -114,6 +120,68 @@ LN_READOUT_OK: dict[str, str] = {
 }
 
 
+# Plan-size budget (VERDICT r13 item 4): the r13 pca inlining bug — each
+# downstream reference to an un-persisted shared subtree re-inlines the
+# whole covariance tree, so OPTIMIZE+CODEGEN dominated the query (13.2 s
+# vs 5.2 s at sf0.01; found by a bench-cell anomaly, not by this audit) —
+# measures 982 EXECUTABLE nodes, while the largest legitimate registered
+# plan is ~35 (corpus_pipeline 32, markov_stationary 33). Flag anything
+# past this budget; the planted-regression test
+# (tests/test_plan_size_audit.py) reverts the pca persists and asserts
+# the flag fires.
+PLAN_NODE_BUDGET = 150
+
+# Queries allowed past the default budget, each with its OWN cap
+# (~1.5x its audited size, so growth still trips) and a one-line
+# justification. All five are bounded-iteration unrolled chains: plan
+# size is linear in a FIXED iteration/arm constant (rounds, channels,
+# power steps), not in data volume — distinct from the pca class, where
+# a shared subtree was re-inlined per REFERENCE and the plan grew
+# multiplicatively. r12 adjudicated persist-per-iteration as a
+# pessimization for this family (pagerank); candidates for plan-size
+# truncation (persist/localCheckpoint every K iterations) are tracked in
+# PLANS.md and re-measured before any replan.
+PLAN_SIZE_OK: dict[str, tuple[int, str]] = {
+    "contrastive_triplets": (280, "audited 182: per-arm candidate "
+                             "chains over a fixed arm count"),
+    "markov_attribution": (460, "audited 307: one removed-chain "
+                           "recompute per channel, fixed channel set"),
+    "pagerank_bipartite": (750, "audited 495: fixed power-iteration "
+                           "unroll; r12 measured persist as pessimizing"),
+    "hits_hubs_authorities": (360, "audited 239: fixed power-iteration "
+                              "unroll, integer-exact variant"),
+    "gbdt_boost_round": (900, "audited 593: fixed boosting-round "
+                         "unroll; flattest sf0.01->sf0.1 cell of the "
+                         "five — first candidate for truncation"),
+}
+
+
+def _executable_nodes(jplan) -> int:
+    """Count the physical operators that will actually EXECUTE: descend
+    the plan tree, unwrapping AdaptiveSparkPlanExec (its children() is
+    empty — the real tree hangs off initialPlan) and truncating at
+    InMemoryTableScanExec (the cached subtree runs ONCE at
+    materialization, not per reference — which is exactly why
+    persist-for-plan-size works). Plan TEXT counts cannot express this:
+    toString() re-renders each cached subtree at every reference site, so
+    the fixed and broken pca shapes both show 80 scans / 244 exchanges in
+    text while differing 30 vs 982 in executable nodes."""
+    n, stack = 0, [jplan]
+    while stack:
+        p = stack.pop()
+        cls = p.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(p.initialPlan())
+            continue
+        n += 1
+        if cls == "InMemoryTableScanExec":
+            continue
+        ch = p.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return n
+
+
 def _is_streaming_wrapped(name: str) -> bool:
     """stream_* plan functions execute availableNow micro-batch jobs (and
     write staging/checkpoint dirs) to produce their batch result — the one
@@ -142,10 +210,10 @@ def _prefold_builders():
 
 
 def _iter_plans(spark, sf_dir: str, run_streaming: bool, only=None):
-    """Yield (name, plan_text | None, decimal_cols, skipped, err).
-
-    Yields (name, executed_txt | None, analyzed_txt | None, decimal_cols,
-    skipped, err). ``skipped`` is True for streaming-wrapped queries in
+    """Yield (name, executed_txt | None, analyzed_txt | None, decimal_cols,
+    exec_nodes, skipped, err). ``exec_nodes`` is _executable_nodes for the
+    built plan (0 when skipped/errored). ``skipped`` is True for
+    streaming-wrapped queries in
     default mode and the string ``"prefold"`` for eager-local-result
     queries, whose yielded texts are the PRE-FOLD subtree's plans (see
     _prefold_builders). The executed text feeds node counts and the flag
@@ -161,24 +229,26 @@ def _iter_plans(spark, sf_dir: str, run_streaming: bool, only=None):
         if only is not None and name not in only:
             continue
         if _is_streaming_wrapped(name) and not run_streaming:
-            yield name, None, None, [], True, None
+            yield name, None, None, [], 0, True, None
             continue
         try:
             df = prefold[name](spark, sf_dir) if name in prefold else fn(
                 spark, sf_dir
             )
             qe = df._jdf.queryExecution()
-            txt = qe.executedPlan().toString()
+            jplan = qe.executedPlan()
+            txt = jplan.toString()
             analyzed = qe.analyzed().toString()
+            exec_nodes = _executable_nodes(jplan)
             dec_cols = [
                 f.name
                 for f in df.schema.fields
                 if isinstance(f.dataType, DecimalType)
             ]
         except Exception as exc:  # streaming-only plans can't batch-build
-            yield name, None, None, [], False, type(exc).__name__
+            yield name, None, None, [], 0, False, type(exc).__name__
             continue
-        yield name, txt, analyzed, dec_cols, (
+        yield name, txt, analyzed, dec_cols, exec_nodes, (
             "prefold" if name in prefold else False
         ), None
         spark.catalog.clearCache()
@@ -196,8 +266,9 @@ def main(sf_dir: str, run_streaming: bool) -> int:
     skipped: list[str] = []
     eager_skipped: list[str] = []
     audited = 0
-    for name, txt, _analyzed, dec_cols, was_skipped, err in _iter_plans(
-        spark, sf_dir, run_streaming
+    biggest: tuple[int, str] = (0, "")
+    for name, txt, _analyzed, dec_cols, exec_nodes, was_skipped, err in (
+        _iter_plans(spark, sf_dir, run_streaming)
     ):
         if was_skipped == "prefold":
             eager_skipped.append(name)  # audited below, on the prefold text
@@ -208,6 +279,16 @@ def main(sf_dir: str, run_streaming: bool) -> int:
             errors.append(f"{name}: {err}")
             continue
         audited += 1
+        biggest = max(biggest, (exec_nodes, name))
+        cap = PLAN_SIZE_OK.get(name, (PLAN_NODE_BUDGET, ""))[0]
+        if exec_nodes > cap:
+            flagged.append(
+                (name, f"plan size: {exec_nodes} executable nodes > "
+                       f"cap {cap} — a shared subtree is being "
+                       "re-inlined per reference (the r13 pca class); "
+                       "persist the shared intermediate to truncate the "
+                       "plan, or justify in PLAN_SIZE_OK")
+            )
         if dec_cols and name not in DECIMAL_READOUT_OK:
             flagged.append(
                 (name, f"DECIMAL readout columns {dec_cols} (r9 hash-red "
@@ -232,6 +313,10 @@ def main(sf_dir: str, run_streaming: bool) -> int:
     print(f"audited {audited}/{len(plans.QUERIES)} plans")
     for c, n in counts.items():
         print(f"  {c}: {n} queries (informational)")
+    print(
+        f"  largest plan: {biggest[1]} at {biggest[0]} executable nodes "
+        f"(budget {PLAN_NODE_BUDGET})"
+    )
     if eager_skipped:
         print(
             f"  audited {len(eager_skipped)} eager-local-result queries "
@@ -253,7 +338,7 @@ def main(sf_dir: str, run_streaming: bool) -> int:
         "no CartesianProduct, no row-at-a-time Python eval, "
         "no unregistered unpartitioned windows, no folds inside HOF "
         "lambdas, no unlisted DECIMAL readouts, no unlisted dp>0 "
-        "raw-ln roundings — clean"
+        "raw-ln roundings, no over-budget plan sizes — clean"
     )
     return 0
 
@@ -510,8 +595,8 @@ def fingerprint(
                 "meaningless. Re-run at the baseline SF or do a full "
                 "refresh."
             )
-    for name, txt, analyzed, _dec_cols, was_skipped, err in _iter_plans(
-        spark, sf_dir, run_streaming, only=only
+    for name, txt, analyzed, _dec_cols, _nodes, was_skipped, err in (
+        _iter_plans(spark, sf_dir, run_streaming, only=only)
     ):
         if was_skipped and was_skipped != "prefold":
             fp[name] = {"__streaming_skipped__": 1}

@@ -43,6 +43,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CANARIES = [
     "tpch_q1", "best_win", "order_ledger_roundtrip",
     "semantic_dedup", "dedup_simhash_hamming",
+    # r14 (VERDICT r13 item 2): the streaming/applyInPandas family — the
+    # top cells of BENCH_r13 (stream_psi_drift 12.3 s) and BENCH_FULL
+    # (stream_outer_join 14.7 s) — had no isolated baseline, so its
+    # sweep-cell swings could only be adjudicated by ad-hoc timing.
+    # Timed after the same streaming-engine drain bench.py uses.
+    "stream_psi_drift", "stream_outer_join",
 ]
 
 
@@ -64,6 +70,14 @@ def main() -> int:
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }
     import ccirecommenderdatapipeline_spark.plans as plans
+
+    # streaming-machinery warm-up, identical to bench.py's: the first
+    # streaming query of a session pays state-store / micro-batch-engine
+    # class loading (~1-2 s); drain it on the cheapest streaming query so
+    # the stream_* canaries measure steady state, not session start-up
+    if "stream_dedup_watermark" in plans.QUERIES:
+        plans.QUERIES["stream_dedup_watermark"](spark, sf_dir).count()
+        spark.catalog.clearCache()
 
     out: dict[str, dict] = {}
     for name in CANARIES:
