@@ -21,9 +21,19 @@ keep the latest artifacts (repo policy, commit 26bb260). If a canary's
 MINIMUM rose >30% on an idle box (loadavg bookends low), suspect a real
 regression and bisect with tools/bench_compare.py.
 
-Usage: python tools/bench_canary.py [sf_dir] [n_reps]
+Usage: python tools/bench_canary.py [sf_dir] [n_reps] [--update-records]
 Prints ONE JSON line: {"canaries": {name: {"runs": [...], "min": s}},
-"loadavg": [before, after], "sf_dir": ...}.
+"loadavg": [before, after], "sf_dir": ..., "verdicts": {name: ...}}.
+
+Records: CANARY_RECORDS.json (committed) holds the best idle-box minimum
+per (sf_dir tag, canary). Every run prints a per-canary verdict against
+the record (at/below, or ABOVE by x%); ``--update-records`` lowers
+records from this run's minima — refused when loadavg_start exceeds
+bench.LOAD_GATE, so a loaded box can never tighten or pollute the
+baseline. A canary >30% ABOVE record on an idle box is the bisect
+signal (see module docstring above); records are per-plan-shape, so a
+deliberate replan of a canary query re-baselines with --update-records
+(after the old record is noted in PLANS.md).
 """
 
 from __future__ import annotations
@@ -52,9 +62,65 @@ CANARIES = [
 ]
 
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RECORDS = os.path.join(ROOT, "CANARY_RECORDS.json")
+
+
+def _verdicts(
+    out: dict, sf_tag: str, load_before: float, update: bool
+) -> dict[str, str]:
+    """Compare this run's minima to CANARY_RECORDS.json and (optionally)
+    lower the records. Records only move DOWN, and only from runs that
+    started under bench.LOAD_GATE — a busy box can neither tighten nor
+    pollute the baseline."""
+    from bench import LOAD_GATE  # repo root is on sys.path already
+
+    recs: dict = {}
+    if os.path.exists(RECORDS):
+        with open(RECORDS) as f:
+            recs = json.load(f)
+    sf_recs = recs.setdefault(sf_tag, {})
+    verdicts: dict[str, str] = {}
+    idle = load_before <= LOAD_GATE
+    changed = False
+    for name, r in out.items():
+        old = sf_recs.get(name)
+        if old is None:
+            verdicts[name] = "no record"
+        elif r["min"] <= old * 1.05:
+            verdicts[name] = f"at/below record {old}"
+        else:
+            pct = round((r["min"] / old - 1) * 100)
+            verdicts[name] = (
+                f"ABOVE record {old} by {pct}%"
+                + ("" if idle else " (loaded box — rerun idle)")
+            )
+        if update and idle and (old is None or r["min"] < old):
+            sf_recs[name] = r["min"]
+            changed = True
+    if update and not idle:
+        print(
+            f"--update-records refused: loadavg_start {load_before} > "
+            f"{LOAD_GATE}",
+            file=sys.stderr,
+        )
+    if changed:
+        recs["__meta__"] = {
+            "semantics": "best idle-box minimum per (sf tag, canary); "
+            "moves only down, only from runs with loadavg_start <= "
+            "bench.LOAD_GATE; re-baseline deliberately after a canary "
+            "replan",
+        }
+        with open(RECORDS, "w") as f:
+            json.dump(recs, f, indent=1, sort_keys=True)
+    return verdicts
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    update = "--update-records" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--update-records"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    n_reps = int(argv[1]) if len(argv) > 1 else 3
     load_before = os.getloadavg()[0]
 
     # the SAME session builder the bench sweep uses (ADVICE r12 item 1:
@@ -93,6 +159,8 @@ def main() -> int:
         out[name] = {"runs": runs, "min": min(runs)}
     spark.stop()
 
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    verdicts = _verdicts(out, sf_tag, load_before, update)
     print(
         json.dumps(
             {
@@ -102,6 +170,7 @@ def main() -> int:
                 # so a reader can SEE a config mismatch vs the sweep
                 # being adjudicated (ADVICE r12 item 1)
                 "session": session_conf,
+                "verdicts": verdicts,
             }
         )
     )
