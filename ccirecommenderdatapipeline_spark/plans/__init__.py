@@ -31,64 +31,63 @@ from . import training  # noqa: E402,F401
 from . import recommender  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only. Round-14 priority window — the
-# steady-state verdict rotation (VERDICT r13 item 1), in order:
-# (a) names replanned THIS round (r14) — replans out-rank everything
+# the FIRST 50 registered queries only. Round-15 priority window — the
+# first pure steady-state rotation (VERDICT r14 item 1), adopted
+# VERBATIM from tools/plan_window.py's suggestion after committing the
+# r14 verdicts into VERIFIED_FINGERPRINTS (which cleared
+# pca_power_iteration's replan flag), in order:
+# (a) names replanned THIS round (r15) — replans out-rank everything
 #     (a stale verdict on a changed plan is worse than an old verdict
 #     on an unchanged one). Any NEW op added this round also lands
 #     here, displacing the (c) tail from the back;
-# (b) all 47 r7-era names (tools/verdict_age.py r07 row) — the oldest
-#     verdicts in the registry now that r13 cleared the r6 cohort;
-# (c) the alphabetically-first r8-era names fill the remaining slots.
-#     After this window no name's verdict predates r8, restoring the
-#     rotation's ~6-round re-verification latency after the r13 replan
-#     detour.
+# (b) all 45 r8-era names (tools/verdict_age.py r08 row) — the oldest
+#     verdicts in the registry now that r14 cleared the r7 cohort;
+# (c) the alphabetically-first r9-era names fill the remaining slots.
+#     After this window no name's verdict predates r9, holding the
+#     rotation's ~6-round re-verification latency.
 _NEW_THIS_ROUND: list[str] = [
-    # r14 replan: pca_power_iteration's w / nrm / v2 / rayleigh
-    # reductions move from raw double sums to decimal-exact sums cast
-    # back to double (ADVICE r13: the 10dp rounds no longer depend on
-    # reduction order staying stable under upstream partitioning
-    # changes — same decimal-exact-moment pattern as _cov_view).
-    # Oracle hash-green at sf0.001 + sf0.01 locally; fresh verdict here.
-    "pca_power_iteration",
+    # r15 carries no replans and no new ops (VERDICT r14 item 7: keep
+    # LoC flat) — the window is pure age rotation.
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
 
-# (b) the 47 r7-era names
+# (b) the 45 r8-era names
 _PRIORITY += [
-    "ab_test_zscore", "ann_recall_eval", "best_return",
-    "best_return_full_grid", "best_return_per_days_held", "best_win",
-    "bloom_membership", "boilerplate_ngram_scrub",
-    "brand_transition_matrix", "buy_candidates", "cms_term_freq",
-    "conformal_calibration", "contrastive_triplets",
-    "cube_grouping_battery", "decayed_popularity", "dp_noisy_counts",
-    "embedding_truncation_recall", "fairness_metrics", "feature_binning",
-    "hll_merge_sources", "holt_linear_forecast", "info_gain_features",
-    "item_item_cosine", "knn_ivf", "length_bucket_batching",
-    "logreg_calibration_bins", "logreg_gd_step", "market_basket_pairs",
-    "ndcg_eval", "order_sizing", "pareto_strategies", "propensity_ipw",
-    "reco_candidates", "reco_coverage_gini", "reco_revenue_per_days_held",
-    "reco_win", "recommendations", "rendezvous_sharding",
-    "rolling_median", "stream_cms_merge", "stream_decayed_popularity",
-    "stream_outer_join", "target_encoding_loo", "token_budget_selection",
-    "triangle_count_oriented", "weighted_sample_wr", "zorder_pruning_gain",
+    "apriori_triples", "assortativity_degree", "bandit_replay_eval",
+    "benford_audit", "bfs_hops", "changepoint_sse",
+    "chi2_feature_selection", "clustering_coefficient",
+    "connected_components", "decile_lift_table", "decision_stump",
+    "em_gmm_step", "feature_hashing", "hll_set_intersection",
+    "isotonic_calibration", "ivm_aggregate_merge", "ivm_join_merge",
+    "jl_projection", "k_anonymity_audit", "kaplan_meier_survival",
+    "kcore_decomposition", "kruskal_wallis", "link_prediction_jaccard",
+    "linucb_step", "mann_whitney_u", "map_mrr_eval", "mmr_rerank",
+    "naive_bayes_classify", "negative_sampling", "ols_trend",
+    "pmi_collocations", "quantile_normalize_sources",
+    "quantile_sketch_merge", "rank_fusion_rrf", "record_survivorship",
+    "rfm_segmentation", "spatial_grid_join", "sssp_weighted",
+    "stream_hll_merge", "stream_ivm_aggregate", "stream_quantile_sketch",
+    "vocab_build", "walk_forward_eval", "weighted_median",
+    "welch_t_test",
 ]
 
-# (c) r8-era fill — 3 slots when (a) is empty; each (a) addition rolls
-# one name off this tail (back first). With (a) at 1 name the tail
-# keeps 2 slots: apriori_triples rolls to the r15 window head.
-_TAIL_R8 = [
-    "acf_lags", "als_item_step", "apriori_triples",
+# (c) r9-era fill — 5 slots when (a) is empty; each (a) addition rolls
+# one name off this tail (back first). With (a) empty the tail keeps
+# all 5 slots: coalesce_bfill is the first rolled-off name and heads
+# the r16 window.
+_TAIL_R9 = [
+    "anti_join", "bloom_semi_join_pushdown", "buy_signals",
+    "cast_battery", "cci",
 ]
-_PRIORITY += _TAIL_R8[: max(0, 50 - len(_PRIORITY))]
+_PRIORITY += _TAIL_R9[: max(0, 50 - len(_PRIORITY))]
 # the window is EXACTLY 50 (tests/test_pipeline.py pins it) — trim
 # explicitly so nothing is dropped silently; the cut names are
 # enumerated in the (c) NOTE above, and the assertion forces that NOTE
 # to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["als_item_step"], (
+assert _PRIORITY[49:50] == ["cci"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"
