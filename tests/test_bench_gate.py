@@ -78,3 +78,38 @@ def test_module_level_load_start_default():
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_corrupt_prior_is_replaceable(tmp_path):
+    # a truncated committed artifact must not raise AFTER the sweep ran
+    # but BEFORE its payload printed (ADVICE r14 item 3)
+    p = os.path.join(str(tmp_path), "BENCH_LOCAL.json")
+    with open(p, "w") as f:
+        f.write('{"loadavg_start": 0.5, "contam')
+    assert bench._may_write_artifact(_payload(3.2), p)
+
+
+def test_settle_wait_returns_immediately_when_idle(monkeypatch):
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.2, 0.2, 0.2))
+    out = bench._settle_wait(max_s=60)
+    assert out["settle_timeout"] is False
+    assert out["settle_waited_s"] < 1.0
+
+
+def test_settle_wait_times_out_on_busy_box(monkeypatch):
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 9.9, 9.9))
+    clock = iter([0.0, 0.05, 0.1])  # monotonic readings
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock, 99.0))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench._settle_wait(max_s=0.08)
+    assert out["settle_timeout"] is True
+
+
+def test_settle_wait_unblocks_when_load_drains(monkeypatch):
+    loads = iter([(5.0,) * 3, (5.0,) * 3, (0.3,) * 3])
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: next(loads, (0.3,) * 3)
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench._settle_wait(max_s=600)
+    assert out["settle_timeout"] is False
