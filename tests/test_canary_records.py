@@ -184,3 +184,15 @@ def test_meta_merge_preserves_provenance(records):
 def test_legacy_float_record_still_verdicts(records):
     v = bc._verdicts({"q": _run(1.02)}, "sf0.01", 0.5, update=False)
     assert v["q"].startswith("at/below record")
+
+
+def test_note_survives_record_update(records):
+    with open(records, "w") as f:
+        json.dump({"sf0.01": {"q": {"min": 1.0, "reps": 3,
+                                    "spread": [1.0, 1.2],
+                                    "note": "heavy-tailed"}}}, f)
+    bc._verdicts({"q": {"min": 0.8, "runs": [0.8, 0.9, 0.85]}},
+                 "sf0.01", 0.5, update=True)
+    rec = json.load(open(records))["sf0.01"]["q"]
+    assert rec["min"] == 0.8
+    assert rec["note"] == "heavy-tailed"

@@ -170,6 +170,11 @@ def _verdicts(
                 }
             else:
                 new_rec = old
+            if isinstance(old, dict) and isinstance(new_rec, dict):
+                # free-text adjudication notes (e.g. documented heavy-
+                # tail behavior) survive record updates
+                if "note" in old and "note" not in new_rec:
+                    new_rec = {**new_rec, "note": old["note"]}
             if new_rec != old:
                 sf_recs[name] = new_rec
                 changed = True
