@@ -46,8 +46,15 @@ from . import recommender  # noqa: E402,F401
 #     After this window no name's verdict predates r9, holding the
 #     rotation's ~6-round re-verification latency.
 _NEW_THIS_ROUND: list[str] = [
-    # r15 carries no replans and no new ops (VERDICT r14 item 7: keep
-    # LoC flat) — the window is pure age rotation.
+    # r15 optimization-round replans (all four were already in this
+    # window's (b) cohort, so the 50-name set is unchanged — they are
+    # listed here, and removed from (b) below, because replans out-rank
+    # age): the graph-iteration family moved to lazy single-row HOF
+    # folds / halved eager checkpoints (PLANS.md r15).
+    "kcore_decomposition",
+    "sssp_weighted",
+    "connected_components",
+    "bfs_hops",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -55,18 +62,18 @@ _PRIORITY = list(_NEW_THIS_ROUND)
 # (b) the 45 r8-era names
 _PRIORITY += [
     "apriori_triples", "assortativity_degree", "bandit_replay_eval",
-    "benford_audit", "bfs_hops", "changepoint_sse",
+    "benford_audit", "changepoint_sse",
     "chi2_feature_selection", "clustering_coefficient",
-    "connected_components", "decile_lift_table", "decision_stump",
+    "decile_lift_table", "decision_stump",
     "em_gmm_step", "feature_hashing", "hll_set_intersection",
     "isotonic_calibration", "ivm_aggregate_merge", "ivm_join_merge",
     "jl_projection", "k_anonymity_audit", "kaplan_meier_survival",
-    "kcore_decomposition", "kruskal_wallis", "link_prediction_jaccard",
+    "kruskal_wallis", "link_prediction_jaccard",
     "linucb_step", "mann_whitney_u", "map_mrr_eval", "mmr_rerank",
     "naive_bayes_classify", "negative_sampling", "ols_trend",
     "pmi_collocations", "quantile_normalize_sources",
     "quantile_sketch_merge", "rank_fusion_rrf", "record_survivorship",
-    "rfm_segmentation", "spatial_grid_join", "sssp_weighted",
+    "rfm_segmentation", "spatial_grid_join",
     "stream_hll_merge", "stream_ivm_aggregate", "stream_quantile_sketch",
     "vocab_build", "walk_forward_eval", "weighted_median",
     "welch_t_test",

@@ -410,6 +410,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = seed.select("node", F.lit(0).alias("hop")).localCheckpoint(
         eager=True
     )
+    # r15: ONE eager checkpoint per expansion instead of two — `visited`
+    # is a lazy union of the already-materialized frontier checkpoints
+    # (bounded BFS_ITERS-deep lineage of in-memory scans, nothing to
+    # recompute), so checkpointing it again only doubled the job count
+    # per level (guide §1.2: remove work, then tune).
     visited = frontier
     for i in range(1, BFS_ITERS + 1):
         frontier = (
@@ -420,9 +425,9 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.lit(i).alias("hop"))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier)
     # sym served only the (eager) expansion loop; the returned plan reads
-    # the final checkpoint — release the cache (the _cluster_labels /
+    # the frontier checkpoints — release the cache (the _cluster_labels /
     # ml_minhash discipline: no construction-only persist outlives return)
     sym.unpersist()
     return visited.select("node", F.col("hop").cast("int").alias("hops"))
@@ -431,8 +436,6 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Connected components via alternating large-star / small-star ------------
 
 CC_LIFT = 1.05    # sparser than TRI_LIFT so the graph actually fragments
-CC_MIN_ROUNDS = 5   # alternating (large, small) pairs before the first check
-CC_MAX_ROUNDS = 16  # hard cap: rounds are O(log^2 n); 16 pairs >> any real n
 
 
 _CC_EDGES_SQL = f"""
@@ -458,81 +461,72 @@ ob AS (
 )"""
 
 
-def _cc_large_star(e: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    g = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    return (
-        sym.join(g, "u")
-        .where(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+def _cc_label_fold(edges: DataFrame) -> DataFrame:
+    """Exact connected components of a BOUNDED edge set as one lazy
+    single-row fold (r15 replan, the ``markov_stationary`` class):
+    collect the (u, v) edges into one sorted struct list and run
+    min-label propagation — lab'[n] = min(lab[n], min over neighbors'
+    labels) — for |V|-1 rounds inside a higher-order-function
+    ``aggregate``. Min-label needs diameter-many rounds and diameter
+    <= |V|-1, with the round count derived from the COLLECTED node set
+    (never a fixture constant), so convergence is guaranteed by
+    construction on any input; propagating past the fixed point is the
+    identity. Labels converge to each component's MINIMUM node — the
+    same roots the oracle's recursive transitive closure proves.
 
-
-def _cc_small_star(e: DataFrame) -> DataFrame:
-    """Orient edges (larger -> smaller); connect every smaller
-    neighbor AND the center to m = min(N(u) ∪ {u}) = min neighbor."""
-    o = e.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).where(F.col("u") != F.col("v")).distinct()
-    g = o.groupBy("u").agg(F.min("v").alias("m"))
-    down = (
-        o.join(g, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-    )
-    center = g.select("u", F.col("m").alias("v"))
-    return (
-        down.unionByName(center)
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    Output: (brand, component) for every non-isolated node. Only valid
+    for vocabulary-bounded graphs (the brand graph: 25 nodes, <= 300
+    lift-filtered edges at ANY corpus size); a billion-node graph needs
+    the alternating-star contraction this replaced (git history r7-r14)
+    — kept note: that loop cost ~4 eager-checkpoint jobs + a semi-join
+    probe PER ROUND over <=300-row tables, pure orchestration here."""
+    row = edges.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("u", "v"))).alias("e0")
     )
 
+    def _let(val, body):
+        return F.element_at(F.transform(F.array(val), body), 1)
 
-def _cc_is_star_forest(e: DataFrame) -> bool:
-    """Fixed-point test: the contraction has converged iff no edge target
-    appears as a source — every (u, v) then points straight at a component
-    root, and because each star round PRESERVES the component partition of
-    the edge set, a star forest's stars ARE complete components. One
-    left-semi join + limit(1) — O(|e|) with an early-out, far cheaper
-    than another contraction round."""
-    chained = e.select(F.col("v").alias("u")).join(
-        e.select("u"), "u", "left_semi"
-    )
-    return len(chained.limit(1).collect()) == 0
+    def step(lm, es, ns):
+        return F.map_from_entries(
+            F.transform(
+                ns,
+                lambda nd: F.struct(
+                    nd.alias("key"),
+                    F.array_min(
+                        F.concat(
+                            F.array(F.element_at(lm, nd)),
+                            F.transform(
+                                F.filter(es, lambda x: x["u"] == nd),
+                                lambda x: F.element_at(lm, x["v"]),
+                            ),
+                            F.transform(
+                                F.filter(es, lambda x: x["v"] == nd),
+                                lambda x: F.element_at(lm, x["u"]),
+                            ),
+                        )
+                    ).alias("value"),
+                ),
+            )
+        )
 
-
-def _cc_converge(
-    edges: DataFrame,
-    large_star=None,
-    small_star=None,
-    min_rounds: int = CC_MIN_ROUNDS,
-    max_rounds: int = CC_MAX_ROUNDS,
-) -> DataFrame:
-    """Alternate large-star/small-star until the edge set is a star
-    forest, or raise after ``max_rounds`` pairs (VERDICT r7 item 4: the
-    old fixed CC_ROUNDS=5 loop would silently emit partially-contracted
-    components on a graph deeper than its round budget). The first
-    ``min_rounds`` pairs run unchecked (the common case converges inside
-    them and the check is pure overhead); after that every pair pays one
-    O(|e|) semi-join test. Per-round ``localCheckpoint`` truncates the
-    iterative lineage as before."""
-    large_star = large_star or _cc_large_star
-    small_star = small_star or _cc_small_star
-    e = edges
-    for rnd in range(max_rounds):
-        e = large_star(e).localCheckpoint(eager=True)
-        e = small_star(e).localCheckpoint(eager=True)
-        if rnd + 1 >= min_rounds and _cc_is_star_forest(e):
-            return e
-    raise RuntimeError(
-        f"connected-components contraction did not converge within "
-        f"{max_rounds} alternating star rounds — graph deeper than the "
-        f"round budget; raise CC_MAX_ROUNDS"
-    )
+    out = _let(F.col("e0"), lambda es: _let(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.transform(es, lambda x: x["u"]),
+                    F.transform(es, lambda x: x["v"]),
+                )
+            )
+        ),
+        lambda ns: F.aggregate(
+            # |V|-1 rounds >= diameter; empty graph still folds once
+            F.sequence(F.lit(1), F.greatest(F.size(ns) - 1, F.lit(1))),
+            F.map_from_arrays(ns, ns),
+            lambda lm, _i: step(lm, es, ns),
+        ),
+    ))
+    return row.select(F.explode(out).alias("brand", "component"))
 
 
 @query(
@@ -552,26 +546,18 @@ FROM walk GROUP BY node
 """,
 )
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR edge
-    contraction (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC 2014) over the lift>{CC_LIFT} brand co-occurrence
-    graph — the O(log n)-round algorithm that replaces
-    diameter-many label-propagation rounds (``dedup_clusters``' fixed
-    4-iteration propagation is the may-not-converge sibling; this one
-    CONVERGES BY CONSTRUCTION: ``_cc_converge`` iterates until the edge
-    set is a star forest — a checked fixed point — and raises past
-    CC_MAX_ROUNDS instead of silently emitting partially-contracted
-    components (VERDICT r7 item 4). The oracle proves the labels too:
-    DuckDB computes the EXACT components by recursive transitive
-    closure, and hash equality pins every root).
-
-    Per round each star is: one min-aggregate keyed by node, one re-join
-    against the edge list, one DISTINCT — all shuffles at node grain; the
-    edge set shrinks monotonically toward (node, root) stars. Per-round
-    ``localCheckpoint`` truncates the iterative lineage (the
-    ``dedup_clusters`` 2^iters-scan lesson). Vocabulary-bounded here; on
-    a billion-node graph the same plan runs with edges bucketed by u, and
-    the round count stays logarithmic — that is the 100-TB argument.
+    """Connected components of the lift>{CC_LIFT} brand co-occurrence
+    graph (r15 replan — see ``_cc_label_fold``): the fact-table work
+    (ob DISTINCT, pair aggregation, lift filter) stays fully
+    distributed and identical; the vocabulary-bounded edge set (25
+    brands, <= 300 edges at any corpus size) then reduces to ONE row
+    and min-label propagation runs lazily inside a single
+    higher-order-function fold — one job, replacing the r7-r14
+    alternating large/small-star loop whose ~4 eager-checkpoint jobs +
+    semi-join convergence probe per round were pure orchestration on a
+    <=300-row table (3.2-7.7 s sweep cells at sf0.1). The oracle proves
+    the labels: DuckDB computes the EXACT components by recursive
+    transitive closure, and hash equality pins every root.
 
     Output: every non-isolated node labeled with its component's minimum
     brand (isolated brands carry no signal and are absent, as in
@@ -582,7 +568,6 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
-        .persist()
     )
     n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
     bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
@@ -606,30 +591,15 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             > CC_LIFT
         )
         .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
-        .localCheckpoint(eager=True)
     )
-    # ob fed only the (now-materialized) edge build — release it; nodes
-    # stays persisted because the RETURNED plan reads it
-    ob.unpersist()
-    nodes = (
-        edges.select(F.col("u").alias("brand"))
-        .unionByName(edges.select(F.col("v").alias("brand")))
-        .distinct()
-        .persist()
-    )
-
-    e = _cc_converge(edges)
-    # at convergence e is a star forest (node -> component root)
-    labels = e.groupBy(F.col("u").alias("brand")).agg(F.min("v").alias("root"))
-    return nodes.join(labels, "brand", "left").select(
-        "brand", F.coalesce(F.col("root"), F.col("brand")).alias("component")
-    )
+    return _cc_label_fold(edges)
 
 
 # --- Weighted single-source shortest paths (Bellman-Ford relaxation) ---------
 
-SSSP_MAX_ROUNDS = 32   # >= |brand vocabulary| - 1 = 24; guard, never the plan
-_SSSP_K = 24           # oracle relaxation depth: |V| - 1 over the 25 brands
+_SSSP_K = 24           # fold depth AND oracle relaxation depth: |V| - 1 over
+                       # the 25 brands; relaxing past the fixed point is the
+                       # identity, so a fixed count needs no convergence check
 
 
 def _sssp_oracle() -> str:
@@ -683,23 +653,28 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand: Bellman-Ford edge relaxation, the weighted generalization of
     ``bfs_hops``' frontier joins.
 
-    Per round: one join of the CURRENT distance table against the edge
-    list + one min-aggregate at node grain — both shuffles at node/edge
-    grain, no all-pairs anything; ``localCheckpoint`` truncates the
-    iterative lineage (the connected_components lesson). The loop stops
-    EARLY at the first fixed point (distance table unchanged — one
-    count per round on a |V|-row table) and RAISES past
-    SSSP_MAX_ROUNDS instead of emitting partial distances
-    (the _cc_converge guard pattern); positive weights guarantee
-    convergence in <= |V|-1 rounds, so the guard is a tripwire, not a
-    budget. Costs are exact int64 (integer floor-division weights, + and
-    min only), so Spark and the oracle's {_SSSP_K}-round min-plus CTE
-    chain agree bit-for-bit.
+    r15 replan (the ``markov_stationary`` single-row-fold class): the
+    relaxation graph is VOCABULARY-BOUNDED — 25 TPC-H brands, <= 600
+    directed edges at any corpus size — so the old loop of [join +
+    min-aggregate + eager localCheckpoint + fixed-point count] per
+    round was ~2 scheduled jobs per round over <=25-row tables, pure
+    job/checkpoint orchestration (2.5-12 s sweep cells at sf0.1). The
+    fact-table work (the ob DISTINCT + pair aggregation) stays fully
+    distributed and identical; the bounded symmetric edge list then
+    reduces to ONE row and all {_SSSP_K} min-plus rounds run lazily
+    inside a single higher-order-function fold over a node->dist map —
+    one job, zero per-round shuffles/checkpoints, fully lazy plan.
+    {_SSSP_K} = |V|-1 fixed rounds replace the fixed-point check:
+    positive weights converge in <= |V|-1 rounds and relaxing past the
+    fixed point is the identity — the SAME argument (and round count)
+    the oracle's chained-CTE unroll uses. Costs are exact int64
+    (integer floor-division weights, + and min only), so Spark and the
+    oracle agree bit-for-bit.
 
-    100-TB shape: distances live at node grain, edges at edge grain,
-    rounds ~ weighted diameter; on a billion-node graph the same plan
-    runs with both bucketed by node — the standard iterative-BSP layout
-    (Pregel's SSSP, restated as joins)."""
+    100-TB shape: the fact scan feeding the pair aggregation is the
+    only data-sized stage (map-combinable, keyed (order, brand)); a
+    join-keyed relaxation only wins when the node state itself exceeds
+    one executor's memory, which a brand vocabulary never does."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
@@ -725,37 +700,64 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = e.select("u", "v", "w").unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    ).localCheckpoint(eager=True)
-    source = sym.agg(F.min("u").alias("node"))
-    dist = source.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
-        eager=True
     )
-    for _ in range(SSSP_MAX_ROUNDS):
-        relaxed = (
-            dist.join(sym, dist.node == sym.u)
-            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-            .unionByName(dist)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        # fixed point iff no node improved and no node appeared
-        changed = (
-            relaxed.join(
-                dist.withColumnRenamed("dist", "old"), "node", "left"
+    row = sym.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("u", "v", "w"))).alias("es")
+    )
+
+    def _let(val, body):
+        # bind an expression ONCE as a lambda variable (the
+        # markov_stationary idiom); see q_kcore_decomposition
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    def relax(dm, es, ns):
+        # one min-plus round: for each node, min of its current dist and
+        # (dist[u] + w) over incoming edges from currently-reached u;
+        # nodes with neither stay absent (least of two NULLs), matching
+        # the join semantics of the old loop and the oracle
+        return F.map_from_entries(
+            F.filter(
+                F.transform(
+                    ns,
+                    lambda nd: F.struct(
+                        nd.alias("key"),
+                        F.least(
+                            F.element_at(dm, nd),
+                            F.array_min(
+                                F.transform(
+                                    F.filter(
+                                        es,
+                                        lambda ed: (ed["v"] == nd)
+                                        & F.map_contains_key(dm, ed["u"]),
+                                    ),
+                                    lambda ed: F.element_at(dm, ed["u"])
+                                    + ed["w"],
+                                )
+                            ),
+                        ).alias("value"),
+                    ),
+                ),
+                lambda s: s["value"].isNotNull(),
             )
-            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .limit(1)
-            .count()
         )
-        dist = relaxed
-        if changed == 0:
-            return dist.select(F.col("node").alias("brand"), "dist")
-    raise RuntimeError(
-        f"SSSP relaxation did not reach a fixed point within "
-        f"{SSSP_MAX_ROUNDS} rounds — impossible for positive weights on "
-        f"a bounded vocabulary; investigate the edge build"
-    )
+
+    def _iterate(es0):
+        return _let(es0, lambda es: _let(
+            # sym carries both directions, so u alone covers every node
+            F.array_sort(F.array_distinct(F.transform(es, lambda ed: ed["u"]))),
+            lambda ns: F.aggregate(
+                F.sequence(F.lit(1), F.lit(_SSSP_K)),
+                # source = lexicographically-first node, dist 0
+                F.map_from_arrays(
+                    F.array(F.element_at(ns, 1)),
+                    F.array(F.lit(0).cast("long")),
+                ),
+                lambda dm, _i: relax(dm, es, ns),
+            ),
+        ))
+
+    final = row.select(_iterate(F.col("es")).alias("dm"))
+    return final.select(F.explode("dm").alias("brand", "dist"))
 
 
 # --- k-core decomposition (iterative peeling) --------------------------------
@@ -764,8 +766,9 @@ KCORE_K = 3
 KCORE_LIFT = 1.02       # denser than CC_LIFT so the core is non-trivial at
                         # the driver's sf0.01 gate (CC's 1.05 graph peels to
                         # empty there — a vacuous 0==0 check)
-KCORE_MAX_ROUNDS = 30   # rounds <= nodes ever removed <= |brand vocab| = 25
-_KCORE_R = 26           # oracle unroll: |V| + 1 peels always reach the core
+_KCORE_R = 26           # fold depth AND oracle unroll: |V| + 1 peels always
+                        # reach the core (rounds <= nodes removed <= 25),
+                        # and peeling past the fixed point is the identity
 
 
 def _kcore_oracle() -> str:
@@ -821,26 +824,34 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard cohesion screen (dense-community seeds, spam-ring cores)
     that a single degree filter gets wrong (removals cascade).
 
-    Spark runs the peel as a loop of [degree aggregate -> two semi-joins]
-    at node/edge grain with per-round ``localCheckpoint``, stopping at
-    the FIRST fixed point (no edge removed — one count per round) and
-    raising past KCORE_MAX_ROUNDS (the _cc_converge guard discipline;
-    rounds are bounded by nodes-ever-removed <= |V|). The oracle unrolls
-    {_KCORE_R} = |V|+1 materialized peels — always past the fixed point
-    on a 25-brand vocabulary — so hash equality proves the early-stopped
-    loop reached the same core. Output: core members with their degree
-    INSIDE the core (exact ints).
+    r15 replan (the ``markov_stationary`` single-row-fold class): the
+    peel graph is VOCABULARY-BOUNDED — 25 TPC-H brands, <= 300
+    lift-filtered edges at any corpus size — so the old loop of
+    [degree aggregate -> two semi-joins -> eager localCheckpoint ->
+    count] per round was ~10 scheduled jobs over <=300-row tables, pure
+    job/checkpoint orchestration (3.2 s sweep cell at sf0.1, ~2 s of it
+    the loop). The fact-table work (the ob DISTINCT + pair aggregation)
+    stays fully distributed and identical; the bounded edge set then
+    reduces to ONE row (sorted struct list) and all {_KCORE_R} peels run
+    lazily inside a single higher-order-function fold — one job, zero
+    per-round shuffles/checkpoints, and the query is now fully LAZY (no
+    eager-at-construction jobs). {_KCORE_R} = |V|+1 fixed peels replace
+    the fixed-point check: rounds-to-converge <= nodes-ever-removed
+    <= |V|, and peeling past the fixed point is the identity — the SAME
+    argument (and iteration count) the oracle's materialized unroll
+    uses, so hash equality proves the fold reached the same core.
+    Output: core members with their degree INSIDE the core (exact ints).
 
-    100-TB shape: each round is one map-combinable degree count plus two
-    hash semi-joins, all keyed by node; nothing retains non-core state
-    across rounds, and the edge set only shrinks."""
+    100-TB shape: the fact scan feeding the pair aggregation is the only
+    data-sized stage (map-combinable, keyed (order, brand)); a join-keyed
+    peel only wins when the graph itself exceeds one executor's memory,
+    which a brand vocabulary never does."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
-        .persist()
     )
     n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
     bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
@@ -864,40 +875,75 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             > KCORE_LIFT
         )
         .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
-        .localCheckpoint(eager=True)
     )
-    # ob fed only the (now-materialized) edge build; the peel loop and the
-    # in-loop return read checkpoints — release before peeling
-    ob.unpersist()
-    n_edges = e.count()
-    for _ in range(KCORE_MAX_ROUNDS):
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionByName(e.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.where(F.col("d") >= KCORE_K).select("node")
-        e2 = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        n2 = e2.count()
-        if n2 == n_edges:
-            core = e2
-            return (
-                core.select(F.col("u").alias("brand"))
-                .unionByName(core.select(F.col("v").alias("brand")))
-                .groupBy("brand")
-                .agg(F.count("*").cast("long").alias("core_degree"))
+    row = e.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("u", "v"))).alias("e0")
+    )
+
+    def _let(val, body):
+        # bind an expression ONCE as a lambda variable (the
+        # markov_stationary idiom) — without this, project-collapsing
+        # inlines each alias into every downstream reference
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    def _endpoints(edges):
+        return F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.transform(edges, lambda x: x["u"]),
+                    F.transform(edges, lambda x: x["v"]),
+                )
             )
-        e, n_edges = e2, n2
-    raise RuntimeError(
-        f"k-core peeling did not reach a fixed point within "
-        f"{KCORE_MAX_ROUNDS} rounds — impossible while rounds <= removed "
-        f"nodes <= |V|; investigate the edge build"
+        )
+
+    def peel(acc):
+        # one peel: keep = nodes with degree >= K in acc; an edge
+        # survives iff both endpoints are kept
+        return _let(
+            _endpoints(acc),
+            lambda ns: _let(
+                F.filter(
+                    ns,
+                    lambda nd: F.size(
+                        F.filter(
+                            acc, lambda x: (x["u"] == nd) | (x["v"] == nd)
+                        )
+                    )
+                    >= KCORE_K,
+                ),
+                lambda keep: F.filter(
+                    acc,
+                    lambda x: F.array_contains(keep, x["u"])
+                    & F.array_contains(keep, x["v"]),
+                ),
+            ),
+        )
+
+    core = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_KCORE_R)),
+        F.col("e0"),
+        lambda acc, _i: peel(acc),
+    )
+    out = _let(
+        core,
+        lambda c: _let(
+            _endpoints(c),
+            lambda ns: F.transform(
+                ns,
+                lambda nd: F.struct(
+                    nd.alias("brand"),
+                    F.size(
+                        F.filter(c, lambda x: (x["u"] == nd) | (x["v"] == nd))
+                    )
+                    .cast("long")
+                    .alias("core_degree"),
+                ),
+            ),
+        ),
+    )
+    return row.select(F.explode(out).alias("s")).select(
+        F.col("s.brand").alias("brand"),
+        F.col("s.core_degree").alias("core_degree"),
     )
 
 

@@ -706,32 +706,38 @@ def test_jl_projection_replay_and_distortion(spark):
 
 
 def test_cc_converges_on_deep_path_graph(spark):
-    """VERDICT r7 item 4: the old fixed 5-round loop silently emitted
-    partially-contracted components on graphs deeper than its budget.
-    _cc_converge must now (a) fully contract a deliberately deep path
-    graph — 200 nodes in a single chain, far beyond what 5 unchecked
-    pairs handled on shallow brand graphs — and (b) raise instead of
-    returning a partial answer when the round cap is too small."""
-    import pytest
+    """VERDICT r7 item 4 lineage, r15 fold replan: the original fixed
+    5-round star loop silently emitted partially-contracted components
+    on graphs deeper than its budget; the r15 ``_cc_label_fold`` derives
+    its round count from the COLLECTED node set (|V|-1 >= diameter), so
+    a deliberately deep path graph — one chain far beyond any fixture
+    diameter — must still fully contract to a single component rooted
+    at the minimum node. Also pins the two-component case (labels must
+    not leak across disconnected pieces)."""
     from pyspark.sql import functions as F
-    from ccirecommenderdatapipeline_spark.plans.graph import _cc_converge
+    from ccirecommenderdatapipeline_spark.plans.graph import _cc_label_fold
 
-    n = 200
+    n = 60
     edges = spark.range(n - 1).select(
         F.format_string("n%04d", F.col("id")).alias("u"),
         F.format_string("n%04d", F.col("id") + 1).alias("v"),
     )
-    star = _cc_converge(edges)
     labels = {
-        r["u"]: r["v"]
-        for r in star.groupBy("u").agg(F.min("v").alias("v")).collect()
+        r["brand"]: r["component"] for r in _cc_label_fold(edges).collect()
     }
-    # one component rooted at the minimum node, every other node labeled
+    # one component rooted at the minimum node, every node labeled
     assert set(labels.values()) == {"n0000"}
-    assert len(labels) == n - 1
-    # (b) an impossible budget must raise, not return partial components
-    with pytest.raises(RuntimeError, match="did not converge"):
-        _cc_converge(edges, min_rounds=1, max_rounds=1)
+    assert len(labels) == n
+    # two disconnected chains keep distinct roots
+    two = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("b1", "b2")], ["u", "v"]
+    )
+    got = {
+        r["brand"]: r["component"] for r in _cc_label_fold(two).collect()
+    }
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1", "b1": "b1", "b2": "b1"
+    }
 
 
 def test_registry_counts_documented():

@@ -76,6 +76,24 @@ NESTED_FOLD_OK: dict[str, str] = {
         "volume): 20 power iterations + per-row totals as nested HOFs, "
         "replacing 20 eager localCheckpoint jobs (11.2 s -> 2.4 s sf0.1)"
     ),
+    # r15 graph-iteration replans — the same single-row vocabulary-bounded
+    # class as markov_stationary (see PLANS.md r15): each fold runs once,
+    # on one row, over the <=25-brand / <=600-edge lift graph, replacing
+    # per-round eager localCheckpoint + convergence-probe jobs.
+    "kcore_decomposition": (
+        "26 peels as one fold over the single-row bounded edge list "
+        "(<=300 structs); replaces ~2 jobs/round (3.8 -> 2.9 s sf0.1 A/B)"
+    ),
+    "sssp_weighted": (
+        "24 min-plus rounds as one fold over the single-row bounded "
+        "symmetric edge list (<=600 structs); replaces ~2 jobs/round "
+        "(2.4 -> 1.7 s sf0.1 A/B)"
+    ),
+    "connected_components": (
+        "|V|-1 min-label rounds as one fold over the single-row bounded "
+        "edge list; replaces ~4 jobs + a collect probe per star round "
+        "(9.0 -> 3.9 s sf0.1 A/B on the r15 box)"
+    ),
 }
 
 # Queries allowed to emit a DECIMAL-typed OUTPUT column. Decimal readouts
