@@ -55,6 +55,11 @@ _NEW_THIS_ROUND: list[str] = [
     "sssp_weighted",
     "connected_components",
     "bfs_hops",
+    # hits_hubs_authorities joined the fold class in the r15
+    # optimization pass (M = A^T A once, 2 matvec rounds in one fold);
+    # unlike the four above it was NOT in the (b) cohort, so it
+    # displaces `cci` from the (c) tail.
+    "hits_hubs_authorities",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -80,9 +85,9 @@ _PRIORITY += [
 ]
 
 # (c) r9-era fill — 5 slots when (a) is empty; each (a) addition rolls
-# one name off this tail (back first). With (a) empty the tail keeps
-# all 5 slots: coalesce_bfill is the first rolled-off name and heads
-# the r16 window.
+# one name off this tail (back first). hits_hubs_authorities's (a) slot
+# rolls `cci` off: cci is the first rolled-off name and heads the r16
+# window, followed by coalesce_bfill.
 _TAIL_R9 = [
     "anti_join", "bloom_semi_join_pushdown", "buy_signals",
     "cast_battery", "cci",
@@ -94,7 +99,7 @@ _PRIORITY += _TAIL_R9[: max(0, 50 - len(_PRIORITY))]
 # to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["cci"], (
+assert _PRIORITY[49:50] == ["cast_battery"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

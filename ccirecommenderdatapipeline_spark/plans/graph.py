@@ -1358,13 +1358,26 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand-vocabulary bounded (<= 25), so 3 rounds fit decimal(38,0)
     far past 1e9 customers (Spark) / HUGEINT (oracle) — both exact.
 
-    Plan: the hub table (customer grain) shuffles on c, co-partitioned
-    with the edge list across rounds; the authority table is BRAND
-    grain (bounded vocabulary) and rides as a broadcast join into every
-    hub update — per round: one broadcast join + one shuffle-free
-    re-agg on the same c partitioning, then a bounded brand agg.
-    100-TB: per-round cost is one scan of the edge list; nothing
-    iterates at driver side."""
+    r15 replan (the ``markov_stationary`` single-row-fold class): the
+    iterate never needs the customer-grain hub table explicitly —
+    a_(k+1) = M . a_k with M = A^T A the BRAND x BRAND co-purchase
+    count matrix (M[b,b'] = customers buying both; diagonal = degree =
+    a_1), and M is vocabulary-bounded (<= 625 entries for 25 brands at
+    ANY corpus size). So the plan computes M ONCE as a distributed
+    customer-grain self-join + aggregation (the market_basket_pairs
+    shape; bounded 25^2-per-customer amplification), reduces it to a
+    single sorted row, and runs both authority updates lazily inside
+    one higher-order-function fold — replacing the unrolled per-round
+    global shuffles whose plan re-inlined the 3-table edge build per
+    round (27 exchanges / 33 scans before; one co-occurrence agg + a
+    1-row fold after). Every sum is the same exact integer in
+    decimal(38,0), just re-associated — integer addition commutes, so
+    hash equality with the unchanged join-form oracle proves the
+    algebra.
+
+    100-TB: M's aggregation is map-combinable on the (c) then (b, b')
+    keys; nothing iterates at driver side; the fold is O(|V|^2) on one
+    row."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
@@ -1374,35 +1387,99 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("b"))
         .distinct()
     )
-    a = e.groupBy("b").agg(
-        F.count("*").cast("decimal(38,0)").alias("a")
+    e2 = e.select("c", F.col("b").alias("b2"))
+    m = (
+        e.join(e2, "c")
+        .groupBy("b", "b2")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
-    deg = a.select("b", F.col("a").cast("long").alias("degree"))
-    for _ in range(HITS_ROUNDS - 1):
-        h = (
-            e.join(F.broadcast(a), "b")
-            .groupBy("c")
-            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+    row = m.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("b", "b2", "cnt"))).alias("m0")
+    )
+
+    def _let(val, body):
+        # bind an expression ONCE as a lambda variable (the
+        # markov_stationary idiom); see q_kcore_decomposition
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    def matvec(am, mm, bs):
+        # a'[b] = sum_{b'} M[b,b'] * a[b'] — exact integers in
+        # decimal(38,0); fold order is irrelevant for integer addition
+        return F.map_from_entries(
+            F.transform(
+                bs,
+                lambda b: F.struct(
+                    b.alias("key"),
+                    F.aggregate(
+                        F.filter(mm, lambda x: x["b"] == b),
+                        F.lit(0).cast("decimal(38,0)"),
+                        lambda acc, x: acc
+                        + x["cnt"] * F.element_at(am, x["b2"]),
+                    ).alias("value"),
+                ),
+            )
         )
-        a = (
-            e.join(h, "c")
-            .groupBy("b")
-            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
-        )
-    tot = a.agg(F.sum("a").cast("decimal(38,0)").alias("tot"))
-    return (
-        a.join(F.broadcast(deg), "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("b").alias("brand"),
-            "degree",
-            # readout flattened to STRING: Spark decimal(38,0) vs DuckDB
-            # HUGEINT hash differently in the driver's normalization even
-            # when values are identical (r9 verdict item 1); plain-digit
-            # strings are engine-portable at any magnitude
-            F.col("a").cast("string").alias("authority_raw"),
-            F.round(
-                F.col("a").cast("double") / F.col("tot").cast("double"), 12
-            ).alias("authority"),
-        )
+
+    def _readout(m0):
+        return _let(m0, lambda mm: _let(
+            F.array_sort(
+                F.array_distinct(F.transform(mm, lambda x: x["b"]))
+            ),
+            lambda bs: _let(
+                # a_1 = degree vector = the diagonal of M
+                F.map_from_entries(
+                    F.transform(
+                        F.filter(mm, lambda x: x["b"] == x["b2"]),
+                        lambda x: F.struct(
+                            x["b"].alias("key"),
+                            x["cnt"].cast("decimal(38,0)").alias("value"),
+                        ),
+                    )
+                ),
+                lambda a1: _let(
+                    F.aggregate(
+                        F.sequence(F.lit(1), F.lit(HITS_ROUNDS - 1)),
+                        a1,
+                        lambda am, _i: matvec(am, mm, bs),
+                    ),
+                    lambda a3: _let(
+                        F.aggregate(
+                            F.transform(
+                                bs, lambda b: F.element_at(a3, b)
+                            ),
+                            F.lit(0).cast("decimal(38,0)"),
+                            lambda acc, v: acc + v,
+                        ),
+                        lambda tot: F.transform(
+                            bs,
+                            lambda b: F.struct(
+                                b.alias("brand"),
+                                F.element_at(a1, b)
+                                .cast("long")
+                                .alias("degree"),
+                                # readout flattened to STRING: Spark
+                                # decimal(38,0) vs DuckDB HUGEINT hash
+                                # differently in the driver's
+                                # normalization even when values are
+                                # identical (r9 verdict item 1)
+                                F.element_at(a3, b)
+                                .cast("string")
+                                .alias("authority_raw"),
+                                F.round(
+                                    F.element_at(a3, b).cast("double")
+                                    / tot.cast("double"),
+                                    12,
+                                ).alias("authority"),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ))
+
+    return row.select(F.explode(_readout(F.col("m0"))).alias("s")).select(
+        F.col("s.brand").alias("brand"),
+        F.col("s.degree").alias("degree"),
+        F.col("s.authority_raw").alias("authority_raw"),
+        F.col("s.authority").alias("authority"),
     )
