@@ -1241,16 +1241,35 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     additions/subtractions over exactly cast float32 inputs — both
     engines evaluate the identical IEEE expression tree, so the doubles
     are BIT-IDENTICAL and ship unrounded (float32 sums are dyadic; no
-    cosmetic ROUND is needed or wanted)."""
+    cosmetic ROUND is needed or wanted).
+
+    r15 build-path fix (guide §5, the driver does no data work): the
+    512-term tree used to be assembled as 512 individual Column ops,
+    each a py4j round-trip — ~5-7 s of DRIVER latency before Spark saw
+    the query (measured; the whole 2,000-row execution is <0.5 s).
+    The same tree is now rendered as SQL text in Python (free) and
+    parsed JVM-side in ONE selectExpr call: build 7.1 s -> 0.5 s,
+    analyzed plan character-identical modulo exprIds (fingerprint
+    unchanged), rows bit-identical."""
     e = load_table(spark, sf_dir, "embeddings")
-    cols = [F.col("vec_id"), F.col("label")]
-    for j, row in enumerate(_jl_signs()):
-        expr = None
+
+    def spark_terms(row: list[int]) -> str:
+        # identical tree to the old Column-op chain: element_at + cast
+        # double, left-associated +/- (unary minus on a leading -1 sign)
+        parts = []
         for i, s in enumerate(row):
-            t = F.element_at(F.col("embedding"), i + 1).cast("double")
-            if expr is None:
-                expr = t if s > 0 else -t
+            t = f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+            if not parts:
+                parts.append(t if s > 0 else f"(- {t})")
             else:
-                expr = expr + t if s > 0 else expr - t
-        cols.append(expr.alias(f"p{j + 1}"))
-    return e.select(*cols)
+                parts.append(f"{'+' if s > 0 else '-'} {t}")
+        return " ".join(parts)
+
+    return e.selectExpr(
+        "vec_id",
+        "label",
+        *[
+            f"({spark_terms(row)}) AS p{j + 1}"
+            for j, row in enumerate(_jl_signs())
+        ],
+    )

@@ -768,3 +768,81 @@ def test_registry_counts_documented():
         f"COVERAGE.md documents {m.groups()} but registry is {q}/{o}/{r} — "
         "run python tools/update_counts.py"
     )
+
+
+def test_literal_table_sql_path_tree_equal(spark):
+    """r15 build-path fix: literal_table renders its rows as ONE SQL
+    parse instead of ~4 py4j round-trips per cell. The parsed tree must
+    stay character-identical (modulo exprIds) to the Column-built form —
+    that is what keeps plan fingerprints, cache-stability, and results
+    unchanged — so this pins analyzed-plan-text equality for every value
+    class the call sites use (int/bigint, double, string, NULL)."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from ccirecommenderdatapipeline_spark.operators.literals import (
+        literal_table,
+    )
+
+    def column_path(rows, schema):
+        struct = StructType.fromDDL(schema)
+        fields = [(f.name, f.dataType) for f in struct.fields]
+        return spark.range(1).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            *[
+                                F.lit(v).cast(dt).alias(n)
+                                for v, (n, dt) in zip(row, fields)
+                            ]
+                        )
+                        for row in rows
+                    ]
+                )
+            )
+        )
+
+    cases = [
+        ([("all", None), ("1", 1)], "search_years STRING, __n_years INT"),
+        (
+            [(5, 1, 2, 1, -100.0, 1), (20, 2, 10, 3, 60.0, 2)],
+            "condition_holding_days INT, x_pos INT, condition_target_return "
+            "INT, r_pos INT, condition_stop_loss_cci_threshold DOUBLE, "
+            "s_pos INT",
+        ),
+        ([("1995-01-01",)], "hd STRING"),
+        ([(1, 0.30102999566398114)], "digit INT, p_benford DOUBLE"),
+        ([(9223372036854775807, -1.5e-300)], "big BIGINT, tiny DOUBLE"),
+    ]
+    strip = lambda s: re.sub(r"#\d+", "#", s)  # noqa: E731
+    for rows, schema in cases:
+        a = strip(
+            column_path(rows, schema)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        b = strip(
+            literal_table(spark, rows, schema)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert a == b, f"literal_table SQL path drifted the tree: {schema}"
+        assert (
+            column_path(rows, schema).collect()
+            == literal_table(spark, rows, schema).collect()
+        )
+    # the per-session plan memo returns the SAME object for equal input
+    # (plan reuse only — a lazy plan, never data)
+    r1 = literal_table(spark, cases[1][0], cases[1][1])
+    r2 = literal_table(spark, cases[1][0], cases[1][1])
+    assert r1 is r2
+    # a value the SQL renderer cannot prove safe takes the Column path
+    # and still round-trips
+    odd = [("it's", 1)]
+    got = literal_table(spark, odd, "s STRING, i INT").collect()
+    assert [(r["s"], r["i"]) for r in got] == odd
