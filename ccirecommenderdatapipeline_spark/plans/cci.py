@@ -66,8 +66,19 @@ def cci_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     test SFs. At 1000-executor scale the same role is played by the bucketed
     materialized CCI table (plans/storage.py bucketing battery / SCALING.md);
     the in-memory cache is the single-session form of that layout.
+
+    The built plan is memoized per session (operators/planmemo.py); the
+    ``persist`` re-applies on every return so a ``clearCache()`` between
+    queries restores the declarative marker exactly as the
+    rebuild-every-time path did.
     """
-    return with_cci(prices_view(spark, sf_dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    from ..operators.planmemo import plan_memo
+
+    return plan_memo(
+        spark,
+        ("cci_view", sf_dir),
+        lambda: with_cci(prices_view(spark, sf_dir)),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @query("prices", oracle="WITH " + PRICES_ORACLE_CTE + " SELECT * FROM prices")

@@ -56,10 +56,13 @@ def agged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``best_return_depth3``; every consumer's DuckDB oracle still replays
     Plan A, so the equivalence is re-proven by the driver gate on every
     run."""
+    from ..operators.planmemo import plan_memo
     from ..operators.simulator_pandas import simulate_aggregate_pandas
 
-    return simulate_aggregate_pandas(
-        cci_view(spark, sf_dir), AGG_GRID
+    return plan_memo(
+        spark,
+        ("agged_view", sf_dir),
+        lambda: simulate_aggregate_pandas(cci_view(spark, sf_dir), AGG_GRID),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
@@ -281,10 +284,15 @@ def agged_years_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay form, so the driver gate re-proves the semantics on every run.
     Plan A (``simulate_trades(years=...)`` -> ``aggregate_strategies``)
     remains the Catalyst path, exercised by best_return_depth3."""
+    from ..operators.planmemo import plan_memo
     from ..operators.simulator_pandas import simulate_aggregate_pandas
 
-    return simulate_aggregate_pandas(
-        cci_view(spark, sf_dir), AGG_GRID, years=BEST_YEARS
+    return plan_memo(
+        spark,
+        ("agged_years_view", sf_dir),
+        lambda: simulate_aggregate_pandas(
+            cci_view(spark, sf_dir), AGG_GRID, years=BEST_YEARS
+        ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
