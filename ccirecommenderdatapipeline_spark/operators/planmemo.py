@@ -41,3 +41,26 @@ def plan_memo(
     if df is None:
         df = cache[key] = builder()
     return df
+
+
+# every per-session plan-memo attribute (operators/literals.py owns the
+# second one); reset_plan_memos must cover them all
+_MEMO_ATTRS = ("_shared_view_plan_cache", "_literal_table_plan_cache")
+
+
+def reset_plan_memos(spark: SparkSession) -> None:
+    """Drop the per-session plan memos. For the PLAN-AUDIT harnesses only
+    (tools/audit_plans.py::_iter_plans): a memo-hit plan shares exprIds
+    across embeddings and skips inner-view ``persist`` re-application, so
+    a query's printed plan (analyzed hash, InMemoryTableScan splice)
+    would depend on which queries the session built EARLIER — full-loop,
+    ``--only``, and pytest fingerprints would disagree. Resetting between
+    queries pins the fingerprint to the reproducible fresh-session
+    build, the shape the committed baseline was taken in. Execution
+    paths (bench, check_oracle, time_queries) keep the memo: it is the
+    real engine behavior being measured."""
+    for attr in _MEMO_ATTRS:
+        try:
+            delattr(spark, attr)
+        except AttributeError:
+            pass

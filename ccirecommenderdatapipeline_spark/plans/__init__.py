@@ -60,6 +60,16 @@ _NEW_THIS_ROUND: list[str] = [
     # unlike the four above it was NOT in the (b) cohort, so it
     # displaces `cci` from the (c) tail.
     "hits_hubs_authorities",
+    # r15 plan-memo fingerprint refreshes: these four embed a memoized
+    # shared view twice in one build, so the two embeddings now share
+    # exprIds at the ANALYZED level (__lit_md5__ moved; executed node
+    # counts and results unchanged — oracle-verified at all three SFs
+    # before the baseline refresh). Queued so the driver re-verdicts
+    # the refreshed fingerprints; displaces the rest of the (c) tail.
+    "order_sizing",
+    "reco_revenue_per_days_held",
+    "reco_win",
+    "recommendations",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -86,8 +96,11 @@ _PRIORITY += [
 
 # (c) r9-era fill — 5 slots when (a) is empty; each (a) addition rolls
 # one name off this tail (back first). hits_hubs_authorities's (a) slot
-# rolls `cci` off: cci is the first rolled-off name and heads the r16
-# window, followed by coalesce_bfill.
+# rolled `cci` off; the four r15 plan-memo fingerprint refreshes roll
+# off the remaining tail (cast_battery, buy_signals,
+# bloom_semi_join_pushdown, anti_join). The r16 window therefore starts
+# from: cci, cast_battery, buy_signals, bloom_semi_join_pushdown,
+# anti_join, coalesce_bfill.
 _TAIL_R9 = [
     "anti_join", "bloom_semi_join_pushdown", "buy_signals",
     "cast_battery", "cci",
@@ -99,7 +112,7 @@ _PRIORITY += _TAIL_R9[: max(0, 50 - len(_PRIORITY))]
 # to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["cast_battery"], (
+assert _PRIORITY[49:50] == ["welch_t_test"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

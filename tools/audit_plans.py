@@ -248,10 +248,18 @@ def _iter_plans(spark, sf_dir: str, run_streaming: bool, only=None):
     length-truncation cut points)."""
     from pyspark.sql.types import DecimalType
 
+    from ccirecommenderdatapipeline_spark.operators.planmemo import (
+        reset_plan_memos,
+    )
+
     prefold = _prefold_builders()
     for name, fn in plans.QUERIES.items():
         if only is not None and name not in only:
             continue
+        # audit in the pristine fresh-session state so the fingerprint is
+        # order-independent (memo-hit plans share exprIds and skip inner
+        # persist re-application — see reset_plan_memos's docstring)
+        reset_plan_memos(spark)
         if _is_streaming_wrapped(name) and not run_streaming:
             yield name, None, None, [], 0, True, None
             continue
