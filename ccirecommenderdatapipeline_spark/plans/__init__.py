@@ -70,17 +70,25 @@ _NEW_THIS_ROUND: list[str] = [
     "reco_revenue_per_days_held",
     "reco_win",
     "recommendations",
+    # r15 optimization replans, batch 2 (OPTIMIZATION_r15.md): both were
+    # already in this window's (b) cohort, so the 50-name set is
+    # unchanged — listed here and removed from (b) below because
+    # replans out-rank age. hll_set_intersection: single-pass
+    # distinct-trigram rebuild; apriori_triples: basket-fold
+    # (self-join cascade -> one ok shuffle).
+    "hll_set_intersection",
+    "apriori_triples",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
 
 # (b) the 45 r8-era names
 _PRIORITY += [
-    "apriori_triples", "assortativity_degree", "bandit_replay_eval",
+    "assortativity_degree", "bandit_replay_eval",
     "benford_audit", "changepoint_sse",
     "chi2_feature_selection", "clustering_coefficient",
     "decile_lift_table", "decision_stump",
-    "em_gmm_step", "feature_hashing", "hll_set_intersection",
+    "em_gmm_step", "feature_hashing",
     "isotonic_calibration", "ivm_aggregate_merge", "ivm_join_merge",
     "jl_projection", "k_anonymity_audit", "kaplan_meier_survival",
     "kruskal_wallis", "link_prediction_jaccard",

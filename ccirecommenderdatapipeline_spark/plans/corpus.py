@@ -2023,28 +2023,67 @@ def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction as ``hll_distinct``); the three estimator evaluations
     share one IEEE tree; ROUND 2/4 readouts.
 
-    100-TB shape: one pass builds BOTH sketches (a doc in the overlap
-    emits to both membership arms map-side); everything after the
-    256-row-per-sketch register aggregate is constant-size — the union
-    never touches data, exactly how cross-corpus overlap telemetry runs
-    at scale (the exact-join arm is the audit, not the product)."""
+    100-TB shape: ONE pass builds everything — a single trigram
+    explosion over the union of both arms carries (in_a, in_b)
+    membership flags, and the per-trigram flag aggregate (the exchange
+    the exact-intersection arm needs anyway) is also the base for both
+    sketches: registers over DISTINCT trigrams are identical to
+    registers over occurrences (per-bucket MAX is duplicate-blind), so
+    md5/rho run once per distinct trigram instead of once per
+    occurrence, and the r15 replan drops three of the four explosion
+    passes plus the semi-join's two distinct exchanges (guide §2.3
+    aggregate-before-shuffle, §2.4 shared exchange). Everything after
+    the 256-row register aggregate is constant-size."""
     docs = load_table(spark, sf_dir, "documents").select(
         F.substring("source", 4, 10).cast("int").alias("src_no"), "text"
     )
     in_a = F.col("src_no").between(HLL_A_LO, HLL_A_HI)
     in_b = F.col("src_no").between(HLL_B_LO, HLL_B_HI)
-    regs_a = hll_regs(docs.where(in_a)).persist()
-    regs_b = hll_regs(docs.where(in_b)).persist()
-    regs_u = (
-        regs_a.unionByName(regs_b).groupBy("bucket").agg(F.max("r").alias("r"))
+    # one explosion, one exchange: per-DISTINCT-trigram membership flags
+    dt = (
+        docs.where(in_a | in_b)
+        .select(
+            F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("t"),
+            in_a.alias("a"),
+            in_b.alias("b"),
+        )
+        .groupBy("t")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+        .persist()
+    )
+    # same md5-register construction as hll_regs, evaluated once per
+    # distinct trigram; per-bucket conditional MAX yields both sketches
+    # (and GREATEST of the two is exactly the union merge)
+    h = F.md5("t")
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rest = F.substring(h, 3, 12)
+    lz = F.length(F.regexp_extract(rest, "^0*", 0))
+    dval = F.conv(F.substr(rest, lz + 1, F.lit(1)), 16, 10).cast("int")
+    extra = (
+        F.when(dval >= 8, 0).when(dval >= 4, 1).when(dval >= 2, 2).otherwise(3)
+    )
+    rho = F.when(lz == 12, F.lit(49)).otherwise(4 * lz + extra + 1)
+    regs = (
+        dt.select(bucket.alias("bucket"), rho.alias("rho"), "a", "b")
+        .groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("a"), F.col("rho"))).alias("ra"),
+            F.max(F.when(F.col("b"), F.col("rho"))).alias("rb"),
+        )
+        .persist()
     )
 
     m = float(HLL_M)
 
-    def est(regs: DataFrame, name: str) -> DataFrame:
+    def est(rcol: str, name: str) -> DataFrame:
+        r = (
+            F.greatest(F.col("ra"), F.col("rb"))
+            if rcol == "ru"
+            else F.col(rcol)
+        )
         s = regs.agg(
-            F.count("*").alias("nb"),
-            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("zp"),
+            F.count(r).alias("nb"),
+            F.sum(F.pow(F.lit(2.0), -r)).alias("zp"),
         )
         raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / (
             F.col("zp") + (F.lit(HLL_M) - F.col("nb"))
@@ -2053,24 +2092,14 @@ def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = F.when((raw <= 2.5 * m) & (v > 0), m * F.log(m / v)).otherwise(raw)
         return s.select(e.alias(name))
 
-    tri_a = (
-        docs.where(in_a)
-        .select(F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("t"))
-        .distinct()
-    )
-    tri_b = (
-        docs.where(in_b)
-        .select(F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("t"))
-        .distinct()
-    )
-    exact = tri_a.join(tri_b, "t", "left_semi").agg(
+    exact = dt.where(F.col("a") & F.col("b")).agg(
         F.count("*").cast("long").alias("n_exact_inter")
     )
     inter = F.col("ea") + F.col("eb") - F.col("eu")
     return (
-        est(regs_a, "ea")
-        .crossJoin(F.broadcast(est(regs_b, "eb")))
-        .crossJoin(F.broadcast(est(regs_u, "eu")))
+        est("ra", "ea")
+        .crossJoin(F.broadcast(est("rb", "eb")))
+        .crossJoin(F.broadcast(est("ru", "eu")))
         .crossJoin(F.broadcast(exact))
         .select(
             F.lit(HLL_M).cast("int").alias("m"),

@@ -1915,26 +1915,49 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     before extending by one brand and checking the candidate set. Counts
     exact int64; one support division ROUND 8.
 
-    100-TB shape: the only data-scale joins are per-basket self-joins
-    whose fan-out the support floor bounds (a basket contributes at most
-    |frequent brands in it| choose 2 pair rows); candidate/model sides
-    are bounded aggregates. This is the textbook distributed Apriori —
-    no all-pairs on the open item domain."""
+    100-TB shape: ONE shuffle keys baskets by order (collect_set is the
+    distinct), and every pair/triple row is GENERATED map-side from the
+    sorted basket array — the r15 replan of the former ok-keyed
+    self-join cascade (four exchanges of basket-scale rows -> one; guide
+    §2.3 aggregate-before-shuffle, §2.4 remove shuffles outright). The
+    per-basket fan-out is the same C(k,2) rows the self-join produced,
+    still Apriori-pruned before the triple extension; candidate/model
+    sides are bounded aggregates. No all-pairs on the open item domain."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
         .persist()
     )
-    n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
-    b2 = ob.select("ok", F.col("brand").alias("v"))
+    n = baskets.agg(F.count("*").cast("long").alias("n_orders"))
+    bs, k = F.col("bs"), F.size(F.col("bs"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), k - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, k),
+                lambda j: F.struct(
+                    F.element_at(bs, i).alias("u"),
+                    F.element_at(bs, j).alias("v"),
+                ),
+            ),
+        )
+    )
+    # sequence(1, k-1) would DESCEND for k < 2 — guard with a typed
+    # empty array (explode then drops the basket)
+    empty_pairs = F.expr("CAST(array() AS array<struct<u:string,v:string>>)")
+    pairs_all = baskets.select(
+        "bs",
+        F.explode(F.when(k >= 2, pair_structs).otherwise(empty_pairs)).alias(
+            "pr"
+        ),
+    )
     fp = (
-        ob.select("ok", F.col("brand").alias("u"))
-        .join(b2, "ok")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        pairs_all.groupBy(
+            F.col("pr.u").alias("u"), F.col("pr.v").alias("v")
+        )
         .agg(F.count("*").cast("long").alias("pc"))
         .crossJoin(F.broadcast(n))
         .where(F.col("pc") >= F.lit(TRI_SUPPORT) * F.col("n_orders"))
@@ -1954,19 +1977,21 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b", "c")
     )
-    pair_occ = (
-        ob.select("ok", F.col("brand").alias("a"))
-        .join(b2.select("ok", F.col("v").alias("b")), "ok")
-        .where(F.col("a") < F.col("b"))
-        .join(
-            F.broadcast(fp.select(F.col("u").alias("a"), F.col("v").alias("b"))),
-            ["a", "b"],
-            "left_semi",
-        )
+    pair_occ = pairs_all.select(
+        "bs", F.col("pr.u").alias("a"), F.col("pr.v").alias("b")
+    ).join(
+        F.broadcast(fp.select(F.col("u").alias("a"), F.col("v").alias("b"))),
+        ["a", "b"],
+        "left_semi",
     )
     tri_occ = (
-        pair_occ.join(ob.select("ok", F.col("brand").alias("c")), "ok")
-        .where(F.col("c") > F.col("b"))
+        pair_occ.select(
+            "a",
+            "b",
+            F.explode(
+                F.filter(F.col("bs"), lambda x: x > F.col("b"))
+            ).alias("c"),
+        )
         .join(F.broadcast(cand), ["a", "b", "c"], "left_semi")
         .groupBy("a", "b", "c")
         .agg(F.count("*").cast("long").alias("cnt"))
