@@ -78,6 +78,17 @@ _NEW_THIS_ROUND: list[str] = [
     # (self-join cascade -> one ok shuffle).
     "hll_set_intersection",
     "apriori_triples",
+    # r15 optimization replans, batch 3: strategy_agg now serves the
+    # shared fused aggregate (Plan B, bit-identical; Plan A stays
+    # exercised by trades_sim/best_return_depth3), and agged_view is
+    # derived as the search_years='all' slice of agged_years_view (one
+    # fused pass serves both persisted views) — pareto_strategies,
+    # buy_candidates and the four batch-1 names pick up the extra cache
+    # layer. None of these three were in (b); they displace the (b)
+    # tail (walk_forward_eval, weighted_median, welch_t_test -> r16).
+    "strategy_agg",
+    "pareto_strategies",
+    "buy_candidates",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -104,11 +115,13 @@ _PRIORITY += [
 
 # (c) r9-era fill — 5 slots when (a) is empty; each (a) addition rolls
 # one name off this tail (back first). hits_hubs_authorities's (a) slot
-# rolled `cci` off; the four r15 plan-memo fingerprint refreshes roll
-# off the remaining tail (cast_battery, buy_signals,
-# bloom_semi_join_pushdown, anti_join). The r16 window therefore starts
-# from: cci, cast_battery, buy_signals, bloom_semi_join_pushdown,
-# anti_join, coalesce_bfill.
+# rolled `cci` off; the four r15 plan-memo fingerprint refreshes rolled
+# the rest of this tail (cast_battery, buy_signals,
+# bloom_semi_join_pushdown, anti_join); batch 3's three names roll the
+# (b) tail itself (welch_t_test, weighted_median, walk_forward_eval).
+# The r16 window therefore starts from: cci, cast_battery, buy_signals,
+# bloom_semi_join_pushdown, anti_join, walk_forward_eval,
+# weighted_median, welch_t_test, coalesce_bfill.
 _TAIL_R9 = [
     "anti_join", "bloom_semi_join_pushdown", "buy_signals",
     "cast_battery", "cci",
@@ -120,7 +133,7 @@ _PRIORITY += _TAIL_R9[: max(0, 50 - len(_PRIORITY))]
 # to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["welch_t_test"], (
+assert _PRIORITY[49:50] == ["vocab_build"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

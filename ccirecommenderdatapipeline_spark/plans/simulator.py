@@ -52,17 +52,27 @@ def agged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel produces the aggregate directly — consumers only ever read the
     aggregate, so the heavy Plan A trade materialization is wasted work
     here. Plan A (windowed sim + two-phase agg) remains the
-    Catalyst-pinned path via ``strategy_agg``, ``trades_sim`` and
-    ``best_return_depth3``; every consumer's DuckDB oracle still replays
-    Plan A, so the equivalence is re-proven by the driver gate on every
-    run."""
+    Catalyst-pinned path via ``trades_sim`` and ``best_return_depth3``;
+    every consumer's DuckDB oracle still replays Plan A, so the
+    equivalence is re-proven by the driver gate on every run.
+
+    r15 optimization: BEST_YEARS includes "all", whose per-symbol slice
+    is the whole history — the fused kernel's "all" depth runs the
+    identical code path (fsd None -> select-all mask) as the years=None
+    build, so this view is EXACTLY the search_years='all' slice of
+    ``agged_years_view``. Deriving it that way means ONE fused
+    simulate-aggregate pass serves both persisted views instead of two
+    (verified bit-exact by pandas frame equality and the consumer
+    oracles; pinned by tests/test_search_years.py::
+    test_agged_view_is_years_all_slice)."""
     from ..operators.planmemo import plan_memo
-    from ..operators.simulator_pandas import simulate_aggregate_pandas
 
     return plan_memo(
         spark,
         ("agged_view", sf_dir),
-        lambda: simulate_aggregate_pandas(cci_view(spark, sf_dir), AGG_GRID),
+        lambda: agged_years_view(spark, sf_dir)
+        .where(F.col("search_years") == "all")
+        .drop("search_years"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
@@ -263,8 +273,18 @@ def q_trades_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH " + _sim_cte(AGG_GRID) + AGG_SQL + "SELECT * FROM rates",
 )
 def q_strategy_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2: per (symbol x condition) outcome aggregation (3^4 grid)."""
-    return aggregate_strategies(simulate_trades(cci_view(spark, sf_dir), AGG_GRID))
+    """A1/A2: per (symbol x condition) outcome aggregation (3^4 grid).
+
+    r15 optimization: serves the shared fused aggregate (``agged_view``)
+    instead of re-running Plan A's windowed sim + ObjectHashAggregate —
+    the same replan every agged consumer got in round 5 (Plan B beat
+    Plan A 87 s vs 181 s at 25x data on 16x more combos; the collect_set
+    distinct-date buffers cannot codegen). Values are bit-identical
+    (integer-unit folds on both paths; pinned by tests/test_simulator.py
+    grid equality and re-proven against the Plan-A-replay DuckDB oracle
+    by the driver gate on every run). Plan A stays Catalyst-exercised by
+    ``trades_sim`` and ``best_return_depth3``."""
+    return agged_view(spark, sf_dir)
 
 
 def agged_years_view(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -126,3 +126,25 @@ def test_fused_years_matches_plan_a(spark, cci):
     # hardening of the r5 6dp concession).
     assert plan_a.exceptAll(fused).count() == 0
     assert fused.exceptAll(plan_a).count() == 0
+
+
+def test_agged_view_is_years_all_slice(spark):
+    # r15 optimization invariant: the shared un-keyed aggregate view is
+    # DERIVED as the search_years='all' slice of the years-keyed view
+    # (one fused simulate-aggregate pass serves both persisted views).
+    # The slice must equal a direct years=None fused build bit-exactly:
+    # the 'all' depth takes the identical select-all code path.
+    from ccirecommenderdatapipeline_spark.operators.simulator_pandas import (
+        simulate_aggregate_pandas,
+    )
+    from ccirecommenderdatapipeline_spark.plans.simulator import (
+        AGG_GRID,
+        agged_view,
+    )
+
+    direct = simulate_aggregate_pandas(cci_view(spark, SF_SMALL), AGG_GRID)
+    view = agged_view(spark, SF_SMALL).select(*direct.columns)
+    assert view.columns == direct.columns
+    assert view.exceptAll(direct).count() == 0
+    assert direct.exceptAll(view).count() == 0
+    spark.catalog.clearCache()
