@@ -89,6 +89,10 @@ _NEW_THIS_ROUND: list[str] = [
     "strategy_agg",
     "pareto_strategies",
     "buy_candidates",
+    # r15 optimization replans, batch 4: acf_lags folds its five Pearson
+    # moments as exact int64 cent units (decimal once per group, not per
+    # row). Displaces vocab_build from the (b) tail.
+    "acf_lags",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -119,9 +123,10 @@ _PRIORITY += [
 # the rest of this tail (cast_battery, buy_signals,
 # bloom_semi_join_pushdown, anti_join); batch 3's three names roll the
 # (b) tail itself (welch_t_test, weighted_median, walk_forward_eval).
-# The r16 window therefore starts from: cci, cast_battery, buy_signals,
-# bloom_semi_join_pushdown, anti_join, walk_forward_eval,
-# weighted_median, welch_t_test, coalesce_bfill.
+# batch 4 (acf_lags) rolls vocab_build. The r16 window therefore starts
+# from: cci, cast_battery, buy_signals, bloom_semi_join_pushdown,
+# anti_join, vocab_build, walk_forward_eval, weighted_median,
+# welch_t_test, coalesce_bfill.
 _TAIL_R9 = [
     "anti_join", "bloom_semi_join_pushdown", "buy_signals",
     "cast_battery", "cci",
@@ -133,7 +138,7 @@ _PRIORITY += _TAIL_R9[: max(0, 50 - len(_PRIORITY))]
 # to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["vocab_build"], (
+assert _PRIORITY[49:50] == ["stream_quantile_sketch"], (
     "window tail moved — update the (c) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

@@ -1088,38 +1088,58 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: lead computation is the same sort the per-symbol
     series already needs; moments are map-combinable on a
     (|symbols| x {ACF_MAX_LAG})-bounded key."""
-    p = prices_view(spark, sf_dir).select("symbol", "date", "close_pr")
+    # r15: the five moments fold as EXACT INT64 CENT UNITS instead of
+    # per-row decimal arithmetic (guide §1.2 step 2 / §2.3 narrower
+    # types): close_pr converts to cents ONCE per base row (one decimal
+    # round-trip, before the window, so the 20-lag pair explosion moves
+    # and multiplies longs), the group sums are codegen long adds, and
+    # each group does ONE decimal unscale at the end. Value-identical to
+    # the decimal form it replaces: a 2dp x 2dp product has exactly 4
+    # decimals, so round(x*y, 4) recovered cents_x*cents_y/1e4 exactly
+    # (double error at <=1e10 magnitude is << 0.5e-4), sx's Σcents
+    # <= ~6e9 < 2^53 makes cast-then-divide correctly rounded, and the
+    # sxy/sxx/syy unscale goes through one exact DECIMAL(38,4)/1e4 per
+    # group (Σ(cent products) <= ~1e18 fits int64 with headroom; ANSI
+    # mode faults loudly on overflow rather than wrapping).
+    p = prices_view(spark, sf_dir).select(
+        "symbol",
+        "date",
+        (F.col("close_pr").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c_units"),
+    )
     w = Window.partitionBy("symbol").orderBy("date")
     led = p.select(
         "symbol",
-        "close_pr",
+        "c_units",
         *[
-            F.lead("close_pr", k).over(w).alias(f"l{k}")
+            F.lead("c_units", k).over(w).alias(f"l{k}")
             for k in range(1, ACF_MAX_LAG + 1)
         ],
     )
-    stack_expr = "stack({n}, {args}) as (lag, y)".format(
+    stack_expr = "stack({n}, {args}) as (lag, yc)".format(
         n=ACF_MAX_LAG,
         args=", ".join(
             f"{k}, l{k}" for k in range(1, ACF_MAX_LAG + 1)
         ),
     )
     pairs = led.select(
-        "symbol", F.col("close_pr").alias("x"), F.expr(stack_expr)
-    ).where(F.col("y").isNotNull())
+        "symbol", F.col("c_units").alias("xc"), F.expr(stack_expr)
+    ).where(F.col("yc").isNotNull())
+
+    def _unscale4(units_sum):
+        # exact int64 1e-4 units -> the identical double the old
+        # DECIMAL(32,4) sum produced: one decimal value per GROUP,
+        # correctly rounded to double by BigDecimal semantics
+        return (units_sum.cast("decimal(38,4)") / F.lit(10000)).cast("double")
+
     mom = pairs.groupBy("symbol", "lag").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("sx"),
-        F.sum(F.col("y").cast("decimal(18,2)")).cast("double").alias("sy"),
-        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(32,4)"))
-        .cast("double")
-        .alias("sxy"),
-        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(32,4)"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum(F.round(F.col("y") * F.col("y"), 4).cast("decimal(32,4)"))
-        .cast("double")
-        .alias("syy"),
+        (F.sum("xc").cast("double") / 100.0).alias("sx"),
+        (F.sum("yc").cast("double") / 100.0).alias("sy"),
+        _unscale4(F.sum(F.col("xc") * F.col("yc"))).alias("sxy"),
+        _unscale4(F.sum(F.col("xc") * F.col("xc"))).alias("sxx"),
+        _unscale4(F.sum(F.col("yc") * F.col("yc"))).alias("syy"),
     )
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
