@@ -31,115 +31,55 @@ from . import training  # noqa: E402,F401
 from . import recommender  # noqa: E402,F401
 
 # Registration-order budget: the round driver records correctness rows for
-# the FIRST 50 registered queries only. Round-15 priority window — the
-# first pure steady-state rotation (VERDICT r14 item 1), adopted
-# VERBATIM from tools/plan_window.py's suggestion after committing the
-# r14 verdicts into VERIFIED_FINGERPRINTS (which cleared
-# pca_power_iteration's replan flag), in order:
-# (a) names replanned THIS round (r15) — replans out-rank everything
+# the FIRST 50 registered queries only. Round-16 priority window —
+# adopted VERBATIM from tools/plan_window.py's suggestion after
+# committing the r15 verdicts into VERIFIED_FINGERPRINTS (15 names
+# advanced), in order:
+# (a) names replanned THIS round (r16) — replans out-rank everything
 #     (a stale verdict on a changed plan is worse than an old verdict
-#     on an unchanged one). Any NEW op added this round also lands
-#     here, displacing the (c) tail from the back;
-# (b) all 45 r8-era names (tools/verdict_age.py r08 row) — the oldest
-#     verdicts in the registry now that r14 cleared the r7 cohort;
-# (c) the alphabetically-first r9-era names fill the remaining slots.
-#     After this window no name's verdict predates r9, holding the
-#     rotation's ~6-round re-verification latency.
+#     on an unchanged one). Each addition rolls one name off the aged
+#     tail (back first);
+# (b) the 50 oldest verdicts by tools/verdict_age.py: the 4 r8-era
+#     names the r15 batch-3/4 replans displaced, then the r9 cohort in
+#     alphabetical order, then the alphabetically-first r10 names fill
+#     the remaining slots.
 _NEW_THIS_ROUND: list[str] = [
-    # r15 optimization-round replans (all four were already in this
-    # window's (b) cohort, so the 50-name set is unchanged — they are
-    # listed here, and removed from (b) below, because replans out-rank
-    # age): the graph-iteration family moved to lazy single-row HOF
-    # folds / halved eager checkpoints (PLANS.md r15).
-    "kcore_decomposition",
-    "sssp_weighted",
-    "connected_components",
-    "bfs_hops",
-    # hits_hubs_authorities joined the fold class in the r15
-    # optimization pass (M = A^T A once, 2 matvec rounds in one fold);
-    # unlike the four above it was NOT in the (b) cohort, so it
-    # displaces `cci` from the (c) tail.
-    "hits_hubs_authorities",
-    # r15 plan-memo fingerprint refreshes: these four embed a memoized
-    # shared view twice in one build, so the two embeddings now share
-    # exprIds at the ANALYZED level (__lit_md5__ moved; executed node
-    # counts and results unchanged — oracle-verified at all three SFs
-    # before the baseline refresh). Queued so the driver re-verdicts
-    # the refreshed fingerprints; displaces the rest of the (c) tail.
-    "order_sizing",
-    "reco_revenue_per_days_held",
-    "reco_win",
-    "recommendations",
-    # r15 optimization replans, batch 2 (OPTIMIZATION_r15.md): both were
-    # already in this window's (b) cohort, so the 50-name set is
-    # unchanged — listed here and removed from (b) below because
-    # replans out-rank age. hll_set_intersection: single-pass
-    # distinct-trigram rebuild; apriori_triples: basket-fold
-    # (self-join cascade -> one ok shuffle).
-    "hll_set_intersection",
-    "apriori_triples",
-    # r15 optimization replans, batch 3: strategy_agg now serves the
-    # shared fused aggregate (Plan B, bit-identical; Plan A stays
-    # exercised by trades_sim/best_return_depth3), and agged_view is
-    # derived as the search_years='all' slice of agged_years_view (one
-    # fused pass serves both persisted views) — pareto_strategies,
-    # buy_candidates and the four batch-1 names pick up the extra cache
-    # layer. None of these three were in (b); they displace the (b)
-    # tail (walk_forward_eval, weighted_median, welch_t_test -> r16).
-    "strategy_agg",
-    "pareto_strategies",
-    "buy_candidates",
-    # r15 optimization replans, batch 4: acf_lags folds its five Pearson
-    # moments as exact int64 cent units (decimal once per group, not per
-    # row). Displaces vocab_build from the (b) tail.
-    "acf_lags",
+    # r16 optimization-round replans land here as they are verified
+    # (oracle at 3 SFs -> isolated A/B -> fingerprint refresh -> queue).
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
 
-# (b) the 45 r8-era names
+# (b) the 50 oldest verdicts (verdict_age order, alphabetical within a
+# round cohort). Tail notes: each (a) addition trims from the BACK of
+# this list; the trimmed names are the next-next window head.
 _PRIORITY += [
-    "assortativity_degree", "bandit_replay_eval",
-    "benford_audit", "changepoint_sse",
-    "chi2_feature_selection", "clustering_coefficient",
-    "decile_lift_table", "decision_stump",
-    "em_gmm_step", "feature_hashing",
-    "isotonic_calibration", "ivm_aggregate_merge", "ivm_join_merge",
-    "jl_projection", "k_anonymity_audit", "kaplan_meier_survival",
-    "kruskal_wallis", "link_prediction_jaccard",
-    "linucb_step", "mann_whitney_u", "map_mrr_eval", "mmr_rerank",
-    "naive_bayes_classify", "negative_sampling", "ols_trend",
-    "pmi_collocations", "quantile_normalize_sources",
-    "quantile_sketch_merge", "rank_fusion_rrf", "record_survivorship",
-    "rfm_segmentation", "spatial_grid_join",
-    "stream_hll_merge", "stream_ivm_aggregate", "stream_quantile_sketch",
     "vocab_build", "walk_forward_eval", "weighted_median",
-    "welch_t_test",
+    "welch_t_test",                                        # r8 cohort
+    "anti_join", "bloom_semi_join_pushdown", "buy_signals",
+    "cast_battery", "cci", "coalesce_bfill", "cross_grid", "date_arith",
+    "dedup_exact", "dedup_ngram_jaccard", "doc_fingerprints",
+    "filter_conjunctive", "gbdt_boost_round",
+    "jaccard_prefix_filter_join", "join_cardinality_estimate",
+    "json_get_k", "ks_test", "lang_id", "latest_cci", "lookup_join",
+    "markov_attribution", "ohlc_resample_weekly", "oov_rate_eval",
+    "order_reconciliation", "phrase_search_positions", "prices",
+    "proj_rename", "quantile_disc", "rank_biased_overlap",
+    "regex_json_extract", "roc_auc_eval", "rollup_counts",
+    "scalar_minmax", "semi_join", "sharpe_sortino_daily",
+    "signal_counts", "simhash_groups", "sort_limit", "symbol_universe",
+    "text_stats", "theil_sen_slope", "update_join", "when_otherwise",
+    # r9 cohort ends at when_otherwise; r10 fill below
+    "asof_join", "broker_balances", "broker_position_pnl",
 ]
 
-# (c) r9-era fill — 5 slots when (a) is empty; each (a) addition rolls
-# one name off this tail (back first). hits_hubs_authorities's (a) slot
-# rolled `cci` off; the four r15 plan-memo fingerprint refreshes rolled
-# the rest of this tail (cast_battery, buy_signals,
-# bloom_semi_join_pushdown, anti_join); batch 3's three names roll the
-# (b) tail itself (welch_t_test, weighted_median, walk_forward_eval).
-# batch 4 (acf_lags) rolls vocab_build. The r16 window therefore starts
-# from: cci, cast_battery, buy_signals, bloom_semi_join_pushdown,
-# anti_join, vocab_build, walk_forward_eval, weighted_median,
-# welch_t_test, coalesce_bfill.
-_TAIL_R9 = [
-    "anti_join", "bloom_semi_join_pushdown", "buy_signals",
-    "cast_battery", "cci",
-]
-_PRIORITY += _TAIL_R9[: max(0, 50 - len(_PRIORITY))]
 # the window is EXACTLY 50 (tests/test_pipeline.py pins it) — trim
-# explicitly so nothing is dropped silently; the cut names are
-# enumerated in the (c) NOTE above, and the assertion forces that NOTE
-# to be rewritten whenever an (a) addition shifts the cut line.
+# explicitly so nothing is dropped silently; the assertion forces this
+# NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["stream_quantile_sketch"], (
-    "window tail moved — update the (c) NOTE's enumeration of rolled "
+assert _PRIORITY[49:50] == ["broker_position_pnl"], (
+    "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"
 )
