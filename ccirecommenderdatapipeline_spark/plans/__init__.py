@@ -46,6 +46,22 @@ from . import recommender  # noqa: E402,F401
 _NEW_THIS_ROUND: list[str] = [
     # r16 optimization-round replans land here as they are verified
     # (oracle at 3 SFs -> isolated A/B -> fingerprint refresh -> queue).
+    # Batch 1: the recommender family now reads the shared memoized
+    # cb_incidence_view / brand_sim_view and the memoized temporal-split
+    # eval rig (one incidence + pair-aggregate build per session instead
+    # of one per query; OPTIMIZATION_r16.md). negative_sampling was also
+    # moved onto the shared view but its fingerprint is unchanged (its
+    # private build was plan-identical), so it needs no re-verdict.
+    # These 7 roll the (b) tail (asof_join, broker_balances,
+    # broker_position_pnl, when_otherwise, update_join, theil_sen_slope,
+    # text_stats -> next window); slot 50 is now symbol_universe.
+    "item_item_cosine",
+    "reco_candidates",
+    "reco_coverage_gini",
+    "mmr_rerank",
+    "als_item_step",
+    "ndcg_eval",
+    "map_mrr_eval",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -78,7 +94,7 @@ _PRIORITY += [
 # NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["broker_position_pnl"], (
+assert _PRIORITY[49:50] == ["symbol_universe"], (
     "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

@@ -47,6 +47,91 @@ MIN_SUPPORT = 0.025
 TOP_NEIGHBORS = 3
 
 
+def cb_incidence_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared distinct (ck, brand) customer-brand incidence, persisted
+    lazily (r16, the ``agged_view`` treatment): six registered queries
+    (``item_item_cosine``, ``reco_candidates``, ``reco_coverage_gini``,
+    ``mmr_rerank``, ``als_item_step``, ``negative_sampling``) embed this
+    identical three-table join + distinct; before r16 each built (and
+    persisted) its own copy — CacheManager plan-matching deduped the
+    DATA within a warm session, but every embedding re-ran the O(n)
+    build analysis and the cold path re-shuffled the corpus per query.
+    One memoized lazy plan + one persist marker makes the sharing
+    explicit (guide §2.4 share-one-exchange / §5 cache-when-reused).
+
+    100-TB shape unchanged: the distinct is the one corpus-scale shuffle
+    (key ck, fan-out bounded by the brand vocabulary); part broadcasts."""
+    from ..operators.planmemo import plan_memo
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select(
+                F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand")
+            )
+            .distinct()
+        )
+
+    return plan_memo(spark, ("cb_incidence", sf_dir), build).persist()
+
+
+def brand_sim_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared item-item cosine model (brand_a, brand_b, both_cnt, c_a,
+    c_b, cosine), persisted lazily (r16): the |V|^2-bounded similarity
+    table four queries (``item_item_cosine``, ``reco_candidates``,
+    ``reco_coverage_gini``, ``mmr_rerank``) previously each re-derived
+    from the incidence — the ~5.5M-row pair self-join + aggregate ran
+    once PER QUERY in a warm sweep because only the incidence below it
+    was cached. Persisting the <= |V|(|V|-1) = 600-row result serves all
+    four from one build (guide §2.4). Carries the exact integer inputs
+    (both_cnt, c_a, c_b) alongside the pre-rounded cosine so
+    ``item_item_cosine`` can re-derive its unrounded ranking key
+    bit-identically."""
+    from ..operators.planmemo import plan_memo
+
+    def build() -> DataFrame:
+        cb = cb_incidence_view(spark, sf_dir)
+        bc = cb.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+        b = cb.select("ck", F.col("brand").alias("brand_b"))
+        pairs = (
+            cb.select("ck", F.col("brand").alias("brand_a"))
+            .join(b, "ck")
+            .where(F.col("brand_a") != F.col("brand_b"))
+            .groupBy("brand_a", "brand_b")
+            .agg(F.count("*").cast("long").alias("both_cnt"))
+        )
+        ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+        cb2 = bc.select(
+            F.col("brand").alias("brand_b"), F.col("c").alias("c_b")
+        )
+        return (
+            pairs.join(F.broadcast(ca), "brand_a")
+            .join(F.broadcast(cb2), "brand_b")
+            .select(
+                "brand_a",
+                "brand_b",
+                "both_cnt",
+                "c_a",
+                "c_b",
+                F.round(
+                    F.col("both_cnt")
+                    / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
+                    8,
+                ).alias("cosine"),
+            )
+        )
+
+    return plan_memo(spark, ("brand_sim", sf_dir), build).persist()
+
+
 def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (basket, item) incidence: order -> brands it contains.
 
@@ -181,42 +266,23 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: incidence distinct + self-join on custkey (fan-out
     bounded by the brand vocabulary as in ``market_basket_pairs``), pair
     agg map-combinable, per-brand counts broadcast back; the neighbor
-    window runs over the |V|^2-bounded pair table, not the corpus."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
-        .distinct()
-        .persist()
-    )
-    bc = cb.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b = cb.select("ck", F.col("brand").alias("brand_b"))
-    pairs = (
-        cb.select("ck", F.col("brand").alias("brand_a"))
-        .join(b, "ck")
-        .where(F.col("brand_a") != F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("both_cnt"))
-    )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
-    cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    window runs over the |V|^2-bounded pair table, not the corpus.
+
+    r16: served from the shared ``brand_sim_view`` (one incidence +
+    pair build for the whole recommender family); the ranking key is
+    re-derived UNROUNDED from the view's exact integer columns, the
+    identical expression the inline build ordered by."""
+    sv = brand_sim_view(spark, sf_dir)
     cosine = F.col("both_cnt") / F.sqrt(
         F.col("c_a").cast("double") * F.col("c_b")
     )
     w = Window.partitionBy("brand_a").orderBy(cosine.desc(), F.asc("brand_b"))
-    scored = (
-        pairs.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb2), "brand_b")
-        .select(
-            "brand_a",
-            "brand_b",
-            "both_cnt",
-            F.round(cosine, 8).alias("cosine"),
-            F.row_number().over(w).cast("int").alias("rnk"),
-        )
+    scored = sv.select(
+        "brand_a",
+        "brand_b",
+        "both_cnt",
+        F.round(cosine, 8).alias("cosine"),
+        F.row_number().over(w).cast("int").alias("rnk"),
     )
     return scored.where(F.col("rnk") <= TOP_NEIGHBORS)
 
@@ -460,41 +526,13 @@ def q_reco_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: the model side stays vocabulary-bounded regardless of
     corpus; the per-customer side shuffles once on ck. The sample slice
     is the audit view a daily pipeline materializes — removing the
-    modulo serves every customer and only grows the ck shuffle."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
-        .distinct()
-        .persist()
-    )
-    bc = cb.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b = cb.select("ck", F.col("brand").alias("brand_b"))
-    pairs = (
-        cb.select("ck", F.col("brand").alias("brand_a"))
-        .join(b, "ck")
-        .where(F.col("brand_a") != F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("both_cnt"))
-    )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
-    cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
-    sim = (
-        pairs.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb2), "brand_b")
-        .select(
-            "brand_a",
-            "brand_b",
-            F.round(
-                F.col("both_cnt")
-                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
-                8,
-            ).alias("cosine"),
-        )
-    )
+    modulo serves every customer and only grows the ck shuffle.
+
+    r16: incidence and similarity come from the shared persisted views
+    (``cb_incidence_view`` / ``brand_sim_view``) instead of per-query
+    rebuilds — same plan below the view boundary, one family build."""
+    cb = cb_incidence_view(spark, sf_dir)
+    sim = brand_sim_view(spark, sf_dir).select("brand_a", "brand_b", "cosine")
     sampled = cb.where(F.col("ck") % CAND_SAMPLE_MOD == 0)
     scored = (
         sampled.withColumnRenamed("brand", "brand_a")
@@ -649,70 +687,130 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temporal_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy (ck, brand, dt) incidence plan for the temporal-split rig —
+    memoized (r16) so the two consumers and both slices below share one
+    built tree; NOT persisted (each slice scans with its own date
+    pushdown)."""
+    from ..operators.planmemo import plan_memo
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select(
+                F.col("o_custkey").alias("ck"),
+                F.col("p_brand").alias("brand"),
+                F.col("o_orderdate").cast("date").alias("dt"),
+            )
+        )
+
+    return plan_memo(spark, ("temporal_base", sf_dir), build)
+
+
+def _temporal_tr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-cutoff (ck, brand) train incidence, memoized + persisted on
+    every return (r16): referenced four times inside each consumer's
+    plan and by both eval queries."""
+    from ..operators.planmemo import plan_memo
+
+    def build() -> DataFrame:
+        cutoff = F.lit(NDCG_CUTOFF).cast("date")
+        return (
+            _temporal_base(spark, sf_dir)
+            .where(F.col("dt") < cutoff)
+            .select("ck", "brand")
+            .distinct()
+        )
+
+    return plan_memo(spark, ("temporal_tr", sf_dir), build).persist()
+
+
+def _temporal_new_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-time post-cutoff relevance set (ck, brand), memoized +
+    persisted on every return (r16)."""
+    from ..operators.planmemo import plan_memo
+
+    def build() -> DataFrame:
+        cutoff = F.lit(NDCG_CUTOFF).cast("date")
+        te = (
+            _temporal_base(spark, sf_dir)
+            .where(F.col("dt") >= cutoff)
+            .select("ck", "brand")
+            .distinct()
+        )
+        return te.join(_temporal_tr(spark, sf_dir), ["ck", "brand"], "left_anti")
+
+    return plan_memo(spark, ("temporal_new_rel", sf_dir), build).persist()
+
+
 def _temporal_ranked(spark: SparkSession, sf_dir: str):
     """Shared temporal-split recommender eval rig (``ndcg_eval`` /
     ``map_mrr_eval``): cosine model trained strictly before {NDCG_CUTOFF},
     top-{NDCG_K} unbought candidates ranked per sampled customer. Returns
     ``(ranked, new_rel)`` — the rank list (ck, brand, rnk<= {NDCG_K}) and
-    the first-time post-cutoff relevance set (ck, brand)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    base = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(
-            F.col("o_custkey").alias("ck"),
-            F.col("p_brand").alias("brand"),
-            F.col("o_orderdate").cast("date").alias("dt"),
+    the first-time post-cutoff relevance set (ck, brand).
+
+    r16: the rig's three reused tables (tr, new_rel, the rank list) are
+    memoized + persisted shared views, so the train-slice similarity
+    model and the candidate ranking build ONCE per session instead of
+    once per eval query (guide §2.4/§5; the ``brand_sim_view``
+    treatment on the date-filtered slice)."""
+    from ..operators.planmemo import plan_memo
+
+    def build_ranked() -> DataFrame:
+        tr = _temporal_tr(spark, sf_dir)
+        bc = tr.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+        b2 = tr.select("ck", F.col("brand").alias("brand_b"))
+        pairs = (
+            tr.select("ck", F.col("brand").alias("brand_a"))
+            .join(b2, "ck")
+            .where(F.col("brand_a") != F.col("brand_b"))
+            .groupBy("brand_a", "brand_b")
+            .agg(F.count("*").cast("long").alias("both_cnt"))
         )
-    )
-    cutoff = F.lit(NDCG_CUTOFF).cast("date")
-    tr = base.where(F.col("dt") < cutoff).select("ck", "brand").distinct().persist()
-    te = base.where(F.col("dt") >= cutoff).select("ck", "brand").distinct()
-    new_rel = te.join(tr, ["ck", "brand"], "left_anti").persist()
-    bc = tr.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b2 = tr.select("ck", F.col("brand").alias("brand_b"))
-    pairs = (
-        tr.select("ck", F.col("brand").alias("brand_a"))
-        .join(b2, "ck")
-        .where(F.col("brand_a") != F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("both_cnt"))
-    )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
-    cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
-    sim = (
-        pairs.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb2), "brand_b")
-        .select(
-            "brand_a",
-            "brand_b",
-            F.round(
-                F.col("both_cnt")
-                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
-                8,
-            ).alias("cosine"),
+        ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+        cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+        sim = (
+            pairs.join(F.broadcast(ca), "brand_a")
+            .join(F.broadcast(cb2), "brand_b")
+            .select(
+                "brand_a",
+                "brand_b",
+                F.round(
+                    F.col("both_cnt")
+                    / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
+                    8,
+                ).alias("cosine"),
+            )
         )
-    )
-    sampled = tr.where(F.col("ck") % NDCG_SAMPLE_MOD == 0)
-    scored = (
-        sampled.withColumnRenamed("brand", "brand_a")
-        .join(F.broadcast(sim), "brand_a")
-        .select("ck", F.col("brand_b").alias("brand"), "cosine")
-    )
-    cand = (
-        scored.join(sampled, ["ck", "brand"], "left_anti")
-        .groupBy("ck", "brand")
-        .agg(F.max("cosine").alias("score"))
-    )
-    cw = Window.partitionBy("ck").orderBy(F.desc("score"), F.asc("brand"))
-    ranked = cand.select(
-        "ck", "brand", F.row_number().over(cw).alias("rnk")
-    ).where(F.col("rnk") <= NDCG_K)
-    return ranked, new_rel
+        sampled = tr.where(F.col("ck") % NDCG_SAMPLE_MOD == 0)
+        scored = (
+            sampled.withColumnRenamed("brand", "brand_a")
+            .join(F.broadcast(sim), "brand_a")
+            .select("ck", F.col("brand_b").alias("brand"), "cosine")
+        )
+        cand = (
+            scored.join(sampled, ["ck", "brand"], "left_anti")
+            .groupBy("ck", "brand")
+            .agg(F.max("cosine").alias("score"))
+        )
+        cw = Window.partitionBy("ck").orderBy(F.desc("score"), F.asc("brand"))
+        return cand.select(
+            "ck", "brand", F.row_number().over(cw).alias("rnk")
+        ).where(F.col("rnk") <= NDCG_K)
+
+    ranked = plan_memo(
+        spark, ("temporal_ranked", sf_dir), build_ranked
+    ).persist()
+    return ranked, _temporal_new_rel(spark, sf_dir)
 
 
 # --- Recommendation exposure metrics: catalog coverage + Gini ----------------
@@ -791,41 +889,14 @@ def q_reco_coverage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: candidate generation is the ``reco_candidates`` plan
     minus the sample pushdown — the ck shuffle carries every customer
     (the serving fan-out is the product requirement); everything after
-    the per-brand exposure agg is |V|-sized."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    the per-brand exposure agg is |V|-sized.
+
+    r16: incidence and similarity come from the shared persisted views
+    (``cb_incidence_view`` / ``brand_sim_view``); part is still loaded
+    for the catalog dimension ``allb``."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
-        .distinct()
-        .persist()
-    )
-    bc = cb.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b = cb.select("ck", F.col("brand").alias("brand_b"))
-    pairs = (
-        cb.select("ck", F.col("brand").alias("brand_a"))
-        .join(b, "ck")
-        .where(F.col("brand_a") != F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("both_cnt"))
-    )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
-    cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
-    sim = (
-        pairs.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb2), "brand_b")
-        .select(
-            "brand_a",
-            "brand_b",
-            F.round(
-                F.col("both_cnt")
-                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
-                8,
-            ).alias("cosine"),
-        )
-    )
+    cb = cb_incidence_view(spark, sf_dir)
+    sim = brand_sim_view(spark, sf_dir).select("brand_a", "brand_b", "cosine")
     scored = (
         cb.withColumnRenamed("brand", "brand_a")
         .join(F.broadcast(sim), "brand_a")
@@ -973,42 +1044,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties -> brand), so selection is engine-exact at every step.
 
     100-TB shape: candidates shuffle once on ck; every step's window is
-    per-customer (<= |V| rows) and the sim table broadcasts."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
-        .distinct()
-        .persist()
-    )
-    bc = cb.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b = cb.select("ck", F.col("brand").alias("brand_b"))
-    pairs = (
-        cb.select("ck", F.col("brand").alias("brand_a"))
-        .join(b, "ck")
-        .where(F.col("brand_a") != F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("both_cnt"))
-    )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
-    cb2 = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
-    sim = (
-        pairs.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb2), "brand_b")
-        .select(
-            "brand_a",
-            "brand_b",
-            F.round(
-                F.col("both_cnt")
-                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b")),
-                8,
-            ).alias("cosine"),
-        )
-        .persist()
-    )
+    per-customer (<= |V| rows) and the sim table broadcasts.
+
+    r16: incidence and similarity come from the shared persisted views
+    (``cb_incidence_view`` / ``brand_sim_view``) — the view persist
+    replaces this query's former private sim persist."""
+    cb = cb_incidence_view(spark, sf_dir)
+    sim = brand_sim_view(spark, sf_dir).select("brand_a", "brand_b", "cosine")
     sampled = cb.where(F.col("ck") % CAND_SAMPLE_MOD == 0)
     cand = (
         sampled.withColumnRenamed("brand", "brand_a")
@@ -1142,16 +1184,12 @@ def q_als_item_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: the interaction scan joins a broadcast-or-sharded user
     factor table, partial-aggregates the 5 moment cells per item
     map-side, and shuffles item-grain rows only — exactly the real ALS
-    dataflow (per-item solves are O(rank^3) driver-free map work)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
+    dataflow (per-item solves are O(rank^3) driver-free map work).
+
+    r16: the incidence comes from the shared persisted
+    ``cb_incidence_view`` (one family build; this query previously
+    rebuilt it unpersisted)."""
+    cb = cb_incidence_view(spark, sf_dir)
 
     def dyadic(seed: str) -> F.Column:
         return F.round(
@@ -1366,17 +1404,12 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, which then runs over <= |V| rows — no global sort, no skew
     (md5 keys are uniform). For an unbounded SKU catalog you would first
     hash-bucket the catalog and draw from the customer's bucket
-    (documented, as with ``item_item_cosine``'s vocabulary note)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    (documented, as with ``item_item_cosine``'s vocabulary note).
+
+    r16: the positive incidence comes from the shared persisted
+    ``cb_incidence_view`` (one family build)."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    pos = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
-        .distinct()
-        .persist()
-    )
+    pos = cb_incidence_view(spark, sf_dir)
     cks = pos.select("ck").distinct()
     brands = p.select(F.col("p_brand").alias("brand")).distinct()
     cand = (
