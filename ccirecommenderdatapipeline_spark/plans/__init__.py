@@ -62,6 +62,11 @@ _NEW_THIS_ROUND: list[str] = [
     "als_item_step",
     "ndcg_eval",
     "map_mrr_eval",
+    # Batch 2: ols_trend folds its three money moments as exact int64
+    # cent units (the acf_lags recipe; only the __lit_md5__ moved —
+    # node counts unchanged). Rolls symbol_universe; slot 50 is now
+    # sort_limit.
+    "ols_trend",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -94,7 +99,7 @@ _PRIORITY += [
 # NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["symbol_universe"], (
+assert _PRIORITY[49:50] == ["sort_limit"], (
     "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

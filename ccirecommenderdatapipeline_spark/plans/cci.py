@@ -769,21 +769,45 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by symbol — bounded by the calendar, no global sort); the
     moment aggregate is one map-combinable shuffle at symbol grain; the
     closed-form step is map-only over |symbols| rows."""
+    # r16: the three money moments fold as EXACT INT64 CENT UNITS (the
+    # acf_lags recipe, guide §2.3 narrower types): close_pr converts to
+    # cents ONCE per row (the same one decimal(18,2) conversion the old
+    # form paid), the sums are codegen long adds, and each group does
+    # ONE exact decimal unscale. Value-identical: x*y has exactly 2
+    # decimals and y*y exactly 4, so the long sums recover the old
+    # decimal sums exactly. Overflow proof (per-symbol n is
+    # CALENDAR-bounded, ~7.5k rows for 30 years; observed cents
+    # <= 4.2e7): sum(yc) <= n*4.2e7 ~ 3.2e11; sum(x*yc) <= n^2/2*4.2e7
+    # ~ 1.2e15; sum(yc^2) <= n*1.8e15 ~ 1.4e16 at sf0.1 (1.3e19/1e4 =
+    # 1.4e18 worst-case all-rows-at-max for 30y) — all inside int64,
+    # and ANSI mode faults loudly on violation rather than wrapping.
     xw = Window.partitionBy("symbol").orderBy("date")
     xy = prices_view(spark, sf_dir).select(
         "symbol",
         F.row_number().over(xw).alias("x"),
-        F.col("close_pr").cast("decimal(18,2)").alias("y"),
+        (F.col("close_pr").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("yc"),
     )
+
+    def _unscale(units_sum, per_unit, dec):
+        # exact int64 scaled units -> the identical decimal value the
+        # old per-row decimal sum produced (one decimal op per GROUP)
+        return units_sum.cast(dec) / F.lit(per_unit)
+
     s = (
         xy.groupBy("symbol")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum("x").cast("long").alias("sx"),
             F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            _unscale(F.sum("yc"), 100, "decimal(38,2)").alias("sy"),
+            _unscale(
+                F.sum(F.col("x") * F.col("yc")), 100, "decimal(38,2)"
+            ).alias("sxy"),
+            _unscale(
+                F.sum(F.col("yc") * F.col("yc")), 10000, "decimal(38,4)"
+            ).alias("syy"),
         )
         .where(F.col("n") >= 2)
     )
