@@ -201,12 +201,21 @@ HEADLINE = [
 
 
 def _may_write_artifact(payload: dict, out_path: str) -> bool:
-    """Load gate on the COMMITTED artifact (VERDICT r13 item 3): a
-    contaminated run may not replace a clean one. A contaminated prior
-    may be replaced (most recent wins among equals), so a never-idle box
-    still converges on the newest run; the full payload always goes to
-    stdout either way."""
-    if not payload["contaminated"] or not os.path.exists(out_path):
+    """Write gates on the COMMITTED artifact. Two rules:
+
+    1. Load gate (VERDICT r13 item 3): a contaminated run may not
+       replace a clean one. A contaminated prior may be replaced (most
+       recent wins among equals), so a never-idle box still converges
+       on the newest run.
+    2. Core-count gate (VERDICT r15 item 6): the driver re-runs the
+       bench at a LOWER core count to measure scaling, and that run
+       used to overwrite the 32-core artifact on disk (BENCH_LOCAL in
+       the r15 tree was the 8-core scaling run). A run at fewer cpus
+       than a prior artifact taken at more cpus may not replace it;
+       artifacts stamp ``cpus`` so the rule (and readers) can tell.
+
+    The full payload always goes to stdout either way."""
+    if not os.path.exists(out_path):
         return True
     try:
         with open(out_path) as f:
@@ -215,6 +224,18 @@ def _may_write_artifact(payload: dict, out_path: str) -> bool:
         # a truncated/corrupt committed artifact is replaceable — raising
         # here would lose the whole sweep's payload AFTER the run
         # finished but BEFORE it printed (ADVICE r14 item 3)
+        return True
+    prior_cpus = prior.get("cpus")
+    if prior_cpus is not None and payload["cpus"] < prior_cpus:
+        print(
+            f"core-count gate: this run used {payload['cpus']} cpus; "
+            f"keeping the prior {prior_cpus}-cpu "
+            f"{os.path.basename(out_path)} (scaling runs do not replace "
+            "the full-core artifact)",
+            file=sys.stderr,
+        )
+        return False
+    if not payload["contaminated"]:
         return True
     prior_clean = (
         not prior.get("contaminated", False)
@@ -365,6 +386,9 @@ def main() -> None:
         # claims for that family go through tools/bench_canary.py
         # (best_win) instead of sweep cells.
         "attached_stdout": sys.stdout.isatty(),
+        # core count this sweep ran at (the driver also benches at a
+        # lower count for scaling; see _may_write_artifact rule 2)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "loadavg_start": _LOAD_START,
         "loadavg_end": round(os.getloadavg()[0], 2),
         # cross-round readers: compare only uncontaminated artifacts;
@@ -398,8 +422,10 @@ def main() -> None:
         "n_queries": len(timings),
         "full_timings": out_file,
         # the driver records THIS line as BENCH_r{N}.json, so the load
-        # verdict must travel with it (VERDICT r13 item 3), and so must
-        # the settle-wait outcome (VERDICT r14 item 3)
+        # verdict must travel with it (VERDICT r13 item 3), the
+        # settle-wait outcome (VERDICT r14 item 3), and the core count
+        # (VERDICT r15 item 6)
+        "cpus": payload["cpus"],
         "loadavg_start": _LOAD_START,
         "contaminated": payload["contaminated"],
         **settle,

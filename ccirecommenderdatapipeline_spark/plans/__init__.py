@@ -67,6 +67,12 @@ _NEW_THIS_ROUND: list[str] = [
     # node counts unchanged). Rolls symbol_universe; slot 50 is now
     # sort_limit.
     "ols_trend",
+    # Batch 3: jaccard_prefix_filter_join persists its prefix table
+    # (the candidate self-join consumed it on both sides, re-running
+    # the explode->df-join->window chain twice) and derives n from
+    # size(grams) instead of a second Window. Already in the (b) cohort
+    # below (removed there), so the 50-name set is unchanged.
+    "jaccard_prefix_filter_join",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -81,7 +87,7 @@ _PRIORITY += [
     "cast_battery", "cci", "coalesce_bfill", "cross_grid", "date_arith",
     "dedup_exact", "dedup_ngram_jaccard", "doc_fingerprints",
     "filter_conjunctive", "gbdt_boost_round",
-    "jaccard_prefix_filter_join", "join_cardinality_estimate",
+    "join_cardinality_estimate",
     "json_get_k", "ks_test", "lang_id", "latest_cci", "lookup_join",
     "markov_attribution", "ohlc_resample_weekly", "oov_rate_eval",
     "order_reconciliation", "phrase_search_positions", "prices",

@@ -1259,21 +1259,30 @@ def q_jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grams"
         ),
     ).persist()
-    sh = garr.select("doc_id", F.explode("grams").alias("g"))
+    # r16 (guide §1.2 remove-work / §2.4 remove shuffles): n is just
+    # size(grams) — grams is already distinct — so it rides the explode
+    # instead of a second Window(count) over the doc_id sort; and the
+    # prefix table is PERSISTED because the candidate self-join consumes
+    # it on BOTH sides — unpersisted, each side re-ran the whole
+    # explode -> df-join -> window chain (two full Window stacks in the
+    # r15 plan). Materializing the prefix set is the Vernica RID-pair
+    # stage; it holds ~half the gram rows, strictly smaller than the
+    # already-persisted gram table.
+    sh = garr.select(
+        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("g")
+    )
     dfreq = sh.groupBy("g").agg(F.count("*").cast("long").alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "g")
-    ranked = (
-        sh.join(dfreq, "g")
-        .select(
-            "doc_id",
-            "g",
-            F.row_number().over(w_doc).alias("rn"),
-            F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
-        )
+    ranked = sh.join(dfreq, "g").select(
+        "doc_id", "g", "n", F.row_number().over(w_doc).alias("rn")
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(PFJ_T) * F.col("n")) + 1
-    ).select("doc_id", "g")
+    prefix = (
+        ranked.filter(
+            F.col("rn") <= F.col("n") - F.ceil(F.lit(PFJ_T) * F.col("n")) + 1
+        )
+        .select("doc_id", "g")
+        .persist()
+    )
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "g")
         .join(prefix.select(F.col("doc_id").alias("doc_b"), "g"), "g")

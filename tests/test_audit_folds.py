@@ -106,6 +106,26 @@ def test_decimal_readout_allowlist_is_registered_and_justified():
         assert why.strip(), name
 
 
+def test_nested_fold_allowlist_names_its_bound_source():
+    """NESTED_FOLD_OK entries are collect-in-disguise if re-pointed at an
+    open node domain (VERDICT r15 item 7): every justification must name
+    the schema column the bound derives from as 'bound source:
+    <table.column> domain', so a schema change trips this review gate,
+    and must name a registered query."""
+    import re
+
+    from audit_plans import NESTED_FOLD_OK
+
+    from ccirecommenderdatapipeline_spark import plans
+
+    assert NESTED_FOLD_OK, "allowlist unexpectedly empty"
+    for name, why in NESTED_FOLD_OK.items():
+        assert name in plans.QUERIES, name
+        m = re.match(r"bound source: (\w+)\.(\w+) domain", why)
+        assert m, f"{name}: justification must LEAD with 'bound source: " \
+                  f"<table.column> domain — ...'; got: {why[:60]}..."
+
+
 def test_truncated_filescan_lines_do_not_false_positive():
     """FileScan's DataFilters argument is length-truncated (unbalanced
     parens); the scanner must skip such lines instead of swallowing the

@@ -22,10 +22,11 @@ sys.path.insert(
 import bench  # noqa: E402
 
 
-def _payload(load: float) -> dict:
+def _payload(load: float, cpus: int = 32) -> dict:
     return {
         "loadavg_start": load,
         "contaminated": load > bench.LOAD_GATE,
+        "cpus": cpus,
     }
 
 
@@ -103,6 +104,36 @@ def test_settle_wait_times_out_on_busy_box(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     out = bench._settle_wait(max_s=0.08)
     assert out["settle_timeout"] is True
+
+
+def test_low_core_run_keeps_full_core_prior(tmp_path, capsys):
+    # VERDICT r15 item 6: the driver's 8-core scaling run must not
+    # replace the committed 32-core artifact, even when the low-core
+    # run is clean
+    p = os.path.join(str(tmp_path), "BENCH_LOCAL.json")
+    with open(p, "w") as f:
+        json.dump(_payload(0.5, cpus=32), f)
+    assert not bench._may_write_artifact(_payload(0.4, cpus=8), p)
+    assert "core-count gate" in capsys.readouterr().err
+
+
+def test_equal_or_higher_core_run_may_write(tmp_path):
+    p = os.path.join(str(tmp_path), "BENCH_LOCAL.json")
+    with open(p, "w") as f:
+        json.dump(_payload(0.5, cpus=8), f)
+    assert bench._may_write_artifact(_payload(0.4, cpus=32), p)
+    with open(p, "w") as f:
+        json.dump(_payload(0.5, cpus=32), f)
+    assert bench._may_write_artifact(_payload(0.4, cpus=32), p)
+
+
+def test_pre_stamp_prior_has_no_core_gate(tmp_path):
+    # artifacts written before the cpus stamp existed are classified
+    # only by the load gate
+    p = os.path.join(str(tmp_path), "BENCH_LOCAL.json")
+    with open(p, "w") as f:
+        json.dump({"loadavg_start": 0.5, "contaminated": False}, f)
+    assert bench._may_write_artifact(_payload(0.4, cpus=8), p)
 
 
 def test_settle_wait_unblocks_when_load_drains(monkeypatch):

@@ -69,32 +69,43 @@ COUNTED = ("BroadcastNestedLoopJoin", "SortMergeJoin")
 # n^2 is a constant independent of data volume (the burn class this flag
 # exists for — bollinger_bands, CCI MAD — was per-ROW x per-element over
 # data-sized arrays).
+# r16 (VERDICT r15 item 7): every justification MUST name the bound's
+# SOURCE as "bound source: <table.column domain>" — the fold is a
+# collect-in-disguise if anyone re-points it at an open node domain, so
+# the named column is what a schema change must trip in review.
+# tests/test_audit_folds.py asserts the format.
 NESTED_FOLD_OK: dict[str, str] = {
     "markov_stationary": (
-        "all folds run on ONE row over the vocabulary-bounded transition "
-        "matrix (|V|^2 <= 625 entries for TPC-H's 25 brands at ANY data "
-        "volume): 20 power iterations + per-row totals as nested HOFs, "
-        "replacing 20 eager localCheckpoint jobs (11.2 s -> 2.4 s sf0.1)"
+        "bound source: part.p_brand domain (TPC-H 25 brands at ANY data "
+        "volume) — all folds run on ONE row over the vocabulary-bounded "
+        "transition matrix (|V|^2 <= 625 entries): 20 power iterations "
+        "+ per-row totals as nested HOFs, replacing 20 eager "
+        "localCheckpoint jobs (11.2 s -> 2.4 s sf0.1)"
     ),
     # r15 graph-iteration replans — the same single-row vocabulary-bounded
     # class as markov_stationary (see PLANS.md r15): each fold runs once,
     # on one row, over the <=25-brand / <=600-edge lift graph, replacing
     # per-round eager localCheckpoint + convergence-probe jobs.
     "kcore_decomposition": (
-        "26 peels as one fold over the single-row bounded edge list "
-        "(<=300 structs); replaces ~2 jobs/round (3.8 -> 2.9 s sf0.1 A/B)"
+        "bound source: part.p_brand domain (graph nodes ARE brands; "
+        "<=C(25,2) lift edges at ANY volume) — 26 peels as one fold over "
+        "the single-row bounded edge list (<=300 structs); replaces ~2 "
+        "jobs/round (3.8 -> 2.9 s sf0.1 A/B)"
     ),
     "sssp_weighted": (
+        "bound source: part.p_brand domain (graph nodes ARE brands) — "
         "24 min-plus rounds as one fold over the single-row bounded "
         "symmetric edge list (<=600 structs); replaces ~2 jobs/round "
         "(2.4 -> 1.7 s sf0.1 A/B)"
     ),
     "connected_components": (
+        "bound source: part.p_brand domain (graph nodes ARE brands) — "
         "|V|-1 min-label rounds as one fold over the single-row bounded "
         "edge list; replaces ~4 jobs + a collect probe per star round "
         "(9.0 -> 3.9 s sf0.1 A/B on the r15 box)"
     ),
     "hits_hubs_authorities": (
+        "bound source: part.p_brand domain (matrix axes ARE brands) — "
         "2 matvec rounds as one fold over the single-row vocabulary-"
         "bounded co-purchase matrix M = A^T A (<=625 entries for 25 "
         "brands at ANY volume); replaces per-round global shuffles that "
