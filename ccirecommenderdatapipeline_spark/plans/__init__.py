@@ -73,6 +73,13 @@ _NEW_THIS_ROUND: list[str] = [
     # size(grams) instead of a second Window. Already in the (b) cohort
     # below (removed there), so the 50-name set is unchanged.
     "jaccard_prefix_filter_join",
+    # Batch 4: market_basket_pairs moves onto the shared persisted
+    # order_baskets_view with map-side pair generation (the r15 apriori
+    # recipe; Exchange 20->15, SMJ gone). apriori_triples shares the
+    # view but its fingerprint is UNCHANGED (plan-identical refactor),
+    # so it needs no re-verdict. Rolls sort_limit; slot 50 is now
+    # simhash_groups.
+    "market_basket_pairs",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -105,7 +112,7 @@ _PRIORITY += [
 # NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["sort_limit"], (
+assert _PRIORITY[49:50] == ["simhash_groups"], (
     "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

@@ -132,18 +132,60 @@ def brand_sim_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_memo(spark, ("brand_sim", sf_dir), build).persist()
 
 
-def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (basket, item) incidence: order -> brands it contains.
+def order_baskets_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (ok, sorted distinct brand array) baskets, memoized +
+    persisted (r16): ``market_basket_pairs`` and ``apriori_triples``
+    both need the order->brands incidence, and the r15 apriori replan
+    proved the winning form is ONE groupBy(ok) collect_set (the
+    distinct and the only basket-scale shuffle in one) with pair rows
+    GENERATED map-side from the sorted array. One family build serves
+    both queries per session.
 
     part is projected to its 2-column (partkey, brand) dim before the
     join; at testdata scale that side broadcasts, and at warehouse scale
     the projection keeps the shuffle payload to key+brand."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+    from ..operators.planmemo import plan_memo
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(F.col("l_orderkey").alias("ok"))
+            .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+        )
+
+    return plan_memo(spark, ("order_baskets", sf_dir), build).persist()
+
+
+def _basket_pairs(baskets: DataFrame) -> DataFrame:
+    """Explode each sorted basket array to its C(k,2) ordered (u < v)
+    brand pairs map-side — the r15 apriori form, shared by the pair
+    pass of both basket queries. Keeps ``bs`` alongside ``pr`` for
+    consumers that extend pairs within the basket."""
+    bs, k = F.col("bs"), F.size(F.col("bs"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), k - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, k),
+                lambda j: F.struct(
+                    F.element_at(bs, i).alias("u"),
+                    F.element_at(bs, j).alias("v"),
+                ),
+            ),
+        )
+    )
+    # sequence(1, k-1) would DESCEND for k < 2 — guard with a typed
+    # empty array (explode then drops the basket)
+    empty_pairs = F.expr("CAST(array() AS array<struct<u:string,v:string>>)")
+    return baskets.select(
+        "bs",
+        F.explode(F.when(k >= 2, pair_structs).otherwise(empty_pairs)).alias(
+            "pr"
+        ),
     )
 
 
@@ -186,16 +228,26 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered pair once); per-brand counts and the scalar basket total
     re-enter by broadcast. lift's numerator is an exact int64 product
     (pair_cnt, n_orders both bounded by basket count) divided once as a
-    double — no summation-order exposure anywhere."""
-    ob = _order_brands(spark, sf_dir).persist()
-    n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b = ob.select(F.col("ok"), F.col("brand").alias("brand_b"))
+    double — no summation-order exposure anywhere.
+
+    r16: served from the shared ``order_baskets_view`` with pair rows
+    generated map-side from the sorted basket array (the r15
+    apriori_triples form: the collect_set IS the distinct and the only
+    basket-scale shuffle; the self-join's exchanges are gone) — each
+    unordered pair still appears exactly once per basket, so every
+    count is unchanged."""
+    baskets = order_baskets_view(spark, sf_dir)
+    n = baskets.agg(F.count("*").cast("long").alias("n_orders"))
+    bc = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
     pairs = (
-        ob.select("ok", F.col("brand").alias("brand_a"))
-        .join(b, "ok")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        _basket_pairs(baskets)
+        .groupBy(
+            F.col("pr.u").alias("brand_a"), F.col("pr.v").alias("brand_b")
+        )
         .agg(F.count("*").cast("long").alias("pair_cnt"))
     )
     ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
@@ -1956,37 +2008,13 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-basket fan-out is the same C(k,2) rows the self-join produced,
     still Apriori-pruned before the triple extension; candidate/model
     sides are bounded aggregates. No all-pairs on the open item domain."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.col("l_orderkey").alias("ok"))
-        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
-        .persist()
-    )
+    # r16: baskets come from the shared persisted ``order_baskets_view``
+    # (one build also serves market_basket_pairs); pair generation is
+    # the shared ``_basket_pairs`` helper — both unchanged from this
+    # query's r15 replan, now factored for the family.
+    baskets = order_baskets_view(spark, sf_dir)
     n = baskets.agg(F.count("*").cast("long").alias("n_orders"))
-    bs, k = F.col("bs"), F.size(F.col("bs"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), k - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, k),
-                lambda j: F.struct(
-                    F.element_at(bs, i).alias("u"),
-                    F.element_at(bs, j).alias("v"),
-                ),
-            ),
-        )
-    )
-    # sequence(1, k-1) would DESCEND for k < 2 — guard with a typed
-    # empty array (explode then drops the basket)
-    empty_pairs = F.expr("CAST(array() AS array<struct<u:string,v:string>>)")
-    pairs_all = baskets.select(
-        "bs",
-        F.explode(F.when(k >= 2, pair_structs).otherwise(empty_pairs)).alias(
-            "pr"
-        ),
-    )
+    pairs_all = _basket_pairs(baskets)
     fp = (
         pairs_all.groupBy(
             F.col("pr.u").alias("u"), F.col("pr.v").alias("v")

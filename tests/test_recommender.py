@@ -19,7 +19,6 @@ from ccirecommenderdatapipeline_spark.plans.recommender import (
     DECAY_CAP,
     MIN_SUPPORT,
     TOP_NEIGHBORS,
-    _order_brands,
     q_brand_transition_matrix,
     q_decayed_popularity,
     q_item_item_cosine,
@@ -39,7 +38,18 @@ def test_market_basket_support_algebra(spark):
     fractional threshold; lift = support / (supp_a * supp_b)."""
     rows = q_market_basket_pairs(spark, SF_SMALL).collect()
     assert rows, "threshold filtered everything out at sf0.001"
-    ob = _order_brands(spark, SF_SMALL)
+    # rebuilt inline (raw loads, not the shared order_baskets_view) so
+    # the reference counts stay independent of the view under test
+    from ccirecommenderdatapipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, SF_SMALL, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
     n_orders = ob.select("ok").distinct().count()
     brand_c = {r["brand"]: r["c"] for r in ob.groupBy("brand").count().withColumnRenamed("count", "c").collect()}
     for r in rows:
