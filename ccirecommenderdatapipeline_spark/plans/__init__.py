@@ -80,6 +80,20 @@ _NEW_THIS_ROUND: list[str] = [
     # so it needs no re-verdict. Rolls sort_limit; slot 50 is now
     # simhash_groups.
     "market_basket_pairs",
+    # Batch 5: the brand co-occurrence graph family is carved from the
+    # shared persisted pair table (_pair_stats/_lift_edges over
+    # order_baskets_view) and hits from cb_incidence_view — one corpus
+    # build serves all eight; SMJ/Exchange counts collapse (e.g.
+    # sssp exch 15->7, assortativity 47->23). Rolls the (b) tail back to
+    # rank_biased_overlap at slot 50.
+    "triangle_count_oriented",
+    "connected_components",
+    "sssp_weighted",
+    "kcore_decomposition",
+    "assortativity_degree",
+    "clustering_coefficient",
+    "link_prediction_jaccard",
+    "hits_hubs_authorities",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -112,7 +126,7 @@ _PRIORITY += [
 # NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["simhash_groups"], (
+assert _PRIORITY[49:50] == ["rank_biased_overlap"], (
     "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

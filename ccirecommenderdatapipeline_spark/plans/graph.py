@@ -179,6 +179,73 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 12).alias("rank"))
 
 
+# --- Shared basket-pair statistics for the brand co-occurrence family --------
+
+
+def _pair_stats(spark: SparkSession, sf_dir: str):
+    """(pr, bc, n) for the brand co-occurrence graph family — pr =
+    (brand_a < brand_b, pair_cnt) basket co-occurrence counts, bc =
+    per-brand basket counts, n = basket total.
+
+    r16: seven graph queries (triangle_count_oriented,
+    connected_components, sssp_weighted, kcore_decomposition,
+    assortativity_degree, clustering_coefficient,
+    link_prediction_jaccard) each inlined the identical corpus-scale
+    incidence-distinct + ok-keyed self-join prefix and differed only in
+    the lift threshold / weighting applied to the resulting <= C(|V|,2)
+    pair table. pr now derives from the shared persisted
+    ``order_baskets_view`` (pairs generated map-side from the sorted
+    basket array — the r15 apriori form, counts identical by
+    construction) and is itself memoized + persisted (<= 300 rows), so
+    in a warm session the whole family pays the basket build once and
+    every downstream graph is carved from one cached pair table. bc/n
+    are cheap scans of the same baskets cache and stay lazy.
+
+    100-TB shape unchanged: one corpus-scale shuffle (the basket
+    groupBy), vocabulary-bounded everything after."""
+    from ..operators.planmemo import plan_memo
+    from .recommender import _basket_pairs, order_baskets_view
+
+    baskets = order_baskets_view(spark, sf_dir)
+
+    def build_pr() -> DataFrame:
+        return (
+            _basket_pairs(baskets)
+            .groupBy(
+                F.col("pr.u").alias("brand_a"), F.col("pr.v").alias("brand_b")
+            )
+            .agg(F.count("*").cast("long").alias("pair_cnt"))
+        )
+
+    pr = plan_memo(spark, ("brand_pair_counts", sf_dir), build_pr).persist()
+    bc = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n = baskets.agg(F.count("*").cast("long").alias("n_orders"))
+    return pr, bc, n
+
+
+def _lift_edges(spark: SparkSession, sf_dir: str, lift: float) -> DataFrame:
+    """Canonical (u < v) brand edges with basket lift above ``lift``,
+    carved from the shared ``_pair_stats`` pair table."""
+    pr, bc, n = _pair_stats(spark, sf_dir)
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    return (
+        pr.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("pair_cnt") * F.col("n_orders"))
+            / (F.col("c_a").cast("double") * F.col("c_b"))
+            > lift
+        )
+        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
+    )
+
+
 # --- Triangle counting with degree orientation -------------------------------
 
 TRI_LIFT = 1.0   # co-occurrence graph keeps edges with lift above this
@@ -253,38 +320,9 @@ def q_triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Graph siblings: ``pagerank_bipartite`` (iterative), ``dedup_clusters``
     (label propagation); this adds the subgraph-counting family."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-        .persist()
-    )
-    n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
-    pr = (
-        ob.select("ok", F.col("brand").alias("brand_a"))
-        .join(b2, "ok")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("pair_cnt"))
-    )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
-    cb = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
-    edges = (
-        pr.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb), "brand_b")
-        .crossJoin(F.broadcast(n))
-        .where(
-            (F.col("pair_cnt") * F.col("n_orders"))
-            / (F.col("c_a").cast("double") * F.col("c_b"))
-            > TRI_LIFT
-        )
-        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
-        .persist()
-    )
+    # r16: edges carved from the shared persisted pair table
+    # (_pair_stats / _lift_edges); downstream orientation unchanged.
+    edges = _lift_edges(spark, sf_dir, TRI_LIFT).persist()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -562,36 +600,8 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: every non-isolated node labeled with its component's minimum
     brand (isolated brands carry no signal and are absent, as in
     ``dedup_clusters``). All keys are strings/ints — no floats."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
-    pr = (
-        ob.select("ok", F.col("brand").alias("brand_a"))
-        .join(b2, "ok")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("pair_cnt"))
-    )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
-    cb = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
-    edges = (
-        pr.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb), "brand_b")
-        .crossJoin(F.broadcast(n))
-        .where(
-            (F.col("pair_cnt") * F.col("n_orders"))
-            / (F.col("c_a").cast("double") * F.col("c_b"))
-            > CC_LIFT
-        )
-        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
-    )
+    # r16: edges carved from the shared persisted pair table.
+    edges = _lift_edges(spark, sf_dir, CC_LIFT)
     return _cc_label_fold(edges)
 
 
@@ -675,21 +685,8 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     only data-sized stage (map-combinable, keyed (order, brand)); a
     join-keyed relaxation only wins when the node state itself exceeds
     one executor's memory, which a brand vocabulary never does."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
-    pr = (
-        ob.select("ok", F.col("brand").alias("brand_a"))
-        .join(b2, "ok")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("pair_cnt"))
-    )
+    # r16: pair counts from the shared persisted pair table.
+    pr, _, _ = _pair_stats(spark, sf_dir)
     e = pr.select(
         F.col("brand_a").alias("u"),
         F.col("brand_b").alias("v"),
@@ -846,36 +843,8 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized stage (map-combinable, keyed (order, brand)); a join-keyed
     peel only wins when the graph itself exceeds one executor's memory,
     which a brand vocabulary never does."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
-    pr = (
-        ob.select("ok", F.col("brand").alias("brand_a"))
-        .join(b2, "ok")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("pair_cnt"))
-    )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
-    cb = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
-    e = (
-        pr.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb), "brand_b")
-        .crossJoin(F.broadcast(n))
-        .where(
-            (F.col("pair_cnt") * F.col("n_orders"))
-            / (F.col("c_a").cast("double") * F.col("c_b"))
-            > KCORE_LIFT
-        )
-        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
-    )
+    # r16: edges carved from the shared persisted pair table.
+    e = _lift_edges(spark, sf_dir, KCORE_LIFT)
     row = e.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("u", "v"))).alias("e0")
     )
@@ -1000,21 +969,10 @@ def q_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100-TB: everything after the pair distinct is node/edge-grain with
     map-combinable moments; the correlation itself is one row."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
-    e = (
-        ob.select("ok", F.col("brand").alias("brand_a"))
-        .join(b2, "ok")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
-        .distinct()
-    )
+    # r16: the distinct co-occurring pair set IS the shared pair
+    # table's key set (its groupBy produced one row per pair).
+    pr, _, _ = _pair_stats(spark, sf_dir)
+    e = pr.select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
     dsym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).persist()
@@ -1085,37 +1043,9 @@ WITH ob AS (
 
 def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (u < v) lift-filtered brand co-occurrence edges — the
-    Spark twin of ``_BRAND_EDGES_CTE`` (same graph triangle_count uses)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    n = ob.select(F.count_distinct("ok").cast("long").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
-    b2 = ob.select("ok", F.col("brand").alias("brand_b"))
-    pr = (
-        ob.select("ok", F.col("brand").alias("brand_a"))
-        .join(b2, "ok")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").cast("long").alias("pair_cnt"))
-    )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
-    cb = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
-    return (
-        pr.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb), "brand_b")
-        .crossJoin(F.broadcast(n))
-        .where(
-            (F.col("pair_cnt") * F.col("n_orders"))
-            / (F.col("c_a").cast("double") * F.col("c_b"))
-            > TRI_LIFT
-        )
-        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
-    )
+    Spark twin of ``_BRAND_EDGES_CTE`` (same graph triangle_count uses).
+    r16: carved from the shared persisted pair table."""
+    return _lift_edges(spark, sf_dir, TRI_LIFT)
 
 
 @query(
@@ -1378,14 +1308,12 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB: M's aggregation is map-combinable on the (c) then (b, b')
     keys; nothing iterates at driver side; the fold is O(|V|^2) on one
     row."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    p = load_table(spark, sf_dir, "part")
-    e = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(p, li.l_partkey == p.p_partkey)
-        .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("b"))
-        .distinct()
+    # r16: the customer-brand incidence is the recommender family's
+    # shared persisted cb_incidence_view (identical distinct).
+    from .recommender import cb_incidence_view
+
+    e = cb_incidence_view(spark, sf_dir).select(
+        F.col("ck").alias("c"), F.col("brand").alias("b")
     )
     e2 = e.select("c", F.col("b").alias("b2"))
     m = (
