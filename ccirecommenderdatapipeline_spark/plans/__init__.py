@@ -94,6 +94,16 @@ _NEW_THIS_ROUND: list[str] = [
     "clustering_coefficient",
     "link_prediction_jaccard",
     "hits_hubs_authorities",
+    # Batch 9: dedup_ngram_jaccard and dedup_containment share one
+    # memoized + persisted candidate-pair-stats view (_dedup_pair_stats_
+    # view, prefiltered to the exact-integer containment>=0.5 superset
+    # of both outputs); cross_modal_dedup embeds the jaccard query so its
+    # plan splices the same InMemoryTableScan. dedup_ngram_jaccard was
+    # already in the (b) cohort (removed there); the two additions roll
+    # quantile_disc and rank_biased_overlap off the tail; slot 50 is now
+    # proj_rename.
+    "dedup_containment",
+    "cross_modal_dedup",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -126,7 +136,7 @@ _PRIORITY += [
 # NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["rank_biased_overlap"], (
+assert _PRIORITY[49:50] == ["proj_rename"], (
     "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

@@ -1453,40 +1453,51 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_seq).alias("rn"),
         F.count("*").over(w_cnt).alias("n_t"),
     )
-    t_start = (
-        seq.where(F.col("rn") == 1)
-        .groupBy(F.col("channel").alias("next"))
-        .agg(F.count("*").cast("long").alias("n"))
-        .select(F.lit("START").alias("prev"), "next", "n")
+    # r16 single-pass transition extraction (guide §1.2 remove-work,
+    # §2.4 remove shuffles): the three seq-derived groupings (start /
+    # mid / end edges) each re-ran the whole journey pipeline — ev scan,
+    # fp window, touch join, both windows — as separate union branches
+    # (the before-plan shows the subtree 3x). Every row instead emits its
+    # edge(s) map-side: (coalesce(prev_ch,'START'), channel) — prev_ch is
+    # NULL exactly on rn=1, so this IS t_start + t_mid — plus the
+    # absorbing (channel, CONV/NULL) edge on the last touch. The matrix
+    # aggregate's conditional SUMs are grouping-insensitive (SUM(CASE
+    # WHEN prev=s AND next=t THEN n END) over any row split of the same
+    # multiset is the same long), so the edges feed m with n=1 directly —
+    # no (prev, next) groupBy exchange at all, the partial aggregation
+    # reduces each task to the <= (|channels|+2)^2 matrix cells.
+    step_edge = F.struct(
+        F.coalesce(F.col("prev_ch"), F.lit("START")).alias("prev"),
+        F.col("channel").alias("next"),
     )
-    t_mid = (
-        seq.where(F.col("prev_ch").isNotNull())
-        .groupBy(
-            F.col("prev_ch").alias("prev"), F.col("channel").alias("next")
-        )
-        .agg(F.count("*").cast("long").alias("n"))
+    end_edge = F.struct(
+        F.col("channel").alias("prev"),
+        F.when(F.col("converted"), "CONV").otherwise("NULL").alias("next"),
     )
-    t_end = (
-        seq.where(F.col("rn") == F.col("n_t"))
-        .groupBy(
-            F.col("channel").alias("prev"),
-            F.when(F.col("converted"), "CONV").otherwise("NULL").alias("next"),
-        )
-        .agg(F.count("*").cast("long").alias("n"))
+    edges = seq.select(
+        F.explode(
+            F.when(
+                F.col("rn") == F.col("n_t"), F.array(step_edge, end_edge)
+            ).otherwise(F.array(step_edge))
+        ).alias("e")
+    ).select(
+        F.col("e.prev").alias("prev"),
+        F.col("e.next").alias("next"),
+        F.lit(1).cast("long").alias("n"),
     )
     users = ev.select("user_id").distinct()
     no_touch = (
         users.join(touch.select("user_id").distinct(), "user_id", "left_anti")
         .join(fp.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
-        .groupBy(
+        .select(
+            F.lit("START").alias("prev"),
             F.when(F.col("__c").isNotNull(), "CONV").otherwise("NULL").alias(
                 "next"
-            )
+            ),
+            F.lit(1).cast("long").alias("n"),
         )
-        .agg(F.count("*").cast("long").alias("n"))
-        .select(F.lit("START").alias("prev"), "next", "n")
     )
-    trans = t_start.unionByName(t_mid).unionByName(t_end).unionByName(no_touch)
+    trans = edges.unionByName(no_touch)
     m = trans.agg(
         *[F.expr(e) for e in _mk_matrix_exprs()]
     )
@@ -1499,6 +1510,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + ".join(f"start_{s} * p_{s}" for s in MK_CHANNELS) + " + start_conv"
     )
     arms = []
+    rems = []
     for r in MK_CHANNELS:
         rem = (
             " + ".join(
@@ -1506,14 +1518,27 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + " + start_conv"
         )
+        rems.append(rem)
         arms.append(
             f"struct('{r}' AS channel, {base} AS base_p, {rem} AS removal_p)"
         )
+    # r16: re_sum is computed IN the one-row frame before the explode
+    # instead of `ro.agg(sum(base_p - removal_p))` + crossJoin — the agg
+    # branch re-ran the ENTIRE journey/matrix/iteration chain a second
+    # time (the before-plan is two symmetric copies of the whole plan).
+    # Bit-exactness: F.sum over the 3 exploded rows of the single-row
+    # partition folds ((0.0 + x_1) + x_2) + x_3 in channel order, and
+    # 0.0 + x == x exactly (x_r = base - rem_r is never -0.0: IEEE a-a
+    # with equal finite operands is +0.0), so the left-associated SQL
+    # sum below reproduces the aggregate's fold bit-for-bit.
+    re_sum = " + ".join(
+        f"(({base}) - ({rem}))" for rem in rems
+    )
     ro = it.selectExpr(
-        f"explode(array({', '.join(arms)})) AS r"
-    ).select("r.channel", "r.base_p", "r.removal_p")
-    tot = ro.agg(F.sum(F.col("base_p") - F.col("removal_p")).alias("re_sum"))
-    return ro.crossJoin(F.broadcast(tot)).select(
+        f"explode(array({', '.join(arms)})) AS r",
+        f"({re_sum}) AS re_sum",
+    ).select("r.channel", "r.base_p", "r.removal_p", "re_sum")
+    return ro.select(
         "channel",
         F.round("base_p", 10).alias("base_conv_p"),
         F.round("removal_p", 10).alias("removal_conv_p"),

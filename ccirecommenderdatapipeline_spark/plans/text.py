@@ -89,6 +89,60 @@ def _shingled(docs: DataFrame) -> DataFrame:
     )
 
 
+def _dedup_pair_stats_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_a, doc_b, inter_grams, n1, n2) candidate-pair stats over
+    the DF-capped trigram inverted index, memoized + persisted (r16; guide
+    §2.4 share-one-build). ``dedup_ngram_jaccard`` and ``dedup_containment``
+    build the IDENTICAL subtree — recrawl union -> shingle -> explode ->
+    window DF cap -> pair self-join + per-doc sizes — and differ only in
+    the final score (jaccard = inter/(n1+n2-inter) vs containment =
+    inter/min(n1,n2)) and its threshold. One build serves both per session;
+    each query's scoring expression is unchanged and runs map-side on the
+    cached table.
+
+    100-TB shape unchanged: one shuffle on the shingle key (the DF cap
+    bounds every gram bucket, so the pair fan-out per gram is <= C(50,2)).
+    The persisted table is pre-filtered to ``2*inter_grams >= min(n1,n2)``
+    (containment >= 0.5, EXACT integer arithmetic) — a measured-necessary
+    guard (r16): caching the full 4.5M-row candidate table cost the first
+    consumer +2.6 s; the prefilter keeps the cache at output scale.
+    Retention proof: both consumers' thresholds imply it. jaccard >= 0.5
+    => inter/union >= 0.5 rationally (the correctly-rounded double can
+    only reach 0.5 when the rational ratio is within ulp/2 ~ 2.8e-17,
+    i.e. union >= 1.8e16 grams — impossible for document-bounded sets)
+    => 3*inter >= n1+n2 >= 2*min => 2*inter >= min. containment >= 0.8
+    => 2*inter >= 1.6*min >= min. So every row either query emits
+    survives the prefilter, and each query's own (unchanged) final
+    filter re-applies its exact threshold on top."""
+    from ..operators.planmemo import plan_memo
+
+    def build() -> DataFrame:
+        docs2 = with_recrawl(_docs(spark, sf_dir))
+        shingled = _shingled(docs2)
+        expl = shingled.select("doc_id", F.explode("grams").alias("g"))
+        rare = expl.withColumn(
+            "df", F.count("*").over(Window.partitionBy("g"))
+        ).filter(F.col("df") <= DF_CAP).select("doc_id", "g")
+        rsize = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+        r1 = rare.select(F.col("doc_id").alias("doc_a"), "g")
+        r2 = rare.select(F.col("doc_id").alias("doc_b"), "g")
+        inter = (
+            r1.join(r2, "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter_grams"))
+        )
+        s1 = rsize.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1"))
+        s2 = rsize.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2"))
+        return (
+            inter.join(s1, "doc_a")
+            .join(s2, "doc_b")
+            .where(F.lit(2) * F.col("inter_grams") >= F.least("n1", "n2"))
+        )
+
+    return plan_memo(spark, ("dedup_pair_stats", sf_dir), build).persist()
+
+
 # --- 1. text stats / quality scoring ----------------------------------------
 
 @query(
@@ -262,27 +316,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the shingle key plus two size lookups. The document-frequency
     cap prunes stop-shingles from both the pairing AND the set sizes —
     consistent capped-set semantics, and the anti-skew guard that keeps any
-    one shingle's bucket from going quadratic at scale."""
-    docs2 = with_recrawl(_docs(spark, sf_dir))
-    shingled = _shingled(docs2)
-    expl = shingled.select("doc_id", F.explode("grams").alias("g"))
-    rare = expl.withColumn(
-        "df", F.count("*").over(Window.partitionBy("g"))
-    ).filter(F.col("df") <= DF_CAP).select("doc_id", "g")
-    rsize = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
-    r1 = rare.select(F.col("doc_id").alias("doc_a"), "g")
-    r2 = rare.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        r1.join(r2, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_grams"))
-    )
-    s1 = rsize.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1"))
-    s2 = rsize.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2"))
+    one shingle's bucket from going quadratic at scale. Pair stats come
+    from the shared persisted ``_dedup_pair_stats_view`` (one index build
+    serves this and ``dedup_containment``); the scoring expression is
+    unchanged."""
     union = F.col("n1") + F.col("n2") - F.col("inter_grams")
     return (
-        inter.join(s1, "doc_a").join(s2, "doc_b")
+        _dedup_pair_stats_view(spark, sf_dir)
         .select(
             "doc_a", "doc_b", "inter_grams",
             union.alias("union_grams"),
@@ -1025,27 +1065,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     work uses for exactly that case — the quote/boilerplate-inclusion
     shape a training corpus needs stripped. Same scale properties as the
     jaccard form: one shuffle on the shingle key, stop-shingle cap bounds
-    every bucket."""
-    docs2 = with_recrawl(_docs(spark, sf_dir))
-    shingled = _shingled(docs2)
-    expl = shingled.select("doc_id", F.explode("grams").alias("g"))
-    rare = expl.withColumn(
-        "df", F.count("*").over(Window.partitionBy("g"))
-    ).filter(F.col("df") <= DF_CAP).select("doc_id", "g")
-    rsize = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
-    r1 = rare.select(F.col("doc_id").alias("doc_a"), "g")
-    r2 = rare.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        r1.join(r2, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_grams"))
-    )
-    s1 = rsize.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1"))
-    s2 = rsize.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2"))
+    every bucket. Pair stats come from the shared persisted
+    ``_dedup_pair_stats_view`` (one index build serves this and
+    ``dedup_ngram_jaccard``); the scoring expression is unchanged."""
     min_g = F.least("n1", "n2")
     return (
-        inter.join(s1, "doc_a").join(s2, "doc_b")
+        _dedup_pair_stats_view(spark, sf_dir)
         .select(
             "doc_a", "doc_b", "inter_grams",
             min_g.alias("min_grams"),
