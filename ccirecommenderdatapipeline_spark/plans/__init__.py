@@ -104,6 +104,11 @@ _NEW_THIS_ROUND: list[str] = [
     # proj_rename.
     "dedup_containment",
     "cross_modal_dedup",
+    # Batch 11: cms_term_freq builds the sketch from the exact per-term
+    # counts (vocabulary x D md5 calls instead of occurrence x D) and
+    # drops the occurrence-stream persist; cell counters bit-identical.
+    # Rolls proj_rename off the tail; slot 50 is now prices.
+    "cms_term_freq",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -136,7 +141,7 @@ _PRIORITY += [
 # NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["proj_rename"], (
+assert _PRIORITY[49:50] == ["prices"], (
     "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

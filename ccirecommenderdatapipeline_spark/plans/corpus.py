@@ -1060,15 +1060,31 @@ def q_cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     different shards MERGE by cell-wise addition. The top-K exact side
     (here to report realized error) is TakeOrderedAndProject; the
     estimate probe broadcasts the bounded sketch."""
+    # r16 (guide §1.2 don't-compute-what-you-throw-away): the sketch was
+    # built by exploding every bigram OCCURRENCE x D depths and md5-ing
+    # each (~4 md5/occurrence, corpus-scale), then counting cells — but
+    # a cell count is just the sum of the exact per-term counts landing
+    # in it, and the exact counts are ALREADY computed for the error
+    # readout. Aggregate once at term grain (map-combinable, the one
+    # corpus-scale pass), then hash only the VOCABULARY x D (bounded)
+    # into cells weighted by c_exact: bit-identical counters, md5 calls
+    # drop from occurrence-scale to vocabulary-scale. The former
+    # MEMORY_AND_DISK persist of the exploded occurrence stream is gone
+    # too — its cache write cost more than the two sub-second
+    # recomputes it saved (measured: 4.5 -> 3.2 s before this replan);
+    # the persisted table is now the ~|V|-row exact table.
     big = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("t"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     depths = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
-    cells = big.select("t", depths).select("d", cms_pos(F.col("d"), F.col("t")))
-    sketch = cells.groupBy("d", "pos").agg(F.count("*").cast("long").alias("c"))
-    exact = big.groupBy("t").agg(F.count("*").cast("long").alias("c_exact"))
+    exact = big.groupBy("t").agg(F.count("*").cast("long").alias("c_exact")).persist()
+    sketch = (
+        exact.select("t", "c_exact", depths)
+        .select("d", cms_pos(F.col("d"), F.col("t")), "c_exact")
+        .groupBy("d", "pos")
+        .agg(F.sum("c_exact").alias("c"))
+    )
     top = exact.orderBy(F.desc("c_exact"), F.asc("t")).limit(CMS_TOP)
     probe = top.select("t", "c_exact", depths).select(
         "t", "c_exact", "d", cms_pos(F.col("d"), F.col("t"))
