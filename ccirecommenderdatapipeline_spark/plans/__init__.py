@@ -109,6 +109,13 @@ _NEW_THIS_ROUND: list[str] = [
     # drops the occurrence-stream persist; cell counters bit-identical.
     # Rolls proj_rename off the tail; slot 50 is now prices.
     "cms_term_freq",
+    # Batch 12: brand_transition_matrix and markov_stationary share one
+    # memoized + persisted brand_transitions_view (the <= |V|^2
+    # consecutive-order transition counts; both plans splice its
+    # InMemoryTableScan). Rolls prices and phrase_search_positions;
+    # slot 50 is now order_reconciliation.
+    "brand_transition_matrix",
+    "markov_stationary",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -141,7 +148,7 @@ _PRIORITY += [
 # NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["prices"], (
+assert _PRIORITY[49:50] == ["order_reconciliation"], (
     "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

@@ -160,6 +160,54 @@ def order_baskets_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_memo(spark, ("order_baskets", sf_dir), build).persist()
 
 
+def brand_transitions_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (brand_from, brand_to, cnt) consecutive-order transition
+    counts, memoized + persisted (r16; guide §2.4 share-one-build):
+    ``brand_transition_matrix`` and ``markov_stationary`` built the
+    IDENTICAL corpus prefix — incidence join -> (ck, ok, dt) basket
+    collect_set -> per-customer LAG window -> double explode ->
+    groupBy(from, to) — and diverge only downstream (row-normalized
+    probabilities vs the power-iteration fold). The persisted result is
+    <= |V|^2 = 625 rows; one basket shuffle + one window per session
+    instead of per query."""
+    from ..operators.planmemo import plan_memo
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        ob = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select(
+                F.col("o_custkey").alias("ck"),
+                F.col("o_orderkey").alias("ok"),
+                F.col("o_orderdate").alias("dt"),
+                F.col("p_brand").alias("brand"),
+            )
+        )
+        baskets = ob.groupBy("ck", "ok", "dt").agg(
+            F.collect_set("brand").alias("bs")
+        )
+        w = Window.partitionBy("ck").orderBy("dt", "ok")
+        lagged = (
+            baskets.withColumn("prev", F.lag("bs").over(w))
+            .where(F.col("prev").isNotNull())
+        )
+        return (
+            lagged.select(F.explode("prev").alias("brand_from"), "bs")
+            .select("brand_from", F.explode("bs").alias("brand_to"))
+            .groupBy("brand_from", "brand_to")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    return plan_memo(spark, ("brand_transitions", sf_dir), build).persist()
+
+
 def _basket_pairs(baskets: DataFrame) -> DataFrame:
     """Explode each sorted basket array to its C(k,2) ordered (u < v)
     brand pairs map-side — the r15 apriori form, shared by the pair
@@ -388,34 +436,12 @@ def q_brand_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank + (ck, rn+1) self-join + two ok joins), row-identical. Row
     totals re-enter by broadcast.
 
-    Determinism: counts exact; one int/int double division, ROUND 8."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(
-            F.col("o_custkey").alias("ck"),
-            F.col("o_orderkey").alias("ok"),
-            F.col("o_orderdate").alias("dt"),
-            F.col("p_brand").alias("brand"),
-        )
-    )
-    baskets = ob.groupBy("ck", "ok", "dt").agg(F.collect_set("brand").alias("bs"))
-    w = Window.partitionBy("ck").orderBy("dt", "ok")
-    lagged = (
-        baskets.withColumn("prev", F.lag("bs").over(w))
-        .where(F.col("prev").isNotNull())
-    )
-    tr = (
-        lagged.select(F.explode("prev").alias("brand_from"), "bs")
-        .select("brand_from", F.explode("bs").alias("brand_to"))
-        .groupBy("brand_from", "brand_to")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    Determinism: counts exact; one int/int double division, ROUND 8.
+
+    r16: the transition counts come from the shared persisted
+    ``brand_transitions_view`` (one build serves this and
+    ``markov_stationary``); the normalization is unchanged."""
+    tr = brand_transitions_view(spark, sf_dir)
     ft = tr.groupBy("brand_from").agg(F.sum("cnt").cast("long").alias("tot"))
     return tr.join(F.broadcast(ft), "brand_from").select(
         "brand_from",
@@ -1718,34 +1744,12 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     every source is absent from the current vector, while a naive fold
     would emit 0.0 for it — so each step keeps only entries with a
     non-empty term list (``size(tl) > 0``), reproducing the oracle's
-    join semantics exactly."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(
-            F.col("o_custkey").alias("ck"),
-            F.col("o_orderkey").alias("ok"),
-            F.col("o_orderdate").alias("dt"),
-            F.col("p_brand").alias("brand"),
-        )
-    )
-    baskets = ob.groupBy("ck", "ok", "dt").agg(F.collect_set("brand").alias("bs"))
-    w = Window.partitionBy("ck").orderBy("dt", "ok")
-    lagged = (
-        baskets.withColumn("prev", F.lag("bs").over(w))
-        .where(F.col("prev").isNotNull())
-    )
-    tr0 = (
-        lagged.select(F.explode("prev").alias("brand_from"), "bs")
-        .select("brand_from", F.explode("bs").alias("brand_to"))
-        .groupBy("brand_from", "brand_to")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    join semantics exactly.
+
+    r16: the transition counts come from the shared persisted
+    ``brand_transitions_view`` (one build serves this and
+    ``brand_transition_matrix``); the fold is unchanged."""
+    tr0 = brand_transitions_view(spark, sf_dir)
     # one-row reduce: the whole vocabulary-bounded matrix as a sorted
     # entry list (struct sort is lexicographic, so brand_from leads —
     # the fold-order key the determinism contract needs)
