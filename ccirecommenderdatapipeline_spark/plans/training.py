@@ -2151,7 +2151,20 @@ def q_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100-TB shape: one map-combinable histogram agg at bin grain; every
     later op (splits, gammas, MSE) touches <= {GBDT_BINS} rows. This is
-    why histogram GBDT scales: rounds cost O(bins), not O(rows)."""
+    why histogram GBDT scales: rounds cost O(bins), not O(rows).
+
+    r16 plan-size persists (the pca_power_iteration precedent: persist
+    to TRUNCATE the analyzed plan at cache boundaries, never for
+    intra-execution data reuse): the boosting chain references each
+    bounded intermediate (h, tot, pre1, best1, pre2, best2, mse — all
+    <= {GBDT_BINS} rows or 1 row) from 2-4 downstream branches, and
+    without the cache boundary every reference INLINES the whole
+    upstream subtree — the final plan carried 593 executable nodes / 68
+    parquet scans / 102 exchanges whose optimize+codegen time dominated
+    the cell (the raw data is 16 histogram rows after the first agg).
+    Persisting the seven bounded tables collapses the plan to one scan
+    and a linear chain. Entries are <= 16 rows each, released by the
+    standard session clearCache contract."""
     from ..operators.windows import bounded_window
 
     cust = load_table(spark, sf_dir, "customer")
@@ -2176,12 +2189,13 @@ def q_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.sum("y").cast("long").alias("sy"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = h.agg(
         F.sum("n").cast("long").alias("nt"),
         F.sum("sy").cast("long").alias("st"),
         F.max("bin").cast("long").alias("mb"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w = bounded_window(
         "bin",
         bound=f"histogram prefix: {GBDT_BINS} equi-width bins",
@@ -2196,7 +2210,7 @@ def q_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nt",
         "st",
         "mb",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     f0 = F.col("st") / F.col("nt").cast("double")
     sl = F.col("cs") - F.col("cn") * f0
     score1 = sl * sl * (
@@ -2211,6 +2225,7 @@ def q_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sl / F.col("cn")).alias("g1l"),
             (-sl / (F.col("nt") - F.col("cn"))).alias("g1r"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     s2 = pre1.crossJoin(F.broadcast(best1)).select(
         "bin",
@@ -2238,7 +2253,7 @@ def q_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s2v",
         F.sum("s2v").over(w).alias("cs2"),
         F.sum("n").over(w).cast("long").alias("cn"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     s2t = pre2.where(F.col("bin") == F.col("mb")).select(
         F.col("cs2").alias("v")
     )
@@ -2258,6 +2273,7 @@ def q_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("nt") - F.col("cn"))
             ).alias("g2r"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     terms = (
         h.crossJoin(F.broadcast(tot))
@@ -2290,7 +2306,7 @@ def q_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sy") * q1 * q1 + (F.col("n") - F.col("sy")) * q0 * q0, GBDT_T_DP).cast(dec)
         ).alias("sse2"),
         F.max("nt").cast("long").alias("nt"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     row1 = best1.crossJoin(F.broadcast(mse)).select(
         F.lit(1).alias("round"),
         F.col("thr1").alias("thr_bin"),

@@ -179,15 +179,14 @@ PLAN_NODE_BUDGET = 150
 PLAN_SIZE_OK: dict[str, tuple[int, str]] = {
     "contrastive_triplets": (280, "audited 182: per-arm candidate "
                              "chains over a fixed arm count"),
-    "markov_attribution": (460, "audited 307: one removed-chain "
-                           "recompute per channel, fixed channel set"),
     "pagerank_bipartite": (750, "audited 495: fixed power-iteration "
                            "unroll; r12 measured persist as pessimizing"),
     "hits_hubs_authorities": (360, "audited 239: fixed power-iteration "
                               "unroll, integer-exact variant"),
-    "gbdt_boost_round": (900, "audited 593: fixed boosting-round "
-                         "unroll; flattest sf0.01->sf0.1 cell of the "
-                         "five — first candidate for truncation"),
+    # r16: markov_attribution (307 -> 91 nodes, single-pass transitions
+    # + in-row readout sum) and gbdt_boost_round (593 -> 11 nodes,
+    # plan-size persists on the bounded boosting intermediates) left the
+    # allowlist — both now fit the default budget.
 }
 
 
