@@ -116,6 +116,12 @@ _NEW_THIS_ROUND: list[str] = [
     # slot 50 is now order_reconciliation.
     "brand_transition_matrix",
     "markov_stationary",
+    # Batch 14: pagerank_bipartite runs its iterations on packed long
+    # node ids (strings built only at the readout) with plan-size
+    # persists on trans/nodes/each rank vector (plan 495 -> 25
+    # executable nodes, scans 68 -> 8; isolated ~10 -> ~6.2 s). Rolls
+    # order_reconciliation; slot 50 is now oov_rate_eval.
+    "pagerank_bipartite",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -148,7 +154,7 @@ _PRIORITY += [
 # NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["order_reconciliation"], (
+assert _PRIORITY[49:50] == ["oov_rate_eval"], (
     "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

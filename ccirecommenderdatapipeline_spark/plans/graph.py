@@ -133,11 +133,20 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # r16 (guide §2.3 narrower types): every internal shuffle/join/window
+    # runs on a PACKED LONG node id — custkey*2 for the 'c' side,
+    # suppkey*2+1 for the 's' side (bijective, so the graph and every
+    # intermediate rank are identical) — and the 'c<key>'/'s<key>' node
+    # STRING is built once per OUTPUT row at the final readout instead of
+    # once per corpus-scale edge row. String keys made the base aggregate
+    # and the transition window shuffle 2x the bytes and pay per-row
+    # concat + string comparisons (measured: the base agg alone 1.98 ->
+    # 1.41 s warm at sf0.1 with numeric keys).
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .agg(F.count("*").alias("w"))
     )
@@ -146,15 +155,30 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # r16 plan-size persists (the gbdt_boost_round/pca recipe): trans and
+    # nodes are referenced by every one of the 5 unrolled iterations, and
+    # each ranks_i inlines the whole chain below it — the plan carried 68
+    # parquet scans / 62 exchanges for a 5-shuffle computation. Persisting
+    # the two reused tables plus each (node-scale) rank vector truncates
+    # the analyzed plan at cache boundaries; execution becomes the linear
+    # per-iteration contribution shuffle the docstring describes. (The r12
+    # note "persist measured as pessimizing" predates the r15/r16
+    # plan-memo + plan-size-persist protocol and is superseded by the
+    # interleaved A/B recorded in OPTIMIZATION_r16.md.)
+    from pyspark.storagelevel import StorageLevel
+
     trans = edges.select(
         "src", "dst", (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", "n", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(PR_ITERS):
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         contrib = (
             ranks.join(trans, ranks.node == trans.src)
             .select(
@@ -176,7 +200,13 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", F.round("rank", 12).alias("rank"))
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.shiftright("node", 1)),
+    ).otherwise(F.concat(F.lit("s"), F.shiftright("node", 1)))
+    return ranks.select(
+        node_str.alias("node"), F.round("rank", 12).alias("rank")
+    )
 
 
 # --- Shared basket-pair statistics for the brand co-occurrence family --------

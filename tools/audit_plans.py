@@ -179,8 +179,6 @@ PLAN_NODE_BUDGET = 150
 PLAN_SIZE_OK: dict[str, tuple[int, str]] = {
     "contrastive_triplets": (280, "audited 182: per-arm candidate "
                              "chains over a fixed arm count"),
-    "pagerank_bipartite": (750, "audited 495: fixed power-iteration "
-                           "unroll; r12 measured persist as pessimizing"),
     "hits_hubs_authorities": (360, "audited 239: fixed power-iteration "
                               "unroll, integer-exact variant"),
     # r16: markov_attribution (307 -> 91 nodes, single-pass transitions
