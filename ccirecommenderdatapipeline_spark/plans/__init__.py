@@ -122,6 +122,12 @@ _NEW_THIS_ROUND: list[str] = [
     # executable nodes, scans 68 -> 8; isolated ~10 -> ~6.2 s). Rolls
     # order_reconciliation; slot 50 is now oov_rate_eval.
     "pagerank_bipartite",
+    # Batch 15: linear_interpolate's forward fill becomes a running
+    # last(ignoreNulls) over DESCENDING d — Spark's UnboundedFollowing
+    # frame re-scans the remaining partition per row (O(n^2) per
+    # symbol); isolated 14.5 -> 1.1 s, fill bit-identical. Rolls
+    # oov_rate_eval; slot 50 is now ohlc_resample_weekly.
+    "linear_interpolate",
 ]
 
 _PRIORITY = list(_NEW_THIS_ROUND)
@@ -154,7 +160,7 @@ _PRIORITY += [
 # NOTE to be rewritten whenever an (a) addition shifts the cut line.
 # Slice-based (never a bare [49] index) so a short list fails with THIS
 # message, not an IndexError (ADVICE r10 item 3).
-assert _PRIORITY[49:50] == ["oov_rate_eval"], (
+assert _PRIORITY[49:50] == ["ohlc_resample_weekly"], (
     "window tail moved — update the (b) NOTE's enumeration of rolled "
     f"names (slots filled: {len(_PRIORITY)}; slot 50 is now "
     f"{_PRIORITY[49:50] or ['<unfilled>']})"

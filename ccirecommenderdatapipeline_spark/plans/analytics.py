@@ -554,13 +554,22 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("symbol").orderBy("d").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    wf = Window.partitionBy("symbol").orderBy("d").rowsBetween(
-        0, Window.unboundedFollowing
+    # r16: the forward fill used a [current, unboundedFollowing) frame
+    # with first(ignoreNulls) — Spark's UnboundedFollowing frame
+    # RE-SCANS the whole remaining partition per row (O(n^2) per
+    # symbol; measured 4.1 s per forward window function vs 0.86 s for
+    # the running backward frame on the same data). The same value —
+    # the nearest non-null at d' >= d — is a RUNNING last(ignoreNulls)
+    # over the DESCENDING-d order, an O(n) streaming frame. (symbol, d)
+    # is unique after the calendar join, so the two orders select the
+    # identical row and the fill is bit-identical.
+    wf = Window.partitionBy("symbol").orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, 0
     )
     prev_c = F.last("close_pr", ignorenulls=True).over(wb)
     prev_d = F.last(F.when(F.col("close_pr").isNotNull(), F.col("d")), True).over(wb)
-    next_c = F.first("close_pr", ignorenulls=True).over(wf)
-    next_d = F.first(F.when(F.col("close_pr").isNotNull(), F.col("d")), True).over(wf)
+    next_c = F.last("close_pr", ignorenulls=True).over(wf)
+    next_d = F.last(F.when(F.col("close_pr").isNotNull(), F.col("d")), True).over(wf)
     frac = F.datediff(F.col("d"), prev_d) / F.datediff(next_d, prev_d)
     return joined.select(
         "symbol",
