@@ -697,7 +697,23 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan grows 2^iters scans (explain_audit measured 342 exchanges / 496
     scans). Persist the edge list once and localCheckpoint the labels per
     iteration, exactly Spark's prescribed pattern for iterative graph
-    algorithms; at scale this is one shuffle join per iteration."""
+    algorithms; at scale this is one shuffle join per iteration.
+
+    r16: memoized per session (plan_memo) — ``dedup_clusters`` and
+    ``dedup_corpus`` both consume the identical label table, and the
+    eager per-round localCheckpoint jobs ran once PER QUERY. The checked
+    label partitions are node-scale (graph nodes with >= 1 candidate
+    edge) and die with the session; each new bench/oracle process still
+    computes from the parquet inputs."""
+    from ..operators.planmemo import plan_memo
+
+    return plan_memo(
+        spark, ("dedup_cluster_labels", sf_dir),
+        lambda: _build_cluster_labels(spark, sf_dir),
+    )
+
+
+def _build_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs2 = fan_out(with_recrawl(_docs(spark, sf_dir)), "doc_id")
     sigs = _shingled(docs2).select(
         "doc_id", minhash_signature(F.col("grams")).alias("sig")
